@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.index.Indexer
+import graft.queries._
+import graft.search.BM25
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query groups live under [[graft.queries]]; each group exposes a
+  * `queries` map (name → (spark, sfDir) => DataFrame) and an `oracles`
+  * map (name → DuckDB SQL over the same parquet tables). Groups:
+  *
+  *   - [[SearchQueries]]     — reference parity: analyzer, inverted index,
+  *                             BM25 ranking (SURVEY.md §2.1–2.8).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * End-to-end reference pipeline: corpus → index → BM25 top-10.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    BM25.search(Indexer.buildIndex(docs), SearchQueries.FlagshipQuery)
+  }
+
+  private val groups: Seq[QueryGroup] = Seq(
+    SearchQueries,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.map(_.queries).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    groups.map(_.oracles).reduce(_ ++ _)
 }

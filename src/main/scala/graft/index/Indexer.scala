@@ -1,0 +1,117 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzer
+
+/** One-job inverted-index builder.
+  *
+  * Replaces the reference's two Hadoop-Streaming MapReduce jobs plus the
+  * bash grep-routing and the Cassandra loader
+  * (`app/index.sh`, `mapreduce/mapper1.py`/`reducer1.py`,
+  * `mapper2.py`/`reducer2.py`, `app/load_index.py`) with a single Spark
+  * lineage producing four DataFrames:
+  *
+  *   - [[docStats]]  — `(doc_id, length)`: per-document token count
+  *                     (reference table `doc_stats`, minus the title column
+  *                     our fixtures don't carry).
+  *   - [[postings]]  — `(term, doc_id, tf)`: the inverted index
+  *                     (reference `inverted_index`).
+  *   - [[vocab]]     — `(term, df)`: document frequency per term
+  *                     (reference `vocab`).
+  *   - [[meta]]      — 1 row `(total_docs, avg_dl)`, *typed* — replacing
+  *                     the reference's stringly `meta` table round-tripped
+  *                     through shell env vars (`index.sh:49-50`).
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *   - The only wide dependency is the `groupBy(term, doc_id)` in
+  *     [[postings]]; Spark plans it as partial HashAggregate (map-side
+  *     combine of repeated tokens within a document) → Exchange on
+  *     `(term, doc_id)` → final HashAggregate. This is exactly the MR
+  *     combiner+shuffle the reference relied on, minus the text
+  *     round-trips.
+  *   - [[vocab]] reuses the postings' clustering: `groupBy(term)` after a
+  *     `(term, doc_id)` exchange is a near-local aggregation (AQE
+  *     coalesces). Skewed terms (stopwords) are handled by the partial
+  *     agg — each map task emits at most one row per (term, doc) — and by
+  *     AQE skew handling on the exchange.
+  *   - [[docStats]] and [[meta]] are narrow: token counting is a per-row
+  *     expression, the global count/avg is a two-phase agg with a
+  *     single-row result.
+  *   - [[writeIndex]] partitions postings by a hash bucket of `term` so a
+  *     query for k terms prunes to k buckets — the Spark-native analog of
+  *     Cassandra's `(term)` partition key (`load_index.py:34-41`).
+  */
+object Indexer {
+
+  /** Per-document statistics: `(doc_id, length)`.
+    * Reference: MR job 1 mapper (`mapreduce/mapper1.py:14-18`).
+    * Narrow (no shuffle): the token count is a scalar expression.
+    */
+  def docStats(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.select(
+      col(idCol).as("doc_id"),
+      Analyzer.tokenCount(col(textCol)).as("length"))
+
+  /** The inverted index: `(term, doc_id, tf)`.
+    * Reference: MR job 2 (`mapreduce/mapper2.py:14-18` emits one pair per
+    * token occurrence; `reducer2.py:20-44` count-by-(term,doc) over the
+    * framework's shuffle-sort). Here: explode → two-phase hash aggregate.
+    */
+  def postings(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), explode(Analyzer.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+  /** Document frequency per term: `(term, df)`.
+    * Reference: `reducer2.py:46-52` (doc-boundary counting in the sorted
+    * stream). Postings are already distinct per `(term, doc_id)`, so a
+    * plain count ≡ `countDistinct(doc_id)`.
+    */
+  def vocab(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Corpus-level stats as a typed 1-row DataFrame `(total_docs, avg_dl)`.
+    * Reference: sentinel keys `!!DOC_COUNT` / `!!LENGTH_SUM` funneled
+    * through a single reducer (`mapper1.py:20-21`, `reducer1.py:13-37`)
+    * then env vars then Cassandra text rows — all replaced by one
+    * two-phase aggregate.
+    */
+  def meta(docStats: DataFrame): DataFrame =
+    docStats.agg(
+      count(lit(1)).as("total_docs"),
+      avg(col("length")).as("avg_dl"))
+
+  /** All four index tables built from one corpus scan. */
+  final case class InvertedIndex(docStats: DataFrame, postings: DataFrame,
+                                 vocab: DataFrame, meta: DataFrame)
+
+  def buildIndex(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
+    val ds = docStats(corpus, idCol, textCol)
+    val p  = postings(corpus, idCol, textCol)
+    InvertedIndex(ds, p, vocab(p), meta(ds))
+  }
+
+  /** Persist the index store as parquet (replacing Cassandra D2–D5,
+    * SURVEY.md §1.1). Postings get a `term_bucket` partition column so a
+    * k-term query reads ≤ k of `nBuckets` partitions (partition pruning —
+    * the parquet analog of Cassandra's partition-key pushdown the
+    * reference got from the connector, `query.py:43,50`).
+    */
+  def writeIndex(ix: InvertedIndex, path: String, nBuckets: Int = 64): Unit = {
+    ix.docStats.write.mode("overwrite").parquet(s"$path/doc_stats")
+    ix.postings
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    ix.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    ix.meta.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
+  def termBucket(term: Column, nBuckets: Int = 64): Column =
+    pmod(hash(term), lit(nBuckets))
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analyzer.Analyzer
+import graft.index.Indexer
+import graft.search.BM25
+
+/** Reference-parity query surface: the analyzer → inverted index → BM25
+  * pipeline over the `documents` fixture (the stand-in for the reference's
+  * Wikipedia corpus — FIXTURES.md). Every entry has a DuckDB oracle.
+  *
+  * Output typing convention (driver hash-compare): counts are BIGINT,
+  * computed doubles are rounded, column names aliased identically on both
+  * sides.
+  */
+object SearchQueries extends QueryGroup {
+
+  /** The three reference smoke queries (`app/app.sh:22-27`) use corpus
+    * vocabulary; our fixture corpus has its own — this query uses words
+    * that actually occur in `documents.text`.
+    */
+  val FlagshipQuery = "fast hash join scan"
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // DuckDB-side analyzer chain, kept textually in sync with Analyzer.normText.
+  private val SqlNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val SqlCorpus  = s"SELECT doc_id, $SqlNorm AS t FROM documents"
+  private val SqlTok     =
+    s"SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term FROM ($SqlCorpus) WHERE t <> ''"
+  private val SqlDocStats =
+    s"SELECT doc_id, count(*) AS length FROM ($SqlTok) GROUP BY doc_id"
+  private val SqlPostings =
+    s"SELECT term, doc_id, count(*) AS tf FROM ($SqlTok) GROUP BY term, doc_id"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_clean" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Analyzer.normText(col("text")).as("clean_text"))),
+
+    "q_doc_stats" -> ((s, dir) =>
+      Indexer.docStats(docs(s, dir))
+        .select(col("doc_id"), col("length").cast("long").as("length"))),
+
+    "q_postings" -> ((s, dir) =>
+      Indexer.postings(docs(s, dir))
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))),
+
+    "q_vocab" -> ((s, dir) => {
+      val ix = Indexer.buildIndex(docs(s, dir))
+      ix.vocab.select(col("term"), col("df").as("df"))
+    }),
+
+    "q_corpus_meta" -> ((s, dir) =>
+      Indexer.docStats(docs(s, dir)).agg(
+        count(lit(1)).as("total_docs"),
+        (sum(col("length")).cast("double") / count(lit(1))).as("avg_dl"))),
+
+    "q_bm25_search" -> ((s, dir) => {
+      val ix = Indexer.buildIndex(docs(s, dir))
+      BM25.search(ix, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_corpus_clean" ->
+      s"SELECT doc_id, $SqlNorm AS clean_text FROM documents",
+
+    "q_doc_stats" ->
+      s"""SELECT c.doc_id, coalesce(t.length, 0) AS length
+          FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
+
+    "q_postings" -> SqlPostings,
+
+    "q_vocab" ->
+      s"SELECT term, count(*) AS df FROM ($SqlPostings) GROUP BY term",
+
+    "q_corpus_meta" ->
+      s"""SELECT count(*) AS total_docs,
+                 CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
+          FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
+
+    "q_bm25_search" -> {
+      val terms = Analyzer.analyzeQuery(FlagshipQuery).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH doc_stats AS ($SqlDocStats),
+               postings AS ($SqlPostings),
+               vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+               meta AS (SELECT count(*) AS n,
+                               CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
+                        FROM ($SqlCorpus) c LEFT JOIN doc_stats t USING (doc_id)),
+               q AS (SELECT unnest([$terms]) AS term),
+               scored AS (
+                 SELECT p.doc_id,
+                        ln(1 + (m.n - v.df + 0.5) / (v.df + 0.5))
+                          * (p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.length / m.avg_dl))) AS s
+                 FROM postings p
+                 JOIN q USING (term)
+                 JOIN vocab v USING (term)
+                 JOIN doc_stats d USING (doc_id)
+                 CROSS JOIN meta m),
+               agg AS (SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id)
+          SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                 doc_id, round(score, 4) AS score
+          FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,85 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzer
+import graft.index.Indexer.InvertedIndex
+
+/** BM25 ranking, expressed entirely in native Catalyst column arithmetic —
+  * the reference's flagship derived expression (`app/query.py:60-92`),
+  * minus its RDD escape, Python-closure UDF, hand-rolled broadcast, and
+  * driver-side `collect()` of vocab/meta.
+  *
+  * Formula (reference `query.py:74-81`, k1 = 1.2, b = 0.75):
+  * {{{
+  *   idf     = ln(1 + (N - df + 0.5) / (df + 0.5))        // non-negative variant
+  *   norm_tf = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avg_dl))
+  *   score   = Σ_terms idf * norm_tf
+  * }}}
+  *
+  * Scale design: postings are pre-filtered to the query's terms (an
+  * `In`-list predicate pushed into the parquet scan — row-group and
+  * dictionary pruning; with the bucketed index store, partition pruning
+  * too). `vocab` restricted to k query terms is ≤ k rows → broadcast hash
+  * join. `meta` is one row → broadcast cross join, never a collect. The
+  * only big join is postings ⋈ doc_stats on `doc_id` — sort-merge at
+  * scale, BHJ when AQE sees the filtered postings are small. The final
+  * top-k plans as `TakeOrderedAndProject` (per-partition heaps, driver
+  * merges k rows — the same algorithm as the reference's `takeOrdered`,
+  * `query.py:92`, but on codegen'd rows).
+  */
+object BM25 {
+
+  final case class Params(k1: Double = 1.2, b: Double = 0.75, topK: Int = 10)
+
+  /** Per-posting partial score as a Column expression; all inputs are
+    * columns so the whole thing fuses into one codegen stage.
+    */
+  def scoreExpr(tf: Column, df: Column, docLen: Column,
+                totalDocs: Column, avgDl: Column,
+                k1: Double = 1.2, b: Double = 0.75): Column = {
+    val idf    = log(lit(1.0) + (totalDocs - df + lit(0.5)) / (df + lit(0.5)))
+    val normTf = tf * (lit(k1) + lit(1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * docLen / avgDl))
+    idf * normTf
+  }
+
+  /** Rank documents for a free-text query against a built index.
+    *
+    * Returns `(rank, doc_id, score)`, rank 1-based, ties broken by
+    * `(score desc, doc_id asc)` — the reference's tie order is
+    * partition-dependent (`query.py:92`); we pin it (SURVEY.md §7.4).
+    */
+  def search(ix: InvertedIndex, queryText: String, params: Params = Params()): DataFrame = {
+    val terms = Analyzer.analyzeQuery(queryText).distinct
+    if (terms.isEmpty) return emptyResult(ix)
+
+    val posts = ix.postings.filter(col("term").isin(terms: _*))
+    val voc   = ix.vocab.filter(col("term").isin(terms: _*))
+
+    val scored = posts
+      .join(ix.docStats, "doc_id")                 // big ⋈ big on doc_id
+      .join(broadcast(voc), "term")                // ≤ |terms| rows
+      .crossJoin(broadcast(ix.meta))               // 1 row (N, avg_dl)
+      .withColumn("part_score",
+        scoreExpr(col("tf"), col("df"), col("length"),
+          col("total_docs"), col("avg_dl"), params.k1, params.b))
+
+    val ranked = scored
+      .groupBy("doc_id")
+      .agg(sum(col("part_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(params.topK)
+
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  private def emptyResult(ix: InvertedIndex): DataFrame =
+    ix.docStats.sparkSession.emptyDataFrame
+      .select(lit(0).as("rank"), lit(0L).as("doc_id"), lit(0.0).as("score"))
+      .limit(0)
+}
