@@ -27,6 +27,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     SearchQueries,
+    RelationalQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish fixtures — the
+  * generalized form of every relational operator class in SURVEY.md §2
+  * (scan, projection, filter/IN-list, inner/broadcast/semi/anti/outer
+  * joins, partial+final aggregation, distinct, window functions, top-k,
+  * set operations, scalar functions, conditional aggregation).
+  *
+  * Determinism discipline for the DuckDB hash-compare:
+  *   - Sums of doubles go through DECIMAL casts (exact, order-independent)
+  *     and are cast back to DOUBLE for the output schema; both sides of
+  *     every oracle use the same construction.
+  *   - Counts are BIGINT on both sides.
+  *   - Every LIMIT is preceded by a total order with a unique tiebreak.
+  *
+  * Scale notes (100 TB):
+  *   - Dimension joins (region/nation/supplier/customer) are broadcast —
+  *     Catalyst picks BHJ under the threshold; the fact-fact join
+  *     (orders ⋈ lineitem) shuffles on the join key and is the natural
+  *     bucketing candidate.
+  *   - All aggregates are two-phase hash aggregates (map-side partials),
+  *     so the exchanges carry group cardinality, not row counts.
+  *   - Date filters and IN-lists sit directly on scan columns →
+  *     parquet min/max row-group pruning + dictionary pushdown.
+  */
+object RelationalQueries extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Exact, order-independent sum of a double expression: cast each value
+    * to DECIMAL(25,6), sum exactly, present as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
+  private def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A-series: partial+final aggregation over the big fact table (TPC-H Q1 shape)
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- J-series: 3-way join + agg + deterministic top-k (TPC-H Q3 shape)
+    "q_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- broadcast dimension chain: revenue per nation (TPC-H Q5 shape)
+    "q_nation_revenue" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val cust   = t(s, dir, "customer")
+      val ord    = t(s, dir, "orders")
+      val li     = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- W-series: ranking window — top-3 orders per customer
+    "q_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+    }),
+
+    // ---- running-total window (exact decimal accumulation)
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+    }),
+
+    // ---- P-series: IN-list + range predicate, pushed to the parquet scan
+    "q_filter_in" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1999-01-01"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // ---- left-semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val withOrders = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      withOrders.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- left-anti join (NOT EXISTS): customers with no urgent orders
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // ---- outer join preserving unmatched + conditional count
+    "q_outer_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))),
+
+    // ---- set operations: symmetric difference of two customer predicates
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      a.union(b).distinct().except(a.intersect(b))
+    }),
+
+    // ---- distinct aggregation
+    "q_distinct_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // ---- scalar function surface (F1–F8): string ops, casts, rounding
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lc"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_size").cast("double").as("size_d"),
+        floor(col("p_retailprice")).cast("double").as("price_fl"))),
+
+    // ---- conditional aggregation (CASE WHEN inside agg)
+    "q_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("spend_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${dsumSql("l_quantity")} AS sum_qty,
+                 ${dsumSql("l_extendedprice")} AS sum_base_price,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                 ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+          GROUP BY l_returnflag, l_linestatus""",
+
+    "q_top_orders" ->
+      s"""SELECT l_orderkey, o_orderpriority,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+            AND l_shipdate  > TIMESTAMP '1997-01-01'
+          GROUP BY l_orderkey, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q_nation_revenue" ->
+      s"""SELECT n_name,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name""",
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_spend
+         FROM orders""",
+
+    "q_filter_in" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem
+          WHERE l_returnflag IN ('A', 'R')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1999-01-01'
+          GROUP BY l_returnflag""",
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')""",
+
+    "q_outer_join" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                 ${dsumSql("coalesce(o_totalprice, 0.0)")} AS spend
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey""",
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+           UNION
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+         EXCEPT
+         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)""",
+
+    "q_distinct_parts" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+                lower(p_name) AS name_lc,
+                substring(p_name, 1, 8) AS name8,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                length(p_name) AS name_len,
+                CAST(p_size AS DOUBLE) AS size_d,
+                CAST(floor(p_retailprice) AS DOUBLE) AS price_fl
+         FROM part""",
+
+    "q_case_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS spend_f,
+                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+          FROM orders GROUP BY o_orderpriority""",
+  )
+}
