@@ -28,6 +28,7 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     SearchQueries,
     RelationalQueries,
+    PipelineQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

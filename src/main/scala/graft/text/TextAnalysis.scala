@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzer
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All scalar
+  * column expressions — per-row, no shuffle, fuse into the corpus scan.
+  */
+object TextAnalysis {
+
+  /** Marker-word lists for the n-gram/stopword language heuristic.
+    * Deterministic and tiny — they compile into literal arrays. */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "y", "es", "que", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "une", "dans"))
+
+  /** Count of tokens contained in `words`. */
+  def markerHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Predicted language: argmax of marker hits, ties resolved by marker
+    * list order (first listed wins); zero hits → "und". */
+  def langId(textCol: Column, markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+    val toks = Analyzer.tokens(textCol)
+    val hits = markers.map { case (lang, words) => lang -> markerHits(toks, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST matching language on ties.
+    pick
+  }
+
+  /** Whitespace token count (the reference's doc length) — ws_tokens —
+    * and a BPE-ish unit count: alpha runs count 1 each, every digit 1,
+    * every other non-space symbol 1. */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def bpeishCount(textCol: Column): Column =
+    regexp_count(lower(textCol), lit(BpeishPattern))
+
+  /** Quality-score feature bundle. Components:
+    *   - n_tokens, avg_token_len (exact int arithmetic / count)
+    *   - alnum_ratio: fraction of non-space chars that are alphanumeric
+    *   - stopword_ratio: marker-word hits / tokens (fluent text has some)
+    *   - score: 0.4·min(n_tokens/100,1) + 0.3·alnum_ratio + 0.3·min(4·stop,1)
+    */
+  def qualityFeatures(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val txt = lower(col(textCol))
+    val toks = Analyzer.tokens(col(textCol))
+    val allMarkers = DefaultMarkers.flatMap(_._2).distinct
+    val nTokens = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val nonSpace = length(regexp_replace(txt, "\\s", ""))
+    val alnum = length(regexp_replace(txt, "[^a-z0-9]", ""))
+    val stop = markerHits(toks, allMarkers)
+    df.select(
+      col(idCol).as("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      when(nTokens > 0, sumLen.cast("double") / nTokens).otherwise(lit(0.0)).as("avg_token_len"),
+      when(nonSpace > 0, alnum.cast("double") / nonSpace).otherwise(lit(0.0)).as("alnum_ratio"),
+      when(nTokens > 0, stop.cast("double") / nTokens).otherwise(lit(0.0)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * col("alnum_ratio") +
+          lit(0.3) * least(lit(4.0) * col("stopword_ratio"), lit(1.0)))
+  }
+
+  /** Order-sensitive rolling-hash document fingerprint over tokens:
+    * fold (acc·31 + code(t)) mod 1e9+7, seeded with the first token's
+    * code (DuckDB `list_reduce` fold shape); code(t) = ascii(t)·131 + len(t).
+    * Empty docs → 0.
+    */
+  def fingerprint(textCol: Column): Column = {
+    val codes = transform(Analyzer.tokens(textCol),
+      t => (ascii(t) * lit(131L) + length(t)))
+    when(size(codes) === 0, lit(0L))
+      .otherwise(aggregate(
+        slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+        element_at(codes, 1).cast("long"),
+        (acc, x) => pmod(acc * 31L + x, lit(1000000007L))))
+  }
+}

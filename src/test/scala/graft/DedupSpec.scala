@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "a b c d e f g h"),             // exact dup of 1
+    (3L, "a b c d e f g x"),             // near dup of 1 (shares 5 of 6+6 shingles)
+    (4L, "q r s t u v w z"),             // unrelated
+    (5L, "x y")                          // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates groups by digest with min-id survivor") {
+    val m = Dedup.exactDuplicates(corpus).as[(String, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(m(1L) === 2) // docs 1+2 collapse, survivor 1
+    assert(m(3L) === 1)
+    assert(!m.contains(2L))
+  }
+
+  test("shingles: distinct word 3-grams; short docs excluded") {
+    val sh = Dedup.shingles(corpus).as[(Long, String)].collect()
+    val byDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) === Set("a b c", "b c d", "c d e", "d e f", "e f g", "f g h"))
+    assert(!byDoc.contains(5L))
+  }
+
+  test("jaccardPairs finds exact and near dups with hand-computed jaccard") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(corpus), 0.4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // docs 1,3: inter = {a b c, b c d, c d e, d e f, e f g} = 5; union = 6+6-5 = 7
+    assert(math.abs(pairs((1L, 3L)) - 5.0 / 7) < 1e-12)
+    assert(math.abs(pairs((2L, 3L)) - 5.0 / 7) < 1e-12)
+    assert(pairs.size === 3)
+  }
+
+  test("minhashLshPairs matches exact jaccardPairs on the fixture corpus") {
+    val exact = Dedup.jaccardPairs(Dedup.shingles(corpus), 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(Dedup.shingles(corpus), 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("minhashLshPairs matches exact pairs on sf0.001 documents") {
+    val sh = Dedup.shingles(Tables.load(spark, sf0001, "documents"))
+    val exact = Dedup.jaccardPairs(sh, 0.5).as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(sh, 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs get identical hash; pairs are found") {
+    val sim = Dedup.simhash64(corpus)
+    val m = sim.as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L))
+    val pairs = Dedup.simhashPairs(sim, 3).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("shingleDfCap drops high-df shingles only") {
+    val sh = Dedup.shingles(corpus)
+    val capped = Dedup.shingleDfCap(sh, maxDf = 2)
+    // every shingle here has df <= 3 ('a b c'..'e f g' appear in 3 docs)
+    val dropped = sh.count() - capped.count()
+    val df3 = sh.groupBy("shingle").count().filter($"count" > 2).count()
+    assert(dropped === df3 * 3)
+  }
+
+  test("embedding near-dup: cosine of identical vectors is 1") {
+    val e = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+}
