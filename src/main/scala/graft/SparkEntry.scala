@@ -29,6 +29,8 @@ object SparkEntry {
     SearchQueries,
     RelationalQueries,
     PipelineQueries,
+    EventQueries,
+    MediaQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

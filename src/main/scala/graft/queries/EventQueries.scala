@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Event-table surface: JSON extraction, event-time tumbling/sliding
+  * windows, gap-based sessionization — the batch faces of the
+  * [[graft.streaming.EventStreams]] transforms (identical code paths;
+  * `withWatermark` no-ops on batch). Window starts are output as epoch
+  * seconds (BIGINT) to keep the cross-engine compare timezone-proof.
+  */
+object EventQueries extends QueryGroup {
+
+  private def events(s: SparkSession, dir: String) = Tables.loadEvents(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON extraction (get_json_object) + aggregation
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k").isNull, 1)).as("n_null"))),
+
+    "q_time_tumbling" -> ((s, dir) =>
+      EventStreams.tumblingCounts(events(s, dir))
+        .select(col("window_start").cast("long").as("window_start_s"),
+          col("event_type"), col("n"), col("total"))),
+
+    "q_time_sliding" -> ((s, dir) =>
+      EventStreams.slidingCounts(events(s, dir))
+        .select(col("window_start").cast("long").as("window_start_s"),
+          col("event_type"), col("n"))),
+
+    "q_session_window" -> ((s, dir) =>
+      EventStreams.sessionize(events(s, dir))
+        .select(col("user_id"),
+          col("session_start").cast("long").as("session_start_s"),
+          col("n_events"), col("sum_value"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_null
+         FROM events GROUP BY event_type""",
+
+    "q_time_tumbling" ->
+      """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start_s,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+
+    // each event belongs to exactly two 1h/30m sliding windows:
+    // the 30-min bucket it falls in and the one 30 min earlier
+    "q_time_sliding" ->
+      """SELECT floor(epoch(ws))::BIGINT AS window_start_s, event_type, count(*) AS n
+         FROM (SELECT event_type,
+                      unnest([time_bucket(INTERVAL '30 minutes', ts),
+                              time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+               FROM events)
+         GROUP BY 1, 2""",
+
+    // gaps-and-islands replication of session_window (gap-exclusive: a
+    // diff of exactly 30 min starts a new session, matching Spark's
+    // [start, last+gap) windows)
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL '30 minutes'
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+                floor(epoch(min(ts)))::BIGINT AS session_start_s,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid""",
+  )
+}

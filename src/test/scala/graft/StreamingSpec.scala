@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming behavior of the event-time transforms: the same
+  * code paths as the batch queries, driven through MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) =
+    Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+
+  test("tumbling window aggregation over a stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:55:00"),
+        ev(3, "2024-01-01 01:05:00", typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the bound after advancement") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 05:00:00"))
+      q.processAllAvailable()
+      // watermark is now 04:50; an hour-3 event is beyond it
+      mem.addData(ev(2, "2024-01-01 03:00:00"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 07:00:00")) // advance, closing hour 5
+      q.processAllAvailable()
+      val rows = spark.table("late_test")
+        .select(col("window_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows.get("2024-01-01 05:00:00") === Some(1L)) // late row not counted
+      assert(!rows.contains("2024-01-01 03:00:00"))
+    } finally q.stop()
+  }
+
+  test("native session_window groups by 30-minute gaps") {
+    val df = Seq(
+      ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:20:00"),
+      ev(3, "2024-01-01 00:49:59"),                  // still in session (gap < 30m)
+      ev(4, "2024-01-01 01:30:00"),                  // new session
+      ev(5, "2024-01-01 00:00:00", user = 2L)
+    ).toDF()
+    val res = EventStreams.sessionize(df)
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(res === Set(
+      (1L, "2024-01-01 00:00:00", 3L),
+      (1L, "2024-01-01 01:30:00", 1L),
+      (2L, "2024-01-01 00:00:00", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with session_window on batch") {
+    implicit val s = spark
+    val events = Tables.loadEvents(spark, sf0001)
+      .as[Event]
+    val builtin = EventStreams.sessionize(events.toDF())
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val custom = EventStreams.sessionizeWithState(events)
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(custom === builtin)
+  }
+
+  test("sliding windows place each event in width/slide windows") {
+    val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
+    val res = EventStreams.slidingCounts(df)
+      .select(col("window_start").cast("string")).as[String].collect().toSet
+    assert(res === Set("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
+  }
+}
