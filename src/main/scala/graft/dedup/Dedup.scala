@@ -43,15 +43,21 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                n: Int = 3): DataFrame = {
-    val toks = Analyzer.tokens(col(textCol))
-    // filter first: sequence(0, size-n) is only valid once size >= n
-    // (sequence(0, -1) would yield a DESCENDING [0, -1], not empty).
-    df.filter(size(toks) >= n)
-      .select(col(idCol).as("doc_id"),
+    // Materialize the token array behind a projection boundary FIRST:
+    // every column reference below would otherwise re-embed (and
+    // re-evaluate) the analyzer's 3-regex chain — including once per
+    // element_at inside the lambda, turning shingling O(len²·regex).
+    val toks = df.select(col(idCol).as("doc_id"),
+      Analyzer.tokens(col(textCol)).as("toks"))
+    // filter before sequence(0, size-n): sequence(0, -1) would yield a
+    // DESCENDING [0, -1], not an empty array.
+    toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
         explode(array_distinct(
           transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*))))
           .as("shingle"))
   }
 
@@ -62,47 +68,71 @@ object Dedup {
     sh.join(broadcast(df.filter(col("sdf") > maxDf)), Seq("shingle"), "left_anti")
   }
 
-  /** Exact Jaccard near-dup pairs ≥ `minJaccard` over shingle sets:
-    * `(doc_a, doc_b, jaccard)`, doc_a < doc_b.
-    * Any pair with Jaccard > 0 shares ≥ 1 shingle, so the shingle
-    * self-join enumerates exactly the candidates with nonzero overlap.
-    */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val inter = a.join(b, "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("doc_a", "na"), "doc_a")
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+  /** Shingle sets per doc: `(doc_id, sh_set: array<string>)`. */
+  def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
+
+  /** Exact Jaccard verification of candidate pairs against full shingle
+    * sets — shared tail of the exact and LSH paths. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Exact Jaccard near-dup pairs ≥ `minJaccard` over shingle sets:
+    * `(doc_a, doc_b, jaccard)`, doc_a < doc_b.
+    *
+    * Uses prefix filtering (AllPairs/PPJoin family): order each doc's
+    * shingles by a global (df asc, shingle asc) total order and self-join
+    * only the first `|S| - ceil(τ·|S|) + 1` of them — any pair with
+    * J ≥ τ must collide inside these prefixes, and the prefixes
+    * concentrate on the *rarest* shingles, collapsing the join's
+    * candidate volume. Candidates are then exact-verified, so the result
+    * is identical to the naive all-shared-shingles join.
+    */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(sdf, "shingle")
+      .withColumn("rnk", row_number().over(
+        byDoc.orderBy(col("sdf").asc, col("shingle").asc)))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.toDF("doc_a", "shingle")
+      .join(prefix.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyPairs(cand, shingleSets(sh), minJaccard)
   }
 
-  /** MinHash signatures: `(doc_id, h0..h{k-1})` where
-    * `h_i = min over shingles of xxhash64(i, shingle)`.
-    * One narrow aggregation; k min-columns ride the same shuffle.
+  /** MinHash signature as one array column:
+    * `sig[i] = min over shingles of xxhash64(i, shingle)` — computed
+    * per-row over the collected shingle set (single narrow projection;
+    * no wide multi-column aggregate, which would fall out of codegen
+    * past spark.sql.codegen.maxFields).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("shingle"))).as("h0"),
-      (1 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+  def withMinhashSignature(sets: DataFrame, numHashes: Int = 128): DataFrame =
+    sets.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh_set"), s => xxhash64(i, s)))))
 
-  /** LSH banding: `(doc_id, band, bucket)` — `bands` rows per doc, bucket =
-    * hash of the band's `rowsPerBand` signature slots. */
+  /** LSH banding: `(doc_id, band, bucket)`, bucket = hash of the band's
+    * signature slice. */
   def lshBuckets(sig: DataFrame, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandStructs = array((0 until bands).map { bnd =>
-      val slots = (0 until rowsPerBand).map(r => col(s"h${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), xxhash64(lit(bnd) +: slots: _*).as("bucket"))
-    }: _*)
-    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+    val r = numHashes / bands
+    sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -113,21 +143,14 @@ object Dedup {
     */
   def minhashLshPairs(sh: DataFrame, minJaccard: Double,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+    val sets = shingleSets(sh)
+    val buckets = lshBuckets(withMinhashSignature(sets, numHashes), numHashes, bands)
     val cand = buckets.toDF("doc_a", "band", "bucket")
       .join(buckets.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyPairs(cand, sets, minJaccard)
   }
 
   /** 64-bit SimHash per document: for each bit j, sum tf-weighted ±1 over
@@ -174,11 +197,15 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.similarity.Similarity
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      Similarity.norm(col(vecCol)).as("n_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      Similarity.norm(col(vecCol)).as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", graft.similarity.Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", Similarity.cosinePrenormed(
+        col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

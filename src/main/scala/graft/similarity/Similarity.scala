@@ -19,27 +19,41 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential left-fold dot product of two float arrays as double —
-    * element order fixed, so the result is bit-deterministic. */
+    * element order fixed, so the result is bit-deterministic. Declarative
+    * reference implementation; the hot paths use [[dotFast]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Codegen'd dot product (custom Catalyst expression) — bit-identical
+    * to [[dot]] (same left-to-right double accumulation) but a primitive
+    * loop with no per-row array allocation. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotF(a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column): Column = sqrt(dotFast(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotFast(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a precomputed-norm layout: at N·M pair volume this does
+    * one dot per pair instead of three. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotFast(a, b) / (normA * normB)
 
   /** Exact top-k neighbors for each query vector: `(query_id, vec_id, cos,
     * rank)`, self-matches excluded, ties broken by vec_id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("nq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", cosinePrenormed(col("v"), col("qv"), col("nv"), col("nq")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
@@ -67,14 +81,16 @@ object Similarity {
               nPlanes: Int = 12, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"),
       signBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("nq"),
       signBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", cosinePrenormed(col("v"), col("qv"), col("nv"), col("nq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan hygiene: the properties that make these queries scale
+  * (pushdown, pruning, broadcast choice, codegen, no driver collects)
+  * asserted on the actual optimized plans at sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_agg_pricing: filter + column pruning reach the parquet scan") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "scan should not read unused columns like l_orderkey")
+  }
+
+  test("q_nation_revenue: dimensions join as broadcast hash joins") {
+    val p = plan("q_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected >=2 BHJ in:\n$p")
+  }
+
+  test("q_top_orders: top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_bm25_search: postings filter pushed; vocab/meta broadcast") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_embed: custom codegen dot-product expression in the plan") {
+    val p = plan("q_dedup_embed")
+    assert(p.toLowerCase.contains("floatvectordot"), s"custom expr missing in:\n$p")
+  }
+
+  test("aggregation queries use two-phase (partial) hash aggregation") {
+    val p = plan("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("whole-stage codegen covers the scan->aggregate pipeline") {
+    // AQE shows codegen stages only in the final (post-execution) plan —
+    // and only for the executed QueryExecution itself (collect, not
+    // count, which plans a separate aggregate on top).
+    val df = SparkEntry.queries("q_filter_in")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"no codegen spans in final plan:\n$p")
+  }
+}
