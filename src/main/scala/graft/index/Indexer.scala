@@ -98,12 +98,15 @@ object Indexer {
     * SURVEY.md §1.1). Postings get a `term_bucket` partition column so a
     * k-term query reads ≤ k of `nBuckets` partitions (partition pruning —
     * the parquet analog of Cassandra's partition-key pushdown the
-    * reference got from the connector, `query.py:43,50`).
+    * reference got from the connector, `query.py:43,50`). The bucket
+    * function is CRC32-based so the *driver* can compute bucket literals
+    * for a query's terms (enabling static partition pruning) with the
+    * exact same function executors used at write time.
     */
   def writeIndex(ix: InvertedIndex, path: String, nBuckets: Int = 64): Unit = {
     ix.docStats.write.mode("overwrite").parquet(s"$path/doc_stats")
     ix.postings
-      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
@@ -113,5 +116,20 @@ object Indexer {
 
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
   def termBucket(term: Column, nBuckets: Int = 64): Column =
-    pmod(hash(term), lit(nBuckets))
+    pmod(crc32(term), lit(nBuckets.toLong))
+
+  /** Driver-side twin of [[termBucket]] for building pruning literals. */
+  def termBucketOf(term: String, nBuckets: Int = 64): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, nBuckets.toLong)
+  }
+
+  /** Load a persisted index store back as an [[InvertedIndex]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex =
+    InvertedIndex(
+      docStats = spark.read.parquet(s"$path/doc_stats"),
+      postings = spark.read.parquet(s"$path/postings"),
+      vocab = spark.read.parquet(s"$path/vocab"),
+      meta = spark.read.parquet(s"$path/meta"))
 }

@@ -166,6 +166,43 @@ object RelationalQueries extends QueryGroup {
           count(lit(1)).as("n"),
           dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("spend_f"),
           sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"))),
+
+    // ---- hierarchical aggregation: ROLLUP (grouping sets family)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))),
+
+    // ---- pivot (wide conditional aggregation)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    // ---- exact percentiles (sort-based interpolating median/p90)
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))),
+
+    // ---- sketch aggregates: HLL++ distinct estimation (rows-only —
+    //      approximation algorithms differ across engines by design)
+    "q_sketch_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -275,5 +312,24 @@ object RelationalQueries extends QueryGroup {
                  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS spend_f,
                  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
           FROM orders GROUP BY o_orderpriority""",
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag""",
   )
 }

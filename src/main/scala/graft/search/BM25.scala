@@ -54,8 +54,30 @@ object BM25 {
   def search(ix: InvertedIndex, queryText: String, params: Params = Params()): DataFrame = {
     val terms = Analyzer.analyzeQuery(queryText).distinct
     if (terms.isEmpty) return emptyResult(ix)
+    searchTerms(ix, terms, params)
+  }
 
+  /** Query a *persisted* index store ([[graft.index.Indexer.writeIndex]]):
+    * adds a `term_bucket` IN-literal computed on the driver with the
+    * store's bucket function, so the parquet reader statically prunes to
+    * ≤ |terms| of the store's partitions before any IO — the Spark-native
+    * analog of the reference's Cassandra partition-key lookup.
+    */
+  def searchStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queryText: String, params: Params = Params(),
+                  nBuckets: Int = 64): DataFrame = {
+    val ix = graft.index.Indexer.readIndex(spark, path)
+    val terms = Analyzer.analyzeQuery(queryText).distinct
+    if (terms.isEmpty) return emptyResult(ix)
+    val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nBuckets)).distinct
+    val pruned = ix.postings.filter(col("term_bucket").isin(buckets: _*))
+    searchTerms(ix.copy(postings = pruned), terms, params)
+  }
+
+  private def searchTerms(ix: InvertedIndex, terms: Seq[String],
+                          params: Params): DataFrame = {
     val posts = ix.postings.filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf")
     val voc   = ix.vocab.filter(col("term").isin(terms: _*))
 
     val scored = posts

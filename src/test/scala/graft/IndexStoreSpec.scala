@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.index.Indexer
+import graft.search.BM25
+import graft.operators.Skew
+
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index store roundtrip: searchStore == search, with partition pruning") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val ix = Indexer.buildIndex(docs)
+    val path = Files.createTempDirectory("ixstore").toString
+    Indexer.writeIndex(ix, path, nBuckets = 16)
+
+    val direct = BM25.search(ix, "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    val stored = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    // same ranking; scores equal to 1e-9 (sum order differs across the
+    // two physical plans, so bit-equality is not a property here)
+    assert(stored.map(r => (r._1, r._2)) === direct.map(r => (r._1, r._2)))
+    stored.zip(direct).foreach { case (s, d) =>
+      assert(math.abs(s._3 - d._3) < 1e-9)
+    }
+
+    // the pruning literal must reach the scan as a PartitionFilter
+    val plan = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [term_bucket"),
+      s"expected term_bucket partition filter in:\n$plan")
+  }
+
+  test("driver-side bucket function matches the executor-side column") {
+    val terms = Seq("fast", "hash", "join", "scan", "zebra")
+    val fromSpark = terms.toDF("t")
+      .select(col("t"), Indexer.termBucket(col("t"), 16)).as[(String, Long)]
+      .collect().toMap
+    terms.foreach { t =>
+      assert(Indexer.termBucketOf(t, 16) === fromSpark(t), s"bucket mismatch for $t")
+    }
+  }
+
+  test("graft_dot SQL function registered on a session") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].first()
+    assert(r === 11.0)
+  }
+
+  test("salted join output identical to plain join") {
+    val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "l_orderkey").groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority").count().as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("salted count equals plain count per key") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val plain = li.groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(li, "l_returnflag", salt = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+}
