@@ -105,10 +105,13 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(byDoc))
     val prefix = ranked
       .filter(col("rnk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-      .select("doc_id", "shingle")
-    val cand = prefix.toDF("doc_a", "shingle")
-      .join(prefix.toDF("doc_b", "shingle"), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_id", "shingle", "n_sh")
+    // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so incompatible
+    // set sizes can't reach the threshold — prune before the distinct.
+    val cand = prefix.toDF("doc_a", "shingle", "na")
+      .join(prefix.toDF("doc_b", "shingle", "nb"), "shingle")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) >= lit(minJaccard) * greatest(col("na"), col("nb")))
       .select("doc_a", "doc_b")
       .distinct()
     verifyPairs(cand, shingleSets(sh), minJaccard)
