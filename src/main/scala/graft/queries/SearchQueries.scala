@@ -41,6 +41,12 @@ object SearchQueries extends QueryGroup {
     "q_corpus_clean" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Analyzer.normText(col("text")).as("clean_text"))),
 
+    // E1 lifecycle: project + clean + deterministic limit (the reference's
+    // prepare_data.py select/limit/clean chain; `source` stands in for title)
+    "q_corpus_prep" -> ((s, dir) =>
+      graft.corpus.Corpus.prepare(
+        docs(s, dir), limit = 100, titleCol = "source")),
+
     "q_doc_stats" -> ((s, dir) =>
       Indexer.docStats(docs(s, dir))
         .select(col("doc_id"), col("length").cast("long").as("length"))),
@@ -70,6 +76,12 @@ object SearchQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" ->
       s"SELECT doc_id, $SqlNorm AS clean_text FROM documents",
+
+    "q_corpus_prep" ->
+      s"""SELECT doc_id,
+                 regexp_replace(source, '[\\t\\n]', ' ', 'g') AS title,
+                 $SqlNorm AS clean_text
+          FROM documents ORDER BY doc_id LIMIT 100""",
 
     "q_doc_stats" ->
       s"""SELECT c.doc_id, coalesce(t.length, 0) AS length
