@@ -31,12 +31,13 @@ object Analyzer {
 
   /** Tokenize into an array column; empty/whitespace-only input yields an
     * empty array (not `[""]`), matching Python `"".split() == []`.
+    * The empty-token filter (rather than a `when(norm === "")` guard)
+    * keeps exactly ONE evaluation of the regex chain per row — a guard
+    * would embed `normText` twice and double the analyzer cost of every
+    * downstream operator.
     */
-  def tokens(c: Column): Column = {
-    val norm = normText(c)
-    when(norm === "", array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-  }
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => t =!= "")
 
   /** Number of tokens in a text column — the reference's per-document
     * "length" (`mapreduce/mapper1.py:14-18`), computed without
