@@ -33,8 +33,10 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getCanonicalName, "graft_dot"),
       { exprs: Seq[Expression] => FloatVectorDot(exprs(0), exprs(1)) }))
+    e.injectOptimizerRule(_ => RewriteVectorDot)
+  }
 }
