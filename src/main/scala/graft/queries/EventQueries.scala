@@ -42,6 +42,27 @@ object EventQueries extends QueryGroup {
         .select(col("user_id"),
           col("session_start").cast("long").as("session_start_s"),
           col("n_events"), col("sum_value"))),
+
+    // as-of join (funnel attribution): each purchase gets the latest
+    // click at-or-before it per user; no pairwise blowup (union+window)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.TemporalJoins.asofJoin(purchases, clicks, "user_id", "ts",
+          valueCols = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
+          col("asof_ts").cast("long").as("click_ts_s"),
+          col("asof_value").as("click_value"))
+    }),
+
+    // banded range join: same-user event pairs within 300 s
+    "q_range_join" -> ((s, dir) =>
+      graft.operators.TemporalJoins.rangeJoin(events(s, dir),
+          key = "user_id", ts = "ts", idCol = "event_id", windowSec = 300)
+        .select(col("user_id"), col("id_a"), col("id_b"), round(col("gap_s"), 6).as("gap_s"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -88,5 +109,21 @@ object EventQueries extends QueryGroup {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, sid""",
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+                floor(epoch(l.ts))::BIGINT AS ts_s,
+                floor(epoch(r.ts))::BIGINT AS click_ts_s,
+                r.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                round(epoch(b.ts) - epoch(a.ts), 6) AS gap_s
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.ts < b.ts
+          AND epoch(b.ts) - epoch(a.ts) <= 300""",
   )
 }
