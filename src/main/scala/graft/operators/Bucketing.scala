@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: the zero-shuffle co-located join path for the
+  * fact-fact joins that dominate at 100 TB (orders ⋈ lineitem, postings
+  * ⋈ doc_stats).
+  *
+  * Writing both sides bucketed (and sorted) by the join key into the
+  * catalog lets Spark plan a SortMergeJoin with NO Exchange on either
+  * side — the shuffle is paid once at write time and amortized over
+  * every subsequent join. This is the Spark-native analog of the
+  * reference's Cassandra clustering keys (`load_index.py:34-41`), but on
+  * open parquet files.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted parquet table in the session
+    * catalog (replacing any existing table of that name). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a crashed prior write can leave an orphaned managed-table location
+    // that CREATE TABLE refuses to reuse — clear it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    df.write
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
+
+  /** Join two same-bucketed catalog tables on their bucket key —
+    * planned shuffle-free when bucket counts match. */
+  def cogroupJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                  key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
