@@ -11,6 +11,7 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+run / connectInput := true  // stdin reaches forked mains (SearchCli)
 // POSIX-locale containers make the JVM's native layer mangle non-ASCII
 // filenames (the reference corpus has unicode titles); the -D overrides
 // below don't reach sun.jnu on JDK17, the process locale does.

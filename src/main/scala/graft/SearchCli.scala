@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.Indexer
+import graft.search.BM25
+import graft.sources.WikiCorpus
+
+/** Search entry point mirroring the reference's `search.sh`/`app.sh` UX
+  * (`search.sh:5-22`): query from argv or stdin, top-10 printed as
+  * `rank\tdoc_id\ttitle\tscore`.
+  *
+  * {{{
+  *   sbt "runMain graft.SearchCli big data analytics"
+  *   echo "machine learning model" | sbt "runMain graft.SearchCli"
+  * }}}
+  *
+  * Corpus selection via SPARK_GRAFT_CORPUS: a `<id>_<title>.txt`
+  * directory (e.g. the reference's app/data) or a documents parquet
+  * (defaults to the sf0.001 fixture).
+  */
+object SearchCli {
+  def main(args: Array[String]): Unit = {
+    val query =
+      if (args.nonEmpty) args.mkString(" ")
+      else scala.io.Source.stdin.getLines().mkString(" ").trim
+    if (query.isEmpty) { println("No query provided."); return }
+
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_CORPUS",
+      "/root/testdata/sf0.001/documents.parquet")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (corpus.endsWith(".parquet"))
+        spark.read.parquet(corpus)
+          .select(col("doc_id"), coalesce(col("source"), lit("")).as("title"), col("text"))
+      else WikiCorpus.read(spark, corpus)
+
+    val ranked = BM25.search(Indexer.buildIndex(docs), query)
+      .join(docs.select("doc_id", "title"), Seq("doc_id"), "left")
+      .orderBy("rank")
+      .select(col("rank"), col("doc_id"), coalesce(col("title"), lit("")).as("title"),
+        col("score"))
+
+    ranked.collect().foreach { r =>
+      println(s"${r.getInt(0)}\t${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}")
+    }
+    spark.stop()
+  }
+}

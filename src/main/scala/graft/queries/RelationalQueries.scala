@@ -177,6 +177,16 @@ object RelationalQueries extends QueryGroup {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))),
 
+    // ---- CUBE: all grouping combinations
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("spend"))),
+
     // ---- pivot (wide conditional aggregation)
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -318,6 +328,12 @@ object RelationalQueries extends QueryGroup {
                  coalesce(l_linestatus, 'ALL') AS ls,
                  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                 coalesce(o_orderstatus, 'ALL') AS status,
+                 count(*) AS n, ${dsumSql("o_totalprice")} AS spend
+          FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,
