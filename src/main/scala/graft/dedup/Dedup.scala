@@ -117,16 +117,15 @@ object Dedup {
     verifyPairs(cand, shingleSets(sh), minJaccard)
   }
 
-  /** MinHash signature as one array column:
-    * `sig[i] = min over shingles of xxhash64(i, shingle)` — computed
-    * per-row over the collected shingle set (single narrow projection;
-    * no wide multi-column aggregate, which would fall out of codegen
-    * past spark.sql.codegen.maxFields).
+  /** MinHash signature as one array column, computed per-row over the
+    * collected shingle set in a single pass
+    * ([[org.apache.spark.sql.graft.MinHashSignature]] — no k intermediate
+    * arrays per row, and no wide multi-column aggregate, which would fall
+    * out of codegen past spark.sql.codegen.maxFields).
     */
   def withMinhashSignature(sets: DataFrame, numHashes: Int = 128): DataFrame =
     sets.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh_set"), s => xxhash64(i, s)))))
+      org.apache.spark.sql.graft.MinHashSignature.minhash(col("sh_set"), numHashes))
 
   /** LSH banding: `(doc_id, band, bucket)`, bucket = hash of the band's
     * signature slice. */
