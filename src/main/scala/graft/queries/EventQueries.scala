@@ -58,6 +58,19 @@ object EventQueries extends QueryGroup {
           col("asof_value").as("click_value"))
     }),
 
+    // lag/lead windows: per-user event transitions with inter-event gaps
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_s", round(col("ts").cast("double") -
+          lag(col("ts"), 1).over(w).cast("double"), 6))
+        .select("event_id", "user_id", "event_type", "prev_type", "next_type", "gap_s")
+    }),
+
     // banded range join: same-user event pairs within 300 s
     "q_range_join" -> ((s, dir) =>
       graft.operators.TemporalJoins.rangeJoin(events(s, dir),
@@ -118,6 +131,14 @@ object EventQueries extends QueryGroup {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, event_type,
+                lag(event_type, 1) OVER w AS prev_type,
+                lead(event_type, 1) OVER w AS next_type,
+                round(epoch(ts) - lag(epoch(ts), 1) OVER w, 6) AS gap_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
 
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
