@@ -54,6 +54,12 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val toks = graft.analyzer.Analyzer.tokens(col("text"))
       val hitCols = TextAnalysis.DefaultMarkers.map { case (lang, words) =>

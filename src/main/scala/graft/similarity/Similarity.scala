@@ -69,9 +69,54 @@ object Similarity {
   /** Sign-LSH bucket id for a vector column: bit p = sign(v · plane_p). */
   def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): Column =
     planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** IVF-style ANN: corpus vectors are assigned to their nearest of
+    * `nCentroids` centroid vectors (deterministically seeded from the
+    * lowest-id corpus vectors — a production build would run k-means
+    * refinement); a query probes its `nProbe` nearest centroid lists
+    * only. Candidate volume ≈ corpus·nProbe/nCentroids per query.
+    * Output shape matches [[bruteForceTopK]]; recall is the IVF curve.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_src"), col(vecCol).as("cvec"))
+        .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
+        .select("cid", "cvec"))
+
+    def assigned(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("cdist", lit(1.0) - cosine(col(v), col("cvec")))
+      if (keep == 1)
+        scored.groupBy(col(id), col(v))
+          .agg(min_by(col("cid"), col("cdist")).as("cid"))
+      else {
+        val w = Window.partitionBy(col(id)).orderBy(col("cdist").asc, col("cid").asc)
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+          .select(col(id), col(v), col("cid"))
+      }
+    }
+
+    val c = assigned(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      "vec_id", "v", keep = 1)
+      .withColumn("nv", norm(col("v")))
+    val q = assigned(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", keep = nProbe)
+      .withColumn("nq", norm(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosinePrenormed(col("v"), col("qv"), col("nv"), col("nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
 
   /** ANN top-k via sign-LSH bucketing: candidates = same-bucket vectors
     * (approximate — recall grows as nPlanes shrinks). Output shape matches
