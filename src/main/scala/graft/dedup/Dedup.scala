@@ -105,15 +105,26 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(byDoc))
     val prefix = ranked
       .filter(col("rnk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-      .select("doc_id", "shingle", "n_sh")
+      .select("doc_id", "shingle", "rnk", "n_sh")
     // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so incompatible
-    // set sizes can't reach the threshold — prune before the distinct.
-    val cand = prefix.toDF("doc_a", "shingle", "na")
-      .join(prefix.toDF("doc_b", "shingle", "nb"), "shingle")
+    // set sizes can't reach the threshold.
+    val matches = prefix.toDF("doc_a", "shingle", "ra", "na")
+      .join(prefix.toDF("doc_b", "shingle", "rb", "nb"), "shingle")
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) >= lit(minJaccard) * greatest(col("na"), col("nb")))
+    // positional filter (PPJoin): the first shared shingle under the
+    // global order bounds the overlap by min(|A|-ra, |B|-rb)+1, and
+    // J >= τ requires overlap >= ceil(τ(|A|+|B|)/(1+τ)); the max over
+    // observed matches upper-bounds the first-match bound, so filtering
+    // on it keeps every qualifying pair. 1e-9 guards the float ceil at
+    // exact-integer thresholds.
+    val alpha = lit(minJaccard / (1 + minJaccard))
+    val cand = matches
+      .groupBy("doc_a", "doc_b")
+      .agg(max(least(col("na") - col("ra"), col("nb") - col("rb")) + 1).as("ub"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("ub") >= ceil(alpha * (col("na") + col("nb")) - lit(1e-9)))
       .select("doc_a", "doc_b")
-      .distinct()
     verifyPairs(cand, shingleSets(sh), minJaccard)
   }
 
