@@ -50,7 +50,8 @@ object PipelineQueries extends QueryGroup {
 
     "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10, nPlanes = 6)
+      Similarity.lshTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10,
+          nPlanes = 6, probeBits = 1)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 

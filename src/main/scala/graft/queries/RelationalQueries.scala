@@ -206,6 +206,18 @@ object RelationalQueries extends QueryGroup {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))),
 
+    // ---- SQL surface: spark.sql with GROUPING SETS (not expressible in
+    //      the DataFrame API directly — the declared-SQL entry path)
+    "q_sql_grouping" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                  coalesce(o_orderstatus, 'ALL') AS status,
+                  count(*) AS n
+           FROM orders_v
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+    }),
+
     // ---- sketch aggregates: HLL++ distinct estimation (rows-only —
     //      approximation algorithms differ across engines by design)
     "q_sketch_distinct" -> ((s, dir) =>
@@ -341,6 +353,13 @@ object RelationalQueries extends QueryGroup {
                 CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
                 CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
          FROM orders GROUP BY o_orderpriority""",
+
+    "q_sql_grouping" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                coalesce(o_orderstatus, 'ALL') AS status,
+                count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -124,13 +124,22 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"),
       signBucket(col(vecCol), nPlanes, dim).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // multi-probe: a near neighbor on the far side of one hyperplane
+    // lands in a 1-bit-flipped bucket — probe those too (probeBits=1
+    // multiplies candidates by nPlanes+1 and sharply lifts recall).
+    val baseQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("nq"),
       signBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val q =
+      if (probeBits == 0) baseQ
+      else baseQ.withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.join(broadcast(q), "bucket")
