@@ -50,7 +50,10 @@ object Analyzer {
     * terms (reference invariant, `app/query.py:25`).
     */
   def analyzeQuery(text: String): Seq[String] =
-    text.toLowerCase
+    // Locale.ROOT: executor-side lower() is locale-independent; default-
+    // locale toLowerCase would map 'I' to dotless 'ı' on a Turkish JVM
+    // and break query/index analyzer parity.
+    text.toLowerCase(java.util.Locale.ROOT)
       .replaceAll(NonAlnum, " ")
       .trim
       .split(MultiWs)

@@ -141,6 +141,10 @@ object Dedup {
   /** LSH banding: `(doc_id, band, bucket)`, bucket = hash of the band's
     * signature slice. */
   def lshBuckets(sig: DataFrame, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
+        "a non-divisible split silently drops the signature tail (recall loss) " +
+        "and bands > numHashes collapses every doc into one bucket per band")
     val r = numHashes / bands
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),

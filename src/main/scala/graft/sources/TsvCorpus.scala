@@ -33,13 +33,16 @@ object TsvCorpus {
       .write.mode("overwrite").text(path)
 
   /** S5 (reference): parse `id\ttitle\ttext` lines, dropping blank and
-    * malformed rows (the mapper's guard, `mapper1.py:6-11`). */
+    * malformed rows (the mapper's guard, `mapper1.py:6-11`). `try_cast`
+    * (not `cast`) so a non-numeric id yields NULL and is filtered — under
+    * Spark 4's default `spark.sql.ansi.enabled=true` a plain cast would
+    * throw and fail the whole job on one malformed line. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val parts = split(col("value"), "\t")
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0 && size(parts) === 3)
       .select(
-        element_at(parts, 1).cast("long").as("doc_id"),
+        element_at(parts, 1).try_cast("long").as("doc_id"),
         element_at(parts, 2).as("title"),
         element_at(parts, 3).as("text"))
       .filter(col("doc_id").isNotNull)

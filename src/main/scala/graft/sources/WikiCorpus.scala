@@ -21,7 +21,9 @@ object WikiCorpus {
     val name = regexp_extract(input_file_name(), "([^/]+)\\.txt$", 1)
     spark.read.option("wholetext", "true").text(dir)
       .select(
-        regexp_extract(name, "^(\\d+)_", 1).cast("long").as("doc_id"),
+        // try_cast: regexp_extract yields "" for non-matching filenames,
+        // and ANSI CAST('' AS BIGINT) throws; try_cast → NULL → filtered.
+        regexp_extract(name, "^(\\d+)_", 1).try_cast("long").as("doc_id"),
         regexp_replace(regexp_extract(name, "^\\d+_(.*)$", 1), "_", " ").as("title"),
         col("value").as("text"))
       .filter(col("doc_id").isNotNull)

@@ -64,33 +64,64 @@ object EventStreams {
   /** Arbitrary-state sessionizer: same gap semantics as [[sessionize]],
     * implemented with explicit per-key state — the pattern for session
     * logic the built-in can't express (e.g., cap on session length,
-    * per-session distinct counts). Emits closed sessions on event-time
-    * timeout; works on a stream via `flatMapGroupsWithState`.
+    * per-session distinct counts).
+    *
+    * Streaming (Append mode): a session is emitted exactly once, when the
+    * watermark closes it — either an incoming batch advances the watermark
+    * past `last + gap`, or the registered event-time timeout fires with no
+    * further data for the key. Open sessions stay in state only. The input
+    * stream MUST carry a watermark on `ts` (EventTimeTimeout requires one).
+    *
+    * Batch: the single invocation sees all of a key's events, so every
+    * session is final — emit them all. Same code path, same fold.
     */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
                          (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    val streaming = events.isStreaming
+    def emit(userId: Long, ss: List[SessionState]): Iterator[SessionOut] =
+      ss.reverseIterator.map(s => SessionOut(userId, new Timestamp(s.start), s.n, s.sum))
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // Batch mode delivers all events at once; sort by event time and
-          // fold into gap-separated sessions.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val sessions = sorted.foldLeft(state.getOption.getOrElse(Nil)) { (acc, e) =>
-            val t = e.ts.getTime
-            acc match {
-              case head :: tail if t - head.last < gapMs =>
-                SessionState(head.start, t, head.n + 1, head.sum + e.value) :: tail
-              case _ =>
-                SessionState(t, t, 1, e.value) :: acc
+          if (streaming && state.hasTimedOut) {
+            // Watermark passed every stored session's close time with no
+            // new data for the key: flush and clear.
+            val sessions = state.getOption.getOrElse(Nil)
+            state.remove()
+            emit(userId, sessions)
+          } else {
+            // Sort this batch's events by event time and fold into
+            // gap-separated sessions (state list is newest-first).
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sessions = sorted.foldLeft(state.getOption.getOrElse(Nil)) { (acc, e) =>
+              val t = e.ts.getTime
+              acc match {
+                case head :: tail if t - head.last < gapMs =>
+                  SessionState(math.min(head.start, t), math.max(head.last, t),
+                    head.n + 1, head.sum + e.value) :: tail
+                case _ =>
+                  SessionState(t, t, 1, e.value) :: acc
+              }
+            }
+            if (!streaming) {
+              // Batch invocation is complete — everything is closed.
+              state.update(sessions)
+              emit(userId, sessions)
+            } else {
+              val wm = state.getCurrentWatermarkMs()
+              val (open, closed) = sessions.partition(_.last + gapMs > wm)
+              if (open.nonEmpty) {
+                state.update(open)
+                state.setTimeoutTimestamp(open.map(_.last).max + gapMs)
+              } else {
+                state.remove()
+              }
+              emit(userId, closed)
             }
           }
-          state.update(sessions)
-          // In batch mode the state is complete here; emit everything.
-          sessions.reverseIterator.map(s =>
-            SessionOut(userId, new Timestamp(s.start), s.n, s.sum))
       }
   }
 }

@@ -14,20 +14,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * primitive loop — users write the idiomatic higher-order form and get
   * the fast expression automatically.
   *
-  * The match is deliberately narrow (exact shape above, float arrays,
-  * literal 0.0 seed, identity finish) so the rewrite is provably
-  * result-identical: both sides accumulate `double(a[i])*double(b[i])`
-  * left to right. Caveat: for arrays of *different* lengths `zip_with`
-  * null-pads (yielding a null sum) while the loop stops at the shorter
-  * length — same-schema vector columns never hit this.
+  * The match is deliberately narrow so the rewrite is provably
+  * result-identical in every case: exact shape above, float arrays with
+  * `containsNull = false` (a null element propagates NULL declaratively
+  * but reads as 0.0f through `ArrayData.getFloat`, so nullable-element
+  * arrays are excluded), literal 0.0 seed, identity finish. Both sides
+  * accumulate `double(a[i])*double(b[i])` left to right, and both yield
+  * NULL for unequal-length inputs ([[FloatVectorDot]] nulls on length
+  * mismatch just as `zip_with`'s null-padding nulls the fold).
   *
   * Inject with `spark.experimental.extraOptimizations` (live session) or
   * [[GraftExtensions]] (`spark.sql.extensions` conf).
   */
 object RewriteVectorDot extends Rule[LogicalPlan] {
 
+  // containsNull must be false: FloatVectorDot reads elements via
+  // ArrayData.getFloat, which turns a NULL element into 0.0f, while the
+  // declarative fold propagates NULL — only non-null-element arrays are
+  // provably result-identical.
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, false) => true
     case _ => false
   }
 
