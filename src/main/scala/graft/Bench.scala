@@ -19,7 +19,16 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force EVERY output column, not count(): under count() Catalyst
+      // prunes unreferenced columns, so projection-only queries would
+      // benchmark as bare scans with their expression work optimized away.
+      // xxhash64 over all columns keeps each one alive through the plan.
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
+      } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -170,18 +170,33 @@ object Dedup {
     verifyPairs(cand, sets, minJaccard)
   }
 
-  /** 64-bit SimHash per document: for each bit j, sum tf-weighted ±1 over
-    * `xxhash64(term)`'s bit j, then collect sign bits. 64 sum-aggregates
-    * in one shuffle on doc_id.
+  /** SimHash geometry: 60 signature bits in 4 bands of 15. 60 (not 64)
+    * because the per-token hash is the first 15 hex digits of the token's
+    * md5 — portable bit-for-bit across engines (DuckDB:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`), which makes the whole
+    * SimHash pipeline (signature → band join → Hamming filter)
+    * independently reproducible by the SQL oracle, not just rows-counted.
+    */
+  val SimhashBits     = 60
+  val SimhashBands    = 4
+  val SimhashBandBits = SimhashBits / SimhashBands // 15
+
+  /** Portable 60-bit token hash shared with the DuckDB oracle. */
+  def portableTokenHash(term: Column): Column =
+    conv(substring(md5(term), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per document: for each bit j, sum tf-weighted ±1 over
+    * the portable token hash's bit j, then collect sign bits. 60
+    * sum-aggregates in one shuffle on doc_id.
     */
   def simhash64(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tokens = df.select(col(idCol).as("doc_id"),
       explode(Analyzer.tokens(col(textCol))).as("term"))
-    val h = xxhash64(col("term"))
-    val bitSums = (0 until 64).map { j =>
+    val h = portableTokenHash(col("term"))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))).as(s"b$j")
     }
-    val assembled = (0 until 64).map { j =>
+    val assembled = (0 until SimhashBits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -189,20 +204,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for
-    * exactness with 4 bands — pigeonhole over 4×16-bit chunks). */
+    * exactness with 4 bands — pigeonhole over 4×15-bit chunks). */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole is exact only for maxHamming <= 3")
+    val mask = (1L << SimhashBandBits) - 1
     val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { k =>
+      explode(array((0 until SimhashBands).map { k =>
         struct(lit(k).as("band"),
-          shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+          shiftright(col("simhash"), SimhashBandBits * k).bitwiseAND(lit(mask)).as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
     banded.toDF("doc_a", "sim_a", "band", "chunk")
       .join(banded.toDF("doc_b", "sim_b", "band", "chunk"), Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -45,14 +45,20 @@ import graft.analyzer.Analyzer
   */
 object Indexer {
 
-  /** Per-document statistics: `(doc_id, length)`.
+  /** Per-document statistics: `(doc_id, length)`, plus `title` when
+    * `titleCol` is given — the reference's `doc_stats` carries the title
+    * so BM25 results can return it without re-joining the corpus
+    * (`app/query.py:86` `first(title)`).
     * Reference: MR job 1 mapper (`mapreduce/mapper1.py:14-18`).
     * Narrow (no shuffle): the token count is a scalar expression.
     */
-  def docStats(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    corpus.select(
-      col(idCol).as("doc_id"),
-      Analyzer.tokenCount(col(textCol)).as("length"))
+  def docStats(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               titleCol: Option[String] = None): DataFrame = {
+    val cols = Seq(col(idCol).as("doc_id")) ++
+      titleCol.map(t => col(t).as("title")) :+
+      Analyzer.tokenCount(col(textCol)).as("length")
+    corpus.select(cols: _*)
+  }
 
   /** The inverted index: `(term, doc_id, tf)`.
     * Reference: MR job 2 (`mapreduce/mapper2.py:14-18` emits one pair per
@@ -88,8 +94,9 @@ object Indexer {
   final case class InvertedIndex(docStats: DataFrame, postings: DataFrame,
                                  vocab: DataFrame, meta: DataFrame)
 
-  def buildIndex(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
-    val ds = docStats(corpus, idCol, textCol)
+  def buildIndex(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 titleCol: Option[String] = None): InvertedIndex = {
+    val ds = docStats(corpus, idCol, textCol, titleCol)
     val p  = postings(corpus, idCol, textCol)
     InvertedIndex(ds, p, vocab(p), meta(ds))
   }

@@ -114,6 +114,40 @@ object PipelineQueries extends QueryGroup {
         JOIN sz sb ON doc_b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold"""
 
+  /** Per-occurrence token stream (mirrors Indexer's explode). */
+  private val SqlTokens = s"SELECT doc_id, unnest(l) AS term FROM ($SqlLists)"
+
+  /** Full SimHash pipeline in DuckDB — signature, band join, Hamming
+    * filter — reproducible because the token hash is portable
+    * (first 15 md5 hex digits; see [[graft.dedup.Dedup.portableTokenHash]]).
+    */
+  private lazy val simhashOracle: String = {
+    import graft.dedup.Dedup.{SimhashBands, SimhashBandBits, SimhashBits}
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n                      ")
+    val assembled = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val mask = (1L << SimhashBandBits) - 1
+    s"""WITH tok AS ($SqlTokens),
+             h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok),
+             bits AS (SELECT doc_id,
+                      $bitSums
+                      FROM h GROUP BY doc_id),
+             sig AS (SELECT doc_id, $assembled AS simhash FROM bits),
+             banded AS (SELECT doc_id, simhash, unnest(range(0, $SimhashBands)) AS band FROM sig),
+             chunks AS (SELECT doc_id, simhash, band,
+                               (simhash >> (band * $SimhashBandBits)) & $mask AS chunk
+                        FROM banded),
+             pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS sa, b.simhash AS sb
+                       FROM chunks a JOIN chunks b
+                         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""
+  }
+
   private val markerIn: Map[String, String] = TextAnalysis.DefaultMarkers.map {
     case (lang, words) => lang -> words.map(w => s"'$w'").mkString(", ")
   }.toMap
@@ -125,6 +159,8 @@ object PipelineQueries extends QueryGroup {
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
 
     "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
+
+    "q_dedup_simhash" -> simhashOracle,
 
     // LSH with 128 perms / 32 bands has ~exact recall at J >= 0.5
     // (p_miss < 1.3e-2 per pair at 0.5, < 5e-8 at 0.8); candidates are

@@ -66,10 +66,24 @@ object SearchQueries extends QueryGroup {
         (sum(col("length")).cast("double") / count(lit(1))).as("avg_dl"))),
 
     "q_bm25_search" -> ((s, dir) => {
-      val ix = Indexer.buildIndex(docs(s, dir))
+      val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
       BM25.search(ix, FlagshipQuery)
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
-          round(col("score"), 4).as("score"))
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
+    // E3 at-scale lifecycle: build → persist the bucketed index store →
+    // query it with static partition pruning (the Spark-native analog of
+    // the reference's Cassandra partition-key lookup, `app/query.py:43,50`).
+    // The store round-trip is part of the measured query on purpose: it is
+    // the production retrieval path, not an in-memory shortcut.
+    "q_bm25_store" -> ((s, dir) => {
+      val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
+      val path = java.nio.file.Files.createTempDirectory("graft-ixstore").toString
+      Indexer.writeIndex(ix, path)
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
     }),
   )
 
@@ -97,29 +111,39 @@ object SearchQueries extends QueryGroup {
                  CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
           FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
 
-    "q_bm25_search" -> {
-      val terms = Analyzer.analyzeQuery(FlagshipQuery).distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH doc_stats AS ($SqlDocStats),
-               postings AS ($SqlPostings),
-               vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-               meta AS (SELECT count(*) AS n,
-                               CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
-                        FROM ($SqlCorpus) c LEFT JOIN doc_stats t USING (doc_id)),
-               q AS (SELECT unnest([$terms]) AS term),
-               scored AS (
-                 SELECT p.doc_id,
-                        ln(1 + (m.n - v.df + 0.5) / (v.df + 0.5))
-                          * (p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.length / m.avg_dl))) AS s
-                 FROM postings p
-                 JOIN q USING (term)
-                 JOIN vocab v USING (term)
-                 JOIN doc_stats d USING (doc_id)
-                 CROSS JOIN meta m),
-               agg AS (SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id)
-          SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-                 doc_id, round(score, 4) AS score
-          FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
-    },
+    "q_bm25_search" -> bm25Oracle,
+    "q_bm25_store"  -> bm25Oracle,
   )
+
+  /** Shared oracle: the store query's answer is definitionally the same as
+    * the in-memory search — the store is a lossless persistence of the
+    * same four index tables. `title` comes from `first(title)` over the
+    * doc_id group (functionally dependent → a plain join here).
+    */
+  private lazy val bm25Oracle: String = {
+    val terms = Analyzer.analyzeQuery(FlagshipQuery).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH doc_stats AS ($SqlDocStats),
+             postings AS ($SqlPostings),
+             vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+             meta AS (SELECT count(*) AS n,
+                             CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
+                      FROM ($SqlCorpus) c LEFT JOIN doc_stats t USING (doc_id)),
+             q AS (SELECT unnest([$terms]) AS term),
+             scored AS (
+               SELECT p.doc_id,
+                      ln(1 + (m.n - v.df + 0.5) / (v.df + 0.5))
+                        * (p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.length / m.avg_dl))) AS s
+               FROM postings p
+               JOIN q USING (term)
+               JOIN vocab v USING (term)
+               JOIN doc_stats d USING (doc_id)
+               CROSS JOIN meta m),
+             agg AS (SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id),
+             sel AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                            doc_id, round(score, 4) AS score
+                     FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10)
+        SELECT sel.rank, sel.doc_id, d.source AS title, sel.score
+        FROM sel JOIN documents d USING (doc_id)""".stripMargin
+  }
 }

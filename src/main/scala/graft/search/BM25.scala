@@ -76,6 +76,11 @@ object BM25 {
 
   private def searchTerms(ix: InvertedIndex, terms: Seq[String],
                           params: Params): DataFrame = {
+    // When the index was built with a title column (reference doc_stats
+    // layout), results carry it via first(title) — deterministic because
+    // title is functionally dependent on the doc_id group key
+    // (`app/query.py:86,96`: rank \t doc_id \t title \t score).
+    val hasTitle = ix.docStats.columns.contains("title")
     val posts = ix.postings.filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf")
     val voc   = ix.vocab.filter(col("term").isin(terms: _*))
@@ -88,20 +93,31 @@ object BM25 {
         scoreExpr(col("tf"), col("df"), col("length"),
           col("total_docs"), col("avg_dl"), params.k1, params.b))
 
+    val aggs =
+      if (hasTitle) Seq(sum(col("part_score")).as("score"), first(col("title")).as("title"))
+      else Seq(sum(col("part_score")).as("score"))
     val ranked = scored
       .groupBy("doc_id")
-      .agg(sum(col("part_score")).as("score"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(params.topK)
 
     import org.apache.spark.sql.expressions.Window
-    ranked.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id"), col("score"))
+    val withRank = ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+    if (hasTitle)
+      withRank.select(col("rank"), col("doc_id"), col("title"), col("score"))
+    else
+      withRank.select(col("rank"), col("doc_id"), col("score"))
   }
 
-  private def emptyResult(ix: InvertedIndex): DataFrame =
-    ix.docStats.sparkSession.emptyDataFrame
-      .select(lit(0).as("rank"), lit(0L).as("doc_id"), lit(0.0).as("score"))
-      .limit(0)
+  private def emptyResult(ix: InvertedIndex): DataFrame = {
+    val base = ix.docStats.sparkSession.emptyDataFrame
+    val cols =
+      if (ix.docStats.columns.contains("title"))
+        Seq(lit(0).as("rank"), lit(0L).as("doc_id"), lit("").as("title"), lit(0.0).as("score"))
+      else
+        Seq(lit(0).as("rank"), lit(0L).as("doc_id"), lit(0.0).as("score"))
+    base.select(cols: _*).limit(0)
+  }
 }

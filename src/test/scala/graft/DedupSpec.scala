@@ -59,8 +59,8 @@ class DedupSpec extends SparkSpec {
     val sim = Dedup.simhash64(corpus)
     val m = sim.as[(Long, Long)].collect().toMap
     assert(m(1L) === m(2L))
-    val pairs = Dedup.simhashPairs(sim, 3).as[(Long, Long, Int)].collect()
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    val pairs = Dedup.simhashPairs(sim, 3).as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
   test("shingleDfCap drops high-df shingles only") {

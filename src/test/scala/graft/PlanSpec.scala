@@ -41,6 +41,17 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("floatvectordot"), s"custom expr missing in:\n$p")
   }
 
+  test("q_bm25_store: term_bucket IN-list prunes store partitions at the scan") {
+    // The gate entry itself (not just the library call): write the store,
+    // query it, and require the driver-computed bucket literals to reach
+    // the postings scan as PartitionFilters — the parquet analog of the
+    // reference's Cassandra partition-key pushdown (app/query.py:43,50).
+    val df = SparkEntry.queries("q_bm25_store")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [term_bucket"),
+      s"expected term_bucket partition filter in:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
