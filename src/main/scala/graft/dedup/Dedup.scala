@@ -223,13 +223,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs ≥ `minCos`: `(id_a, id_b, cos)`.
-    * Brute-force all-pairs via block-nested-loop; at scale, pre-bucket
-    * with [[graft.similarity.Similarity.signBuckets]] and join on bucket
-    * instead (see q_ann_lsh).
+  /** Embedding-cosine near-dup pairs ≥ `minCos`: `(id_a, id_b, cos)`,
+    * via banded sign-LSH bucketing + exact cosine verification — the
+    * 100 TB shape: candidates are same-(band,bucket) pairs, O(n·bands)
+    * rows into the join instead of the O(n²) crossJoin of
+    * [[embeddingNearDupPairsBrute]]. Precision is exact (candidates are
+    * cosine-verified); recall is the banded-LSH curve
+    * (1-(1-p^bandBits)^bands, p = 1-θ/π — ~97% at cos 0.5 with 16×4).
+    * The bucketing is deterministic and portable
+    * ([[graft.similarity.Similarity.radComponent]]), so the SQL oracle
+    * reproduces candidates AND verification bit-for-bit.
     */
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            bands: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.similarity.Similarity
+    // Only (id, band, bucket) flows through the candidate join — vectors
+    // would otherwise shuffle `bands`× over; they re-join once per side
+    // after pair dedup.
+    val buckets = emb.select(col(idCol).as("id"),
+        explode(Similarity.radBandBuckets(col(vecCol), bands, bandBits, dim)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.toDF("id_a", "band", "bucket")
+      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    cand
+      .join(vecs.toDF("id_a", "v_a", "n_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b", "n_b"), "id_b")
+      .withColumn("cos", Similarity.cosinePrenormed(
+        col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** All-pairs reference implementation (O(n²) crossJoin) — the test
+    * oracle for the bucketed operator above; never the production path. */
+  def embeddingNearDupPairsBrute(emb: DataFrame, minCos: Double,
+                                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.similarity.Similarity
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       Similarity.norm(col(vecCol)).as("n_a"))

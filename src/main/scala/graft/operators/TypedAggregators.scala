@@ -24,6 +24,31 @@ object TypedAggregators {
     def outputEncoder: Encoder[(String, Double)] = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
   }
 
+  /** K-minimum-values (KMV) distinct-count sketch: state is the k
+    * smallest *distinct* hash values seen; with a hash uniform on
+    * [0, 2^60), E[#distinct] ≈ (k-1)·2^60 / h_k. Mergeable (union + trim),
+    * so Spark runs it partial+final like any builtin — bounded state per
+    * group at any scale, unlike collect_set.
+    *
+    * Unlike HLL++ (`approx_count_distinct`), the whole sketch is
+    * *portable*: fed with [[graft.dedup.Dedup.portableTokenHash]] the
+    * estimate is bit-reproducible in any engine with md5 — which is what
+    * lets q_kmv_distinct carry a DuckDB oracle while q_sketch_distinct
+    * (HLL, engine-specific hash) stays rows-only.
+    */
+  class KMinValues(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    def zero: Seq[Long] = Nil
+    def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.length == k && a >= b.last) b else trim(b :+ a)
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Exact bounded top-k smallest-cost entries per group — a mergeable
     * per-group heap (the generalized `takeOrdered`, `query.py:92`,
     * as a typed aggregate: state is k entries, not the group).

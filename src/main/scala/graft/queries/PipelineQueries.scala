@@ -117,6 +117,70 @@ object PipelineQueries extends QueryGroup {
   /** Per-occurrence token stream (mirrors Indexer's explode). */
   private val SqlTokens = s"SELECT doc_id, unnest(l) AS term FROM ($SqlLists)"
 
+  // Sign-LSH geometry shared between the Spark queries and the DuckDB
+  // oracles (Similarity.radComponent is the portable plane family).
+  val EmbedBands    = 16
+  val EmbedBandBits = 4
+  val EmbedDim      = 64
+  val AnnPlanes     = 6
+
+  /** Per-(vector, plane) signed projections in DuckDB: the same
+    * deterministic Rademacher planes as Similarity.radComponent
+    * (top md5 bit of "p_d"), same sequential-fold double accumulation —
+    * so every sign decision (bucket bit) matches Spark bit-for-bit.
+    * Expects a CTE `e(vec_id, v DOUBLE[])` in scope.
+    */
+  private def lshDotsSql(nPlanes: Int): String =
+    s"""SELECT vec_id, p,
+               list_sum(list_transform(range(0, $EmbedDim),
+                 d -> v[d + 1] * (CASE WHEN ('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8
+                                       THEN 1.0 ELSE -1.0 END))) AS dp
+        FROM e, (SELECT unnest(range(0, $nPlanes)) AS p) ps"""
+
+  /** Banded sign-LSH near-dup: candidates from any-band bucket collision,
+    * exact-cosine verified — reproduces Dedup.embeddingNearDupPairs. */
+  private lazy val dedupEmbedOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             dots AS (${lshDotsSql(EmbedBands * EmbedBandBits)}),
+             buckets AS (SELECT vec_id, p // $EmbedBandBits AS band,
+                                sum(CASE WHEN dp >= 0 THEN 1 << (p % $EmbedBandBits) ELSE 0 END) AS bucket
+                         FROM dots GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM buckets a JOIN buckets b
+                        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+        FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold"""
+
+  /** Single-band multi-probe sign-LSH top-k — reproduces
+    * Similarity.lshTopK(nPlanes=6, probeBits=1): query probes its own
+    * bucket plus every 1-bit flip. */
+  private lazy val annLshOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             dots AS (${lshDotsSql(AnnPlanes)}),
+             bk AS (SELECT vec_id, sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS bucket
+                    FROM dots GROUP BY 1),
+             q AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id IN ($ids)),
+             qp AS (SELECT query_id, bucket FROM q
+                    UNION ALL
+                    SELECT query_id, xor(bucket, CAST(1 << i AS BIGINT))
+                    FROM q, (SELECT unnest(range(0, $AnnPlanes)) AS i) ii),
+             cand AS (SELECT DISTINCT qp.query_id, c.vec_id
+                      FROM qp JOIN bk c ON qp.bucket = c.bucket
+                      WHERE c.vec_id <> qp.query_id),
+             scored AS (SELECT cand.query_id, cand.vec_id,
+                               list_cosine_similarity(eq.v, ec.v) AS cos
+                        FROM cand
+                        JOIN e eq ON cand.query_id = eq.vec_id
+                        JOIN e ec ON cand.vec_id = ec.vec_id),
+             r AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   /** Full SimHash pipeline in DuckDB — signature, band join, Hamming
     * filter — reproducible because the token hash is portable
     * (first 15 md5 hex digits; see [[graft.dedup.Dedup.portableTokenHash]]).
@@ -167,11 +231,9 @@ object PipelineQueries extends QueryGroup {
     // exact-verified, so the oracle is the exact-Jaccard result.
     "q_dedup_minhash" -> jaccardOracle(JaccardThreshold),
 
-    "q_dedup_embed" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosineThreshold""",
+    "q_dedup_embed" -> dedupEmbedOracle,
+
+    "q_ann_lsh" -> annLshOracle,
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")

@@ -225,7 +225,43 @@ object RelationalQueries extends QueryGroup {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // ---- portable KMV distinct sketch (bounded mergeable state; same
+    //      estimator reproducible in DuckDB — the oracle-checkable twin
+    //      of q_sketch_distinct)
+    "q_kmv_distinct" -> ((s, dir) => {
+      import graft.dedup.Dedup.portableTokenHash
+      import graft.operators.TypedAggregators.KMinValues
+      val k = KmvK
+      val kmv = udaf(new KMinValues(k), org.apache.spark.sql.Encoders.scalaLong)
+      def estimate(sketch: Column): Column =
+        when(size(sketch) < k, size(sketch).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 60)) /
+            element_at(sketch, k)).cast("long"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          kmv(portableTokenHash(col("l_partkey").cast("string"))).as("parts_sketch"),
+          kmv(portableTokenHash(col("l_orderkey").cast("string"))).as("orders_sketch"))
+        .select(col("l_returnflag"),
+          estimate(col("parts_sketch")).as("kmv_parts"),
+          estimate(col("orders_sketch")).as("kmv_orders"))
+    }),
   )
+
+  /** KMV sketch size: 64 minima → ~12% typical relative error, exact for
+    * groups with < 64 distinct keys. */
+  val KmvK = 64
+
+  private def kmvOracleCol(keyExpr: String, alias: String): String =
+    s"""(WITH h AS (SELECT DISTINCT l_returnflag AS rf,
+                    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM lineitem),
+          r AS (SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h ASC) AS rn FROM h),
+          s AS (SELECT rf, count(*) AS n, max(h) AS hk FROM r WHERE rn <= $KmvK GROUP BY rf)
+      SELECT rf, CASE WHEN n < $KmvK THEN n
+                      ELSE CAST(floor(${KmvK - 1} * 1152921504606846976.0 / hk) AS BIGINT)
+                 END AS $alias FROM s)"""
 
   def oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -366,5 +402,10 @@ object RelationalQueries extends QueryGroup {
                 round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
                 round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_kmv_distinct" ->
+      s"""SELECT p.rf AS l_returnflag, p.kmv_parts, o.kmv_orders
+          FROM ${kmvOracleCol("l_partkey", "kmv_parts")} p
+          JOIN ${kmvOracleCol("l_orderkey", "kmv_orders")} o ON p.rf = o.rf""",
   )
 }

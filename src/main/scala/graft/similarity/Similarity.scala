@@ -59,35 +59,94 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
-    * no data dependency, broadcast as constants into codegen. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic Rademacher (±1) hyperplane component for plane `p`,
+    * dimension `d`: +1 iff the top bit of md5("p_d") is set. ±1 planes
+    * lose nothing vs Gaussian for sign-LSH (the collision probability
+    * 1 − θ/π only needs symmetric random directions) and — unlike a
+    * seeded Gaussian — the whole bucketing is *portable*: any engine
+    * with md5 reproduces it bit-for-bit (DuckDB:
+    * `('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8`), which is
+    * what lets sign-LSH gate queries carry full SQL oracles.
+    */
+  def radComponent(p: Int, d: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((md(0) & 0x80) != 0) 1.0f else -1.0f
   }
 
-  /** Sign-LSH bucket id for a vector column: bit p = sign(v · plane_p). */
-  def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): Column =
-    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+  /** Plane `p` as a float-literal array column (±1 components are exact in
+    * float, so float·float products match DuckDB's double arithmetic). */
+  private def radPlaneLit(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(radComponent(p, d))): _*)
+
+  /** Sign-LSH bucket id for a vector column: bit i = sign(v · plane_i),
+    * planes `planeOffset + i` — the offset lets banded callers draw
+    * independent planes per band from the same deterministic family. */
+  def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64, planeOffset: Int = 0): Column =
+    (0 until nPlanes).map { i =>
+      when(dotFast(v, radPlaneLit(planeOffset + i, dim)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded sign-LSH buckets: `(band, bucket)` rows per vector, band b
+    * using planes [b·bandBits, (b+1)·bandBits). A pair is a candidate if
+    * it collides in ANY band — recall 1-(1-p^bandBits)^bands for per-bit
+    * collision p = 1 - θ/π. Few bits per band → high recall at a given
+    * similarity; more bits → fewer candidates (buckets = 2^bandBits per
+    * band). At 100 TB: bandBits must grow with log₂(n) to keep per-bucket
+    * occupancy bounded; the fixture gate uses 16×4 for ~97% recall at
+    * cos 0.5.
+    */
+  def radBandBuckets(v: Column, bands: Int, bandBits: Int, dim: Int = 64): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bandBits).map { r =>
+          when(dotFast(v, radPlaneLit(b * bandBits + r, dim)) >= 0, lit(1L << r))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("bucket"))
+    }: _*)
+
+  /** K-means centroids over an embedding column, as pure DataFrame ops:
+    * deterministic seeding from the lowest-id vectors, then `iters` Lloyd
+    * iterations (assign to nearest centroid by cosine distance →
+    * recompute elementwise means). The per-iteration shape is the
+    * standard scalable one: centroids broadcast (≤ nCentroids rows), one
+    * corpus pass for assignment, one (cid, dim)-keyed aggregation for the
+    * means — no driver-side math, no collect.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_src"), col(vecCol).as("cvec"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
+      .select("cid", "cvec")
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", lit(1.0) - cosine(col("v"), col("cvec")))
+        .groupBy(col("id"), col("v"))
+        .agg(min_by(col("cid"), col("cdist")).as("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+    }
+    cents
+  }
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest of
     * `nCentroids` centroid vectors (deterministically seeded from the
-    * lowest-id corpus vectors — a production build would run k-means
-    * refinement); a query probes its `nProbe` nearest centroid lists
+    * lowest-id corpus vectors, refined by `kmeansIters` Lloyd
+    * iterations); a query probes its `nProbe` nearest centroid lists
     * only. Candidate volume ≈ corpus·nProbe/nCentroids per query.
     * Output shape matches [[bruteForceTopK]]; recall is the IVF curve.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_src"), col(vecCol).as("cvec"))
-        .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
-        .select("cid", "cvec"))
+    val cents = broadcast(kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol))
 
     def assigned(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(cents)

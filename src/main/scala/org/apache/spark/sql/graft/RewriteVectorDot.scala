@@ -15,25 +15,24 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * the fast expression automatically.
   *
   * The match is deliberately narrow so the rewrite is provably
-  * result-identical in every case: exact shape above, float arrays with
-  * `containsNull = false` (a null element propagates NULL declaratively
-  * but reads as 0.0f through `ArrayData.getFloat`, so nullable-element
-  * arrays are excluded), literal 0.0 seed, identity finish. Both sides
-  * accumulate `double(a[i])*double(b[i])` left to right, and both yield
-  * NULL for unequal-length inputs ([[FloatVectorDot]] nulls on length
-  * mismatch just as `zip_with`'s null-padding nulls the fold).
+  * result-identical in every case: exact shape above, float arrays,
+  * literal 0.0 seed, identity finish. Both sides accumulate
+  * `double(a[i])*double(b[i])` left to right, both yield NULL for
+  * unequal-length inputs, and both yield NULL when any element is NULL
+  * ([[FloatVectorDot]] checks element nulls explicitly, matching the
+  * fold's NULL propagation — so the rewrite is safe on parquet-sourced
+  * arrays, which always read as `containsNull = true`).
   *
   * Inject with `spark.experimental.extraOptimizations` (live session) or
   * [[GraftExtensions]] (`spark.sql.extensions` conf).
   */
 object RewriteVectorDot extends Rule[LogicalPlan] {
 
-  // containsNull must be false: FloatVectorDot reads elements via
-  // ArrayData.getFloat, which turns a NULL element into 0.0f, while the
-  // declarative fold propagates NULL — only non-null-element arrays are
-  // provably result-identical.
+  // Any float array qualifies: FloatVectorDot propagates NULL elements
+  // exactly like the declarative fold (explicit isNullAt checks), so
+  // containsNull=true (every parquet-sourced array) is safe to rewrite.
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, false) => true
+    case ArrayType(FloatType, _) => true
     case _ => false
   }
 

@@ -38,10 +38,14 @@ case class FloatVectorDot(left: Expression, right: Expression)
   // nullable even over non-nullable children.
   override def nullable: Boolean = true
 
-  // Length mismatch → NULL, matching the declarative form exactly:
-  // zip_with null-pads the shorter array, the multiply produces NULL, and
-  // the fold's `acc + NULL` nulls the sum. (Equal lengths: both sides
-  // accumulate double(a[i])*double(b[i]) left to right — bit-identical.)
+  // NULL semantics match the declarative form exactly, in both cases:
+  //  - length mismatch → NULL (zip_with null-pads the shorter array, the
+  //    multiply produces NULL, the fold's `acc + NULL` nulls the sum);
+  //  - any NULL element → NULL (the element's product is NULL and the
+  //    fold nulls from there on) — checked per element, so the rewrite
+  //    rule is safe on parquet arrays, which always read containsNull=true.
+  // Equal lengths, no nulls: both sides accumulate
+  // double(a[i])*double(b[i]) left to right — bit-identical.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -50,6 +54,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
       i += 1
     }
@@ -68,9 +73,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

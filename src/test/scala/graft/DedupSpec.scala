@@ -75,9 +75,25 @@ class DedupSpec extends SparkSpec {
   test("embedding near-dup: cosine of identical vectors is 1") {
     val e = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDupPairs(e, 0.99)
+    // identical vectors share every band bucket, so the LSH path finds
+    // them with probability 1, independent of the plane family
+    val pairs = Dedup.embeddingNearDupPairs(e, 0.99, bands = 4, bandBits = 2, dim = 3)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+
+  test("bucketed embedding near-dup is a verified subset of brute force") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val brute = Dedup.embeddingNearDupPairsBrute(e, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val lsh = Dedup.embeddingNearDupPairs(e, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(brute.nonEmpty, "fixture should contain pairs at cos >= 0.3")
+    assert(lsh.subsetOf(brute), "LSH candidates are exact-verified, so no false positives")
+    // 16 bands x 4 bits: recall ~0.97 at cos 0.5, lower but substantial
+    // in the 0.3 tail; the deterministic planes make this a fixed number.
+    assert(lsh.size >= (brute.size * 0.5).toInt,
+      s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 }

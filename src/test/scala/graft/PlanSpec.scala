@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("floatvectordot"), s"custom expr missing in:\n$p")
   }
 
+  test("q_dedup_embed: bucketed candidates, no all-pairs join") {
+    // the 100 TB guarantee: candidates come from the sign-LSH bucket
+    // equi-join, never a corpus x corpus cartesian/BNLJ
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join found in:\n$p")
+  }
+
   test("q_bm25_store: term_bucket IN-list prunes store partitions at the scan") {
     // The gate entry itself (not just the library call): write the store,
     // query it, and require the driver-computed bucket literals to reach

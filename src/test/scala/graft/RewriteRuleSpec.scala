@@ -43,6 +43,16 @@ class RewriteRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("NULL elements propagate NULL identically in both forms") {
+    val df = spark.sql(
+      """SELECT array(cast(1.0 as float), cast(null as float), cast(3.0 as float)) AS a,
+                array(cast(1.0 as float), cast(1.0 as float), cast(1.0 as float)) AS b""")
+    val declarative = df.select(Similarity.dot($"a", $"b").as("d")).collect()(0)
+    val fast = df.select(Similarity.dotFast($"a", $"b").as("d")).collect()(0)
+    assert(declarative.isNullAt(0) && fast.isNullAt(0),
+      s"NULL element must null the dot in both forms: $declarative vs $fast")
+  }
+
   test("rule does not fire on non-float arrays or different folds") {
     spark.experimental.extraOptimizations = Seq(RewriteVectorDot)
     try {
