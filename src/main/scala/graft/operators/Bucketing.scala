@@ -39,8 +39,15 @@ object Bucketing {
   }
 
   /** Join two same-bucketed catalog tables on their bucket key —
-    * planned shuffle-free when bucket counts match. */
+    * planned shuffle-free when bucket counts match. `forceSortMerge`
+    * pins the SMJ strategy via a join hint (no session-conf mutation):
+    * on small fixtures Catalyst would broadcast one side and hide the
+    * bucketing; at fact-fact scale neither side broadcasts anyway.
+    */
   def cogroupJoin(spark: SparkSession, leftTable: String, rightTable: String,
-                  key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+                  key: String, forceSortMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    val l = if (forceSortMerge) left.hint("merge") else left
+    l.join(spark.table(rightTable), key)
+  }
 }

@@ -226,6 +226,25 @@ object RelationalQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // ---- bucketed co-located fact-fact join: both sides written
+    //      bucketed+sorted on the join key (shuffle paid once at write
+    //      time), then a zero-Exchange SortMergeJoin — the 100 TB shape
+    //      for orders ⋈ lineitem (PlanSpec asserts the exchange count)
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "g_li_bkt", "l_orderkey", 16)
+      Bucketing.writeBucketed(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "g_o_bkt", "l_orderkey", 16)
+      Bucketing.cogroupJoin(s, "g_li_bkt", "g_o_bkt", "l_orderkey",
+          forceSortMerge = true)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- portable KMV distinct sketch (bounded mergeable state; same
     //      estimator reproducible in DuckDB — the oracle-checkable twin
     //      of q_sketch_distinct)
@@ -407,5 +426,10 @@ object RelationalQueries extends QueryGroup {
       s"""SELECT p.rf AS l_returnflag, p.kmv_parts, o.kmv_orders
           FROM ${kmvOracleCol("l_partkey", "kmv_parts")} p
           JOIN ${kmvOracleCol("l_orderkey", "kmv_orders")} o ON p.rf = o.rf""",
+
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority""",
   )
 }

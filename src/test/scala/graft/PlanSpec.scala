@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec {
       s"expected term_bucket partition filter in:\n$p")
   }
 
+  test("q_bucketed_join: co-located SMJ with no join-side Exchange") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf0001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    // join inputs read the bucketed tables directly — any Exchange on the
+    // JOIN KEY would mean the co-location failed (the groupBy above the
+    // join legitimately exchanges on ITS key, o_orderpriority)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")

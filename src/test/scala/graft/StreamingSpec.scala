@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("sessionizeWithState on a real stream: closed sessions emitted exactly once") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // EventTimeTimeout requires the input stream to carry a watermark
+    val ds = mem.toDF().withWatermark("ts", "0 seconds").as[Event]
+    val q = EventStreams.sessionizeWithState(ds)
+      .writeStream.format("memory").queryName("session_state_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"),
+        ev(3, "2024-01-01 00:05:00", user = 2L))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' close times…
+      mem.addData(ev(4, "2024-01-01 02:00:00", user = 3L))
+      q.processAllAvailable()
+      // …then trigger one more batch so the event-time timeouts fire
+      mem.addData(ev(5, "2024-01-01 04:00:00", user = 3L))
+      q.processAllAvailable()
+      val rows = spark.table("session_state_stream")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSeq
+      assert(rows.distinct.size === rows.size, s"duplicate session emissions: $rows")
+      val set = rows.toSet
+      assert(set.contains((1L, "2024-01-01 00:00:00", 2L)), s"user 1 session missing: $rows")
+      assert(set.contains((2L, "2024-01-01 00:05:00", 1L)), s"user 2 session missing: $rows")
+      // user 3's sessions are still open or awaiting timeout — not emitted
+      assert(!set.exists(r => r._1 == 3L && r._3 != 1L))
+    } finally q.stop()
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
