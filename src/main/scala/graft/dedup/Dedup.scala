@@ -242,8 +242,8 @@ object Dedup {
     // would otherwise shuffle `bands`× over; they re-join once per side
     // after pair dedup.
     val buckets = emb.select(col(idCol).as("id"),
-        explode(Similarity.radBandBuckets(col(vecCol), bands, bandBits, dim)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+        posexplode(Similarity.radBandBuckets(col(vecCol), bands, bandBits, dim)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = buckets.toDF("id_a", "band", "bucket")
       .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

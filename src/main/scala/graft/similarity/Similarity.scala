@@ -68,42 +68,30 @@ object Similarity {
     * `('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8`), which is
     * what lets sign-LSH gate queries carry full SQL oracles.
     */
-  def radComponent(p: Int, d: Int): Float = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if ((md(0) & 0x80) != 0) 1.0f else -1.0f
-  }
-
-  /** Plane `p` as a float-literal array column (±1 components are exact in
-    * float, so float·float products match DuckDB's double arithmetic). */
-  private def radPlaneLit(p: Int, dim: Int): Column =
-    array((0 until dim).map(d => lit(radComponent(p, d))): _*)
+  def radComponent(p: Int, d: Int): Float =
+    if (org.apache.spark.sql.graft.VectorExpressions.radPositive(p, d)) 1.0f else -1.0f
 
   /** Sign-LSH bucket id for a vector column: bit i = sign(v · plane_i),
-    * planes `planeOffset + i` — the offset lets banded callers draw
-    * independent planes per band from the same deterministic family. */
-  def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64, planeOffset: Int = 0): Column =
-    (0 until nPlanes).map { i =>
-      when(dotFast(v, radPlaneLit(planeOffset + i, dim)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * planes drawn from the deterministic family above. One custom
+    * expression evaluates all planes in a single pass
+    * ([[org.apache.spark.sql.graft.RadSignBuckets]] — the
+    * literal-array-per-plane formulation put bands·bits·dim literals into
+    * codegen and made Janino compilation the query's dominant cost). */
+  def signBucket(v: Column, nPlanes: Int = 12, dim: Int = 64): Column =
+    element_at(
+      org.apache.spark.sql.graft.VectorExpressions.radBuckets(v, 1, nPlanes, dim), 1)
 
-  /** Banded sign-LSH buckets: `(band, bucket)` rows per vector, band b
-    * using planes [b·bandBits, (b+1)·bandBits). A pair is a candidate if
-    * it collides in ANY band — recall 1-(1-p^bandBits)^bands for per-bit
-    * collision p = 1 - θ/π. Few bits per band → high recall at a given
-    * similarity; more bits → fewer candidates (buckets = 2^bandBits per
-    * band). At 100 TB: bandBits must grow with log₂(n) to keep per-bucket
-    * occupancy bounded; the fixture gate uses 16×4 for ~97% recall at
-    * cos 0.5.
+  /** Banded sign-LSH buckets as one `array<long>` (index = band, value =
+    * bucket id), band b using planes [b·bandBits, (b+1)·bandBits). A pair
+    * is a candidate if it collides in ANY band — recall
+    * 1-(1-p^bandBits)^bands for per-bit collision p = 1 - θ/π. Few bits
+    * per band → high recall at a given similarity; more bits → fewer
+    * candidates (buckets = 2^bandBits per band). At 100 TB: bandBits must
+    * grow with log₂(n) to keep per-bucket occupancy bounded; the fixture
+    * gate uses 16×4 for ~97% recall at cos 0.5.
     */
   def radBandBuckets(v: Column, bands: Int, bandBits: Int, dim: Int = 64): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until bandBits).map { r =>
-          when(dotFast(v, radPlaneLit(b * bandBits + r, dim)) >= 0, lit(1L << r))
-            .otherwise(lit(0L))
-        }.reduce(_ + _).as("bucket"))
-    }: _*)
+    org.apache.spark.sql.graft.VectorExpressions.radBuckets(v, bands, bandBits, dim)
 
   /** K-means centroids over an embedding column, as pure DataFrame ops:
     * deterministic seeding from the lowest-id vectors, then `iters` Lloyd
