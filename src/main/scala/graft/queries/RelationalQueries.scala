@@ -226,6 +226,16 @@ object RelationalQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // ---- custom whole-operator path (tier-c): logical node + strategy +
+    //      physical partial/final bounded heaps — row_number<=k semantics
+    //      with the exchange carrying <= k rows per key per map task
+    //      instead of the whole table (see graft.TopKPerKey scaladoc)
+    "q_topk_op" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        t(s, dir, "orders"), keys = Seq("o_custkey"),
+        order = Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
     // ---- bucketed co-located fact-fact join: both sides written
     //      bucketed+sorted on the join key (shuffle paid once at write
     //      time), then a zero-Exchange SortMergeJoin — the 100 TB shape
@@ -431,5 +441,12 @@ object RelationalQueries extends QueryGroup {
       s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority""",
+
+    "q_topk_op" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
   )
 }

@@ -38,5 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVectorDot].getCanonicalName, "graft_dot"),
       { exprs: Seq[Expression] => FloatVectorDot(exprs(0), exprs(1)) }))
     e.injectOptimizerRule(_ => RewriteVectorDot)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
