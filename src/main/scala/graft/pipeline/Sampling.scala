@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Deterministic, engine-portable sampling and dataset splitting — the
+  * reproducibility primitives of a training-data pipeline. Instead of
+  * RNG-based `sample()` (whose result depends on engine, partitioning
+  * and seed plumbing), membership is a pure function of a salted
+  * portable hash of a key column:
+  *
+  *   - the same row lands in the same sample/split on every run, every
+  *     engine, any partitioning — append-only datasets keep their
+  *     earlier assignments (critical for stable eval sets);
+  *   - different salts give independent samples (domain separation);
+  *   - the DuckDB oracle recomputes membership exactly — sampling
+  *     becomes hash-verifiable, not just "roughly the right size".
+  *
+  * Scale: a scalar predicate/projection on the scan — no shuffle, no
+  * state; fuses into whole-stage codegen.
+  */
+object Sampling {
+
+  /** The portable hash is uniform on [0, 2^60) (15 md5 hex digits —
+    * [[graft.dedup.Dedup.portableTokenHash]]). */
+  val HashRange: Long = 1L << 60
+
+  /** Salted portable hash of a key column (domain-separated by salt). */
+  def saltedHash(salt: String, key: Column): Column =
+    Dedup.portableTokenHash(concat(lit(salt + ":"), key.cast("string")))
+
+  /** Keep rows whose salted hash falls below `frac` of the hash range —
+    * a deterministic `frac`-sample keyed on `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, frac: Double,
+                          salt: String = "sample"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    df.filter(saltedHash(salt, col(keyCol)) < lit((frac * HashRange).toLong))
+  }
+
+  /** Threshold for a cumulative weight — shared with the SQL oracle so
+    * both engines compare against the identical long. */
+  def cut(cumWeight: Double): Long = (cumWeight * HashRange).toLong
+
+  /** Append a `split` column assigning each row to one of the named
+    * weighted partitions (e.g. train/val/test) by salted hash range —
+    * exhaustive and disjoint by construction. */
+  def assignSplit(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val h = saltedHash(salt, col(keyCol))
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val expr = weights.init.zip(cum.init).reverse
+      .foldLeft(lit(weights.last._1): Column) {
+        case (acc, ((name, _), c)) => when(h < lit(cut(c)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+}

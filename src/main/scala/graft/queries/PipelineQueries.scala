@@ -82,7 +82,24 @@ object PipelineQueries extends QueryGroup {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // deterministic (hash-membership) sampling: same rows selected on
+    // every run/engine/partitioning — reproducibility beats RNG sample()
+    // for training-data pipelines, and it is hash-VERIFIABLE by the oracle
+    "q_hash_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling.deterministicSample(docs(s, dir), "doc_id", SampleFrac)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // weighted train/val/test assignment by salted hash range — stable
+    // split membership for append-only corpora
+    "q_mixture_split" -> ((s, dir) =>
+      graft.pipeline.Sampling.assignSplit(docs(s, dir), "doc_id", SplitWeights)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
   )
+
+  val SampleFrac = 0.1
+  val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   // ---- DuckDB oracle building blocks (textually mirrors Analyzer.normText) ----
 
@@ -212,6 +229,10 @@ object PipelineQueries extends QueryGroup {
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""
   }
 
+  /** DuckDB twin of Sampling.saltedHash. */
+  private def sqlSaltedHash(salt: String, keyExpr: String): String =
+    s"('0x' || substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT"
+
   private val markerIn: Map[String, String] = TextAnalysis.DefaultMarkers.map {
     case (lang, words) => lang -> words.map(w => s"'$w'").mkString(", ")
   }.toMap
@@ -225,6 +246,25 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_hash_sample" -> {
+      val t = graft.pipeline.Sampling.cut(SampleFrac)
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${sqlSaltedHash("sample", "doc_id")} < $t"""
+    },
+
+    "q_mixture_split" -> {
+      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+      val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+        s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
+                 lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM (SELECT lang, n_chars,
+                       ${sqlSaltedHash("split", "doc_id")} AS h
+                FROM documents)
+          GROUP BY 1, 2"""
+    },
 
     // LSH with 128 perms / 32 bands has ~exact recall at J >= 0.5
     // (p_miss < 1.3e-2 per pair at 0.5, < 5e-8 at 0.8); candidates are

@@ -72,6 +72,15 @@ object SearchQueries extends QueryGroup {
           col("title"), round(col("score"), 4).as("score"))
     }),
 
+    // S-series: JSONL sink → source roundtrip on the oracle surface —
+    // the driver verifies every value survives the line-JSON encoding
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      graft.sources.JsonlCorpus.write(
+        docs(s, dir).select("doc_id", "text", "lang", "source"), path)
+      graft.sources.JsonlCorpus.read(s, path)
+    }),
+
     // E3 at-scale lifecycle: build → persist the bucketed index store →
     // query it with static partition pruning (the Spark-native analog of
     // the reference's Cassandra partition-key lookup, `app/query.py:43,50`).
@@ -113,6 +122,9 @@ object SearchQueries extends QueryGroup {
 
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
   )
 
   /** Shared oracle: the store query's answer is definitionally the same as

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  test("deterministic sample: stable across runs, near the target fraction") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b, "same data + salt must select identical rows")
+    val n = docs.count()
+    assert(math.abs(a.size.toDouble / n - 0.1) < 0.05,
+      s"sample fraction drifted: ${a.size}/$n")
+  }
+
+  test("larger fraction is a superset (nested samples)") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big),
+      "threshold sampling nests: frac 0.1 selection is contained in 0.5")
+  }
+
+  test("different salts give independent selections") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a !== b)
+    // independence: overlap ≈ 25% of corpus, far from 0 or 50%
+    val overlap = a.intersect(b).size.toDouble / docs.count()
+    assert(overlap > 0.1 && overlap < 0.4, s"suspicious overlap $overlap")
+  }
+
+  test("split assignment is exhaustive, disjoint, and weight-shaped") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.values.sum === n, "every row gets exactly one split")
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.06,
+      s"train weight drifted: $counts")
+  }
+}

@@ -1,0 +1,17 @@
+// Regenerates PLANS.md — run via tools/gen_plans.sh
+import org.apache.spark.sql.execution.ExplainMode
+val names = Seq(
+  "q_bm25_search", "q_bm25_store", "q_agg_pricing", "q_nation_revenue",
+  "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_topk_op",
+  "q_bucketed_join", "q_asof_join", "q_time_tumbling")
+val sb = new StringBuilder
+sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
+sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
+for (n <- names) {
+  val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+  sb.append(s"\n## $n\n\n```\n")
+  sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).take(6000))
+  sb.append("```\n")
+}
+java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
+println("WROTE=" + sb.length)
