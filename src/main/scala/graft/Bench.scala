@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // rank windows over already-limited (<= topK) frames are
+    // single-partition by design; WindowExec's no-partition warning is
+    // noise for them (and a literal partition key gets optimizer-folded)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
     // lands entirely on whichever query the map orders first (~5 s skew).
     try {

@@ -36,6 +36,12 @@ object SearchCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // rank windows over already-limited (<= topK) frames are
+    // single-partition by design; WindowExec's no-partition warning is
+    // noise for them (and a literal partition key gets optimizer-folded)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val docs =
       if (corpus.endsWith(".parquet"))
@@ -43,8 +49,9 @@ object SearchCli {
           .select(col("doc_id"), coalesce(col("source"), lit("")).as("title"), col("text"))
       else WikiCorpus.read(spark, corpus)
 
-    val ranked = BM25.search(Indexer.buildIndex(docs), query)
-      .join(docs.select("doc_id", "title"), Seq("doc_id"), "left")
+    // title flows through the index's doc_stats (reference layout,
+    // query.py:86 first(title)) — no corpus re-join at query time
+    val ranked = BM25.search(Indexer.buildIndex(docs, titleCol = Some("title")), query)
       .orderBy("rank")
       .select(col("rank"), col("doc_id"), coalesce(col("title"), lit("")).as("title"),
         col("score"))

@@ -226,6 +226,19 @@ object RelationalQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // ---- salted skewed join: output provably identical to the plain
+    //      join (oracle is the plain SQL) while hot keys spread over
+    //      `salt` tasks — the AQE-can't-help shape (skewed big side,
+    //      small side too big to broadcast)
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, o, "l_orderkey", salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // ---- custom whole-operator path (tier-c): logical node + strategy +
     //      physical partial/final bounded heaps — row_number<=k semantics
     //      with the exchange carrying <= k rows per key per map task
@@ -441,6 +454,12 @@ object RelationalQueries extends QueryGroup {
       s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority""",
+
+    "q_salted_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+                 ${dsumSql("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus""",
 
     "q_topk_op" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -103,6 +103,10 @@ object BM25 {
       .limit(params.topK)
 
     import org.apache.spark.sql.expressions.Window
+    // a global (unpartitioned) window over the already-limited <= topK
+    // rows — single-partition by design; WindowExec's no-partition
+    // warning is benign here (a constant partition key would not help:
+    // the optimizer folds literal partition specs away)
     val withRank = ranked.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
     if (hasTitle)

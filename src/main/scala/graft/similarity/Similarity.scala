@@ -105,6 +105,8 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_src"), col(vecCol).as("cvec"))
+      // global window numbering nCentroids (<= dozens) seed rows —
+      // single-partition by design; the WindowExec warning is benign
       .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
       .select("cid", "cvec")
     for (_ <- 0 until iters) {

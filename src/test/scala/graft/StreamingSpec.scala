@@ -119,6 +119,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet-dir stream matches the batch result") {
+    val events = Tables.loadEvents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_test")
+        .select(col("window_start").cast("long"), col("event_type"), col("n"), col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val want = EventStreams.tumblingCounts(events)
+        .select(col("window_start").cast("long"), col("event_type"), col("n"), col("total"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === want, "write-once/run-both-ways: file stream ≡ batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
