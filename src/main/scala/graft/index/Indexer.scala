@@ -121,6 +121,55 @@ object Indexer {
     ix.meta.write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incrementally add documents to a persisted index store: postings and
+    * doc_stats for the new docs APPEND into the existing parquet (new
+    * row-groups in the same term_bucket partitions — no rewrite of
+    * existing data), then the small derived tables (vocab, meta) are
+    * recomputed from the combined store and overwritten.
+    *
+    * Scale: the expensive tables grow append-only — the work is
+    * proportional to the NEW corpus plus one aggregate over the postings
+    * store for vocab (itself a two-phase agg over (term, doc_id) rows,
+    * the same shape as the original build). The reference had no
+    * incremental path at all (full `index.sh` re-run, dropping the
+    * Cassandra tables, `app/index.sh:22-28`).
+    *
+    * Caller contract: new doc_ids must not already exist in the store
+    * (duplicate doc_ids would double-count postings, same as re-running
+    * the reference's loader twice).
+    */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  newCorpus: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", titleCol: Option[String] = None,
+                  nBuckets: Int = 64): Unit = {
+    val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
+    delta.docStats.write.mode("append").parquet(s"$path/doc_stats")
+    delta.postings
+      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+      .write.mode("append")
+      .partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    // derived tables: recompute from the combined store (vocab = one
+    // two-phase agg over postings; meta = 1 row) into a temp dir, then
+    // swap via filesystem rename — never overwrite a path mid-read, and
+    // never collect to the driver (vocab is |terms| rows at scale)
+    val posts = spark.read.parquet(s"$path/postings")
+    val stats = spark.read.parquet(s"$path/doc_stats")
+    vocab(posts.select("term", "doc_id", "tf"))
+      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+    meta(stats).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
+    swap("vocab")
+    swap("meta")
+  }
+
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
   def termBucket(term: Column, nBuckets: Int = 64): Column =
     pmod(crc32(term), lit(nBuckets.toLong))

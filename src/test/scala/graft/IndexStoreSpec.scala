@@ -34,6 +34,43 @@ class IndexStoreSpec extends SparkSpec {
       s"expected term_bucket partition filter in:\n$plan")
   }
 
+  test("incremental appendIndex equals a full rebuild") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+
+    val incPath = Files.createTempDirectory("ixinc").toString
+    Indexer.writeIndex(Indexer.buildIndex(half1), incPath, nBuckets = 16)
+    Indexer.appendIndex(spark, incPath, half2, nBuckets = 16)
+
+    val fullPath = Files.createTempDirectory("ixfull").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), fullPath, nBuckets = 16)
+
+    // every store table identical as a bag of rows
+    for (t <- Seq("doc_stats", "vocab", "meta")) {
+      val inc = spark.read.parquet(s"$incPath/$t").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      val full = spark.read.parquet(s"$fullPath/$t").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      assert(inc === full, s"table $t differs after append")
+    }
+    val incP = spark.read.parquet(s"$incPath/postings")
+      .select("term", "doc_id", "tf", "term_bucket").collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    val fullP = spark.read.parquet(s"$fullPath/postings")
+      .select("term", "doc_id", "tf", "term_bucket").collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    assert(incP === fullP, "postings differ after append")
+
+    // and the search behavior matches
+    val a = BM25.searchStore(spark, incPath, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    val b = BM25.searchStore(spark, fullPath, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(a.map(r => (r._1, r._2)) === b.map(r => (r._1, r._2)))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-9) }
+  }
+
   test("driver-side bucket function matches the executor-side column") {
     val terms = Seq("fast", "hash", "join", "scan", "zebra")
     val fromSpark = terms.toDF("t")
