@@ -226,6 +226,74 @@ object RelationalQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // ---- full ranking-window family: rank/dense_rank/percent_rank/
+    //      cume_dist share a ties-allowed order (deterministic under
+    //      ties); ntile needs a total order (tie-dependent otherwise)
+    "q_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ties = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate").asc)
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"),
+        rank().over(ties).cast("long").as("rnk"),
+        dense_rank().over(ties).cast("long").as("drnk"),
+        // floor-scale, don't round: these are exact rationals k/(n-1)
+        // whose decimal expansions can land on .5 boundaries where
+        // Spark's repr-based HALF_UP and DuckDB's binary rounding differ
+        floor(percent_rank().over(ties) * 1000000).cast("long").as("prnk"),
+        floor(cume_dist().over(ties) * 1000000).cast("long").as("cdist"),
+        ntile(4).over(total).cast("long").as("quartile"))
+    }),
+
+    // ---- date/time extraction + aggregation (calendar rollup shape)
+    "q_date_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("spend"),
+          // NTZ→TS→long: the session is pinned UTC, so wall-clock-as-UTC
+          // epoch matches DuckDB's epoch() of the naive timestamp
+          min(col("o_orderdate").cast("timestamp").cast("long")).as("first_ts"),
+          max(col("o_orderdate").cast("timestamp").cast("long")).as("last_ts"))),
+
+    // ---- string function breadth (F-series extension)
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_type"), " ", "_").as("type_u"),
+        reverse(col("p_name")).as("name_rev"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+        instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))),
+
+    // ---- statistical aggregates from exact decimal moments: mean/
+    //      variance/stddev/corr computed from order-independent DECIMAL
+    //      sums, so the doubles are bit-deterministic at any parallelism
+    //      (plain stddev/corr accumulate doubles in partition order)
+    "q_stats_agg" -> ((s, dir) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(x * x).as("sx2"),
+          dsum(y).as("sy"), dsum(y * y).as("sy2"),
+          dsum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          // no round(), no pow(): every op below (/-*, sqrt) is IEEE
+          // correctly-rounded, so identical formulas over the identical
+          // decimal-exact sums give bit-identical doubles in both
+          // engines (Math.pow is only 1-ulp-accurate — spelled as x*x)
+          (col("sx") / col("n")).as("mean_qty"),
+          (col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("var_qty"),
+          sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("sd_qty"),
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            (sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+             sqrt(col("sy2") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))))).as("corr_qp"))
+    }),
+
     // ---- salted skewed join: output provably identical to the plain
     //      join (oracle is the plain SQL) while hot keys spread over
     //      `salt` tasks — the AQE-can't-help shape (skewed big side,
@@ -460,6 +528,51 @@ object RelationalQueries extends QueryGroup {
                  ${dsumSql("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus""",
+
+    "q_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+                CAST(rank() OVER w1 AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+                CAST(floor(percent_rank() OVER w1 * 1000000) AS BIGINT) AS prnk,
+                CAST(floor(cume_dist() OVER w1 * 1000000) AS BIGINT) AS cdist,
+                CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate ASC),
+                w2 AS (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    "q_date_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                 count(*) AS n, ${dsumSql("o_totalprice")} AS spend,
+                 CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS first_ts,
+                 CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS last_ts
+          FROM orders GROUP BY 1, 2""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS brand_pad,
+                translate(p_type, ' ', '_') AS type_u,
+                reverse(p_name) AS name_rev,
+                CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+                CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+                split_part(p_type, ' ', 1) AS type_head
+         FROM part""",
+
+    "q_stats_agg" ->
+      s"""SELECT l_returnflag, n,
+                 sx/n AS mean_qty,
+                 sx2/n - (sx/n)*(sx/n) AS var_qty,
+                 sqrt(sx2/n - (sx/n)*(sx/n)) AS sd_qty,
+                 (sxy/n - (sx/n)*(sy/n)) /
+                   (sqrt(sx2/n - (sx/n)*(sx/n)) * sqrt(sy2/n - (sy/n)*(sy/n))) AS corr_qp
+          FROM (SELECT l_returnflag, count(*) AS n,
+                       ${dsumSql("l_quantity")} AS sx,
+                       ${dsumSql("l_quantity * l_quantity")} AS sx2,
+                       ${dsumSql("l_extendedprice")} AS sy,
+                       ${dsumSql("l_extendedprice * l_extendedprice")} AS sy2,
+                       ${dsumSql("l_quantity * l_extendedprice")} AS sxy
+                FROM lineitem GROUP BY 1)""",
 
     "q_topk_op" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
