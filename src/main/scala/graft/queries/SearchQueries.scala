@@ -81,6 +81,17 @@ object SearchQueries extends QueryGroup {
       graft.sources.JsonlCorpus.read(s, path)
     }),
 
+    // S-series: the DataSource V2 connector (format("graft-tsv")) on the
+    // oracle surface — write the reference's id\ttitle\ttext shape, read
+    // it back through the connector (reader-level pruning + malformed
+    // guard), and let the driver verify every value
+    "q_dsv2_tsv" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+      graft.sources.TsvCorpus.write(
+        docs(s, dir).select(col("doc_id"), col("source").as("title"), col("text")), path)
+      s.read.format("graft-tsv").load(path)
+    }),
+
     // E3 at-scale lifecycle: build → persist the bucketed index store →
     // query it with static partition pruning (the Spark-native analog of
     // the reference's Cassandra partition-key lookup, `app/query.py:43,50`).
@@ -125,6 +136,14 @@ object SearchQueries extends QueryGroup {
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",
+
+    // the TSV line format squashes tabs/newlines inside fields on write
+    // (prepare_data.py:33) — the oracle applies the same squash
+    "q_dsv2_tsv" ->
+      """SELECT doc_id,
+                regexp_replace(source, '[\t\n]', ' ', 'g') AS title,
+                regexp_replace(text, '[\t\n]', ' ', 'g') AS text
+         FROM documents""",
   )
 
   /** Shared oracle: the store query's answer is definitionally the same as

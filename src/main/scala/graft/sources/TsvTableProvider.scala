@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's `id\ttitle\ttext` corpus
+  * files: `spark.read.format("graft-tsv").load(path)`.
+  *
+  * This is the Spark-native analog of the reference's Cassandra
+  * *connector* (SURVEY §1.4): where [[TsvCorpus.read]] wraps the text
+  * datasource in Column expressions, this is the real connector surface —
+  * a `TableProvider` whose scan:
+  *
+  *   - splits per file (one [[InputPartition]] each — line formats can't
+  *     split safely below file granularity without sync markers);
+  *   - prunes columns at the READER (`SupportsPushDownRequiredColumns`):
+  *     a `select(doc_id)` never materializes the text bytes into rows —
+  *     visible as the scan's narrowed `ReadSchema`;
+  *   - drops malformed lines at the source (the mapper guard,
+  *     `mapreduce/mapper1.py:6-11`).
+  *
+  * Read-only by design: writes go through [[TsvCorpus.write]] (the
+  * built-in text sink is already the right distributed writer).
+  */
+class TsvTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsvTableProvider.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TsvTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-tsv requires a path")))
+}
+
+object TsvTableProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("title", StringType),
+    StructField("text", StringType)))
+}
+
+class TsvTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tsv:$path"
+  override def schema(): StructType = TsvTableProvider.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TsvScanBuilder(path)
+}
+
+class TsvScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TsvTableProvider.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TsvScan(path, required)
+}
+
+class TsvScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.sorted.map(TsvInputPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvReaderFactory(required)
+}
+
+case class TsvInputPartition(file: String) extends InputPartition
+
+class TsvReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TsvPartitionReader(partition.asInstanceOf[TsvInputPartition].file, required)
+}
+
+class TsvPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = {
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val parts = line.split("\t", -1)
+      if (parts.length == 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit)) {
+        val values = required.fieldNames.map {
+          case "doc_id" => java.lang.Long.valueOf(parts(0).toLong)
+          case "title"  => UTF8String.fromString(parts(1))
+          case "text"   => UTF8String.fromString(parts(2))
+        }
+        current = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

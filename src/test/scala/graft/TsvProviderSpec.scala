@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.TsvCorpus
+
+/** The DataSource V2 connector (`format("graft-tsv")`) against the
+  * Column-expression reader it upgrades: same rows, same malformed-line
+  * policy, plus reader-level column pruning.
+  */
+class TsvProviderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tsvDir: String = {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source".as("title"), $"text")
+    val dir = Files.createTempDirectory("dsv2-tsv").toString
+    TsvCorpus.write(docs, dir)
+    dir
+  }
+
+  test("connector reads exactly what TsvCorpus.read parses") {
+    val viaExpr = TsvCorpus.read(spark, tsvDir)
+      .as[(Long, String, String)].collect().toSet
+    val viaDsv2 = spark.read.format("graft-tsv").load(tsvDir)
+      .as[(Long, String, String)].collect().toSet
+    assert(viaDsv2 === viaExpr)
+    assert(viaDsv2.size === 500)
+  }
+
+  test("column pruning reaches the reader (narrowed ReadSchema)") {
+    val df = spark.read.format("graft-tsv").load(tsvDir).select("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    // DSv2 BatchScan prints its (pruned) output schema in brackets
+    val scanLine = p.linesIterator.find(_.contains("BatchScan graft-tsv"))
+      .getOrElse(fail(s"no graft-tsv scan in:\n$p"))
+    assert(scanLine.contains("[doc_id") && !scanLine.contains("text"),
+      s"text/title should be pruned at the scan: $scanLine")
+    assert(df.as[Long].collect().toSet ===
+      Tables.load(spark, sf0001, "documents").select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("malformed lines are dropped at the source") {
+    val dir = Files.createTempDirectory("dsv2-bad").toString
+    Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val rows = spark.read.format("graft-tsv").load(dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows === Set(1L, 3L))
+  }
+}
