@@ -83,6 +83,19 @@ object PipelineQueries extends QueryGroup {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // PII scan + redaction (training-data scrubbing, oracle-verified)
+    "q_pii_redact" -> ((s, dir) => {
+      val (em, ur, ph) = TextAnalysis.piiCounts(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        em.cast("long").as("n_email"), ur.cast("long").as("n_url"),
+        ph.cast("long").as("n_phone"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+    }),
+
+    // boilerplate/repetition signal: max trigram frequency per doc
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir))),
+
     // deterministic (hash-membership) sampling: same rows selected on
     // every run/engine/partitioning — reproducibility beats RNG sample()
     // for training-data pipelines, and it is hash-VERIFIABLE by the oracle
@@ -246,6 +259,34 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_pii_redact" -> {
+      import TextAnalysis.{EmailPattern, PhonePattern, UrlPattern}
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '$EmailPattern')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(lower(text), '$UrlPattern')) AS BIGINT) AS n_url,
+                 CAST(len(regexp_extract_all(lower(text), '$PhonePattern')) AS BIGINT) AS n_phone,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(text), '$UrlPattern', '<URL>', 'g'),
+                     '$EmailPattern', '<EMAIL>', 'g'),
+                   '$PhonePattern', '<NUM>', 'g') AS redacted
+          FROM documents"""
+    },
+
+    "q_repetition" ->
+      s"""WITH lists AS ($SqlLists),
+              tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                      FROM lists WHERE len(l) >= 3),
+              tri AS (SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS tri
+                      FROM tok a
+                      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+              cnt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+                CAST(max(c) AS BIGINT) AS max_tri,
+                CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+         FROM cnt GROUP BY doc_id""",
 
     "q_hash_sample" -> {
       val t = graft.pipeline.Sampling.cut(SampleFrac)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,16 +63,61 @@ class TsvTable(path: String) extends Table with SupportsRead {
 }
 
 class TsvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TsvTableProvider.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TsvScan(path, required)
+
+  // doc_id comparisons evaluate during the parse — a predicate like
+  // doc_id < N skips the row before its text is ever wrapped in a row
+  // (the Cassandra-connector predicate pushdown shape, SURVEY §1.4).
+  // Supported filters are fully evaluated here, so they are NOT returned
+  // as residuals (no re-evaluation above the scan).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(TsvScanBuilder.supported)
+    pushed = sup
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TsvScan(path, required, pushed)
 }
 
-class TsvScan(path: String, required: StructType) extends Scan with Batch {
+object TsvScanBuilder {
+  private def longValue(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("doc_id", v)            => longValue(v)
+    case GreaterThan("doc_id", v)        => longValue(v)
+    case GreaterThanOrEqual("doc_id", v) => longValue(v)
+    case LessThan("doc_id", v)           => longValue(v)
+    case LessThanOrEqual("doc_id", v)    => longValue(v)
+    case _ => false
+  }
+  def eval(f: Filter, id: Long): Boolean = {
+    def l(v: Any): Long = v match {
+      case x: Long => x
+      case x: Int  => x.toLong
+    }
+    f match {
+      case EqualTo(_, v)            => id == l(v)
+      case GreaterThan(_, v)        => id > l(v)
+      case GreaterThanOrEqual(_, v) => id >= l(v)
+      case LessThan(_, v)           => id < l(v)
+      case LessThanOrEqual(_, v)    => id <= l(v)
+      case _ => true
+    }
+  }
+}
+
+class TsvScan(path: String, required: StructType,
+              pushed: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsv pushed=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -91,17 +136,20 @@ class TsvScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(required)
+    new TsvReaderFactory(required, pushed)
 }
 
 case class TsvInputPartition(file: String) extends InputPartition
 
-class TsvReaderFactory(required: StructType) extends PartitionReaderFactory {
+class TsvReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsvPartitionReader(partition.asInstanceOf[TsvInputPartition].file, required)
+    new TsvPartitionReader(partition.asInstanceOf[TsvInputPartition].file,
+      required, pushed)
 }
 
-class TsvPartitionReader(file: String, required: StructType)
+class TsvPartitionReader(file: String, required: StructType,
+                         pushed: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val reader = {
@@ -116,7 +164,8 @@ class TsvPartitionReader(file: String, required: StructType)
     var line = reader.readLine()
     while (line != null) {
       val parts = line.split("\t", -1)
-      if (parts.length == 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit)) {
+      if (parts.length == 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit) &&
+          { val id = parts(0).toLong; pushed.forall(TsvScanBuilder.eval(_, id)) }) {
         val values = required.fieldNames.map {
           case "doc_id" => java.lang.Long.valueOf(parts(0).toLong)
           case "title"  => UTF8String.fromString(parts(1))

@@ -72,6 +72,55 @@ object TextAnalysis {
           lit(0.3) * least(lit(4.0) * col("stopword_ratio"), lit(1.0)))
   }
 
+  /** PII-ish patterns (training-data scrubbing): deliberately simple
+    * character-class regexes that mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB), so the scan is oracle-verifiable. A
+    * production scrubber would layer real validators behind the same
+    * column API. Applied to lowercased text. */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val UrlPattern   = "https?://[a-z0-9./_-]+"
+  val PhonePattern = "[0-9][0-9-]{6,}[0-9]"
+
+  /** Per-document PII hit counts `(emails, urls, phones)`. */
+  def piiCounts(textCol: Column): (Column, Column, Column) = {
+    val t = lower(textCol)
+    (regexp_count(t, lit(EmailPattern)),
+      regexp_count(t, lit(UrlPattern)),
+      regexp_count(t, lit(PhonePattern)))
+  }
+
+  /** Redacted text: URLs first (they contain digits/dots that the other
+    * patterns could partially match), then emails, then number runs —
+    * the same order the oracle applies. */
+  def redactPii(textCol: Column): Column = {
+    val noUrl   = regexp_replace(lower(textCol), UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    regexp_replace(noEmail, PhonePattern, "<NUM>")
+  }
+
+  /** Per-document repetition signal: most-frequent word trigram count
+    * over total trigrams — boilerplate/spam detector
+    * (`rep_ratio → 1` ⇒ the doc is one phrase repeated). Shuffle keyed on
+    * (doc_id, trigram), partial-aggregated map-side.
+    */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      Analyzer.tokens(col(textCol)).as("toks"))
+    val tri = toks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .as("tri"))
+    tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tri"), max(col("c")).as("max_tri"))
+      .select(col("doc_id"), col("n_tri"), col("max_tri"),
+        (col("max_tri").cast("double") / col("n_tri")).as("rep_ratio"))
+  }
+
   /** Order-sensitive rolling-hash document fingerprint over tokens:
     * fold (acc·31 + code(t)) mod 1e9+7, seeded with the first token's
     * code (DuckDB `list_reduce` fold shape); code(t) = ascii(t)·131 + len(t).

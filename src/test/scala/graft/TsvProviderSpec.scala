@@ -41,6 +41,16 @@ class TsvProviderSpec extends SparkSpec {
       Tables.load(spark, sf0001, "documents").select("doc_id").as[Long].collect().toSet)
   }
 
+  test("doc_id predicates push into the reader and prune correctly") {
+    val df = spark.read.format("graft-tsv").load(tsvDir)
+      .filter($"doc_id" >= 100L && $"doc_id" < 110L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(doc_id,100)") &&
+      p.contains("LessThan(doc_id,110)"),
+      s"filters not pushed into scan description:\n$p")
+    assert(df.select("doc_id").as[Long].collect().toSet === (100L until 110L).toSet)
+  }
+
   test("malformed lines are dropped at the source") {
     val dir = Files.createTempDirectory("dsv2-bad").toString
     Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye")
