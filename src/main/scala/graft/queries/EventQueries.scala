@@ -32,6 +32,15 @@ object EventQueries extends QueryGroup {
         .select(col("window_start").cast("long").as("window_start_s"),
           col("event_type"), col("n"), col("total"))),
 
+    // batch face of the stream-stream time-bounded join (view→click
+    // within 15 min, state-bounded by watermark on a real stream)
+    "q_stream_correlate" -> ((s, dir) => {
+      val e = events(s, dir)
+      EventStreams.correlate(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"), "15 minutes")
+    }),
+
     "q_time_sliding" -> ((s, dir) =>
       EventStreams.slidingCounts(events(s, dir))
         .select(col("window_start").cast("long").as("window_start_s"),
@@ -92,6 +101,17 @@ object EventQueries extends QueryGroup {
          FROM events GROUP BY 1, 2""",
 
     // each event belongs to exactly two 1h/30m sliding windows:
+    "q_stream_correlate" ->
+      """SELECT l.user_id, l.event_id AS l_id, l.event_type AS l_type,
+                r.event_id AS r_id, r.event_type AS r_type,
+                floor(epoch(l.ts))::BIGINT AS l_ts,
+                floor(epoch(r.ts))::BIGINT AS r_ts
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '15 minutes'
+          AND l.event_id <> r.event_id
+         WHERE l.event_type = 'view' AND r.event_type = 'click'""",
+
     // the 30-min bucket it falls in and the one 30 min earlier
     "q_time_sliding" ->
       """SELECT floor(epoch(ws))::BIGINT AS window_start_s, event_type, count(*) AS n

@@ -53,6 +53,42 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream correlation: for each left event, matching right
+    * events of the same user within `[0, within]` AFTER it — e.g. "view
+    * followed by click within 15 minutes". Works identically on batch
+    * frames. On streams, BOTH sides need the watermark (passed here) and
+    * the time-range condition bounds the join state: rows age out of
+    * state once the watermark passes their maximum match window —
+    * without the bound, stream-stream join state grows forever.
+    */
+  def correlate(left: DataFrame, right: DataFrame, within: String = "15 minutes",
+                watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("event_id").as("r_id"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("user_id"), col("l_id"), col("l_type"), col("r_id"), col("r_type"),
+        col("l_ts").cast("long").as("l_ts"), col("r_ts").cast("long").as("r_ts"))
+  }
+
+  /** Watermark-bounded streaming deduplication by event id: duplicates
+    * arriving within the watermark horizon are dropped with state that
+    * ages out (unlike plain dropDuplicates, whose state never shrinks on
+    * a stream). Batch: equivalent to dropDuplicates on the keys.
+    */
+  def dedupeWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
+
   // ---- custom-state sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -119,6 +119,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream time-bounded join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    val q = EventStreams.correlate(memL.toDF(), memR.toDF(), "15 minutes")
+      .writeStream.format("memory").queryName("corr_test")
+      .outputMode("append").start()
+    try {
+      val views = Seq(ev(1, "2024-01-01 00:00:00", typ = "view"),
+        ev(2, "2024-01-01 01:00:00", typ = "view"))
+      val clicks = Seq(ev(10, "2024-01-01 00:10:00", typ = "click"), // within 15m of view 1
+        ev(11, "2024-01-01 00:30:00", typ = "click"),                // too late for view 1
+        ev(12, "2024-01-01 01:05:00", typ = "click"))                // within 15m of view 2
+      memL.addData(views: _*)
+      memR.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks so all joinable rows are emitted
+      memL.addData(ev(3, "2024-01-01 03:00:00", typ = "view"))
+      memR.addData(ev(13, "2024-01-01 03:00:00", typ = "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("corr_test")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val batch = EventStreams.correlate(
+          views.toDF(), clicks.toDF(), "15 minutes")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(batch === Set((1L, 10L), (2L, 12L)))
+      assert(batch.subsetOf(streamed), s"stream missed pairs: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupeWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 00:00:00")) // exact replay (same id)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test")
+        .select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L), s"replay not dropped: $ids")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet-dir stream matches the batch result") {
     val events = Tables.loadEvents(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
