@@ -55,9 +55,15 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // kmeansIters = 0 on the GATE entry: seed centroids are actual corpus
+    // vectors (lowest ids), so the whole IVF pipeline — assignment,
+    // probing, ranking — is reproducible in the SQL oracle. The Lloyd
+    // refinement path (float-mean centroids, not oracle-able) is
+    // spec-covered in IvfSpec and measured in SCALE.md.
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+      Similarity.ivfTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10,
+          kmeansIters = 0)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
@@ -315,6 +321,36 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_embed" -> dedupEmbedOracle,
 
     "q_ann_lsh" -> annLshOracle,
+
+    "q_ann_ivf" -> {
+      val ids = AnnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               qassign AS (SELECT vec_id AS query_id, cid FROM ranked
+                           WHERE rn <= 4 AND vec_id IN ($ids)),
+               cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                        FROM qassign q JOIN assign a USING (cid)
+                        WHERE a.vec_id <> q.query_id),
+               scored AS (SELECT cand.query_id, cand.vec_id,
+                                 list_cosine_similarity(eq.v, ec.v) AS cos
+                          FROM cand
+                          JOIN e eq ON cand.query_id = eq.vec_id
+                          JOIN e ec ON cand.vec_id = ec.vec_id),
+               r AS (SELECT query_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+    },
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")
