@@ -114,6 +114,11 @@ object Indexer {
     ix.docStats.write.mode("overwrite").parquet(s"$path/doc_stats")
     ix.postings
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+      // co-locate each bucket's rows in one task before the partitioned
+      // write: without this every task writes a file into every bucket
+      // dir (tasks × buckets small files — measured dominating the store
+      // write); with it, one file per bucket
+      .repartition(nBuckets, col("term_bucket"))
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
@@ -146,6 +151,7 @@ object Indexer {
     delta.docStats.write.mode("append").parquet(s"$path/doc_stats")
     delta.postings
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+      .repartition(nBuckets, col("term_bucket"))
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")

@@ -31,7 +31,13 @@ object Bucketing {
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    df.write
+    // align rows to their bucket BEFORE the write: repartition's hash
+    // placement (pmod(hash, n)) is the same function bucketBy uses, so
+    // each task holds exactly one bucket's rows and writes one file —
+    // otherwise every task writes into every bucket (tasks × buckets
+    // small files)
+    df.repartition(nBuckets, df.col(key))
+      .write
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
