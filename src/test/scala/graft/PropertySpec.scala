@@ -51,6 +51,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable hash is in [0, 2^60) and stable") {
+    forAllSeeded(rawText, n = 60) { s =>
+      val h = Seq(s).toDF("t")
+        .select(graft.dedup.Dedup.portableTokenHash($"t")).as[Long].first()
+      assert(h >= 0L && h < (1L << 60), s"hash out of range for '$s': $h")
+      val h2 = Seq(s).toDF("t")
+        .select(graft.dedup.Dedup.portableTokenHash($"t")).as[Long].first()
+      assert(h === h2)
+    }
+  }
+
+  test("sampling nests and splits are exhaustive for arbitrary fractions/weights") {
+    import graft.pipeline.Sampling
+    val ids = (0L until 200L).toDF("id")
+    val fracPair = for {
+      a <- Gen.choose(0.05, 0.45); b <- Gen.choose(0.5, 0.95)
+    } yield (a, b)
+    forAllSeeded(fracPair, n = 10) { case (small, big) =>
+      val s1 = Sampling.deterministicSample(ids, "id", small).as[Long].collect().toSet
+      val s2 = Sampling.deterministicSample(ids, "id", big).as[Long].collect().toSet
+      assert(s1.subsetOf(s2), s"nesting violated at ($small, $big)")
+    }
+    val weightsGen = Gen.listOfN(3, Gen.choose(0.1, 1.0)).map { ws =>
+      val t = ws.sum
+      ws.zipWithIndex.map { case (w, i) => s"s$i" -> w / t }
+    }
+    forAllSeeded(weightsGen, n = 10) { ws =>
+      // renormalize to sum exactly 1.0 for the require
+      val fixed = ws.init :+ (ws.last._1 -> (1.0 - ws.init.map(_._2).sum))
+      val counts = Sampling.assignSplit(ids, "id", fixed)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(counts.values.sum === 200L, s"split not exhaustive: $counts")
+    }
+  }
+
+  test("topKPerKey equals the window formulation for arbitrary k") {
+    val orders = Tables.load(spark, sf0001, "orders").limit(2000)
+    import org.apache.spark.sql.expressions.Window
+    forAllSeeded(Gen.choose(1, 7), n = 5) { k =>
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val viaWindow = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).select($"o_orderkey").as[Long].collect().toSet
+      val viaOp = org.apache.spark.sql.graft.TopKOps.topKPerKey(orders,
+          Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), k)
+        .select($"o_orderkey").as[Long].collect().toSet
+      assert(viaOp === viaWindow, s"mismatch at k=$k")
+    }
+  }
+
   test("conservation: sum of tf per doc equals doc length; df <= N") {
     forAllSeeded(corpusGen) { texts =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
