@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,14 +54,88 @@ object TsvTableProvider {
     StructField("text", StringType)))
 }
 
-class TsvTable(path: String) extends Table with SupportsRead {
+class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tsv:$path"
   override def schema(): StructType = TsvTableProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TsvWriteBuilder(path, info.schema())
 }
+
+/** Write side: each task streams its rows into one part file (tabs and
+  * newlines inside fields squashed to spaces, like [[TsvCorpus.write]] —
+  * `prepare_data.py:33`); commit is rename-free because part names are
+  * unique per (task, attempt). Overwrite maps to TRUNCATE (driver clears
+  * the directory before tasks launch). */
+class TsvWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new TsvWrite(path, schema, doTruncate)
+}
+
+class TsvWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends Write with BatchWrite {
+  // writers address fields by position — resolve the incoming schema's
+  // layout once on the driver
+  private val idx = Seq("doc_id", "title", "text").map { n =>
+    val i = schema.fieldNames.indexOf(n)
+    require(i >= 0, s"graft-tsv write requires column $n, got ${schema.fieldNames.mkString(",")}")
+    i
+  }
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    if (doTruncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new TsvWriterFactory(path, idx(0), idx(1), idx(2))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class TsvWriterFactory(path: String, idIdx: Int, titleIdx: Int, textIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(s"$path/part-$partitionId-$taskId.tsv", idIdx, titleIdx, textIdx)
+}
+
+class TsvDataWriter(file: String, idIdx: Int, titleIdx: Int, textIdx: Int)
+    extends DataWriter[InternalRow] {
+  private val out = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true),
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private def squash(s: String): String = s.replaceAll("[\\t\\n]", " ")
+
+  override def write(row: InternalRow): Unit = {
+    if (!row.isNullAt(idIdx)) {
+      val title = if (row.isNullAt(titleIdx)) "" else row.getUTF8String(titleIdx).toString
+      val text  = if (row.isNullAt(textIdx)) "" else row.getUTF8String(textIdx).toString
+      out.write(s"${row.getLong(idIdx)}\t${squash(title)}\t${squash(text)}\n")
+    }
+  }
+  override def commit(): WriterCommitMessage = { out.close(); TsvCommit }
+  override def abort(): Unit = {
+    out.close()
+    val p = new Path(file)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+  }
+  override def close(): Unit = ()
+}
+
+case object TsvCommit extends WriterCommitMessage
 
 class TsvScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns

@@ -51,6 +51,25 @@ class TsvProviderSpec extends SparkSpec {
     assert(df.select("doc_id").as[Long].collect().toSet === (100L until 110L).toSet)
   }
 
+  test("connector write side: roundtrip through format(graft-tsv) both ways") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source".as("title"), $"text")
+    val dir = Files.createTempDirectory("dsv2-w").toString + "/out"
+    docs.write.format("graft-tsv").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    // values match the expression-sink (TsvCorpus.write) semantics:
+    // tabs/newlines squashed inside fields
+    val expected = TsvCorpus.read(spark, {
+      val d2 = Files.createTempDirectory("dsv2-w2").toString
+      TsvCorpus.write(docs, d2); d2
+    }).as[(Long, String, String)].collect().toSet
+    assert(back.as[(Long, String, String)].collect().toSet === expected)
+
+    // overwrite truncates
+    docs.limit(10).write.format("graft-tsv").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-tsv").load(dir).count() === 10L)
+  }
+
   test("malformed lines are dropped at the source") {
     val dir = Files.createTempDirectory("dsv2-bad").toString
     Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye")
