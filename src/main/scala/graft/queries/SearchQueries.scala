@@ -105,6 +105,22 @@ object SearchQueries extends QueryGroup {
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           col("title"), round(col("score"), 4).as("score"))
     }),
+
+    // E2/E3 incremental lifecycle: build the store on half the corpus,
+    // APPEND the other half (postings/doc_stats grow in place, vocab/meta
+    // recompute+swap), query the combined store — the oracle proves the
+    // incrementally-built store answers exactly like a full build
+    "q_bm25_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-ixapp").toString
+      Indexer.writeIndex(
+        Indexer.buildIndex(d.filter(col("doc_id") % 2 === 0), titleCol = Some("source")), path)
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1),
+        titleCol = Some("source"))
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -133,6 +149,7 @@ object SearchQueries extends QueryGroup {
 
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
+    "q_bm25_append" -> bm25Oracle,
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",
