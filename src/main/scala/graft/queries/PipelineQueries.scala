@@ -89,6 +89,19 @@ object PipelineQueries extends QueryGroup {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // array / higher-order function surface over the token arrays
+    // (ASCII-only tokens → sort collation is engine-portable)
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = graft.analyzer.Analyzer.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          array_min(col("toks")).as("tok_min"),
+          array_max(col("toks")).as("tok_max"),
+          slice(sort_array(col("toks")), 1, 3).as("first3"))
+    }),
+
     // PII scan + redaction (training-data scrubbing, oracle-verified)
     "q_pii_redact" -> ((s, dir) => {
       val (em, ur, ph) = TextAnalysis.piiCounts(col("text"))
@@ -265,6 +278,14 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_array_funcs" ->
+      s"""SELECT doc_id,
+                 CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+                 list_min(l) AS tok_min,
+                 list_max(l) AS tok_max,
+                 list_sort(l)[1:3] AS first3
+          FROM ($SqlLists)""",
 
     "q_pii_redact" -> {
       import TextAnalysis.{EmailPattern, PhonePattern, UrlPattern}
