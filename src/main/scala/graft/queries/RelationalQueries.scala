@@ -132,6 +132,20 @@ object RelationalQueries extends QueryGroup {
         .agg(count(col("o_orderkey")).as("n_orders"),
           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))),
 
+    // ---- full outer join: per-nation customer/supplier counts, keeping
+    //      nations present on either side only
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // ---- set operations: symmetric difference of two customer predicates
     "q_set_ops" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -454,6 +468,15 @@ object RelationalQueries extends QueryGroup {
                  ${dsumSql("coalesce(o_totalprice, 0.0)")} AS spend
           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey""",
+
+    "q_full_outer" ->
+      """SELECT coalesce(c.k, s.k) AS nationkey,
+                coalesce(c.n_cust, 0) AS n_cust,
+                coalesce(s.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.k = s.k""",
 
     "q_set_ops" ->
       """SELECT c_custkey FROM (
