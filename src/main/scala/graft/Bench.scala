@@ -1,12 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
+import scala.util.control.NonFatal
+
+/** Benchmark main: runs every gate query, forcing full materialization of
+  * every output column, and prints ONE JSON line with per-query timings.
+  *
+  * Forcing strategy: `bit_xor(xxhash64(all columns))`. xxhash64 consumes
+  * every column of every row (so projection-only queries can't be pruned
+  * down to bare scans under a `count()`), and bit_xor — unlike sum — can
+  * never overflow, so the final aggregate survives Spark 4's default ANSI
+  * mode on any row count.
+  *
+  * Failures are NOT swallowed: each query gets an `ok` flag in the emitted
+  * JSON, failures are printed to stderr, and the process exits nonzero if
+  * any query failed — a bench number is only meaningful if every job ran
+  * to completion.
+  *
+  * Each query is run `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  * MINIMUM wall time is reported, so one noisy run (GC pause, concurrent
+  * load) can't poison the committed number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,25 +45,45 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Force EVERY output column, not count(): under count() Catalyst
-      // prunes unreferenced columns, so projection-only queries would
-      // benchmark as bare scans with their expression work optimized away.
-      // xxhash64 over all columns keeps each one alive through the plan.
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.xxhash64(
-            df.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    } catch { case NonFatal(_) => () }
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try runOnce(fn)
+        catch { case NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          errors.getOrElseUpdate(name, msg)
+          System.err.println(s"[bench] FAILED $name — $msg")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val ok = results.keys.map(k => jstr(k) + ":" + !errors.contains(k))
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size}/${results.size} queries FAILED — totals are not valid")
+      sys.exit(1)
+    }
   }
 }

@@ -99,7 +99,9 @@ object PipelineQueries extends QueryGroup {
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
           array_min(col("toks")).as("tok_min"),
           array_max(col("toks")).as("tok_max"),
-          slice(sort_array(col("toks")), 1, 3).as("first3"))
+          // joined to a string (not a raw array) so the gate's hash-compare
+          // can sort the column; array semantics still exercised upstream
+          array_join(slice(sort_array(col("toks")), 1, 3), " ").as("first3"))
     }),
 
     // PII scan + redaction (training-data scrubbing, oracle-verified)
@@ -284,7 +286,7 @@ object PipelineQueries extends QueryGroup {
                  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
                  list_min(l) AS tok_min,
                  list_max(l) AS tok_max,
-                 list_sort(l)[1:3] AS first3
+                 array_to_string(list_sort(l)[1:3], ' ') AS first3
           FROM ($SqlLists)""",
 
     "q_pii_redact" -> {
