@@ -141,12 +141,24 @@ object Indexer {
     *
     * Caller contract: new doc_ids must not already exist in the store
     * (duplicate doc_ids would double-count postings, same as re-running
-    * the reference's loader twice).
+    * the reference's loader twice). ENFORCED below: a semi-join probe
+    * against the stored doc_stats turns silent double-counting into a
+    * fast failure before anything is written.
     */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   newCorpus: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", titleCol: Option[String] = None,
                   nBuckets: Int = 64): Unit = {
+    // duplicate-doc guard: one distributed semi join (no collect), checked
+    // before the first byte is appended so a violation leaves the store
+    // untouched
+    val overlapping = newCorpus.select(col(idCol).as("doc_id"))
+      .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    require(overlapping.isEmpty,
+      s"appendIndex: some doc_ids in the new corpus already exist in the " +
+        s"store at $path — appending them would double-count postings. " +
+        s"Example: ${overlapping.limit(3).collect().mkString(", ")}")
     val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
     delta.docStats.write.mode("append").parquet(s"$path/doc_stats")
     delta.postings
@@ -164,13 +176,19 @@ object Indexer {
     vocab(posts.select("term", "doc_id", "tf"))
       .write.mode("overwrite").parquet(s"$path/vocab_tmp")
     meta(stats).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // crash-safe swap: rename the live table ASIDE (not delete-then-rename,
+    // which has a window with NO vocab/meta at all), move the new one into
+    // place, then drop the old copy. FS is resolved from the path itself so
+    // a store on a non-default filesystem (s3a://, hdfs://) works.
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val old  = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
       val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
-      fs.delete(live, true)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(old, true) // leftover from a previous crashed swap
+      if (fs.exists(live)) fs.rename(live, old)
       fs.rename(tmp, live)
+      fs.delete(old, true)
     }
     swap("vocab")
     swap("meta")

@@ -75,7 +75,7 @@ object SearchQueries extends QueryGroup {
     // S-series: JSONL sink → source roundtrip on the oracle surface —
     // the driver verifies every value survives the line-JSON encoding
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val path = QueryGroup.scratchDir("graft-jsonl")
       graft.sources.JsonlCorpus.write(
         docs(s, dir).select("doc_id", "text", "lang", "source"), path)
       graft.sources.JsonlCorpus.read(s, path)
@@ -86,7 +86,7 @@ object SearchQueries extends QueryGroup {
     // it back through the connector (reader-level pruning + malformed
     // guard), and let the driver verify every value
     "q_dsv2_tsv" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+      val path = QueryGroup.scratchDir("graft-dsv2")
       graft.sources.TsvCorpus.write(
         docs(s, dir).select(col("doc_id"), col("source").as("title"), col("text")), path)
       s.read.format("graft-tsv").load(path)
@@ -99,7 +99,7 @@ object SearchQueries extends QueryGroup {
     // the production retrieval path, not an in-memory shortcut.
     "q_bm25_store" -> ((s, dir) => {
       val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
-      val path = java.nio.file.Files.createTempDirectory("graft-ixstore").toString
+      val path = QueryGroup.scratchDir("graft-ixstore")
       Indexer.writeIndex(ix, path)
       BM25.searchStore(s, path, FlagshipQuery)
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
@@ -112,7 +112,7 @@ object SearchQueries extends QueryGroup {
     // incrementally-built store answers exactly like a full build
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-ixapp").toString
+      val path = QueryGroup.scratchDir("graft-ixapp")
       Indexer.writeIndex(
         Indexer.buildIndex(d.filter(col("doc_id") % 2 === 0), titleCol = Some("source")), path)
       Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1),

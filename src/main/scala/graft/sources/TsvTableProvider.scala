@@ -66,11 +66,33 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite 
     new TsvWriteBuilder(path, info.schema())
 }
 
-/** Write side: each task streams its rows into one part file (tabs and
-  * newlines inside fields squashed to spaces, like [[TsvCorpus.write]] —
-  * `prepare_data.py:33`); commit is rename-free because part names are
-  * unique per (task, attempt). Overwrite maps to TRUNCATE (driver clears
-  * the directory before tasks launch). */
+/** Serializable carrier for the driver's Hadoop configuration: DSv2
+  * factories are serialized to executors, but `Configuration` is Writable,
+  * not Serializable — without this, executor-side readers/writers would
+  * fall back to `new Configuration()` and silently drop any non-default
+  * filesystem settings (S3/HDFS credentials, endpoints). */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Write side: each task streams its rows into a STAGING file (dot-prefixed,
+  * so [[TsvScan]] never lists it as data) and renames it to its final part
+  * name only in task `commit()` — a killed/crashed/speculative attempt whose
+  * `abort()` never runs leaves at most an ignored staging file, never a
+  * partial file a later read would treat as committed data. Spark's commit
+  * coordinator ensures a single attempt per partition commits. Tabs and
+  * newlines inside fields are squashed to spaces, like [[TsvCorpus.write]] —
+  * `prepare_data.py:33`. Overwrite maps to TRUNCATE (driver clears the
+  * directory before tasks launch). */
 class TsvWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -91,32 +113,36 @@ class TsvWrite(path: String, schema: StructType, doTruncate: Boolean)
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val fs = p.getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     if (doTruncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new TsvWriterFactory(path, idx(0), idx(1), idx(2))
+    new TsvWriterFactory(path, idx(0), idx(1), idx(2), new SerializableHadoopConf(conf))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class TsvWriterFactory(path: String, idIdx: Int, titleIdx: Int, textIdx: Int)
+class TsvWriterFactory(path: String, idIdx: Int, titleIdx: Int, textIdx: Int,
+                       conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TsvDataWriter(s"$path/part-$partitionId-$taskId.tsv", idIdx, titleIdx, textIdx)
+    new TsvDataWriter(s"$path/part-$partitionId-$taskId.tsv", idIdx, titleIdx, textIdx, conf)
 }
 
-class TsvDataWriter(file: String, idIdx: Int, titleIdx: Int, textIdx: Int)
+class TsvDataWriter(file: String, idIdx: Int, titleIdx: Int, textIdx: Int,
+                    conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
-  private val out = {
-    val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(fs.create(p, true),
-        java.nio.charset.StandardCharsets.UTF_8))
-  }
+  private val finalPath = new Path(file)
+  // dot-prefixed staging name in the same directory: TsvScan skips it, and
+  // a same-directory rename is atomic on HDFS/local
+  private val stagingPath = new Path(finalPath.getParent,
+    s".${finalPath.getName}.inprogress")
+  private val fs = finalPath.getFileSystem(conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(stagingPath, true),
+      java.nio.charset.StandardCharsets.UTF_8))
   private def squash(s: String): String = s.replaceAll("[\\t\\n]", " ")
 
   override def write(row: InternalRow): Unit = {
@@ -126,11 +152,15 @@ class TsvDataWriter(file: String, idIdx: Int, titleIdx: Int, textIdx: Int)
       out.write(s"${row.getLong(idIdx)}\t${squash(title)}\t${squash(text)}\n")
     }
   }
-  override def commit(): WriterCommitMessage = { out.close(); TsvCommit }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(stagingPath, finalPath))
+      throw new java.io.IOException(s"graft-tsv: failed to commit $stagingPath -> $finalPath")
+    TsvCommit
+  }
   override def abort(): Unit = {
     out.close()
-    val p = new Path(file)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+    fs.delete(stagingPath, false)
   }
   override def close(): Unit = ()
 }
@@ -211,25 +241,28 @@ class TsvScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(required, pushed)
+    new TsvReaderFactory(required, pushed, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 case class TsvInputPartition(file: String) extends InputPartition
 
-class TsvReaderFactory(required: StructType, pushed: Array[Filter])
+class TsvReaderFactory(required: StructType, pushed: Array[Filter],
+                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsvPartitionReader(partition.asInstanceOf[TsvInputPartition].file,
-      required, pushed)
+      required, pushed, conf)
 }
 
 class TsvPartitionReader(file: String, required: StructType,
-                         pushed: Array[Filter] = Array.empty)
+                         pushed: Array[Filter],
+                         conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val reader = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -239,7 +272,11 @@ class TsvPartitionReader(file: String, required: StructType,
     var line = reader.readLine()
     while (line != null) {
       val parts = line.split("\t", -1)
-      if (parts.length == 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit) &&
+      // length cap: an all-digit id with 19+ digits can exceed Long range
+      // and toLong would throw, failing the whole scan — such a line is
+      // malformed, so it drops like any other malformed line
+      if (parts.length == 3 && parts(0).nonEmpty && parts(0).length <= 18 &&
+          parts(0).forall(_.isDigit) &&
           { val id = parts(0).toLong; pushed.forall(TsvScanBuilder.eval(_, id)) }) {
         val values = required.fieldNames.map {
           case "doc_id" => java.lang.Long.valueOf(parts(0).toLong)

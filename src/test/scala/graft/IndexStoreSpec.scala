@@ -71,6 +71,22 @@ class IndexStoreSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-9) }
   }
 
+  test("appendIndex rejects doc_ids already in the store, store untouched") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixdup").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    val before = spark.read.parquet(s"$path/doc_stats").count()
+
+    val overlapping = docs.limit(5) // all 5 already indexed
+    val e = intercept[IllegalArgumentException] {
+      Indexer.appendIndex(spark, path, overlapping, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // the guard fired before any write: store unchanged
+    assert(spark.read.parquet(s"$path/doc_stats").count() === before)
+    assert(spark.read.parquet(s"$path/vocab").count() > 0)
+  }
+
   test("driver-side bucket function matches the executor-side column") {
     val terms = Seq("fast", "hash", "join", "scan", "zebra")
     val fromSpark = terms.toDF("t")

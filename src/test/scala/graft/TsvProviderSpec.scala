@@ -72,10 +72,29 @@ class TsvProviderSpec extends SparkSpec {
 
   test("malformed lines are dropped at the source") {
     val dir = Files.createTempDirectory("dsv2-bad").toString
-    Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye")
+    Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye",
+      // 21 digits: all-digit but beyond Long range — must drop, not crash
+      "123456789012345678901\tt\toverflow id")
       .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val rows = spark.read.format("graft-tsv").load(dir)
       .select("doc_id").as[Long].collect().toSet
     assert(rows === Set(1L, 3L))
+  }
+
+  test("write commits via staging rename; leftover staging files are ignored") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source".as("title"), $"text").limit(20)
+    val dir = Files.createTempDirectory("dsv2-stage").toString + "/out"
+    docs.write.format("graft-tsv").mode("overwrite").save(dir)
+    // no staging residue after a successful commit
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.forall(n => !n.endsWith(".inprogress")), names.mkString(","))
+    // a crashed attempt's orphan staging file is not read as data
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".part-9-999.tsv.inprogress"),
+      "999\tghost\tpartial row that never committed\n")
+    val ids = spark.read.format("graft-tsv").load(dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(999L) && ids.size === 20)
   }
 }
