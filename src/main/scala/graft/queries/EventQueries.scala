@@ -52,6 +52,25 @@ object EventQueries extends QueryGroup {
           col("session_start").cast("long").as("session_start_s"),
           col("n_events"), col("sum_value"))),
 
+    // the SAME two transforms, but executed by the actual streaming
+    // runtime: file source → watermarked agg → AvailableNow → distributed
+    // parquet sink. Shares the batch entries' oracles — proving
+    // write-once/run-both-ways end-to-end on the real source path.
+    "q_stream_tumbling_runtime" -> ((s, dir) =>
+      graft.streaming.StreamRuntime.runAvailableNow(s,
+          graft.streaming.StreamRuntime.eventsStreamSource(s, dir),
+          EventStreams.tumblingCounts(_))
+        .select(col("window_start").cast("long").as("window_start_s"),
+          col("event_type"), col("n"), col("total"))),
+
+    "q_stream_session_runtime" -> ((s, dir) =>
+      graft.streaming.StreamRuntime.runAvailableNow(s,
+          graft.streaming.StreamRuntime.eventsStreamSource(s, dir),
+          EventStreams.sessionize(_))
+        .select(col("user_id"),
+          col("session_start").cast("long").as("session_start_s"),
+          col("n_events"), col("sum_value"))),
+
     // as-of join (funnel attribution): each purchase gets the latest
     // click at-or-before it per user; no pairwise blowup (union+window)
     "q_asof_join" -> ((s, dir) => {
@@ -87,6 +106,34 @@ object EventQueries extends QueryGroup {
         .select(col("user_id"), col("id_a"), col("id_b"), round(col("gap_s"), 6).as("gap_s"))),
   )
 
+  private val TumblingSql =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start_s,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2"""
+
+  // gaps-and-islands replication of session_window (gap-exclusive: a
+  // diff of exactly 30 min starts a new session, matching Spark's
+  // [start, last+gap) windows)
+  private val SessionSql =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= INTERVAL '30 minutes'
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flagged)
+       SELECT user_id,
+              floor(epoch(min(ts)))::BIGINT AS session_start_s,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, sid"""
+
   def oracles: Map[String, String] = Map(
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -94,11 +141,12 @@ object EventQueries extends QueryGroup {
                 CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_null
          FROM events GROUP BY event_type""",
 
-    "q_time_tumbling" ->
-      """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start_s,
-                event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
-         FROM events GROUP BY 1, 2""",
+    "q_time_tumbling" -> TumblingSql,
+
+    // the streaming-runtime twins answer the exact same questions — the
+    // oracle is shared with the batch entries by construction
+    "q_stream_tumbling_runtime" -> TumblingSql,
+    "q_stream_session_runtime" -> SessionSql,
 
     // each event belongs to exactly two 1h/30m sliding windows:
     "q_stream_correlate" ->
@@ -121,27 +169,7 @@ object EventQueries extends QueryGroup {
                FROM events)
          GROUP BY 1, 2""",
 
-    // gaps-and-islands replication of session_window (gap-exclusive: a
-    // diff of exactly 30 min starts a new session, matching Spark's
-    // [start, last+gap) windows)
-    "q_session_window" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                            >= INTERVAL '30 minutes'
-                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       THEN 1 ELSE 0 END AS new_s
-           FROM events),
-         sess AS (
-           SELECT user_id, ts, value,
-                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM flagged)
-         SELECT user_id,
-                floor(epoch(min(ts)))::BIGINT AS session_start_s,
-                count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-         FROM sess GROUP BY user_id, sid""",
+    "q_session_window" -> SessionSql,
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id,

@@ -187,6 +187,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow runtime: tumbling + session file streams ≡ batch results") {
+    import graft.streaming.StreamRuntime
+    val events = Tables.loadEvents(spark, sf0001)
+    val src = StreamRuntime.eventsStreamSource(spark, sf0001)
+
+    val gotTumbling = StreamRuntime.runAvailableNow(spark, src,
+        EventStreams.tumblingCounts(_))
+      .select(col("window_start").cast("long"), col("event_type"), col("n"), col("total"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val wantTumbling = EventStreams.tumblingCounts(events)
+      .select(col("window_start").cast("long"), col("event_type"), col("n"), col("total"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(gotTumbling === wantTumbling && gotTumbling.nonEmpty)
+
+    val gotSession = StreamRuntime.runAvailableNow(spark, src,
+        EventStreams.sessionize(_))
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val wantSession = EventStreams.sessionize(events)
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(gotSession === wantSession && gotSession.nonEmpty)
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
