@@ -18,11 +18,15 @@ import graft.search.BM25
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * End-to-end reference pipeline: corpus → index → BM25 top-10.
+    * End-to-end reference pipeline through the PRODUCTION retrieval
+    * lifecycle: corpus → index → persisted bucketed store → pruned
+    * store scan → BM25 top-10 (not an in-memory shortcut).
     */
   def entry(spark: SparkSession): DataFrame = {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    BM25.search(Indexer.buildIndex(docs), SearchQueries.FlagshipQuery)
+    val store = QueryGroup.scratchDir("graft-entry-store")
+    Indexer.writeIndex(Indexer.buildIndex(docs, titleCol = Some("source")), store)
+    BM25.searchStore(spark, store, SearchQueries.FlagshipQuery)
   }
 
   private val groups: Seq[QueryGroup] = Seq(

@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
   }
 
+  test("window family data-path examples partition on high-cardinality keys") {
+    // SCALE.md §Relational: q_window_ranks (partitioned by the 5-value
+    // o_orderpriority) is the documented known-skew shape; every OTHER
+    // window query on the gate must window over a high-cardinality key so
+    // parallelism scales with the data, not the key domain.
+    val highCard = Map(
+      "q_window_topn"    -> "o_custkey",
+      "q_window_running" -> "o_custkey",
+      "q_window_lag"     -> "user_id",
+      "q_topk_op"        -> "o_custkey")
+    highCard.foreach { case (q, key) =>
+      // formatted mode: tree lines are bare operator names; the window's
+      // partition spec lives in the details section (windowspecdefinition
+      // for WindowExec, the Arguments line for the custom TopKPerKeyExec)
+      val p = plan(q)
+      val partitioned =
+        p.contains(s"windowspecdefinition($key") ||
+          (p.contains("TopKPerKey") && p.contains(s"hashpartitioning($key"))
+      assert(partitioned, s"$q should partition its window by $key, got:\n$p")
+      assert(!p.contains("windowspecdefinition(o_orderpriority"),
+        s"$q must not window over the low-cardinality o_orderpriority")
+    }
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
