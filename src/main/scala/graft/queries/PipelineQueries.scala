@@ -38,6 +38,20 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.simhash64(docs(s, dir)), maxHamming = 3)),
 
+    // dedup-on-ingest lifecycle: build the MinHash signature store on the
+    // even half of the corpus, then ingest the odd half as the "new
+    // batch" — every new doc near-duplicating a STORED doc is reported
+    // (and withheld from the store). The oracle recomputes the cross-half
+    // exact-Jaccard pairs, so candidate recall AND verification are
+    // hash-checked end-to-end.
+    "q_dedup_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-dedupstore")
+      graft.dedup.DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
+      graft.dedup.DedupStore.ingest(s, path, d.filter(col("doc_id") % 2 === 1),
+        JaccardThreshold)
+    }),
+
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
@@ -280,6 +294,22 @@ object PipelineQueries extends QueryGroup {
     "q_dedup_ngram" -> jaccardOracle(JaccardThreshold),
 
     "q_dedup_simhash" -> simhashOracle,
+
+    // cross-half twin of jaccardOracle: store half (even ids) × new half
+    // (odd ids)
+    "q_dedup_ingest" ->
+      s"""WITH sh AS ($SqlShingles),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT y.doc_id AS new_id, x.doc_id AS dup_of, count(*) AS i
+                         FROM sh x JOIN sh y ON x.shingle = y.shingle
+                          AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+                         GROUP BY 1, 2)
+          SELECT new_id, dup_of,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sz sa ON dup_of = sa.doc_id
+          JOIN sz sb ON new_id = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold""",
 
     "q_array_funcs" ->
       s"""SELECT doc_id,

@@ -72,6 +72,34 @@ class DedupSpec extends SparkSpec {
     assert(dropped === df3 * 3)
   }
 
+  test("dedup-on-ingest: flags dups vs store, appends survivors, next batch sees them") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupstore").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 2), path)
+
+    // batch 1: doc 10 duplicates stored doc 1; doc 11 is novel
+    val batch1 = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "m n o p q r s t")).toDF("doc_id", "text")
+    val r1 = DedupStore.ingest(spark, path, batch1, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // doc 10 matches BOTH stored copies (1 and 2), jaccard 1.0
+    assert(r1 === Set((10L, 1L, 1.0), (10L, 2L, 1.0)))
+
+    // batch 2: doc 20 duplicates doc 11 — which entered the store only via
+    // batch 1's append; doc 21 duplicates the withheld dup 10 → NO match
+    // (10 was never added, its content is already represented by 1/2...
+    // but 21 carries that content, so it matches stored 1 and 2)
+    val batch2 = Seq(
+      (20L, "m n o p q r s t"),
+      (21L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r2 = DedupStore.ingest(spark, path, batch2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r2.contains((20L, 11L, 1.0)), s"appended doc 11 not seen as dedup target: $r2")
+    assert(r2.filter(_._1 == 21L).map(_._2) === Set(1L, 2L),
+      s"doc 21 should match original store docs only (10 was withheld): $r2")
+  }
+
   test("embedding near-dup: cosine of identical vectors is 1") {
     val e = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
