@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet directories — the table-maintenance
+  * operation every long-lived 100 TB store needs: incremental appends
+  * (streaming micro-batches, [[graft.index.Indexer.appendIndex]],
+  * [[graft.dedup.DedupStore.ingest]]) accumulate files far below the
+  * ideal scan size, and scan parallelism/throughput degrades with
+  * per-file open cost and tiny row groups.
+  *
+  * Design:
+  *   - target file count = ceil(total bytes / targetBytes), computed from
+  *     a driver-side LISTING (metadata only — at 100 TB run per partition
+  *     directory, not over the whole table root);
+  *   - `coalesce` (no shuffle) when reducing file count — compaction
+  *     must not pay a full exchange to merge files; `repartition` only
+  *     when the data must be split wider than it currently is;
+  *   - rewrite lands in a sibling temp dir, then the same rename-aside
+  *     swap as the index store: readers never observe a half-written
+  *     directory, and a crash leaves either the old or the new copy.
+  */
+object Compaction {
+
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int,
+                                   bytes: Long, targetFiles: Int)
+
+  /** Rewrite the parquet directory at `path` into ~`targetBytes` files.
+    * Returns the before/after accounting. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(dir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(path)
+    val sized =
+      if (target < dataFiles.length) df.coalesce(target)
+      else if (target > dataFiles.length) df.repartition(target)
+      else df
+    val tmp = new Path(dir.getParent, s"${dir.getName}_compact_tmp")
+    val old = new Path(dir.getParent, s"${dir.getName}_compact_old")
+    sized.write.mode("overwrite").parquet(tmp.toString)
+
+    fs.delete(old, true) // leftover from a previous crashed swap
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact: failed to move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
+      throw new java.io.IOException(s"compact: failed to install $tmp at $dir")
+    }
+    fs.delete(old, true)
+
+    val after = fs.listStatus(dir).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    CompactionStats(dataFiles.length, after, totalBytes, target)
+  }
+}

@@ -81,6 +81,30 @@ object SearchQueries extends QueryGroup {
       graft.sources.JsonlCorpus.read(s, path)
     }),
 
+    // same roundtrip through gzip shards — the compressed interchange
+    // form crawl corpora actually ship as (non-splittable: one shard =
+    // one read task; the writer keeps shards near partition size)
+    "q_jsonl_gzip" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-jsonl-gz")
+      graft.sources.JsonlCorpus.write(
+        docs(s, dir).select("doc_id", "text", "lang", "source"), path, Some("gzip"))
+      graft.sources.JsonlCorpus.read(s, path)
+    }),
+
+    // table-maintenance lifecycle: fragment the corpus into 64 small
+    // parquet files (an append-heavy store's natural state), compact to
+    // target-sized files with a crash-safe swap, read the result — the
+    // oracle proves compaction is content-preserving
+    "q_compact" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-compact") + "/docs"
+      docs(s, dir).select("doc_id", "text", "lang", "source")
+        .repartition(64).write.parquet(path)
+      val stats = graft.operators.Compaction.compact(s, path)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce file count: $stats")
+      s.read.parquet(path)
+    }),
+
     // S-series: the DataSource V2 connector (format("graft-tsv")) on the
     // oracle surface — write the reference's id\ttitle\ttext shape, read
     // it back through the connector (reader-level pruning + malformed
@@ -152,6 +176,12 @@ object SearchQueries extends QueryGroup {
     "q_bm25_append" -> bm25Oracle,
 
     "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
+
+    "q_jsonl_gzip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
+
+    "q_compact" ->
       "SELECT doc_id, text, lang, source FROM documents",
 
     // the TSV line format squashes tabs/newlines inside fields on write

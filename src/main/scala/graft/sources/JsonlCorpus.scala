@@ -23,9 +23,14 @@ object JsonlCorpus {
     StructField("lang", StringType),
     StructField("source", StringType)))
 
-  /** Corpus → JSONL shards. */
-  def write(corpus: DataFrame, path: String): Unit =
-    corpus.write.mode("overwrite").json(path)
+  /** Corpus → JSONL shards. `codec` e.g. Some("gzip") for the compressed
+    * shards web-crawl corpora actually ship as; None = plain text.
+    * Gzip shards are NOT splittable — at 100 TB keep individual shards
+    * near the target partition size (one shard = one read task). */
+  def write(corpus: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = corpus.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 
   /** JSONL → corpus, silently dropping lines that do not parse or lack a
     * doc_id (DROPMALFORMED — the TsvCorpus guard, in json form). */

@@ -18,6 +18,43 @@ class JsonlSpec extends SparkSpec {
     assert(back === docs.as[(Long, String, String, String)].collect().toSet)
   }
 
+  test("gzip-sharded JSONL roundtrips identically; shards are .gz files") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val path = Files.createTempDirectory("jsonl-gz").toString
+    JsonlCorpus.write(docs, path, Some("gzip"))
+    val shardNames = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(shardNames.nonEmpty && shardNames.forall(_.endsWith(".json.gz")),
+      s"expected gzip shards, got: ${shardNames.mkString(",")}")
+    val back = JsonlCorpus.read(spark, path)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back === docs.as[(Long, String, String, String)].collect().toSet)
+  }
+
+  test("compaction reduces file count, preserves content, survives re-read") {
+    import graft.operators.Compaction
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val path = Files.createTempDirectory("compact").toString + "/t"
+    docs.repartition(32).write.parquet(path)
+    val before = docs.as[(Long, String, String, String)].collect().toSet
+
+    val stats = Compaction.compact(spark, path)
+    assert(stats.filesBefore === 32)
+    assert(stats.filesAfter === stats.targetFiles && stats.filesAfter < 32)
+    val after = spark.read.parquet(path)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(after === before)
+    // no residue from the swap
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("_compact_")), parent.mkString(","))
+    // idempotent second pass: already at target → same file count, same rows
+    val stats2 = Compaction.compact(spark, path)
+    assert(stats2.filesAfter === stats.filesAfter)
+    assert(spark.read.parquet(path).count() === before.size.toLong)
+  }
+
   test("malformed and id-less lines are dropped and accounted") {
     val path = Files.createTempDirectory("jsonl-bad").toString
     Seq(
