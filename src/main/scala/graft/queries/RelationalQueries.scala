@@ -283,6 +283,28 @@ object RelationalQueries extends QueryGroup {
         instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
         split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))),
 
+    // ---- regex function breadth: extract / extract-all / count / match
+    //      (DuckDB's regexp family is RE2-compatible on these patterns)
+    "q_regex_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        array_join(regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1)), ",").as("long_words"),
+        regexp_count(col("p_name"), lit("[aeiou]{2}")).cast("long").as("n_vowel_pairs"),
+        col("p_type").rlike("^[A-Z]+ [A-Z]+").cast("long").as("type_two_caps"))),
+
+    // ---- unpivot/melt: wide measure columns → long (measure, val) rows —
+    //      the reshape feeding per-metric aggregation/plotting pipelines
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("measure"), col("val"))),
+
     // ---- statistical aggregates from exact decimal moments: mean/
     //      variance/stddev/corr computed from order-independent DECIMAL
     //      sums, so the doubles are bit-deterministic at any parallelism
@@ -587,6 +609,20 @@ object RelationalQueries extends QueryGroup {
                 CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
                 split_part(p_type, ' ', 1) AS type_head
          FROM part""",
+
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]{5,})', 1), ','), '') AS long_words,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
+                (CASE WHEN regexp_matches(p_type, '^[A-Z]+ [A-Z]+') THEN 1 ELSE 0 END)::BIGINT AS type_two_caps
+         FROM part""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, val
+         FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+                        FROM lineitem)
+               ON l_quantity, l_extendedprice, l_discount INTO NAME measure VALUE val)""",
 
     "q_stats_agg" ->
       s"""SELECT l_returnflag, n,
