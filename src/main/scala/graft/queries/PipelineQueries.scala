@@ -103,6 +103,35 @@ object PipelineQueries extends QueryGroup {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // quality-filter funnel: first-failing-rule attribution per doc
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(docs(s, dir))),
+
+    // benchmark decontamination: eval set = every 50th doc; training docs
+    // sharing >= 2 trigram shingles with any eval doc are reported. The
+    // benchmark shingles broadcast — no corpus-side shuffle before the hit
+    // aggregation.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Contamination.contaminatedPairs(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        minShared = 2L)
+    }),
+
+    // token-budget mixture report: deterministic split × lang → docs,
+    // tokens, and each cell's share of the global token budget
+    "q_token_budget" -> ((s, dir) => {
+      val toks = graft.pipeline.Sampling
+        .assignSplit(docs(s, dir), "doc_id", SplitWeights)
+        .select(col("split"), col("lang"),
+          graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
+      toks.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .withColumn("token_share", col("sum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+    }),
+
     // array / higher-order function surface over the token arrays
     // (ASCII-only tokens → sort collation is engine-portable)
     "q_array_funcs" -> ((s, dir) => {
@@ -287,6 +316,31 @@ object PipelineQueries extends QueryGroup {
   private val allMarkersIn: String =
     TextAnalysis.DefaultMarkers.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
 
+  // shared by q_quality (verbatim) and q_quality_filter (as a subquery)
+  private lazy val QualitySql =
+    s"""WITH lists AS ($SqlLists)
+        SELECT d.doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CASE WHEN len(l) > 0
+                    THEN CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l)
+                    ELSE 0.0 END AS avg_token_len,
+               CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
+                    THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
+                    ELSE 0.0 END AS alnum_ratio,
+               CASE WHEN len(l) > 0
+                    THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
+                    ELSE 0.0 END AS stopword_ratio,
+               0.4 * least(CAST(len(l) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
+                               THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                                    / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
+                               ELSE 0.0 END)
+                 + 0.3 * least(4.0 * (CASE WHEN len(l) > 0
+                                           THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
+                                           ELSE 0.0 END), 1.0) AS quality_score
+        FROM documents d JOIN lists USING (doc_id)"""
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -366,6 +420,34 @@ object PipelineQueries extends QueryGroup {
           GROUP BY 1, 2"""
     },
 
+    // cross-set shingle collisions at the >= 5 level
+    "q_decontaminate" ->
+      s"""WITH sh AS ($SqlShingles),
+               b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+               t AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+          SELECT train_id, bench_id, count(*) AS n_shared
+          FROM t JOIN b USING (shingle)
+          GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "q_token_budget" -> {
+      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+      val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+        s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
+      }.mkString(" ")
+      s"""WITH lists AS ($SqlLists),
+               assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
+                                   d.lang, len(l) AS n_tok
+                            FROM (SELECT doc_id, lang,
+                                         ${sqlSaltedHash("split", "doc_id")} AS h
+                                  FROM documents) d
+                            JOIN lists USING (doc_id))
+          SELECT split, lang, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                 CAST(sum(n_tok) AS DOUBLE) /
+                   (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists) AS token_share
+          FROM assigned GROUP BY 1, 2"""
+    },
+
     // LSH with 128 perms / 32 bands has ~exact recall at J >= 0.5
     // (p_miss < 1.3e-2 per pair at 0.5, < 5e-8 at 0.8); candidates are
     // exact-verified, so the oracle is the exact-Jaccard result.
@@ -437,29 +519,20 @@ object PipelineQueries extends QueryGroup {
           FROM h"""
     },
 
-    "q_quality" ->
-      s"""WITH lists AS ($SqlLists)
-          SELECT d.doc_id,
-                 CAST(len(l) AS BIGINT) AS n_tokens,
-                 CASE WHEN len(l) > 0
-                      THEN CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l)
-                      ELSE 0.0 END AS avg_token_len,
-                 CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
-                      THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
-                           / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
-                      ELSE 0.0 END AS alnum_ratio,
-                 CASE WHEN len(l) > 0
-                      THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
-                      ELSE 0.0 END AS stopword_ratio,
-                 0.4 * least(CAST(len(l) AS DOUBLE) / 100.0, 1.0)
-                   + 0.3 * (CASE WHEN length(regexp_replace(lower(d.text), '\\s', '', 'g')) > 0
-                                 THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
-                                      / length(regexp_replace(lower(d.text), '\\s', '', 'g'))
-                                 ELSE 0.0 END)
-                   + 0.3 * least(4.0 * (CASE WHEN len(l) > 0
-                                             THEN CAST(len(list_filter(l, x -> x IN ($allMarkersIn))) AS DOUBLE) / len(l)
-                                             ELSE 0.0 END), 1.0) AS quality_score
-          FROM documents d JOIN lists USING (doc_id)""",
+    "q_quality" -> QualitySql,
+
+    // first-failing-rule funnel over the SAME feature expressions —
+    // thresholds textually shared with TextAnalysis.qualityFilter defaults
+    "q_quality_filter" ->
+      s"""SELECT doc_id,
+                 (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS kept,
+                 reason AS fail_reason
+          FROM (SELECT doc_id,
+                       CASE WHEN n_tokens < 25 THEN 'too_short'
+                            WHEN avg_token_len > 4.7 THEN 'long_tokens'
+                            WHEN stopword_ratio < 0.05 THEN 'low_stopword'
+                            ELSE 'ok' END AS reason
+                FROM ($QualitySql))""",
 
     "q_token_count" ->
       s"""WITH lists AS ($SqlLists)

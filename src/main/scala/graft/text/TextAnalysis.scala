@@ -72,6 +72,26 @@ object TextAnalysis {
           lit(0.3) * least(lit(4.0) * col("stopword_ratio"), lit(1.0)))
   }
 
+  /** Rule-based quality filter with per-rule accounting: every document
+    * gets a `fail_reason` (the FIRST failing rule, "ok" if none) and a
+    * `kept` flag — the funnel report a filtering pipeline needs to
+    * attribute data loss to specific rules, not just count survivors.
+    * Thresholds are corpus-tuned parameters; rule ORDER is part of the
+    * contract (first match wins, like a CASE).
+    */
+  def qualityFilter(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minTokens: Int = 25, maxAvgTokenLen: Double = 4.7,
+                    minStopwordRatio: Double = 0.05): DataFrame =
+    qualityFeatures(df, idCol, textCol)
+      .withColumn("fail_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("avg_token_len") > maxAvgTokenLen, "long_tokens")
+          .when(col("stopword_ratio") < minStopwordRatio, "low_stopword")
+          .otherwise("ok"))
+      .withColumn("kept", (col("fail_reason") === "ok").cast("long"))
+      .select("doc_id", "kept", "fail_reason")
+
   /** PII-ish patterns (training-data scrubbing): deliberately simple
     * character-class regexes that mean the same thing in Java regex
     * (Spark) and RE2 (DuckDB), so the scan is oracle-verifiable. A

@@ -49,4 +49,21 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("train").toDouble / n - 0.8) < 0.06,
       s"train weight drifted: $counts")
   }
+
+  test("decontaminate drops exactly the flagged training docs; bench side broadcasts") {
+    import graft.pipeline.Contamination
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val pairs = Contamination.contaminatedPairs(train, bench, minShared = 2L)
+    val flagged = pairs.select("train_id").distinct().as[Long].collect().toSet
+    val clean = Contamination.decontaminate(train, bench, minShared = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(clean === trainIds -- flagged)
+    assert(flagged.nonEmpty, "fixture should contain cross-set contamination")
+    // the benchmark side must broadcast: no shuffle of corpus shingles
+    // before the join
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
 }
