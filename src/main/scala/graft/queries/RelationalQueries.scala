@@ -172,6 +172,23 @@ object RelationalQueries extends QueryGroup {
         col("p_size").cast("double").as("size_d"),
         floor(col("p_retailprice")).cast("double").as("price_fl"))),
 
+    // ---- string aggregation (LISTAGG family): deterministic by sorting
+    //      the collected list before joining — raw listagg order is
+    //      partition-dependent on any engine
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_set(col("c_nationkey").cast("string"))), ",")
+            .as("nations"))),
+
+    // ---- histogram binning: fixed-width buckets over a numeric column
+    //      (floor arithmetic — identical in both engines, no RNG)
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
     // ---- conditional aggregation (CASE WHEN inside agg)
     "q_case_agg" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -609,6 +626,15 @@ object RelationalQueries extends QueryGroup {
                 CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
                 split_part(p_type, ' ', 1) AS type_head
          FROM part""",
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                array_to_string(list_sort(list_distinct(list(c_nationkey::VARCHAR))), ',') AS nations
+         FROM customer GROUP BY c_mktsegment""",
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
+         FROM orders GROUP BY 1""",
 
     "q_regex_funcs" ->
       """SELECT p_partkey,

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyed upsert into a plain-parquet store — the `foreachBatch` pattern
+  * for maintaining a serving table (per-user totals, per-doc stats) from
+  * a streaming aggregation in Update mode, without a transactional table
+  * format: each micro-batch delivers only the keys whose aggregates
+  * changed; merging them into the store keeps it equal to the
+  * batch-over-all-data answer.
+  *
+  * Merge = carried rows (store anti-join batch keys) ∪ batch rows,
+  * written to a temp dir and installed with the same rename-aside swap as
+  * the index store — readers see the old or the new table, never half.
+  *
+  * Scale: this rewrites the whole store per batch, which is the right
+  * trade only while the store is serving-table-sized (bounded key
+  * domain). For unbounded stores, partition by a stable key range and
+  * rewrite only the partitions the batch touches — same merge, same
+  * swap, per partition.
+  */
+object UpsertSink {
+
+  def upsertBatch(spark: SparkSession, path: String, batch: DataFrame,
+                  keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      batch.write.mode("overwrite").parquet(path)
+      return
+    }
+    val merged = spark.read.parquet(path)
+      .join(batch.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+        keys, "left_anti")
+      .unionByName(batch)
+    val tmp = new Path(dir.getParent, s"${dir.getName}_upsert_tmp")
+    val old = new Path(dir.getParent, s"${dir.getName}_upsert_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"upsert: failed to move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir)
+      throw new java.io.IOException(s"upsert: failed to install $tmp at $dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Attach an upsert sink to a streaming aggregation: Update output mode
+    * (only changed keys flow per batch) merged into the store at `path`. */
+  def writeUpserting(agg: DataFrame, path: String, keys: Seq[String],
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(batch.sparkSession, path, batch, keys)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

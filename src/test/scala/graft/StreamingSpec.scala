@@ -211,6 +211,32 @@ class StreamingSpec extends SparkSpec {
     assert(gotSession === wantSession && gotSession.nonEmpty)
   }
 
+  test("foreachBatch upsert sink: store converges to the batch answer across micro-batches") {
+    import graft.streaming.UpsertSink
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val scratch = java.nio.file.Files.createTempDirectory("upsert").toString
+    val store = s"$scratch/user_totals"
+    val agg = mem.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val q = UpsertSink.writeUpserting(agg, store, Seq("user_id"), s"$scratch/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 00:00:00", user = 1L, v = 2.0),
+        ev(2, "2024-01-01 00:01:00", user = 2L, v = 3.0))
+      q.processAllAvailable()
+      // second batch updates user 1 and introduces user 3
+      mem.addData(ev(3, "2024-01-01 00:02:00", user = 1L, v = 5.0),
+        ev(4, "2024-01-01 00:03:00", user = 3L, v = 7.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(store)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 2L, 7.0), (2L, 1L, 3.0), (3L, 1L, 7.0)))
+      // no swap residue
+      val names = new java.io.File(scratch).listFiles().map(_.getName)
+      assert(!names.exists(_.contains("_upsert_")), names.mkString(","))
+    } finally q.stop()
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
