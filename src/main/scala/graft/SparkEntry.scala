@@ -13,7 +13,13 @@ import graft.search.BM25
   * map (name → DuckDB SQL over the same parquet tables). Groups:
   *
   *   - [[SearchQueries]]     — reference parity: analyzer, inverted index,
-  *                             BM25 ranking (SURVEY.md §2.1–2.8).
+  *                             BM25 ranking, store lifecycles (§2.1–2.8)
+  *   - [[RelationalQueries]]  — join/agg/window/function breadth
+  *   - [[PipelineQueries]]    — dedup, ANN, text analysis, sampling,
+  *                             decontamination, quality funnel
+  *   - [[EventQueries]]       — event-time windows, temporal joins, and
+  *                             the streaming-runtime gate twins
+  *   - [[MediaQueries]]       — multimodal metadata/features
   */
 object SparkEntry {
 
