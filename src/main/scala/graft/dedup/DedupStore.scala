@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,15 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
-  /** Build the signature store for an initial corpus. */
+  /** Build the signature store for an initial corpus. Shingle sets are
+    * persisted FIRST and the signatures/buckets derive from the persisted
+    * copy — computing both from the original lineage would run the whole
+    * tokenize/shingle/collect chain twice. */
   def writeSignatures(corpus: DataFrame, path: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
     val sets = Dedup.shingleSets(Dedup.shingles(corpus, idCol, textCol, shingleN))
-    val buckets = Dedup.lshBuckets(
-      Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
-    buckets.write.mode("overwrite").parquet(s"$path/buckets")
     sets.write.mode("overwrite").parquet(s"$path/sets")
+    val stored = corpus.sparkSession.read.parquet(s"$path/sets")
+    Dedup.lshBuckets(Dedup.withMinhashSignature(stored, numHashes), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/buckets")
   }
 
   /** Dedup a new batch against the store, then grow the store.
@@ -56,9 +60,16 @@ object DedupStore {
              minJaccard: Double,
              idCol: String = "doc_id", textCol: String = "text",
              shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val newSets = Dedup.shingleSets(Dedup.shingles(newBatch, idCol, textCol, shingleN))
-    val newBuckets = Dedup.lshBuckets(
-      Dedup.withMinhashSignature(newSets, numHashes), numHashes, bands)
+    // stage the batch's sets/buckets once: they are each consumed by
+    // several jobs below (candidate join, verification, survivor append),
+    // and every consumer would otherwise re-run the shingle chain
+    val staged = s"$path/_ingest_staging"
+    Dedup.shingleSets(Dedup.shingles(newBatch, idCol, textCol, shingleN))
+      .write.mode("overwrite").parquet(s"$staged/sets")
+    val newSets = spark.read.parquet(s"$staged/sets")
+    Dedup.lshBuckets(Dedup.withMinhashSignature(newSets, numHashes), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$staged/buckets")
+    val newBuckets = spark.read.parquet(s"$staged/buckets")
 
     val storedBuckets = spark.read.parquet(s"$path/buckets")
     val storedSets = spark.read.parquet(s"$path/sets")
@@ -88,6 +99,8 @@ object DedupStore {
       .write.mode("append").parquet(s"$path/sets")
     newBuckets.join(dupIds, Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(s"$path/buckets")
+    new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(staged), true)
     report
   }
 }
