@@ -48,6 +48,47 @@ object UpsertSink {
     fs.delete(old, true)
   }
 
+  /** Partition-wise upsert — the unbounded-store variant: the table is
+    * laid out in `nParts` stable hash partitions of the first key, and a
+    * batch rewrites ONLY the partitions its keys fall into, via dynamic
+    * partition overwrite (untouched partitions' files are never read or
+    * written). Cost per batch ∝ touched partitions, not store size; with
+    * keys hash-spread, touched ≈ min(nParts, distinct batch keys), so
+    * pick nParts well above the typical batch's key count.
+    */
+  def upsertBatchPartitioned(spark: SparkSession, path: String, batch: DataFrame,
+                             keys: Seq[String], nParts: Int = 64): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val partCol = pmod(hash(col(keys.head)), lit(nParts))
+    val withPart = batch.withColumn("part_bucket", partCol)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(dir)) withPart
+      else {
+        // touched partition ids: driver-side metadata, ≤ nParts ints — an
+        // isin literal prunes the store scan to those partition dirs
+        val touched = withPart.select("part_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(path)
+          .filter(col("part_bucket").isin(touched: _*))
+          .join(withPart.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(withPart)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // localCheckpoint materializes the merged rows BEFORE the overwrite:
+    // the plan would otherwise still reference the files it is replacing
+    try
+      merged.localCheckpoint(true).repartition(col("part_bucket"))
+        .write.mode("overwrite").partitionBy("part_bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Attach an upsert sink to a streaming aggregation: Update output mode
     * (only changed keys flow per batch) merged into the store at `path`. */
   def writeUpserting(agg: DataFrame, path: String, keys: Seq[String],

@@ -237,6 +237,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partition-wise upsert rewrites only touched partitions") {
+    import graft.streaming.UpsertSink
+    val scratch = java.nio.file.Files.createTempDirectory("pupsert").toString
+    val store = s"$scratch/t"
+    // seed: 100 keys over 8 partitions
+    val seed = (1L to 100L).map(k => (k, k * 10.0)).toDF("user_id", "total")
+    UpsertSink.upsertBatchPartitioned(spark, store, seed, Seq("user_id"), nParts = 8)
+    val filesBefore = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    assert(filesBefore.nonEmpty)
+
+    // update ONE key: only its partition's files may change
+    val batch = Seq((7L, 777.0)).toDF("user_id", "total")
+    UpsertSink.upsertBatchPartitioned(spark, store, batch, Seq("user_id"), nParts = 8)
+    val after = spark.read.parquet(store)
+      .select("user_id", "total").as[(Long, Double)].collect().toMap
+    assert(after(7L) === 777.0 && after(8L) === 80.0 && after.size === 100)
+    val survivors = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val untouchedKept = filesBefore.count { case (p, m) =>
+      survivors.get(p).contains(m) }
+    // 7 of 8 partitions keep their original files byte-for-byte
+    assert(untouchedKept >= filesBefore.size - 2,
+      s"too many partitions rewritten: kept $untouchedKept of ${filesBefore.size}")
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
