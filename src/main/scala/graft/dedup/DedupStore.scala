@@ -103,4 +103,35 @@ object DedupStore {
       .delete(new Path(staged), true)
     report
   }
+
+  /** Streaming dedup-on-ingest: every micro-batch of a document stream is
+    * deduped against ALL previously ingested documents (batch-local dups
+    * included via the store growing between batches); per-batch duplicate
+    * reports append to `path/reports`. The first batch against an empty
+    * store bootstraps it. State is the persisted store itself — nothing
+    * accumulates in streaming state, so the watermark-free source is fine.
+    */
+  def writeIngesting(docs: DataFrame, path: String, minJaccard: Double,
+                     checkpoint: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val report =
+          if (!fs.exists(new Path(s"$path/buckets"))) {
+            writeSignatures(batch, path, idCol, textCol, shingleN, numHashes, bands)
+            spark.emptyDataFrame
+              .select(lit(0L).as("new_id"), lit(0L).as("dup_of"),
+                lit(0.0).as("jaccard")).limit(0)
+          } else ingest(spark, path, batch, minJaccard, idCol, textCol,
+            shingleN, numHashes, bands)
+        report.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$path/reports")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
       s"doc 21 should match original store docs only (10 was withheld): $r2")
   }
 
+  test("streaming dedup-on-ingest: later micro-batches dedup against all earlier ones") {
+    import graft.dedup.DedupStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("streamdedup").toString
+    val store = s"$scratch/store"
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStore.writeIngesting(
+      mem.toDF().toDF("doc_id", "text"), store, 0.5, s"$scratch/ckpt")
+    try {
+      mem.addData((1L, "a b c d e f g h"), (2L, "q r s t u v w z"))
+      q.processAllAvailable() // bootstrap batch
+      mem.addData((10L, "a b c d e f g h"), (11L, "m n o p q r s t"))
+      q.processAllAvailable() // 10 dups stored 1; 11 novel -> appended
+      mem.addData((20L, "m n o p q r s t"))
+      q.processAllAvailable() // 20 dups 11, which arrived via the STREAM
+      val reports = spark.read.parquet(s"$store/reports")
+        .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(reports === Set((10L, 1L), (20L, 11L)), s"got $reports")
+    } finally q.stop()
+  }
+
   test("embedding near-dup: cosine of identical vectors is 1") {
     val e = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
