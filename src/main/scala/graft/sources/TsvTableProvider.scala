@@ -272,12 +272,16 @@ class TsvPartitionReader(file: String, required: StructType,
     var line = reader.readLine()
     while (line != null) {
       val parts = line.split("\t", -1)
-      // length cap: an all-digit id with 19+ digits can exceed Long range
-      // and toLong would throw, failing the whole scan — such a line is
-      // malformed, so it drops like any other malformed line
-      if (parts.length == 3 && parts(0).nonEmpty && parts(0).length <= 18 &&
-          parts(0).forall(_.isDigit) &&
-          { val id = parts(0).toLong; pushed.forall(TsvScanBuilder.eval(_, id)) }) {
+      // overflow guard: an all-digit id beyond Long range would make
+      // toLong throw and fail the whole scan — parse via toLongOption so
+      // such a line drops like any other malformed line. 19-digit ids up
+      // to Long.MaxValue (which this connector's own writer can produce)
+      // still parse.
+      val idOpt =
+        if (parts.length == 3 && parts(0).nonEmpty && parts(0).length <= 19 &&
+            parts(0).forall(_.isDigit)) parts(0).toLongOption
+        else None
+      if (idOpt.exists(id => pushed.forall(TsvScanBuilder.eval(_, id)))) {
         val values = required.fieldNames.map {
           case "doc_id" => java.lang.Long.valueOf(parts(0).toLong)
           case "title"  => UTF8String.fromString(parts(1))

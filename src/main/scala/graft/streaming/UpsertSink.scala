@@ -36,16 +36,8 @@ object UpsertSink {
         keys, "left_anti")
       .unionByName(batch)
     val tmp = new Path(dir.getParent, s"${dir.getName}_upsert_tmp")
-    val old = new Path(dir.getParent, s"${dir.getName}_upsert_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"upsert: failed to move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir)
-      throw new java.io.IOException(s"upsert: failed to install $tmp at $dir")
-    }
-    fs.delete(old, true)
+    graft.FsOps.atomicSwap(fs, dir, tmp)
   }
 
   /** Partition-wise upsert — the unbounded-store variant: the table is
@@ -64,9 +56,24 @@ object UpsertSink {
     val withPart = batch.withColumn("part_bucket", partCol)
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the layout is part of the store: a batch upserted with a different
+    // nParts would compute different buckets and silently duplicate keys
+    // (old row left in the old bucket, new row written to the new one) —
+    // persist nParts on create and fail fast on mismatch
+    val marker = new Path(dir, "_nparts")
     val merged =
       if (!fs.exists(dir)) withPart
       else {
+        if (fs.exists(marker)) {
+          val stored = {
+            val in = fs.open(marker)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+            finally in.close()
+          }
+          require(stored == nParts,
+            s"upsert: store at $path was created with nParts=$stored, got $nParts")
+        }
         // touched partition ids: driver-side metadata, ≤ nParts ints — an
         // isin literal prunes the store scan to those partition dirs
         val touched = withPart.select("part_bucket").distinct()
@@ -86,6 +93,11 @@ object UpsertSink {
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(nParts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 

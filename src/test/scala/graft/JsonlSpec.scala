@@ -48,11 +48,22 @@ class JsonlSpec extends SparkSpec {
     assert(after === before)
     // no residue from the swap
     val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
-    assert(!parent.exists(_.contains("_compact_")), parent.mkString(","))
+    assert(!parent.exists(n => n.contains("_compact_") || n.contains("_swap_")),
+      parent.mkString(","))
     // idempotent second pass: already at target → same file count, same rows
     val stats2 = Compaction.compact(spark, path)
     assert(stats2.filesAfter === stats.filesAfter)
     assert(spark.read.parquet(path).count() === before.size.toLong)
+  }
+
+  test("compaction refuses a partitioned table root") {
+    import graft.operators.Compaction
+    val path = Files.createTempDirectory("compact-part").toString + "/t"
+    Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang").withColumn("b", col("doc_id") % 4)
+      .write.partitionBy("b").parquet(path)
+    val e = intercept[IllegalArgumentException](Compaction.compact(spark, path))
+    assert(e.getMessage.contains("partition subdirectories"))
   }
 
   test("malformed and id-less lines are dropped and accounted") {

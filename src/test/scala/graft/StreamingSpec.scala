@@ -233,7 +233,8 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, 2L, 7.0), (2L, 1L, 3.0), (3L, 1L, 7.0)))
       // no swap residue
       val names = new java.io.File(scratch).listFiles().map(_.getName)
-      assert(!names.exists(_.contains("_upsert_")), names.mkString(","))
+      assert(!names.exists(n => n.contains("_upsert_") || n.contains("_swap_")),
+        names.mkString(","))
     } finally q.stop()
   }
 
@@ -261,6 +262,13 @@ class StreamingSpec extends SparkSpec {
     // 7 of 8 partitions keep their original files byte-for-byte
     assert(untouchedKept >= filesBefore.size - 2,
       s"too many partitions rewritten: kept $untouchedKept of ${filesBefore.size}")
+
+    // a different nParts against the same store is a layout violation
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.upsertBatchPartitioned(spark, store,
+        Seq((9L, 1.0)).toDF("user_id", "total"), Seq("user_id"), nParts = 16)
+    }
+    assert(e.getMessage.contains("nParts=8"))
   }
 
   test("sliding windows place each event in width/slide windows") {

@@ -74,11 +74,14 @@ class TsvProviderSpec extends SparkSpec {
     val dir = Files.createTempDirectory("dsv2-bad").toString
     Seq("1\tt1\thello world", "not-a-number\tx\ty", "2\tt2", "", "3\tt3\tbye",
       // 21 digits: all-digit but beyond Long range — must drop, not crash
-      "123456789012345678901\tt\toverflow id")
+      "123456789012345678901\tt\toverflow id",
+      // 19 digits just over Long.MaxValue — drop; 19 digits within — keep
+      "9999999999999999999\tt\tover max",
+      "1234567890123456789\tt\tnineteen digits ok")
       .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val rows = spark.read.format("graft-tsv").load(dir)
       .select("doc_id").as[Long].collect().toSet
-    assert(rows === Set(1L, 3L))
+    assert(rows === Set(1L, 3L, 1234567890123456789L))
   }
 
   test("write commits via staging rename; leftover staging files are ignored") {
