@@ -310,6 +310,26 @@ object RelationalQueries extends QueryGroup {
         regexp_count(col("p_name"), lit("[aeiou]{2}")).cast("long").as("n_vowel_pairs"),
         col("p_type").rlike("^[A-Z]+ [A-Z]+").cast("long").as("type_two_caps"))),
 
+    // ---- fuzzy string join (edit distance ≤ 2), dictionary-level: the
+    //      distinct-first step collapses the corpus to its value
+    //      dictionary (20k rows → 64 names at sf0.1), the quadratic
+    //      compare runs on the broadcast dictionary, and occurrence
+    //      counts map back — the scale pattern for low-cardinality
+    //      string columns. (High-cardinality columns need length+q-gram
+    //      banding instead; the length-diff bound here is the complete
+    //      filter for lev ≤ k.)
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "part").groupBy("p_name").agg(count(lit(1)).as("n"))
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"))
+      a.join(b, col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+    }),
+
     // ---- unpivot/melt: wide measure columns → long (measure, val) rows —
     //      the reshape feeding per-metric aggregation/plotting pipelines
     "q_unpivot" -> ((s, dir) =>
@@ -643,6 +663,16 @@ object RelationalQueries extends QueryGroup {
                 CAST(len(regexp_extract_all(p_name, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
                 (CASE WHEN regexp_matches(p_type, '^[A-Z]+ [A-Z]+') THEN 1 ELSE 0 END)::BIGINT AS type_two_caps
          FROM part""",
+
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                a.n AS n_a, b.n AS n_b
+         FROM names a JOIN names b
+           ON a.p_name < b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2""",
 
     "q_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, val
