@@ -14,7 +14,9 @@ object FsOps {
     * and the aside copy is only dropped after the install succeeded.
     */
   def atomicSwap(fs: FileSystem, live: Path, tmp: Path): Unit = {
-    val old = new Path(live.getParent, s"${live.getName}_swap_old")
+    // leading underscore: ignored by Spark's file listing, so an aside
+    // copy inside a partitioned table root is never parsed as a partition
+    val old = new Path(live.getParent, s"_${live.getName}.swap_old")
     fs.delete(old, true) // leftover from a previous crashed swap
     val hadLive = fs.exists(live)
     if (hadLive && !fs.rename(live, old))

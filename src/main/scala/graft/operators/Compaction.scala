@@ -54,7 +54,9 @@ object Compaction {
       if (target < dataFiles.length) df.coalesce(target)
       else if (target > dataFiles.length) df.repartition(target)
       else df
-    val tmp = new Path(dir.getParent, s"${dir.getName}_compact_tmp")
+    // underscore prefix: invisible to concurrent readers of a partitioned
+    // parent (and never parsed as a partition dir)
+    val tmp = new Path(dir.getParent, s"_${dir.getName}.compact_tmp")
     sized.write.mode("overwrite").parquet(tmp.toString)
     graft.FsOps.atomicSwap(fs, dir, tmp)
 
@@ -63,5 +65,24 @@ object Compaction {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     CompactionStats(dataFiles.length, after, totalBytes, target)
+  }
+
+  /** Compact every `col=value` partition directory under a partitioned
+    * table root, one swap per partition — concurrent readers of the table
+    * always see each partition either fully old or fully new. This is the
+    * table-maintenance loop for the append-heavy partitioned stores
+    * (index postings term buckets, IVF lists, partition-wise upsert).
+    * The per-partition listing/swap loop is driver-side METADATA —
+    * the data rewrites themselves are distributed jobs.
+    */
+  def compactPartitions(spark: SparkSession, root: String,
+                        targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactionStats] = {
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(p => p.getPath.getName -> compact(spark, p.getPath.toString, targetBytes))
+      .toMap
   }
 }

@@ -81,6 +81,18 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // persisted-IVF lifecycle: build → store (centroids + cid-partitioned
+    // lists) → query from the store with static partition pruning on the
+    // probed lists — the ANN analog of q_bm25_store
+    "q_ann_ivf_store" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfstore")
+      graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
+      graft.similarity.IvfStore.searchStore(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val toks = graft.analyzer.Analyzer.tokens(col("text"))
       val hitCols = TextAnalysis.DefaultMarkers.map { case (lang, words) =>
@@ -341,6 +353,36 @@ object PipelineQueries extends QueryGroup {
                                            ELSE 0.0 END), 1.0) AS quality_score
         FROM documents d JOIN lists USING (doc_id)"""
 
+  private lazy val annIvfOracle: String = {
+      val ids = AnnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               qassign AS (SELECT vec_id AS query_id, cid FROM ranked
+                           WHERE rn <= 4 AND vec_id IN ($ids)),
+               cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                        FROM qassign q JOIN assign a USING (cid)
+                        WHERE a.vec_id <> q.query_id),
+               scored AS (SELECT cand.query_id, cand.vec_id,
+                                 list_cosine_similarity(eq.v, ec.v) AS cos
+                          FROM cand
+                          JOIN e eq ON cand.query_id = eq.vec_id
+                          JOIN e ec ON cand.vec_id = ec.vec_id),
+               r AS (SELECT query_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+    }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -457,35 +499,11 @@ object PipelineQueries extends QueryGroup {
 
     "q_ann_lsh" -> annLshOracle,
 
-    "q_ann_ivf" -> {
-      val ids = AnnQueryIds.mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
-                         FROM e ORDER BY vec_id ASC LIMIT 16),
-               pairs AS (SELECT e.vec_id, c.cid,
-                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
-                         FROM e CROSS JOIN cents c),
-               ranked AS (SELECT vec_id, cid,
-                                 row_number() OVER (PARTITION BY vec_id
-                                                    ORDER BY cdist ASC, cid ASC) AS rn
-                          FROM pairs),
-               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-               qassign AS (SELECT vec_id AS query_id, cid FROM ranked
-                           WHERE rn <= 4 AND vec_id IN ($ids)),
-               cand AS (SELECT DISTINCT q.query_id, a.vec_id
-                        FROM qassign q JOIN assign a USING (cid)
-                        WHERE a.vec_id <> q.query_id),
-               scored AS (SELECT cand.query_id, cand.vec_id,
-                                 list_cosine_similarity(eq.v, ec.v) AS cos
-                          FROM cand
-                          JOIN e eq ON cand.query_id = eq.vec_id
-                          JOIN e ec ON cand.vec_id = ec.vec_id),
-               r AS (SELECT query_id, vec_id, cos,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, vec_id ASC) AS rank
-                     FROM scored)
-          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
-    },
+    "q_ann_ivf" -> annIvfOracle,
+
+    // the persisted IVF store answers exactly like the in-memory build
+    // with the same deterministic seed centroids — oracle shared
+    "q_ann_ivf_store" -> annIvfOracle,
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")

@@ -133,38 +133,47 @@ object Similarity {
     * only. Candidate volume ≈ corpus·nProbe/nCentroids per query.
     * Output shape matches [[bruteForceTopK]]; recall is the IVF curve.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol))
-
-    def assigned(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("cdist", lit(1.0) - cosine(col(v), col("cvec")))
-      if (keep == 1)
-        scored.groupBy(col(id), col(v))
-          .agg(min_by(col("cid"), col("cdist")).as("cid"))
-      else {
-        val w = Window.partitionBy(col(id)).orderBy(col("cdist").asc, col("cid").asc)
-        scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
-          .select(col(id), col(v), col("cid"))
-      }
+  /** Nearest-centroid assignment (keep = 1) or nProbe-nearest (keep > 1)
+    * against an already-broadcast centroid frame `(cid, cvec)` — shared by
+    * the in-memory [[ivfTopK]] and the persisted [[graft.similarity.IvfStore]]. */
+  def assignToCentroids(df: DataFrame, cents: DataFrame,
+                        id: String, v: String, keep: Int): DataFrame = {
+    val scored = df.crossJoin(cents)
+      .withColumn("cdist", lit(1.0) - cosine(col(v), col("cvec")))
+    if (keep == 1)
+      scored.groupBy(col(id), col(v))
+        .agg(min_by(col("cid"), col("cdist")).as("cid"))
+    else {
+      val w = Window.partitionBy(col(id)).orderBy(col("cdist").asc, col("cid").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+        .select(col(id), col(v), col("cid"))
     }
+  }
 
-    val c = assigned(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
-      "vec_id", "v", keep = 1)
-      .withColumn("nv", norm(col("v")))
-    val q = assigned(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", keep = nProbe)
-      .withColumn("nq", norm(col("qv")))
+  /** The probe-join + rank tail shared by the in-memory and store paths:
+    * `lists` = (cid, vec_id, v, nv), `q` = (cid, query_id, qv, nq). */
+  private[similarity] def probeRank(lists: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(broadcast(q), "cid")
+    lists.join(broadcast(q), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosinePrenormed(col("v"), col("qv"), col("nv"), col("nq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol))
+    val c = assignToCentroids(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      cents, "vec_id", "v", keep = 1)
+      .withColumn("nv", norm(col("v")))
+    val q = assignToCentroids(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, "query_id", "qv", keep = nProbe)
+      .withColumn("nq", norm(col("qv")))
+    probeRank(c, q, k)
   }
 
   /** ANN top-k via sign-LSH bucketing: candidates = same-bucket vectors

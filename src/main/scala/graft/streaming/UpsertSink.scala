@@ -35,7 +35,7 @@ object UpsertSink {
       .join(batch.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
         keys, "left_anti")
       .unionByName(batch)
-    val tmp = new Path(dir.getParent, s"${dir.getName}_upsert_tmp")
+    val tmp = new Path(dir.getParent, s"_${dir.getName}.upsert_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     graft.FsOps.atomicSwap(fs, dir, tmp)
   }

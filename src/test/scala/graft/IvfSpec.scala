@@ -22,6 +22,33 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF store roundtrip: searchStore == ivfTopK, probed lists pruned at the scan") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val path = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    IvfStore.writeIndex(e, path, kmeansIters = 2)
+    val stored = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val direct = Similarity.ivfTopK(e, q, 10, kmeansIters = 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(stored.map(r => (r._1, r._2, r._4)).toSet ===
+      direct.map(r => (r._1, r._2, r._4)).toSet)
+    stored.sortBy(r => (r._1, r._4)).zip(direct.sortBy(r => (r._1, r._4)))
+      .foreach { case (s2, d) => assert(math.abs(s2._3 - d._3) < 1e-12) }
+    // the probed-cid IN-list must reach the lists scan as a PartitionFilter
+    val plan = IvfStore.searchStore(spark, path, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"expected cid partition filter in:\n$plan")
+    // maintenance composes: per-partition compaction leaves answers intact
+    graft.operators.Compaction.compactPartitions(spark, s"$path/lists")
+    val after = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(after.map(r => (r._1, r._2, r._4)).toSet ===
+      stored.map(r => (r._1, r._2, r._4)).toSet)
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0L)

@@ -48,7 +48,7 @@ class JsonlSpec extends SparkSpec {
     assert(after === before)
     // no residue from the swap
     val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
-    assert(!parent.exists(n => n.contains("_compact_") || n.contains("_swap_")),
+    assert(!parent.exists(n => n.contains("compact_tmp") || n.contains("swap_old")),
       parent.mkString(","))
     // idempotent second pass: already at target → same file count, same rows
     val stats2 = Compaction.compact(spark, path)

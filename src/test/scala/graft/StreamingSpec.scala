@@ -233,7 +233,7 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, 2L, 7.0), (2L, 1L, 3.0), (3L, 1L, 7.0)))
       // no swap residue
       val names = new java.io.File(scratch).listFiles().map(_.getName)
-      assert(!names.exists(n => n.contains("_upsert_") || n.contains("_swap_")),
+      assert(!names.exists(n => n.contains("upsert_tmp") || n.contains("swap_old")),
         names.mkString(","))
     } finally q.stop()
   }
