@@ -260,6 +260,50 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Duplicate CLUSTERS from a pair list: connected components over the
+    * near-dup pair graph, labeling every involved doc with the minimum
+    * doc id of its component — the survivor — which turns a pair listing
+    * into an actionable keep/drop decision (pairs alone can't: with
+    * A≈B≈C, dropping per-pair keeps either nothing or too much).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint. Converges in O(diameter) rounds; near-dup components are
+    * shallow (stars around a survivor), so rounds stay small even at
+    * corpus scale. Each round is one join + one aggregate; lineage is cut
+    * per round with localCheckpoint so plans don't grow with iterations.
+    * Driver sees only the per-round change COUNT (a scalar), never data.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
+                        bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src").agg(min(col("nlbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"duplicateClusters did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).cast("long").as("is_survivor"))
+  }
+
   /** All-pairs reference implementation (O(n²) crossJoin) — the test
     * oracle for the bucketed operator above; never the production path. */
   def embeddingNearDupPairsBrute(emb: DataFrame, minCos: Double,

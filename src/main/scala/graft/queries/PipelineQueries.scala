@@ -52,6 +52,12 @@ object PipelineQueries extends QueryGroup {
         JaccardThreshold)
     }),
 
+    // pair list → actionable clusters: connected components over the
+    // near-dup graph, min-id survivor per component
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold))),
+
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
@@ -494,6 +500,21 @@ object PipelineQueries extends QueryGroup {
     // (p_miss < 1.3e-2 per pair at 0.5, < 5e-8 at 0.8); candidates are
     // exact-verified, so the oracle is the exact-Jaccard result.
     "q_dedup_minhash" -> jaccardOracle(JaccardThreshold),
+
+    // connected components over the exact-Jaccard pair graph via a
+    // recursive CTE: cluster = min reachable doc id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+               edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT a AS id FROM edges),
+               reach(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(lbl) AS cluster,
+                 (CASE WHEN id = min(lbl) THEN 1 ELSE 0 END)::BIGINT AS is_survivor
+          FROM reach GROUP BY id""",
 
     "q_dedup_embed" -> dedupEmbedOracle,
 

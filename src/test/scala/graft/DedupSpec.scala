@@ -100,6 +100,17 @@ class DedupSpec extends SparkSpec {
       s"doc 21 should match original store docs only (10 was withheld): $r2")
   }
 
+  test("duplicateClusters: transitive components, min-id survivor") {
+    // chain 1-2-3 plus isolated pair 5-6; 8 links back to 1 (A≈B≈C shape)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (8L, 1L, 0L),
+      (5L, 5L, 1L), (6L, 5L, 0L)))
+  }
+
   test("streaming dedup-on-ingest: later micro-batches dedup against all earlier ones") {
     import graft.dedup.DedupStore
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
