@@ -59,4 +59,25 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Stratified deterministic sampling: a different fraction per stratum
+    * value (e.g. downsample the dominant language, keep the rest) — the
+    * domain-balancing step of a training-data mixture. Rows whose stratum
+    * has no entry in `fractions` are dropped. Same salted-hash membership
+    * as [[deterministicSample]]: reproducible, append-stable, nested
+    * across fractions, and a scalar predicate on the scan (zero shuffle).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "strat"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    fractions.values.foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val h = saltedHash(salt, col(keyCol))
+    val thresh = fractions.foldLeft(lit(-1L): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(cut(f))).otherwise(acc)
+    }
+    df.filter(h < thresh)
+  }
 }

@@ -58,6 +58,24 @@ object PipelineQueries extends QueryGroup {
       Dedup.duplicateClusters(
         Dedup.minhashLshPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold))),
 
+    // the end-to-end dedup RESULT: the corpus minus every non-survivor —
+    // pairs → clusters → anti-join back onto the documents
+    "q_dedup_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(Dedup.shingles(d), JaccardThreshold))
+      d.join(clusters.filter(col("is_survivor") === 0).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // stratified deterministic sampling: per-language fractions
+    // (downsample the dominant stratum, drop unlisted strata)
+    "q_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          StratFractions)
+        .select("doc_id", "lang", "source")),
+
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
@@ -195,6 +213,9 @@ object PipelineQueries extends QueryGroup {
 
   val SampleFrac = 0.1
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  // en downsampled, zh deliberately unlisted (dropped stratum)
+  val StratFractions: Map[String, Double] =
+    Map("en" -> 0.1, "fr" -> 0.6, "de" -> 0.6, "es" -> 0.6)
 
   // ---- DuckDB oracle building blocks (textually mirrors Analyzer.normText) ----
 
@@ -515,6 +536,28 @@ object PipelineQueries extends QueryGroup {
           SELECT id AS doc_id, min(lbl) AS cluster,
                  (CASE WHEN id = min(lbl) THEN 1 ELSE 0 END)::BIGINT AS is_survivor
           FROM reach GROUP BY id""",
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+               edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT a AS id FROM edges),
+               reach(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+               nonsurv AS (SELECT id FROM (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+                           WHERE id <> m)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM nonsurv)""",
+
+    "q_stratified" -> {
+      val arms = StratFractions.toSeq.sortBy(_._1).map { case (lang, f) =>
+        s"WHEN lang = '$lang' THEN ${graft.pipeline.Sampling.cut(f)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${sqlSaltedHash("strat", "doc_id")} < (CASE $arms ELSE -1 END)"""
+    },
 
     "q_dedup_embed" -> dedupEmbedOracle,
 

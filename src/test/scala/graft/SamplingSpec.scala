@@ -50,6 +50,20 @@ class SamplingSpec extends SparkSpec {
       s"train weight drifted: $counts")
   }
 
+  test("stratified sample: per-stratum fractions honored, unlisted strata dropped") {
+    val frac = Map("en" -> 0.1, "fr" -> 0.6)
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang", frac)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet.subsetOf(Set("en", "fr")), s"unlisted strata leaked: $byLang")
+    assert(math.abs(byLang.getOrElse("en", 0L).toDouble / totals("en") - 0.1) < 0.08)
+    assert(math.abs(byLang.getOrElse("fr", 0L).toDouble / totals("fr") - 0.6) < 0.15)
+    // deterministic: same call, same rows
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang", frac)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("decontaminate drops exactly the flagged training docs; bench side broadcasts") {
     import graft.pipeline.Contamination
     val bench = docs.filter($"doc_id" % 50 === 0)
