@@ -143,6 +143,10 @@ object PipelineQueries extends QueryGroup {
     "q_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(docs(s, dir))),
 
+    // corpus-bigram LM score (perplexity-filter signal)
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir))),
+
     // benchmark decontamination: eval set = every 50th doc; training docs
     // sharing >= 2 trigram shingles with any eval doc are reported. The
     // benchmark shingles broadcast — no corpus-side shuffle before the hit
@@ -615,6 +619,20 @@ object PipelineQueries extends QueryGroup {
                             WHEN stopword_ratio < 0.05 THEN 'low_stopword'
                             ELSE 'ok' END AS reason
                 FROM ($QualitySql))""",
+
+    "q_lm_score" ->
+      s"""WITH lists AS ($SqlLists),
+               tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                       FROM lists WHERE len(l) >= 2),
+               bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+                      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+               c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+               c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                   / count(*) AS lm_score
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          GROUP BY doc_id""",
 
     "q_token_count" ->
       s"""WITH lists AS ($SqlLists)

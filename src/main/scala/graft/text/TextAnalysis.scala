@@ -72,6 +72,46 @@ object TextAnalysis {
           lit(0.3) * least(lit(4.0) * col("stopword_ratio"), lit(1.0)))
   }
 
+  /** Corpus-bigram language-model score per document — the
+    * perplexity-filtering signal: docs whose word transitions are
+    * improbable under the corpus's own bigram statistics (gibberish,
+    * boilerplate soup, wrong-language fragments) score low.
+    *
+    * score = avg over the doc's bigrams of ln(c(w1,w2) / c(w1,·)),
+    * i.e. the mean log conditional probability. Both counts come from
+    * the corpus itself, so every doc bigram has c ≥ 1 — no smoothing
+    * needed, and the ratio is a ratio of exact integers. Per-bigram logs
+    * are rounded then DECIMAL-summed so the mean is partition-order
+    * independent (the float-determinism discipline of the oracle gate).
+    *
+    * Scale: one bigram explode (narrow), one (w1,w2) count aggregate,
+    * one (w1) count aggregate, one shuffle join of doc bigrams with the
+    * count tables on their natural keys, one per-doc aggregate. Counts
+    * tables are |vocab²-observed| rows — far smaller than the corpus.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      Analyzer.tokens(col(textCol)).as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("c12").cast("double") / col("c1")), 6)
+          .cast("decimal(25,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+  }
+
   /** Rule-based quality filter with per-rule accounting: every document
     * gets a `fail_reason` (the FIRST failing rule, "ok" if none) and a
     * `kept` flag — the funnel report a filtering pipeline needs to

@@ -63,6 +63,25 @@ class SimilarityTextSpec extends SparkSpec {
     assert(score > 0 && score <= 1.0)
   }
 
+  test("bigram LM score: common transitions beat rare ones; exact on a tiny corpus") {
+    // 'a b' occurs 3x from docs 1-3; doc 4's 'x y' occurs once
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // c12(a,b)=3, c1(a)=3 → ln(1)=0; c12(x,y)=1, c1(x)=1 → ln(1)=0
+    assert(got(1L) === ((1L, 0.0)) && got(4L) === ((1L, 0.0)))
+
+    // now make 'a' ambiguous: a→b 3x, a→z 1x ⇒ P(b|a)=3/4, P(z|a)=1/4
+    val docs2 = docs.union(Seq((5L, "a z")).toDF("doc_id", "text"))
+    val got2 = TextAnalysis.bigramLmScore(docs2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(got2(1L) - math.round(math.log(0.75) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got2(5L) - math.round(math.log(0.25) * 1e6) / 1e6) < 1e-9)
+    assert(got2(1L) > got2(5L), "frequent transition must outscore rare one")
+  }
+
   test("fingerprint: deterministic, order-sensitive, 0 for empty") {
     val df = Seq((1L, "a b"), (2L, "b a"), (3L, ""), (4L, "a b")).toDF("doc_id", "text")
     val m = df.select($"doc_id", TextAnalysis.fingerprint($"text")).as[(Long, Long)]
