@@ -147,6 +147,37 @@ object PipelineQueries extends QueryGroup {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(docs(s, dir))),
 
+    // corpus-wide bigram vocabulary: top-100 by frequency (count DESC,
+    // bigram ASC — a deterministic total order). One narrow explode, one
+    // partially-aggregated count, TakeOrderedAndProject for the top-k —
+    // each task ships only its local top-100 to the driver-side merge,
+    // so the result set (not the corpus) bounds the collect.
+    "q_ngram_vocab" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(graft.analyzer.Analyzer.tokens(col("text")).as("toks"))
+      toks.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(100)
+    }),
+
+    // per-stratum bounded sample ("reservoir" with a deterministic
+    // priority): the k lowest salted-hash docs per language. Runs on the
+    // custom TopKPerKey operator, which is exactly what makes a LOW
+    // cardinality stratum key safe at scale: partial bounded heaps run
+    // map-side, so the exchange carries <= k rows per (stratum, task)
+    // instead of sorting whole language partitions under a 5-way window.
+    "q_reservoir" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKOps.topKPerKey(
+          docs(s, dir).withColumn("h",
+            graft.pipeline.Sampling.saltedHash("reservoir", col("doc_id"))),
+          keys = Seq("lang"), order = Seq("h" -> true, "doc_id" -> true),
+          k = ReservoirK)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // benchmark decontamination: eval set = every 50th doc; training docs
     // sharing >= 2 trigram shingles with any eval doc are reported. The
     // benchmark shingles broadcast — no corpus-side shuffle before the hit
@@ -216,6 +247,7 @@ object PipelineQueries extends QueryGroup {
   )
 
   val SampleFrac = 0.1
+  val ReservoirK = 20
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
@@ -633,6 +665,23 @@ object PipelineQueries extends QueryGroup {
                    / count(*) AS lm_score
           FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
           GROUP BY doc_id""",
+
+    "q_ngram_vocab" ->
+      s"""WITH lists AS ($SqlLists),
+              tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                      FROM lists WHERE len(l) >= 2),
+              bg AS (SELECT a.term || ' ' || b.term AS bigram
+                     FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+         SELECT bigram, count(*) AS n FROM bg
+         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""",
+
+    "q_reservoir" ->
+      s"""SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY ${sqlSaltedHash("reservoir", "doc_id")} ASC,
+                                               doc_id ASC) AS rn
+            FROM documents) WHERE rn <= $ReservoirK""",
 
     "q_token_count" ->
       s"""WITH lists AS ($SqlLists)

@@ -102,6 +102,23 @@ object RelationalQueries extends QueryGroup {
         .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
     }),
 
+    // ---- distribution windows: ntile / percent_rank / cume_dist over a
+    // high-cardinality partition key (o_custkey — parallelism scales with
+    // customers, not a small enum domain). The (o_totalprice, o_orderkey)
+    // ordering is a total order within each partition, so rank-based
+    // measures are tie-free and engine-portable; percent_rank/cume_dist
+    // are exact small-integer divisions — bit-identical across engines.
+    "q_window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
     // ---- P-series: IN-list + range predicate, pushed to the parquet scan
     "q_filter_in" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -500,6 +517,15 @@ object RelationalQueries extends QueryGroup {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_spend
          FROM orders""",
+
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
 
     "q_filter_in" ->
       s"""SELECT l_returnflag, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
