@@ -203,6 +203,40 @@ object PipelineQueries extends QueryGroup {
             .partitionBy()))
     }),
 
+    // incremental view maintenance: the per-(lang, source) stats view is
+    // maintained as mergeable partial-aggregate state — base partial
+    // persisted, delta batch aggregated alone, merge touches only
+    // |view| + |delta| rows. Oracle = full recompute over the whole
+    // corpus, so the gate checks merge(base, delta) ≡ recompute exactly.
+    "q_incr_agg" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-incragg")
+      graft.pipeline.IncrementalAgg.partial(
+          d.filter(col("doc_id") % 3 =!= 0), Seq("lang", "source"), "n_chars")
+        .write.mode("overwrite").parquet(path)
+      val delta = graft.pipeline.IncrementalAgg.partial(
+        d.filter(col("doc_id") % 3 === 0), Seq("lang", "source"), "n_chars")
+      graft.pipeline.IncrementalAgg.merge(s.read.parquet(path), delta,
+        Seq("lang", "source"))
+    }),
+
+    // CDC changelog apply: base snapshot + one changelog batch (updates
+    // for doc_id % 7 = 0, delete tombstones for doc_id % 11 = 0, delete
+    // winning on overlap) merged into the store, then read back — the
+    // lifecycle a slowly-mutating corpus store needs
+    "q_cdc_apply" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      val path = QueryGroup.scratchDir("graft-cdcstore")
+      d.write.mode("overwrite").parquet(path)
+      val changelog = d
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(lit("updated:"), col("lang")).as("source"), col("n_chars"),
+          when(col("doc_id") % 11 === 0, "d").otherwise("u").as("_op"))
+      graft.streaming.UpsertSink.applyChangelog(s, path, changelog, Seq("doc_id"))
+      s.read.parquet(path)
+    }),
+
     // array / higher-order function surface over the token arrays
     // (ASCII-only tokens → sort collation is engine-portable)
     "q_array_funcs" -> ((s, dir) => {
@@ -665,6 +699,17 @@ object PipelineQueries extends QueryGroup {
                    / count(*) AS lm_score
           FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
           GROUP BY doc_id""",
+
+    "q_incr_agg" ->
+      """SELECT lang, source, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_val
+         FROM documents GROUP BY 1, 2""",
+
+    "q_cdc_apply" ->
+      """SELECT doc_id, lang,
+                CASE WHEN doc_id % 7 = 0 THEN 'updated:' || lang ELSE source END AS source,
+                n_chars
+         FROM documents WHERE doc_id % 11 <> 0""",
 
     "q_ngram_vocab" ->
       s"""WITH lists AS ($SqlLists),

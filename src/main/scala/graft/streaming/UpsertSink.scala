@@ -40,6 +40,38 @@ object UpsertSink {
     graft.FsOps.atomicSwap(fs, dir, tmp)
   }
 
+  /** CDC changelog apply — upsertBatch extended with delete tombstones:
+    * every `batch` row carries an `opCol` marker; rows whose marker equals
+    * `deleteOp` remove their key from the store, every other row upserts.
+    * One merge covers both: carried rows = store anti-join ALL batch keys
+    * (so deleted keys simply aren't re-added), then union the non-delete
+    * rows. Same temp-write + rename-aside swap as upsertBatch — readers
+    * see the pre- or post-changelog table, never a partial apply.
+    *
+    * Scale: cost ∝ |store| + |batch| with one anti-join shuffle (or
+    * broadcast when the batch's key set is small); for unbounded stores
+    * the partition-wise variant's layout applies the same way.
+    */
+  def applyChangelog(spark: SparkSession, path: String, batch: DataFrame,
+                     keys: Seq[String], opCol: String = "_op",
+                     deleteOp: String = "d"): Unit = {
+    require(keys.nonEmpty, "changelog apply needs at least one key column")
+    import org.apache.spark.sql.functions.col
+    val upserts = batch.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      upserts.write.mode("overwrite").parquet(path)
+      return
+    }
+    val merged = spark.read.parquet(path)
+      .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts)
+    val tmp = new Path(dir.getParent, s"_${dir.getName}.upsert_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    graft.FsOps.atomicSwap(fs, dir, tmp)
+  }
+
   /** Partition-wise upsert — the unbounded-store variant: the table is
     * laid out in `nParts` stable hash partitions of the first key, and a
     * batch rewrites ONLY the partitions its keys fall into, via dynamic

@@ -271,6 +271,40 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("nParts=8"))
   }
 
+  test("changelog apply: upserts land, tombstones delete, replay is idempotent") {
+    import graft.streaming.UpsertSink
+    val scratch = java.nio.file.Files.createTempDirectory("cdc").toString
+    val store = s"$scratch/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").write.parquet(store)
+    // update 1, delete 2, insert 4
+    val changelog = Seq((1L, "a2", "u"), (2L, "b", "d"), (4L, "d", "u"))
+      .toDF("id", "v", "_op")
+    UpsertSink.applyChangelog(spark, store, changelog, Seq("id"))
+    val expect = Set((1L, "a2"), (3L, "c"), (4L, "d"))
+    assert(spark.read.parquet(store).as[(Long, String)].collect().toSet === expect)
+    // a retried (replayed) batch must not change the outcome
+    UpsertSink.applyChangelog(spark, store, changelog, Seq("id"))
+    assert(spark.read.parquet(store).as[(Long, String)].collect().toSet === expect)
+    // no swap residue
+    val names = new java.io.File(scratch).listFiles().map(_.getName)
+    assert(!names.exists(n => n.contains("upsert_tmp") || n.contains("swap_old")),
+      names.mkString(","))
+  }
+
+  test("incremental aggregate view: merge(base, delta) equals full recompute") {
+    import graft.pipeline.IncrementalAgg
+    val rows = (1L to 200L).map(k => (k, s"g${k % 7}", k * 3))
+      .toDF("id", "grp", "x")
+    val base = IncrementalAgg.partial(rows.filter($"id" <= 150), Seq("grp"), "x")
+    val delta = IncrementalAgg.partial(rows.filter($"id" > 150), Seq("grp"), "x")
+    val merged = IncrementalAgg.merge(base, delta, Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = IncrementalAgg.partial(rows, Seq("grp"), "x")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
   test("sliding windows place each event in width/slide windows") {
     val df = Seq(ev(1, "2024-01-01 00:40:00")).toDF()
     val res = EventStreams.slidingCounts(df)
