@@ -117,6 +117,25 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // streaming IVF ingest: centroids bootstrapped as a batch job, then
+    // the vector corpus arrives through the REAL streaming runtime (file
+    // source → AvailableNow → per-batch assign + replay-safe append) and
+    // the persisted store answers identically to the batch-built index —
+    // oracle shared with q_ann_ivf
+    "q_ann_ivf_stream" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfstream")
+      graft.similarity.IvfStore.writeCentroids(e, path, kmeansIters = 0)
+      val src = graft.streaming.StreamRuntime.tableStreamSource(s, dir, "embeddings")
+      val q = graft.similarity.IvfStore.writeIngesting(
+        s.readStream.schema(s.read.parquet(src).schema).parquet(src),
+        path, s"$path/_ckpt")
+      q.awaitTermination()
+      graft.similarity.IvfStore.searchStore(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val toks = graft.analyzer.Analyzer.tokens(col("text"))
       val hitCols = TextAnalysis.DefaultMarkers.map { case (lang, words) =>
@@ -638,6 +657,9 @@ object PipelineQueries extends QueryGroup {
     // the persisted IVF store answers exactly like the in-memory build
     // with the same deterministic seed centroids — oracle shared
     "q_ann_ivf_store" -> annIvfOracle,
+
+    // the streaming-ingested store must converge to the same index
+    "q_ann_ivf_stream" -> annIvfOracle,
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")

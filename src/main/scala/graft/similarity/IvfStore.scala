@@ -39,6 +39,60 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** Persist only the centroid table — the bootstrap step of a streaming
+    * ingest: centroid training is a periodic batch job over a corpus
+    * sample; ingest then assigns continuously against the frozen
+    * centroids (re-training is a new store generation, not an append). */
+  def writeCentroids(corpus: DataFrame, path: String,
+                     nCentroids: Int = 16, kmeansIters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** Assign one ingest batch against the persisted centroids and add its
+    * vectors to the inverted lists. Replay-safe: every batch writes under
+    * its own `batch=<id>` partition via dynamic partition overwrite, so a
+    * retried micro-batch REPLACES its previous output instead of
+    * duplicating it. `cid` stays a partition level below `batch`, so
+    * query-time probed-cid pruning still skips unprobed lists of every
+    * batch. */
+  def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
+                  batchId: Long,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned = Similarity.assignToCentroids(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        cents, "vec_id", "v", keep = 1)
+      .withColumn("nv", Similarity.norm(col("v")))
+      .withColumn("batch", lit(batchId))
+      .repartition(col("cid"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try assigned.write.mode("overwrite")
+      .partitionBy("batch", "cid").parquet(s"$path/lists")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Attach a streaming vector source to the store: each micro-batch is
+    * assigned against the persisted centroids and appended to the lists.
+    * Work per trigger ∝ batch size (broadcast centroids, no corpus-side
+    * reads) — the ANN analog of dedup-on-ingest. */
+  def writeIngesting(vecs: DataFrame, path: String, checkpoint: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendBatch(b.sparkSession, path, b, id, idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   def searchStore(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

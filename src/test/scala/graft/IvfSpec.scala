@@ -49,6 +49,43 @@ class IvfSpec extends SparkSpec {
       stored.map(r => (r._1, r._2, r._4)).toSet)
   }
 
+  test("streaming ingest in micro-batches converges to the batch-built store") {
+    import graft.similarity.IvfStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+
+    val batchPath = java.nio.file.Files.createTempDirectory("ivfbatch").toString
+    IvfStore.writeIndex(e, batchPath, kmeansIters = 0)
+
+    val streamPath = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    IvfStore.writeCentroids(e, streamPath, kmeansIters = 0)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val rows = e.as[(Long, Array[Float], Int)].collect().map(r => (r._1, r._2))
+    val sq = IvfStore.writeIngesting(
+      mem.toDF().toDF("vec_id", "embedding"), streamPath,
+      java.nio.file.Files.createTempDirectory("ivfckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq); sq.processAllAvailable()
+      mem.addData(second.toSeq); sq.processAllAvailable()
+    } finally sq.stop()
+
+    val fromBatch = IvfStore.searchStore(spark, batchPath, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fromStream = IvfStore.searchStore(spark, streamPath, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromStream === fromBatch)
+
+    // a replayed micro-batch must not duplicate vectors
+    IvfStore.appendBatch(spark, streamPath,
+      spark.createDataset(rows.take(5).toSeq).toDF("vec_id", "embedding"), batchId = 0L)
+    val lists = spark.read.parquet(s"$streamPath/lists")
+    assert(lists.groupBy("vec_id").count().filter($"count" > 1).count() === 0)
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0L)
