@@ -266,6 +266,28 @@ object RelationalQueries extends QueryGroup {
            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
     }),
 
+    // ---- correlated scalar subquery: orders 1.5x above their customer's
+    //      average. Catalyst DECORRELATES this into an aggregate + join —
+    //      the scale-safe plan — rather than per-row re-execution; the
+    //      inner average goes through the exact-decimal sum so the
+    //      threshold is bit-identical across engines and partitionings.
+    "q_corr_subq" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders_cs o1
+           WHERE o_totalprice > 1.5 *
+             (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*)
+              FROM orders_cs o2 WHERE o2.o_custkey = o1.o_custkey)""")
+    }),
+
+    // ---- skew-safe aggregation twin of q_salted_join: two-stage
+    //      (key, salt) pre-aggregate spreads a hot key over `salt`
+    //      reducers; exact and output-identical to the plain groupBy
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(t(s, dir, "lineitem"), "l_returnflag")),
+
     // ---- sketch aggregates: HLL++ distinct estimation (rows-only —
     //      approximation algorithms differ across engines by design)
     "q_sketch_distinct" -> ((s, dir) =>
@@ -620,6 +642,17 @@ object RelationalQueries extends QueryGroup {
                 count(*) AS n
          FROM orders
          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+
+    "q_corr_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o1
+         WHERE o_totalprice > 1.5 *
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                     / count(*)
+            FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""",
+
+    "q_salted_agg" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
 
     "q_percentile" ->
       """SELECT l_returnflag,
