@@ -117,6 +117,13 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // sparse TF-IDF top-k retrieval through the inverted index: the
+    // sparse-vector twin of q_cosine_topk — only (query, doc) pairs
+    // sharing a term are scored, so cost follows the query terms'
+    // postings lists, not a corpus pair product; ranked on TopKPerKey
+    "q_tfidf_topk" -> ((s, dir) =>
+      graft.search.SparseSim.tfidfTopK(docs(s, dir), AnnQueryIds, 10)),
+
     // streaming IVF ingest: centroids bootstrapped as a batch job, then
     // the vector corpus arrives through the REAL streaming runtime (file
     // source → AvailableNow → per-batch assign + replay-safe append) and
@@ -660,6 +667,34 @@ object PipelineQueries extends QueryGroup {
 
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
+
+    "q_tfidf_topk" -> {
+      val ids = AnnQueryIds.mkString(", ")
+      s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
+                        FROM ($SqlTokens) GROUP BY 1, 2),
+               vocab AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+               w AS (SELECT doc_id, term,
+                            tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS w
+                     FROM post JOIN vocab USING (term)),
+               norms AS (SELECT doc_id,
+                                sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
+                         FROM w GROUP BY doc_id),
+               qw AS (SELECT doc_id AS query_id, term, w AS qw FROM w
+                      WHERE doc_id IN ($ids)),
+               dots AS (SELECT q.query_id, w.doc_id,
+                               CAST(sum(CAST(round(w.w * q.qw, 6) AS DECIMAL(25,6))) AS DOUBLE) AS dot
+                        FROM w JOIN qw q USING (term) WHERE w.doc_id <> q.query_id
+                        GROUP BY 1, 2),
+               scored AS (SELECT d.query_id, d.doc_id, d.dot / (qn.nrm * dn.nrm) AS cos
+                          FROM dots d
+                          JOIN norms qn ON d.query_id = qn.doc_id
+                          JOIN norms dn ON d.doc_id = dn.doc_id),
+               r AS (SELECT query_id, doc_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, doc_id ASC) AS rank
+                     FROM scored)
+          SELECT query_id, doc_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+    },
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")
