@@ -43,6 +43,30 @@ object Sampling {
     * both engines compare against the identical long. */
   def cut(cumWeight: Double): Long = (cumWeight * HashRange).toLong
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES with a
+    * hash-derived uniform): each row gets priority `-ln(u) / weight`
+    * where `u = (saltedHash + 1) / 2^60` ∈ (0, 1], and the k LOWEST
+    * priorities form the sample — inclusion probability ∝ weight (e.g.
+    * quality-score- or length-weighted corpus sampling), yet membership
+    * is a pure function of the key, so the draw is reproducible,
+    * append-stable and oracle-verifiable like every sampler here.
+    *
+    * Scale: the priority is a scalar expression on the scan; the global
+    * top-k is TakeOrderedAndProject (each task ships only its local k).
+    */
+  def weightedPriority(keyCol: Column, weightCol: Column,
+                       salt: String = "wsample"): Column = {
+    val u = (saltedHash(salt, keyCol).cast("double") + lit(1.0)) /
+      lit(HashRange.toDouble)
+    -log(u) / weightCol.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+                     salt: String = "wsample"): DataFrame =
+    df.withColumn("priority", weightedPriority(col(keyCol), col(weightCol), salt))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .limit(k)
+
   /** Append a `split` column assigning each row to one of the named
     * weighted partitions (e.g. train/val/test) by salted hash range —
     * exhaustive and disjoint by construction. */

@@ -117,6 +117,27 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // count-min sketch frequency estimates for every token, with the
+    // exact count alongside (estimate >= truth always; the d*w counter
+    // table is mergeable additive state, rebuilt counter-for-counter by
+    // the oracle from the portable hash family)
+    "q_cms_freq" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(graft.analyzer.Analyzer.tokens(col("text"))).as("term"))
+      val est = graft.operators.CountMinSketch.estimate(toks, "term", d = 4, w = 64)
+        .withColumnRenamed("item", "term")
+      est.join(toks.groupBy("term").agg(count(lit(1)).as("n")), "term")
+    }),
+
+    // deterministic weighted sampling (Efraimidis-Spirakis with a
+    // hash-derived uniform): inclusion probability proportional to
+    // n_chars, yet the draw is a pure function of the key — the
+    // quality-weighted corpus sample that is still reproducible and
+    // hash-verifiable
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("lang"), round(col("priority"), 6).as("priority"))),
+
     // sparse TF-IDF top-k retrieval through the inverted index: the
     // sparse-vector twin of q_cosine_topk — only (query, doc) pairs
     // sharing a term are scored, so cost follows the query terms'
@@ -667,6 +688,28 @@ object PipelineQueries extends QueryGroup {
 
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
+
+    "q_cms_freq" ->
+      s"""WITH tok AS ($SqlTokens),
+               occ AS (SELECT j.j AS row, ('0x' || substr(md5('cms' || j.j || ':' || term), 1, 15))::BIGINT % 64 AS bucket
+                       FROM tok, (SELECT unnest(range(0, 4)) AS j) j),
+               cnt AS (SELECT row, bucket, count(*) AS c FROM occ GROUP BY 1, 2),
+               probes AS (SELECT term, j.j AS row,
+                                 ('0x' || substr(md5('cms' || j.j || ':' || term), 1, 15))::BIGINT % 64 AS bucket
+                          FROM (SELECT DISTINCT term FROM tok), (SELECT unnest(range(0, 4)) AS j) j),
+               est AS (SELECT p.term, min(c.c) AS est
+                       FROM probes p JOIN cnt c USING (row, bucket) GROUP BY 1),
+               tru AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
+          SELECT term, est, n FROM est JOIN tru USING (term)""",
+
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, lang, round(priority, 6) AS priority FROM (
+            SELECT doc_id, lang,
+                   -ln((CAST(${sqlSaltedHash("wsample", "doc_id")} AS DOUBLE) + 1.0)
+                        / ${graft.pipeline.Sampling.HashRange}.0)
+                     / CAST(n_chars AS DOUBLE) AS priority
+            FROM documents
+            ORDER BY priority ASC, doc_id ASC LIMIT 50)""",
 
     "q_tfidf_topk" -> {
       val ids = AnnQueryIds.mkString(", ")

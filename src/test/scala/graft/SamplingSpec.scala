@@ -64,6 +64,21 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("weighted sample: deterministic, and high-weight rows are favored") {
+    val a = Sampling.weightedSample(docs, "doc_id", "n_chars", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs, "doc_id", "n_chars", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b, "same data + salt must draw the identical sample")
+    // A-ES with weight w: P(in) ∝ w — the drawn docs should skew long;
+    // deterministic hash, so this is a measurement, not a flake
+    val avgAll = docs.agg(avg($"n_chars")).as[Double].first()
+    val avgSel = docs.filter($"doc_id".isin(a.toSeq: _*))
+      .agg(avg($"n_chars")).as[Double].first()
+    assert(avgSel > avgAll,
+      s"weighted draw should favor long docs: sel=$avgSel all=$avgAll")
+  }
+
   test("decontaminate drops exactly the flagged training docs; bench side broadcasts") {
     import graft.pipeline.Contamination
     val bench = docs.filter($"doc_id" % 50 === 0)

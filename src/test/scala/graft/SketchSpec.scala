@@ -39,6 +39,31 @@ class SketchSpec extends SparkSpec {
     assert(relErr < 0.38, s"est=$est exact=$exact relErr=$relErr")
   }
 
+  test("CMS never under-counts, and batch-sketch sums equal the whole-corpus sketch") {
+    import graft.operators.CountMinSketch
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(explode(graft.analyzer.Analyzer.tokens($"text")).as("term"))
+    val est = CountMinSketch.estimate(toks, "term", d = 4, w = 64)
+      .as[(String, Long)].collect().toMap
+    val exact = toks.groupBy("term").count().as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"under-count for $t") }
+    // mergeable state: counter tables of disjoint halves ADD to the
+    // whole-corpus counter table (what makes CMS maintainable per batch)
+    val docs2 = Tables.load(spark, sf0001, "documents")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      CountMinSketch.build(
+        df.select(explode(graft.analyzer.Analyzer.tokens($"text")).as("term")),
+        "term", d = 4, w = 64)
+    val whole = sketch(docs2).as[(Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val merged = sketch(docs2.filter($"doc_id" % 2 === 0))
+      .unionByName(sketch(docs2.filter($"doc_id" % 2 === 1)))
+      .groupBy("row", "bucket").agg(sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(merged === whole)
+  }
+
   test("KMV merge is order-insensitive (partial aggregation safe)") {
     val agg = new KMinValues(4)
     val a = agg.merge(agg.reduce(agg.reduce(agg.zero, 5L), 1L),
