@@ -32,6 +32,33 @@ object EventQueries extends QueryGroup {
         .select(col("window_start").cast("long").as("window_start_s"),
           col("event_type"), col("n"), col("total"))),
 
+    // time-series resample + forward fill: each user's value series onto
+    // an hourly grid between that user's first and last observation,
+    // gaps carrying the last observed value — the feature-engineering
+    // regularization step. Grid generation is a distributed
+    // sequence-explode (rows ∝ users × buckets, no driver loop); the
+    // fill is one ignoreNulls running window per user.
+    "q_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 3600L
+      val e = events(s, dir).select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("long").as("sec"))
+        .withColumn("bucket", col("sec") - pmod(col("sec"), lit(step)))
+      val lastPerBucket = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(col("sec").desc, col("event_id").desc)
+      val obs = e.withColumn("rn", row_number().over(lastPerBucket))
+        .filter(col("rn") === 1).select("user_id", "bucket", "value")
+      val grid = e.groupBy("user_id")
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "bucket"), "left_outer")
+        .select(col("user_id"), col("bucket"),
+          last(col("value"), ignoreNulls = true).over(fill).as("filled"))
+    }),
+
     // batch face of the stream-stream time-bounded join (view→click
     // within 15 min, state-bounded by watermark on a real stream)
     "q_stream_correlate" -> ((s, dir) => {
@@ -142,6 +169,28 @@ object EventQueries extends QueryGroup {
          FROM events GROUP BY event_type""",
 
     "q_time_tumbling" -> TumblingSql,
+
+    "q_resample" ->
+      """WITH b AS (SELECT user_id, event_id, value,
+                           floor(epoch(ts))::BIGINT AS sec,
+                           floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket
+                    FROM events),
+              obs AS (SELECT user_id, bucket, value FROM (
+                        SELECT user_id, bucket, value,
+                               row_number() OVER (PARTITION BY user_id, bucket
+                                                  ORDER BY sec DESC, event_id DESC) AS rn
+                        FROM b) WHERE rn = 1),
+              spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                        FROM b GROUP BY 1),
+              grid AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket
+                       FROM spans),
+              j AS (SELECT g.user_id, g.bucket, o.value
+                    FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+         SELECT user_id, bucket,
+                last_value(value IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM j""",
 
     // the streaming-runtime twins answer the exact same questions — the
     // oracle is shared with the batch entries by construction
