@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over a pair list — PageRank with a fixed
+  * iteration count, the weighted companion of
+  * [[graft.dedup.Dedup.duplicateClusters]]'s connected components (e.g.
+  * ranking documents inside a near-duplicate cluster by how central they
+  * are to the duplication pattern, instead of min-id survivorship).
+  *
+  * Determinism discipline: each iteration's neighbor contributions are
+  * rounded at 6 decimals and summed as DECIMAL(25,6) — the per-node
+  * contribution sum is partition-order independent, so `iters` rounds
+  * stay bit-identical across engines/partitionings and the whole
+  * iteration unrolls into a plain SQL oracle.
+  *
+  * Scale: per iteration one src-keyed join (ranks onto edges) and one
+  * dst-keyed aggregate — both exchanges on node ids, no driver-side
+  * state. `localCheckpoint` cuts the lineage each round, keeping the
+  * plan O(1) in iterations (SCALE.md, cluster-labeling note). Fixed
+  * small `iters` (rank mass converges geometrically at `damping`^t;
+  * ranking stabilizes long before the values do).
+  */
+object Graph {
+
+  /** Exact decimal sum of `round(expr, 6)` — order-independent. */
+  private def dsum6(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(e, 6).cast("decimal(25,6)")).cast("double")
+
+  /** PageRank over the undirected graph given as a pair list; returns
+    * `(id, rank)` for every node that appears in a pair. */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // reused every round AND as the node set
+    var ranks = deg.select(col("id"), lit(1.0).as("r"))
+    for (_ <- 0 until iters) {
+      val contribs = edges
+        .join(deg.select(col("id").as("src"), col("deg")), "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(dsum6(col("r") / col("deg")).as("contrib"))
+      ranks = deg.select(col("id"))
+        .join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

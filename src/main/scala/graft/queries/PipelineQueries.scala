@@ -69,6 +69,16 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "lang", "source")
     }),
 
+    // weighted companion of the cluster labeling: PageRank over the
+    // near-dup pair graph — ranks documents by centrality to the
+    // duplication pattern; 6-dp decimal-summed contributions keep all
+    // three iterations bit-identical across engines and partitionings
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+          Dedup.minhashLshPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold),
+          "doc_a", "doc_b", iters = 3)
+        .select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))),
+
     // stratified deterministic sampling: per-language fractions
     // (downsample the dominant stratum, drop unlisted strata)
     "q_stratified" -> ((s, dir) =>
@@ -667,6 +677,30 @@ object PipelineQueries extends QueryGroup {
                            WHERE id <> m)
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT id FROM nonsurv)""",
+
+    // three unrolled PageRank iterations over the exact-Jaccard pair
+    // graph (minhash candidates are exact-verified, so the Spark pair
+    // list IS the exact pair list)
+    "q_pagerank" -> {
+      def step(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS id,
+                           CAST(sum(CAST(round(r${i - 1}.r / d.deg, 6) AS DECIMAL(25,6))) AS DOUBLE) AS contrib
+                    FROM edges e
+                    JOIN r${i - 1} ON e.src = r${i - 1}.id
+                    JOIN deg d ON e.src = d.id
+                    GROUP BY 1),
+            r$i AS (SELECT deg.id, (1.0 - 0.85) + 0.85 * coalesce(c$i.contrib, 0.0) AS r
+                    FROM deg LEFT JOIN c$i USING (id))"""
+      s"""WITH pairs AS (${jaccardOracle(JaccardThreshold)}),
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+              deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+              r0 AS (SELECT id, 1.0 AS r FROM deg),
+              ${step(1)},
+              ${step(2)},
+              ${step(3)}
+          SELECT id AS doc_id, round(r3.r, 6) AS rank FROM r3"""
+    },
 
     "q_stratified" -> {
       val arms = StratFractions.toSeq.sortBy(_._1).map { case (lang, f) =>
