@@ -102,6 +102,21 @@ object RelationalQueries extends QueryGroup {
         .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
     }),
 
+    // ---- value-based (RANGE) window frame: 30-day rolling spend per
+    //      customer — the frame is defined by the ORDER value (day
+    //      number), so tied order dates are peers and the frame is
+    //      deterministic without a unique tiebreak; exact decimal sum
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = datediff(col("o_orderdate"), lit("1990-01-01"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("rolling_spend",
+          sum(col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rolling_spend"))
+    }),
+
     // ---- distribution windows: ntile / percent_rank / cume_dist over a
     // high-cardinality partition key (o_custkey — parallelism scales with
     // customers, not a small enum domain). The (o_totalprice, o_orderkey)
@@ -538,6 +553,15 @@ object RelationalQueries extends QueryGroup {
                            ORDER BY o_orderdate ASC, o_orderkey ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_spend
+         FROM orders""",
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS rolling_spend
          FROM orders""",
 
     "q_window_ntile" ->

@@ -81,8 +81,14 @@ class PlanSpec extends SparkSpec {
     val highCard = Map(
       "q_window_topn"    -> "o_custkey",
       "q_window_running" -> "o_custkey",
+      "q_window_ntile"   -> "o_custkey",
+      "q_window_range"   -> "o_custkey",
       "q_window_lag"     -> "user_id",
-      "q_topk_op"        -> "o_custkey")
+      "q_topk_op"        -> "o_custkey",
+      // low-cardinality stratum key, but on TopKPerKey that is the
+      // point: partial heaps are map-side, the exchange carries <= k
+      // rows per (stratum, task) — covered by the custom-op branch
+      "q_reservoir"      -> "lang")
     highCard.foreach { case (q, key) =>
       // formatted mode: tree lines are bare operator names; the window's
       // partition spec lives in the details section (windowspecdefinition
