@@ -33,10 +33,13 @@ object Graph {
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // the pair list may carry an arbitrarily expensive lineage (e.g. the
+    // whole MinHash pipeline) — materialize the edge list ONCE; every
+    // iteration then reads the checkpointed rows, not the upstream plan
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // reused every round AND as the node set
     var ranks = deg.select(col("id"), lit(1.0).as("r"))
     for (_ <- 0 until iters) {
       val contribs = edges
