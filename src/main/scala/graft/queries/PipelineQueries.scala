@@ -335,10 +335,29 @@ object PipelineQueries extends QueryGroup {
       graft.pipeline.Sampling.assignSplit(docs(s, dir), "doc_id", SplitWeights)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+
+    // concat-then-chunk sequence packing: deterministic hash shard +
+    // order, running token offset, pack = offset div seqLen — the
+    // fixed-length training-sequence layout, reported per (shard, pack)
+    "q_seq_pack" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Packing.packReport(toks, "doc_id", "n_tok",
+        PackShards, PackSeqLen)
+    }),
+
+    // letter-histogram Shannon entropy (gibberish/binary-blob signal)
+    "q_char_entropy" -> ((s, dir) => {
+      val (n, ratio, ent) = TextAnalysis.charEntropy(col("text"))
+      docs(s, dir).select(col("doc_id"), n.as("n_letters"),
+        round(ratio, 6).as("letter_ratio"), round(ent, 6).as("entropy"))
+    }),
   )
 
   val SampleFrac = 0.1
   val ReservoirK = 20
+  val PackShards = 4
+  val PackSeqLen = 1024
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
@@ -642,6 +661,43 @@ object PipelineQueries extends QueryGroup {
                  CAST(sum(n_tok) AS DOUBLE) /
                    (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists) AS token_share
           FROM assigned GROUP BY 1, 2"""
+    },
+
+    // same shard/order/offset arithmetic as Packing.packReport: salted
+    // portable hash → shard and within-shard order, running-sum offset,
+    // integer-div pack id
+    "q_seq_pack" ->
+      s"""WITH lists AS ($SqlLists),
+               t AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+                            ${sqlSaltedHash("pack", "doc_id")} AS h
+                     FROM lists),
+               sh AS (SELECT doc_id, n_tok, h, CAST(h % $PackShards AS INT) AS shard FROM t),
+               off AS (SELECT shard, n_tok,
+                              coalesce(sum(n_tok) OVER (PARTITION BY shard
+                                ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+                       FROM sh)
+          SELECT shard, o // $PackSeqLen AS pack_id, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM off GROUP BY 1, 2""",
+
+    // identical letter-count/fold structure as TextAnalysis.charEntropy:
+    // 26 translate-based counts, left-fold 'a'..'z' double sum
+    "q_char_entropy" -> {
+      val defs = ('a' to 'z').map(ch =>
+        s"(length(t) - length(translate(t, '$ch', ''))) AS n_$ch").mkString(", ")
+      val tot = ('a' to 'z').map(ch => s"n_$ch").mkString(" + ")
+      val terms = ('a' to 'z').map(ch =>
+        s"CASE WHEN n_$ch > 0 THEN -(CAST(n_$ch AS DOUBLE) / tot) * log2(CAST(n_$ch AS DOUBLE) / tot) ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+               c AS (SELECT doc_id, t, $defs FROM low),
+               ct AS (SELECT *, CAST($tot AS BIGINT) AS tot FROM c)
+          SELECT doc_id, tot AS n_letters,
+                 round(CASE WHEN length(t) > 0
+                            THEN CAST(tot AS DOUBLE) / length(t) ELSE 0.0 END, 6) AS letter_ratio,
+                 round(CASE WHEN tot > 0 THEN $terms ELSE 0.0 END, 6) AS entropy
+          FROM ct"""
     },
 
     // LSH with 128 perms / 32 bands has ~exact recall at J >= 0.5

@@ -490,6 +490,16 @@ object RelationalQueries extends QueryGroup {
           estimate(col("parts_sketch")).as("kmv_parts"),
           estimate(col("orders_sketch")).as("kmv_orders"))
     }),
+
+    // ---- one-pass column profiling (ingest sanity report): nulls /
+    //      distinct / min / max per column, unpivoted to a row per
+    //      column. Double columns are left out of the GATE list only
+    //      because float→string rendering differs across engines; the
+    //      operator itself takes any column set.
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profiling.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate"))),
   )
 
   /** KMV sketch size: 64 minima → ~12% typical relative error, exact for
@@ -784,5 +794,16 @@ object RelationalQueries extends QueryGroup {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 3""",
+
+    "q_profile" ->
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_shipdate").map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_val,
+                   CAST(max($c) AS VARCHAR) AS max_val
+            FROM lineitem"""
+      }.mkString("\n        UNION ALL\n        "),
   )
 }

@@ -181,6 +181,36 @@ object TextAnalysis {
         (col("max_tri").cast("double") / col("n_tri")).as("rep_ratio"))
   }
 
+  /** Character-distribution entropy — the classic gibberish/binary-blob
+    * detector: Shannon entropy (bits) of the letter histogram of the
+    * lowercased text. Natural-language text sits near 4–4.2 bits;
+    * key-mash, base64 soup and single-char spam fall far outside.
+    *
+    * Counted per letter as `length(t) - length(translate(t, c, ''))` —
+    * 26 scalar string passes that mean the same thing in Spark and
+    * DuckDB, so the score is oracle-verifiable. Summation order is
+    * lexical ('a'..'z' left fold) on both engines, keeping the double
+    * sum bit-stable; the gate rounds to 6 dp to absorb cross-engine
+    * `log2` ulp differences. Scale: scalar projection on the scan, no
+    * shuffle; a single-pass histogram `Expression` would save the 26
+    * re-scans if this ever dominated a profile.
+    *
+    * Returns (n_letters, letter_ratio, entropy).
+    */
+  def charEntropy(textCol: Column): (Column, Column, Column) = {
+    val t = lower(textCol)
+    val counts = ('a' to 'z').map(ch => length(t) - length(translate(t, ch.toString, "")))
+    val total = counts.map(_.cast("long")).reduce(_ + _)
+    val totD = total.cast("double")
+    val terms = counts.map { n =>
+      val p = n.cast("double") / totD
+      when(n > 0, -p * log2(p)).otherwise(lit(0.0))
+    }
+    val entropy = when(total > 0, terms.reduce(_ + _)).otherwise(lit(0.0))
+    val ratio = when(length(t) > 0, totD / length(t).cast("double")).otherwise(lit(0.0))
+    (total, ratio, entropy)
+  }
+
   /** Order-sensitive rolling-hash document fingerprint over tokens:
     * fold (acc·31 + code(t)) mod 1e9+7, seeded with the first token's
     * code (DuckDB `list_reduce` fold shape); code(t) = ascii(t)·131 + len(t).
