@@ -79,7 +79,18 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver's log-tail capture truncates long
+    // output, which cost round 4 its per-query timings (BENCH_r04.json has
+    // no totals line). A committed bench_last.json survives truncation.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_last.json: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size}/${results.size} queries FAILED — totals are not valid")

@@ -79,10 +79,39 @@ object Compaction {
                         targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactionStats] = {
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(dir)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(p => p.getPath.getName -> compact(spark, p.getPath.toString, targetBytes))
+    partitionDirs(fs, dir)
+      .map(p => p.getName -> compact(spark, p.toString, targetBytes))
       .toMap
   }
+
+  /** Multi-level variant: walk nested `k=v` directories down to the LEAF
+    * partitions (dirs whose children are data files, not further `k=v`
+    * dirs) and compact each leaf — the maintenance loop for stores with
+    * two partition levels like the streaming IVF lists (`batch=/cid=`,
+    * [[graft.similarity.IvfStore.appendBatch]]). Keys in the returned map
+    * are root-relative partition paths (`batch=3/cid=7`). Same swap
+    * discipline as [[compact]]: readers see each leaf fully old or fully
+    * new; the walk itself is driver-side metadata.
+    */
+  def compactPartitionsRecursive(spark: SparkSession, root: String,
+                                 targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactionStats] = {
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val kids = partitionDirs(fs, p)
+      if (kids.isEmpty) Seq(p) else kids.flatMap(leaves)
+    }
+    val rootPrefix = dir.toUri.getPath.stripSuffix("/") + "/"
+    partitionDirs(fs, dir).flatMap(leaves)
+      .map(p => p.toUri.getPath.stripPrefix(rootPrefix) ->
+        compact(spark, p.toString, targetBytes))
+      .toMap
+  }
+
+  /** Visible `k=v` partition subdirectories of `p`. */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Path] =
+    fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath).toSeq
 }

@@ -33,8 +33,9 @@ object TypedAggregators {
     * Unlike HLL++ (`approx_count_distinct`), the whole sketch is
     * *portable*: fed with [[graft.dedup.Dedup.portableTokenHash]] the
     * estimate is bit-reproducible in any engine with md5 — which is what
-    * lets q_kmv_distinct carry a DuckDB oracle while q_sketch_distinct
-    * (HLL, engine-specific hash) stays rows-only.
+    * lets q_kmv_distinct carry a value-for-value DuckDB oracle, while
+    * q_sketch_distinct (HLL, engine-specific hash) is verified through a
+    * bounds oracle (estimate within ±5% of exact) instead.
     */
   class KMinValues(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)

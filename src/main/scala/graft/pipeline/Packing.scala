@@ -33,6 +33,14 @@ object Packing {
                       salt: String = "pack"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // `shard`/`offset`/`pack_id` are the documented output columns and
+    // `__h` is scratch — refuse inputs that already carry any of them
+    // rather than silently overwriting caller data.
+    val reserved = Seq("__h", "shard", "offset", "pack_id")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — " +
+        s"reserved as packAssignments output/scratch names")
     val h = Sampling.saltedHash(salt, col(idCol))
     val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -155,6 +155,16 @@ object PipelineQueries extends QueryGroup {
     "q_tfidf_topk" -> ((s, dir) =>
       graft.search.SparseSim.tfidfTopK(docs(s, dir), AnnQueryIds, 10)),
 
+    // same retrieval through the PERSISTED index store: N/df come from
+    // the stored meta/vocab tables (derive-from-persisted rule — no
+    // corpus recount), postings read back from the term-bucketed store
+    "q_tfidf_store" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-tfidfstore")
+      graft.index.Indexer.writeIndex(
+        graft.index.Indexer.buildIndex(docs(s, dir)), path)
+      graft.search.SparseSim.tfidfTopKStore(s, path, AnnQueryIds, 10)
+    }),
+
     // streaming IVF ingest: centroids bootstrapped as a batch job, then
     // the vector corpus arrives through the REAL streaming runtime (file
     // source → AvailableNow → per-batch assign + replay-safe append) and
@@ -556,6 +566,36 @@ object PipelineQueries extends QueryGroup {
           SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
     }
 
+  // shared by q_tfidf_topk and q_tfidf_store (the store path must compute
+  // the identical result from persisted tables)
+  private lazy val tfidfOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
+                      FROM ($SqlTokens) GROUP BY 1, 2),
+             vocab AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+             w AS (SELECT doc_id, term,
+                          tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS w
+                   FROM post JOIN vocab USING (term)),
+             norms AS (SELECT doc_id,
+                              sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
+                       FROM w GROUP BY doc_id),
+             qw AS (SELECT doc_id AS query_id, term, w AS qw FROM w
+                    WHERE doc_id IN ($ids)),
+             dots AS (SELECT q.query_id, w.doc_id,
+                             CAST(sum(CAST(round(w.w * q.qw, 6) AS DECIMAL(25,6))) AS DOUBLE) AS dot
+                      FROM w JOIN qw q USING (term) WHERE w.doc_id <> q.query_id
+                      GROUP BY 1, 2),
+             scored AS (SELECT d.query_id, d.doc_id, d.dot / (qn.nrm * dn.nrm) AS cos
+                        FROM dots d
+                        JOIN norms qn ON d.query_id = qn.doc_id
+                        JOIN norms dn ON d.doc_id = dn.doc_id),
+             r AS (SELECT query_id, doc_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, doc_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, doc_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -677,7 +717,7 @@ object PipelineQueries extends QueryGroup {
                                 ORDER BY h, doc_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
                        FROM sh)
-          SELECT shard, o // $PackSeqLen AS pack_id, count(*) AS n_docs,
+          SELECT shard, CAST(o // $PackSeqLen AS BIGINT) AS pack_id, count(*) AS n_docs,
                  CAST(sum(n_tok) AS BIGINT) AS n_tokens
           FROM off GROUP BY 1, 2""",
 
@@ -801,33 +841,9 @@ object PipelineQueries extends QueryGroup {
             FROM documents
             ORDER BY priority ASC, doc_id ASC LIMIT 50)""",
 
-    "q_tfidf_topk" -> {
-      val ids = AnnQueryIds.mkString(", ")
-      s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
-                        FROM ($SqlTokens) GROUP BY 1, 2),
-               vocab AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-               w AS (SELECT doc_id, term,
-                            tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS w
-                     FROM post JOIN vocab USING (term)),
-               norms AS (SELECT doc_id,
-                                sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
-                         FROM w GROUP BY doc_id),
-               qw AS (SELECT doc_id AS query_id, term, w AS qw FROM w
-                      WHERE doc_id IN ($ids)),
-               dots AS (SELECT q.query_id, w.doc_id,
-                               CAST(sum(CAST(round(w.w * q.qw, 6) AS DECIMAL(25,6))) AS DOUBLE) AS dot
-                        FROM w JOIN qw q USING (term) WHERE w.doc_id <> q.query_id
-                        GROUP BY 1, 2),
-               scored AS (SELECT d.query_id, d.doc_id, d.dot / (qn.nrm * dn.nrm) AS cos
-                          FROM dots d
-                          JOIN norms qn ON d.query_id = qn.doc_id
-                          JOIN norms dn ON d.doc_id = dn.doc_id),
-               r AS (SELECT query_id, doc_id, cos,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, doc_id ASC) AS rank
-                     FROM scored)
-          SELECT query_id, doc_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
-    },
+    "q_tfidf_topk" -> tfidfOracle,
+    // the store path computes the same result from persisted tables
+    "q_tfidf_store" -> tfidfOracle,
 
     "q_cosine_topk" -> {
       val ids = AnnQueryIds.mkString(", ")

@@ -29,15 +29,20 @@ import graft.index.Indexer
   */
 object SparseSim {
 
-  /** TF-IDF weights `(doc_id, term, w)` with `w = tf · ln(N/df)`,
-    * keeping terms with `df <= dfCapFrac · N`. */
+  /** TF-IDF weights from prebuilt index tables: `(doc_id, term, w)` with
+    * `w = tf · ln(N/df)`, keeping terms with `df <= dfCapFrac · N`. */
+  def tfidfWeightsFrom(postings: DataFrame, vocab: DataFrame, n: Double,
+                       dfCapFrac: Double = 1.0): DataFrame =
+    postings.join(vocab.filter(col("df") <= lit(dfCapFrac * n)), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * log(lit(n) / col("df").cast("double"))).as("w"))
+
+  /** TF-IDF weights built from a raw corpus (index computed inline). */
   def tfidfWeights(corpus: DataFrame, dfCapFrac: Double = 1.0): DataFrame = {
     val post = Indexer.postings(corpus)
     val vocab = Indexer.vocab(post)
     val n = corpus.count().toDouble // one driver scalar, not per-row work
-    post.join(vocab.filter(col("df") <= lit(dfCapFrac * n)), "term")
-      .select(col("doc_id"), col("term"),
-        (col("tf").cast("double") * log(lit(n) / col("df").cast("double"))).as("w"))
+    tfidfWeightsFrom(post, vocab, n, dfCapFrac)
   }
 
   /** Exact decimal sum of `round(expr, 6)` — order-independent. */
@@ -47,8 +52,26 @@ object SparseSim {
   /** Top-`k` cosine neighbors per query document, computed through the
     * index: only (query, doc) pairs sharing a retained term are scored. */
   def tfidfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-                dfCapFrac: Double = 1.0): DataFrame = {
-    val w = tfidfWeights(corpus, dfCapFrac)
+                dfCapFrac: Double = 1.0): DataFrame =
+    topKFromWeights(tfidfWeights(corpus, dfCapFrac), queryIds, k)
+
+  /** Same retrieval through a PERSISTED index store
+    * ([[Indexer.writeIndex]] layout): postings/vocab are the stored
+    * tables, and N comes from the stored `meta` — the single source of
+    * truth once the index is persisted (a 1-row bounded-metadata read,
+    * not a corpus recount per invocation). */
+  def tfidfTopKStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryIds: Seq[Long], k: Int,
+                     dfCapFrac: Double = 1.0): DataFrame = {
+    val ix = Indexer.readIndex(spark, path)
+    val n = ix.meta.select(col("total_docs")).head().getLong(0).toDouble
+    topKFromWeights(
+      tfidfWeightsFrom(ix.postings.select("term", "doc_id", "tf"), ix.vocab,
+        n, dfCapFrac),
+      queryIds, k)
+  }
+
+  private def topKFromWeights(w: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val norms = w.groupBy("doc_id").agg(sqrt(dsum6(col("w") * col("w"))).as("nrm"))
     val qw = w.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))

@@ -93,6 +93,17 @@ object IvfStore {
       .trigger(trigger)
       .start()
 
+  /** Store maintenance: compact the inverted lists' small files (streaming
+    * ingest writes one file set per micro-batch) leaf by leaf across BOTH
+    * partition levels (`batch=/cid=`), preserving the layout that probing
+    * prunes on. Run periodically from the maintenance loop, off the query
+    * path. */
+  def compactLists(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024)
+      : Map[String, graft.operators.Compaction.CompactionStats] =
+    graft.operators.Compaction.compactPartitionsRecursive(
+      spark, s"$path/lists", targetBytes)
+
   def searchStore(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

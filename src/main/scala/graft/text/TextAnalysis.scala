@@ -186,21 +186,27 @@ object TextAnalysis {
     * lowercased text. Natural-language text sits near 4–4.2 bits;
     * key-mash, base64 soup and single-char spam fall far outside.
     *
-    * Counted per letter as `length(t) - length(translate(t, c, ''))` —
-    * 26 scalar string passes that mean the same thing in Spark and
-    * DuckDB, so the score is oracle-verifiable. Summation order is
-    * lexical ('a'..'z' left fold) on both engines, keeping the double
-    * sum bit-stable; the gate rounds to 6 dp to absorb cross-engine
-    * `log2` ulp differences. Scale: scalar projection on the scan, no
-    * shuffle; a single-pass histogram `Expression` would save the 26
-    * re-scans if this ever dominated a profile.
+    * Letter counts come from [[org.apache.spark.sql.graft.CharHistogram]]
+    * — ONE codegen'd pass over the lowered text fills all 26 bins
+    * (byte-wise, which equals the code-point count: see its scaladoc) —
+    * replacing the 26 `length - length(translate)` re-scans this used to
+    * cost. The DuckDB oracle keeps the translate formulation; per-bin
+    * values are identical integers, and the entropy add chain stays in
+    * 'a'..'z' left-fold order on both engines, so the double sum is
+    * bit-stable; the gate rounds to 6 dp to absorb cross-engine `log2`
+    * ulp differences. Scale: scalar projection fused into the scan, no
+    * shuffle.
     *
     * Returns (n_letters, letter_ratio, entropy).
     */
   def charEntropy(textCol: Column): (Column, Column, Column) = {
     val t = lower(textCol)
-    val counts = ('a' to 'z').map(ch => length(t) - length(translate(t, ch.toString, "")))
-    val total = counts.map(_.cast("long")).reduce(_ + _)
+    val hist = org.apache.spark.sql.graft.CharHistogram.charHist(t)
+    // element_at is codegen'd and `hist` is deterministic, so subexpression
+    // elimination computes the histogram once per row; the adds below run
+    // over 26 longs, not 26 string walks.
+    val counts = (1 to 26).map(i => element_at(hist, i))
+    val total = counts.reduce(_ + _)
     val totD = total.cast("double")
     val terms = counts.map { n =>
       val p = n.cast("double") / totD

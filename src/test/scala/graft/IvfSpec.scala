@@ -79,6 +79,17 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(fromStream === fromBatch)
 
+    // two-level maintenance: recursive compaction walks batch=/cid=
+    // leaves, preserves the layout (keys are relative leaf paths) and
+    // leaves answers intact
+    val compacted = IvfStore.compactLists(spark, streamPath)
+    assert(compacted.nonEmpty &&
+      compacted.keys.forall(_.matches("batch=\\d+/cid=\\d+")),
+      s"unexpected leaf keys: ${compacted.keys.mkString(", ")}")
+    val afterCompact = IvfStore.searchStore(spark, streamPath, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(afterCompact === fromBatch)
+
     // a replayed micro-batch must not duplicate vectors
     IvfStore.appendBatch(spark, streamPath,
       spark.createDataset(rows.take(5).toSeq).toDF("vec_id", "embedding"), batchId = 0L)

@@ -101,4 +101,28 @@ class PackingProfilingSpec extends SparkSpec {
     assert(entropyOf("AbAb") === entropyOf("abab"))
     assert(entropyOf("a-b a-b") === entropyOf("abab"))
   }
+
+  test("char histogram: one-pass bins match per-letter counts, multibyte-safe") {
+    import org.apache.spark.sql.graft.CharHistogram
+    // multibyte code points (é, ö, ï, –) must not perturb ASCII bins:
+    // UTF-8 continuation bytes all have the high bit set
+    val s = "héllo wörld – ünïcode zz"
+    val bins = Seq(s).toDF("t")
+      .select(CharHistogram.charHist(col("t"))).as[Seq[Long]].head()
+    val expected = ('a' to 'z').map(ch => s.count(_ == ch).toLong)
+    assert(bins === expected)
+    // null propagates, empty string is all-zero
+    val nulls = Seq[String](null).toDF("t")
+      .select(CharHistogram.charHist(col("t"))).collect()
+    assert(nulls.head.isNullAt(0))
+    assert(Seq("").toDF("t").select(CharHistogram.charHist(col("t")))
+      .as[Seq[Long]].head() === Seq.fill(26)(0L))
+  }
+
+  test("packAssignments refuses inputs with reserved output columns") {
+    val df = Seq((1L, 10L)).toDF("doc_id", "n_tok").withColumn("shard", lit(9))
+    val e = intercept[IllegalArgumentException](
+      Packing.packAssignments(df, "doc_id", "n_tok", 4, 128))
+    assert(e.getMessage.contains("shard"))
+  }
 }

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_fuzzy_join: bigram blocking — equi-join only, no nested loop") {
+    // the scale guarantee of the blocked fuzzy join: candidates come from
+    // the bigram-block equi-join, never a dictionary x dictionary
+    // BroadcastNestedLoopJoin / cartesian (O(D^2) levenshtein)
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join found in:\n$p")
+  }
+
+  test("q_char_entropy: single-pass histogram expression, no translate chain") {
+    val p = plan("q_char_entropy")
+    assert(p.toLowerCase.contains("charhistogram"), s"custom expr missing in:\n$p")
+    assert(!p.contains("translate("), s"translate re-scan chain still present:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
