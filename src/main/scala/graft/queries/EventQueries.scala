@@ -131,6 +131,18 @@ object EventQueries extends QueryGroup {
       graft.operators.TemporalJoins.rangeJoin(events(s, dir),
           key = "user_id", ts = "ts", idCol = "event_id", windowSec = 300)
         .select(col("user_id"), col("id_a"), col("id_b"), round(col("gap_s"), 6).as("gap_s"))),
+
+    // sequential-pattern funnel: each user's earliest strictly-ordered
+    // view → click → purchase times (one row per user per step-1 entry,
+    // nulls once the user drops out); per-step joins carry one row per
+    // user — never the user's event history
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelTimes(events(s, dir),
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          col("t1").cast("long").as("t1_s"),
+          col("t2").cast("long").as("t2_s"),
+          col("t3").cast("long").as("t3_s"))),
   )
 
   private val TumblingSql =
@@ -243,5 +255,20 @@ object EventQueries extends QueryGroup {
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.ts < b.ts
           AND epoch(b.ts) - epoch(a.ts) <= 300""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                     JOIN s1 USING (user_id)
+                     WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                     JOIN s2 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT s1.user_id,
+                floor(epoch(t1))::BIGINT AS t1_s,
+                floor(epoch(t2))::BIGINT AS t2_s,
+                floor(epoch(t3))::BIGINT AS t3_s
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
   )
 }
