@@ -143,6 +143,14 @@ object EventQueries extends QueryGroup {
           col("t1").cast("long").as("t1_s"),
           col("t2").cast("long").as("t2_s"),
           col("t3").cast("long").as("t3_s"))),
+
+    // the step-level summary a dashboard consumes: users reaching each
+    // step + conversion vs step 1 (exact small-int division, rounded)
+    "q_funnel_rates" -> ((s, dir) =>
+      graft.operators.Funnel.funnelReport(events(s, dir),
+          Seq("view", "click", "purchase"))
+        .select(col("step"), col("step_type"), col("n_users"),
+          round(col("conversion"), 6).as("conversion"))),
   )
 
   private val TumblingSql =
@@ -256,19 +264,34 @@ object EventQueries extends QueryGroup {
            ON a.user_id = b.user_id AND a.ts < b.ts
           AND epoch(b.ts) - epoch(a.ts) <= 300""",
 
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-                     WHERE event_type = 'view' GROUP BY 1),
-              s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-                     JOIN s1 USING (user_id)
-                     WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-              s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-                     JOIN s2 USING (user_id)
-                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    "q_funnel" -> s"""$FunnelSteps
          SELECT s1.user_id,
                 floor(epoch(t1))::BIGINT AS t1_s,
                 floor(epoch(t2))::BIGINT AS t2_s,
                 floor(epoch(t3))::BIGINT AS t3_s
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+
+    "q_funnel_rates" -> s"""$FunnelSteps,
+              c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                           (SELECT count(*) FROM s2) AS c2,
+                           (SELECT count(*) FROM s3) AS c3)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                c1 AS n_users, CAST(1.0 AS DOUBLE) AS conversion FROM c
+         UNION ALL
+         SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
+         UNION ALL
+         SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c1, 6) FROM c""",
   )
+
+  // shared step CTEs for the funnel pair (earliest strictly-ordered
+  // step times per user — the exact semantics of Funnel.funnelTimes)
+  private val FunnelSteps =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)"""
 }
