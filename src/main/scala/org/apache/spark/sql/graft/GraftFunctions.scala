@@ -27,9 +27,18 @@ object GraftFunctions {
   private val dotInfo = new ExpressionInfo(
     classOf[FloatVectorDot].getCanonicalName, "graft_dot")
 
-  def register(spark: SparkSession): Unit =
+  private val charHistBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => CharHistogram(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_char_hist expects 1 argument, got ${other.size}")
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_hist", charHistBuilder, "scala_udf")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -37,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getCanonicalName, "graft_dot"),
       { exprs: Seq[Expression] => FloatVectorDot(exprs(0), exprs(1)) }))
+    e.injectFunction((new FunctionIdentifier("graft_char_hist"),
+      new ExpressionInfo(classOf[CharHistogram].getCanonicalName, "graft_char_hist"),
+      { exprs: Seq[Expression] => CharHistogram(exprs(0)) }))
     e.injectOptimizerRule(_ => RewriteVectorDot)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -106,6 +106,14 @@ class IndexStoreSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("graft_char_hist SQL function registered on a session") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val bins = spark.sql("SELECT graft_char_hist('abca z') AS h")
+      .as[Seq[Long]].first()
+    assert(bins(0) === 2L && bins(1) === 1L && bins(2) === 1L && bins(25) === 1L)
+    assert(bins.sum === 5L)
+  }
+
   test("salted join output identical to plain join") {
     val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables.load(spark, sf0001, "orders")

@@ -101,6 +101,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("char histogram equals per-letter counting on arbitrary text") {
+    import org.apache.spark.sql.graft.CharHistogram
+    forAllSeeded(rawText, n = 30) { text =>
+      val bins = Seq(text).toDF("t")
+        .select(CharHistogram.charHist(lower($"t"))).as[Seq[Long]].head()
+      val lowered = text.toLowerCase
+      val expected = ('a' to 'z').map(ch => lowered.count(_ == ch).toLong)
+      assert(bins === expected, s"mismatch on ${text.take(40)}")
+    }
+  }
+
+  test("funnel times equal a sequential reference scan on arbitrary event logs") {
+    import graft.operators.Funnel
+    val steps = Seq("view", "click", "purchase")
+    val eventGen = Gen.listOfN(40, for {
+      u <- Gen.choose(0L, 3L)
+      sec <- Gen.choose(0L, 50L)
+      ty <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, sec, ty))
+    forAllSeeded(eventGen, n = 15) { evts =>
+      // reference: greedy earliest qualifying event per step, per user
+      val expect = evts.groupBy(_._1).flatMap { case (u, es) =>
+        val t1 = es.filter(_._3 == steps.head).map(_._2).minOption
+        t1.map { first =>
+          val times = steps.tail.scanLeft(Option(first)) { (prev, st) =>
+            prev.flatMap(p => es.filter(e => e._3 == st && e._2 > p).map(_._2).minOption)
+          }
+          u -> times
+        }
+      }
+      val got = Funnel.funnelTimes(
+          evts.toDF("user_id", "sec", "event_type")
+            .select($"user_id", $"sec".cast("timestamp").as("ts"), $"event_type"),
+          steps)
+        .select($"user_id", $"t1".cast("long"), $"t2".cast("long"), $"t3".cast("long"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+      assert(got === expect, s"funnel mismatch on ${evts.take(10)}…")
+    }
+  }
+
   test("conservation: sum of tf per doc equals doc length; df <= N") {
     forAllSeeded(corpusGen) { texts =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
