@@ -543,7 +543,7 @@ object RelationalQueries extends QueryGroup {
           estimate(col("orders_sketch")).as("kmv_orders"))
     }),
 
-    // ---- one-pass column profiling (ingest sanity report): nulls /
+    // ---- column profiling (ingest sanity report): nulls /
     //      distinct / min / max per column, unpivoted to a row per
     //      column. Double columns are left out of the GATE list only
     //      because float→string rendering differs across engines; the
