@@ -356,6 +356,11 @@ object PipelineQueries extends QueryGroup {
         PackShards, PackSeqLen)
     }),
 
+    // fixed-size token chunking with overlap — the embedding/context
+    // prep step; pure per-row generation fused into the scan
+    "q_chunk" -> ((s, dir) =>
+      graft.pipeline.Chunking.chunkTokens(docs(s, dir), ChunkSize, ChunkOverlap)),
+
     // letter-histogram Shannon entropy (gibberish/binary-blob signal)
     "q_char_entropy" -> ((s, dir) => {
       val (n, ratio, ent) = TextAnalysis.charEntropy(col("text"))
@@ -368,6 +373,8 @@ object PipelineQueries extends QueryGroup {
   val ReservoirK = 20
   val PackShards = 4
   val PackSeqLen = 1024
+  val ChunkSize = 64
+  val ChunkOverlap = 8
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
@@ -720,6 +727,19 @@ object PipelineQueries extends QueryGroup {
           SELECT shard, CAST(o // $PackSeqLen AS BIGINT) AS pack_id, count(*) AS n_docs,
                  CAST(sum(n_tok) AS BIGINT) AS n_tokens
           FROM off GROUP BY 1, 2""",
+
+    // same start-index sequence / slice / rejoin as Chunking.chunkTokens
+    "q_chunk" -> {
+      val stride = ChunkSize - ChunkOverlap
+      s"""WITH lists AS ($SqlLists),
+               starts AS (SELECT doc_id, l, unnest(range(1, len(l) + 1, $stride)) AS st
+                          FROM lists WHERE len(l) > 0)
+          SELECT doc_id,
+                 CAST((st - 1) // $stride AS BIGINT) AS chunk_id,
+                 CAST(len(list_slice(l, st, st + $ChunkSize - 1)) AS BIGINT) AS n_tokens,
+                 array_to_string(list_slice(l, st, st + $ChunkSize - 1), ' ') AS chunk
+          FROM starts"""
+    },
 
     // identical letter-count/fold structure as TextAnalysis.charEntropy:
     // 26 translate-based counts, left-fold 'a'..'z' double sum

@@ -142,6 +142,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking equals direct token slicing on arbitrary text") {
+    import graft.pipeline.Chunking
+    val (size, overlap) = (7, 2)
+    val stride = size - overlap
+    forAllSeeded(rawText, n = 20) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val toks = df.select(explode(Analyzer.tokens($"text"))).as[String].collect().toSeq
+      val chunks = Chunking.chunkTokens(df, size, overlap).orderBy("chunk_id")
+        .select($"chunk_id", $"n_tokens", $"chunk").as[(Long, Long, String)].collect()
+      if (toks.isEmpty) assert(chunks.isEmpty)
+      else {
+        assert(chunks.length === (toks.length - 1) / stride + 1)
+        chunks.foreach { case (k, n, c) =>
+          val expect = toks.slice(k.toInt * stride, k.toInt * stride + size)
+          assert(n === expect.length.toLong)
+          assert(c === expect.mkString(" "), s"chunk $k mismatch")
+        }
+      }
+    }
+  }
+
   test("conservation: sum of tf per doc equals doc length; df <= N") {
     forAllSeeded(corpusGen) { texts =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
