@@ -118,6 +118,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("translate("), s"translate re-scan chain still present:\n$p")
   }
 
+  test("q_chunk: per-row generation fused into the scan — no shuffle") {
+    val p = plan("q_chunk")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected explode Generate in:\n$p")
+  }
+
+  test("q_funnel: user-keyed equi-joins only, no nested loop") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join found in:\n$p")
+  }
+
+  test("q_profile: exact distinct branches plan without an Expand") {
+    val p = plan("q_profile")
+    assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
