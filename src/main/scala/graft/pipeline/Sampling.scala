@@ -84,6 +84,41 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weight-based UPSAMPLING (replication) — the mixture
+    * op the downsamplers can't express: upweighting rare domains in a
+    * training mixture (w > 1 emits multiple copies). Each row of a
+    * stratum with weight `w` is emitted `floor(w)` times plus one extra
+    * copy when its salted hash falls below `frac(w)` of the hash range —
+    * expected copies = w, and the replication set is a pure function of
+    * the key (reproducible, append-stable, oracle-verifiable). Strata
+    * without a weight are dropped (weight 1.0 keeps a stratum as-is).
+    * Output gains a 1-based `copy` column so downstream
+    * shuffling/packing treats copies as distinct rows.
+    *
+    * Scale: per-row sequence-explode on the scan, rows out ∝ Σ weights —
+    * no shuffle, no state.
+    */
+  def upsample(df: DataFrame, keyCol: String, stratumCol: String,
+               weights: Map[String, Double],
+               salt: String = "upsample"): DataFrame = {
+    require(weights.nonEmpty, "need at least one stratum weight")
+    weights.values.foreach(w =>
+      require(w >= 0.0, s"weights must be non-negative, got $w"))
+    val base = weights.foldLeft(lit(-1L): Column) {
+      case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracCut = weights.foldLeft(lit(0L): Column) {
+      case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum, lit(cut(w - math.floor(w)))).otherwise(acc)
+    }
+    val extra = when(saltedHash(salt, col(keyCol)) < fracCut, 1L).otherwise(0L)
+    df.withColumn("__n_copies", when(base >= 0L, base + extra).otherwise(0L))
+      .filter(col("__n_copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies")
+  }
+
   /** Stratified deterministic sampling: a different fraction per stratum
     * value (e.g. downsample the dominant language, keep the rest) — the
     * domain-balancing step of a training-data mixture. Rows whose stratum

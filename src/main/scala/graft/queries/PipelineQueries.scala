@@ -361,6 +361,15 @@ object PipelineQueries extends QueryGroup {
     "q_chunk" -> ((s, dir) =>
       graft.pipeline.Chunking.chunkTokens(docs(s, dir), ChunkSize, ChunkOverlap)),
 
+    // deterministic weight-based upsampling: rare domains replicated
+    // (floor(w) copies + hash-decided extra), en unlisted → dropped —
+    // the upweighting half of the training-mixture story
+    "q_upsample" -> ((s, dir) =>
+      graft.pipeline.Sampling.upsample(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+          UpsampleWeights.toMap)
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
     // letter-histogram Shannon entropy (gibberish/binary-blob signal)
     "q_char_entropy" -> ((s, dir) => {
       val (n, ratio, ent) = TextAnalysis.charEntropy(col("text"))
@@ -375,6 +384,8 @@ object PipelineQueries extends QueryGroup {
   val PackSeqLen = 1024
   val ChunkSize = 64
   val ChunkOverlap = 8
+  // fr/zh upweighted, de kept, es downweighted below 1, en dropped
+  val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
@@ -727,6 +738,25 @@ object PipelineQueries extends QueryGroup {
           SELECT shard, CAST(o // $PackSeqLen AS BIGINT) AS pack_id, count(*) AS n_docs,
                  CAST(sum(n_tok) AS BIGINT) AS n_tokens
           FROM off GROUP BY 1, 2""",
+
+    // same base-copies + hash-decided-extra arithmetic as
+    // Sampling.upsample, replication via range unnest
+    "q_upsample" -> {
+      val baseCase = UpsampleWeights.map { case (l, w) =>
+        s"WHEN '$l' THEN ${math.floor(w).toLong}" }.mkString(" ")
+      val cutCase = UpsampleWeights.map { case (l, w) =>
+        s"WHEN '$l' THEN ${graft.pipeline.Sampling.cut(w - math.floor(w))}" }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id, lang,
+                            ${sqlSaltedHash("upsample", "doc_id")} AS h,
+                            CASE lang $baseCase ELSE -1 END AS base,
+                            CASE lang $cutCase ELSE 0 END AS fc
+                     FROM documents),
+               n AS (SELECT doc_id, lang,
+                            base + CASE WHEN h < fc THEN 1 ELSE 0 END AS n
+                     FROM w WHERE base >= 0)
+          SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy
+          FROM n WHERE n >= 1"""
+    },
 
     // same start-index sequence / slice / rejoin as Chunking.chunkTokens
     "q_chunk" -> {

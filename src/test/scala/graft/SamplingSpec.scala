@@ -79,6 +79,37 @@ class SamplingSpec extends SparkSpec {
       s"weighted draw should favor long docs: sel=$avgSel all=$avgAll")
   }
 
+  test("upsample: floor(w) copies plus hash-decided extra, unlisted strata dropped") {
+    val in = docs.select("doc_id", "lang")
+    val weights = Map("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4)
+    val out = Sampling.upsample(in, "doc_id", "lang", weights)
+      .as[(Long, String, Long)].collect()
+    val copies = out.groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    // copy column is 1..n per doc
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+    }
+    // weight 1.0 → exactly one copy for every de doc
+    val deDocs = in.filter($"lang" === "de").select("doc_id").as[Long].collect()
+    deDocs.foreach(id => assert(copies((id, "de")) === 1))
+    // weight 2.5 → every fr doc has 2 or 3 copies; average near 2.5
+    val frCounts = copies.collect { case ((_, "fr"), n) => n }
+    assert(frCounts.forall(n => n == 2 || n == 3))
+    val frAvg = frCounts.sum.toDouble / frCounts.size
+    assert(math.abs(frAvg - 2.5) < 0.35, s"fr avg copies $frAvg")
+    // weight 0.4 → es docs appear 0 or 1 times, roughly 40%
+    val esTotal = in.filter($"lang" === "es").count()
+    val esKept = copies.collect { case ((_, "es"), n) => n }
+    assert(esKept.forall(_ == 1))
+    assert(math.abs(esKept.size.toDouble / esTotal - 0.4) < 0.15)
+    // unlisted strata (en, zh) produce no rows
+    assert(!out.exists(r => r._2 == "en" || r._2 == "zh"))
+    // deterministic: a second invocation is identical
+    val again = Sampling.upsample(in, "doc_id", "lang", weights)
+      .as[(Long, String, Long)].collect()
+    assert(again.toSet === out.toSet)
+  }
+
   test("decontaminate drops exactly the flagged training docs; bench side broadcasts") {
     import graft.pipeline.Contamination
     val bench = docs.filter($"doc_id" % 50 === 0)
