@@ -90,6 +90,12 @@ object PipelineQueries extends QueryGroup {
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // embedding pooling: mean vector per label (class prototypes) —
+    // two-phase per-(label,dim) decimal aggregate, arrays reassembled in
+    // dimension order; exchange carries |labels|·d, never vectors
+    "q_embed_centroid" -> ((s, dir) =>
+      graft.similarity.Pooling.meanVectors(emb(s, dir), "label")),
+
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
@@ -376,10 +382,60 @@ object PipelineQueries extends QueryGroup {
       docs(s, dir).select(col("doc_id"), n.as("n_letters"),
         round(ratio, 6).as("letter_ratio"), round(ent, 6).as("entropy"))
     }),
+
+    // BPE vocabulary training (Sennrich-style, over word counts): the
+    // learned merge table for BpeNMerges steps — pair stats live on the
+    // vocabulary (sublinear in corpus), corpus read once, one argmax row
+    // to the driver per step. Oracle unrolls the iterations like
+    // q_pagerank's.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.merges(s, docs(s, dir), BpeNMerges)),
+
+    // ...and the learned tokenizer APPLIED: per-doc subword-unit count
+    // after the merges — the compression report for the corpus
+    "q_bpe_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Bpe.segmentUnitCounts(d, graft.text.Bpe.learnMerges(d, BpeNMerges))
+    }),
+
+    // versioned store time travel: three CDC commits (insert wave,
+    // update+tombstone wave, late-insert/revive/re-update wave) with a
+    // checkpoint between — then the table AS OF v2 and AS OF v3, both
+    // reconstructed from the same store (v3 through checkpoint + delta).
+    // Append-only commits; read cost ∝ checkpoint + delta, never history.
+    "q_time_travel" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      val path = QueryGroup.scratchDir("graft-ttstore")
+      val k3 = col("doc_id") % 13 === 3
+      VersionedStore.commit(s, path,
+        d.filter(!k3).withColumn("_op", lit("u")))
+      VersionedStore.commit(s, path,
+        d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0 && !k3)
+          .withColumn("source", concat(lit("v2:"), col("lang")))
+          .withColumn("_op", lit("u"))
+        .unionByName(
+          d.filter(col("doc_id") % 7 === 0 && !k3).withColumn("_op", lit("d"))))
+      VersionedStore.checkpoint(s, path, 2L, Seq("doc_id"))
+      VersionedStore.commit(s, path,
+        d.filter(k3)
+          .withColumn("source", concat(lit("v3:"), col("source")))
+          .withColumn("_op", lit("u"))
+        .unionByName(
+          d.filter(col("doc_id") % 11 === 0 && !k3)
+            .withColumn("source", concat(lit("v3u:"), col("lang")))
+            .withColumn("_op", lit("u"))))
+      VersionedStore.snapshotAt(s, path, 2L, Seq("doc_id"))
+        .withColumn("as_of", lit(2L))
+        .unionByName(VersionedStore.snapshotAt(s, path, 3L, Seq("doc_id"))
+          .withColumn("as_of", lit(3L)))
+        .select("as_of", "doc_id", "lang", "source", "n_chars")
+    }),
   )
 
   val SampleFrac = 0.1
   val ReservoirK = 20
+  val BpeNMerges = 3
   val PackShards = 4
   val PackSeqLen = 1024
   val ChunkSize = 64
@@ -858,6 +914,19 @@ object PipelineQueries extends QueryGroup {
 
     "q_dedup_embed" -> dedupEmbedOracle,
 
+    "q_embed_centroid" ->
+      """WITH perdim AS (
+           SELECT label, pos,
+                  CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE) AS s,
+                  count(*) AS n
+           FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                        unnest(embedding) AS x
+                 FROM embeddings)
+           GROUP BY 1, 2)
+         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                list(round(s / n, 6) ORDER BY pos) AS centroid
+         FROM perdim GROUP BY label""",
+
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
@@ -1000,5 +1069,86 @@ object PipelineQueries extends QueryGroup {
                              (acc, x) -> (acc * 31 + x) % 1000000007)
                  END AS fp
           FROM lists""",
+
+    "q_bpe_merges" ->
+      s"""WITH $bpeMergeCtes
+          SELECT * FROM (${(1 to BpeNMerges).map(i =>
+            s"""SELECT CAST($i AS BIGINT) AS step, pair_left, pair_right,
+                       pair_left || pair_right AS merged, CAST(freq AS BIGINT) AS freq
+                FROM m$i""").mkString(" UNION ALL ")})
+          ORDER BY step""",
+
+    // the full changelog replayed per as_of version: highest version per
+    // key wins, tombstones drop the key — checkpointing on the Spark side
+    // must be invisible in the answer
+    "q_time_travel" ->
+      """WITH log AS (
+           SELECT doc_id, lang, source, n_chars, 'u' AS op, 1 AS v
+           FROM documents WHERE doc_id % 13 <> 3
+           UNION ALL
+           SELECT doc_id, lang, 'v2:' || lang, n_chars, 'u', 2
+           FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3
+           UNION ALL
+           SELECT doc_id, lang, source, n_chars, 'd', 2
+           FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+           UNION ALL
+           SELECT doc_id, lang, 'v3:' || source, n_chars, 'u', 3
+           FROM documents WHERE doc_id % 13 = 3
+           UNION ALL
+           SELECT doc_id, lang, 'v3u:' || lang, n_chars, 'u', 3
+           FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 3),
+         snap AS (
+           SELECT a.as_of, l.*,
+                  row_number() OVER (PARTITION BY a.as_of, l.doc_id
+                                     ORDER BY l.v DESC) AS rn
+           FROM (VALUES (2), (3)) AS a(as_of)
+           JOIN log l ON l.v <= a.as_of)
+         SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, source, n_chars
+         FROM snap WHERE rn = 1 AND op <> 'd'""",
+
+    "q_bpe_segment" ->
+      s"""WITH $bpeMergeCtes,
+              d0 AS (SELECT doc_id,
+                            ' ' || array_to_string(list_transform(l,
+                                     w -> regexp_replace(w, '(.)', '\\1 ', 'g')), ' ') || ' ' AS repr
+                     FROM lists),
+              ${(1 to BpeNMerges).map(bpeSegStep).mkString(",\n")}
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(repr, ' '), x -> x <> '')) AS BIGINT) AS n_units
+          FROM d$BpeNMerges""",
   )
+
+  // ---- BPE oracle: the merge-learning loop of graft.text.Bpe unrolled
+  // into CTEs, one (pair-count, argmax, apply) triple per step — the same
+  // fixed-iteration-oracle pattern as q_pagerank. The double `replace`
+  // mirrors Bpe.applyMerge's two-pass exact greedy merging.
+  private def bpeReplace(reprRef: String): String =
+    s"""replace(replace($reprRef,
+                 ' ' || pair_left || ' ' || pair_right || ' ',
+                 ' ' || pair_left || pair_right || ' '),
+               ' ' || pair_left || ' ' || pair_right || ' ',
+               ' ' || pair_left || pair_right || ' ')"""
+
+  private def bpeMergeCtes: String = {
+    def step(i: Int): String =
+      s"""p$i AS (SELECT s[k] AS pair_left, s[k + 1] AS pair_right, sum(cnt) AS freq
+                  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS k
+                        FROM (SELECT cnt, list_filter(string_split(repr, ' '), x -> x <> '') AS s
+                              FROM w${i - 1}))
+                  GROUP BY 1, 2),
+          m$i AS (SELECT pair_left, pair_right, freq FROM p$i
+                  ORDER BY freq DESC, pair_left ASC, pair_right ASC LIMIT 1),
+          w$i AS (SELECT word, cnt, ${bpeReplace("repr")} AS repr
+                  FROM w${i - 1} CROSS JOIN m$i)"""
+    s"""lists AS ($SqlLists),
+        w0 AS (SELECT word, count(*) AS cnt,
+                      ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+               FROM (SELECT unnest(l) AS word FROM lists)
+               GROUP BY word),
+        ${(1 to BpeNMerges).map(step).mkString(",\n")}"""
+  }
+
+  private def bpeSegStep(i: Int): String =
+    s"""d$i AS (SELECT doc_id, ${bpeReplace("repr")} AS repr
+                FROM d${i - 1} CROSS JOIN m$i)"""
 }

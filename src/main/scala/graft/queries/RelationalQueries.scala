@@ -578,7 +578,36 @@ object RelationalQueries extends QueryGroup {
           col("approx_distinct").between(col("exact_distinct") * 0.95,
             col("exact_distinct") * 1.05).as("distinct_within_5pct"))
     }),
+
+    // ---- z-order clustering key: each dimension min/max-normalized to
+    //      the 2^16 grid (exact integer div), bits interleaved — the
+    //      multi-dim data-skipping layout key (Delta/Iceberg OPTIMIZE
+    //      ZORDER re-expressed as Column arithmetic). The layout's
+    //      skipping effect is measured in ZOrderSpec via per-file footer
+    //      rectangles; here the key itself is hash-verified.
+    "q_zorder" -> ((s, dir) =>
+      graft.operators.ZOrder.zOrdered(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("__z").as("zval"))),
+
+    // ---- ...and the layout round-trip: rewrite clustered on z, read
+    //      back through a box predicate on BOTH dimensions — the result
+    //      must be exactly the plain filter (the clustering buys file
+    //      skipping, never a different answer)
+    "q_zorder_scan" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-zscan")
+      graft.operators.ZOrder.writeZOrdered(t(s, dir, "lineitem"), path,
+        "l_orderkey", "l_partkey", nFiles = 16)
+      s.read.parquet(path)
+        .filter(col("l_orderkey").between(ZBox._1, ZBox._2) &&
+                col("l_partkey").between(ZBox._3, ZBox._4))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    }),
   )
+
+  /** q_zorder_scan box predicate (x0, x1, y0, y1) — nonzero matches at
+    * every fixture scale factor. */
+  val ZBox = (100L, 300L, 10L, 60L)
 
   /** Gate profiling column list. Double columns are left out only because
     * float→string rendering differs across engines; the operator itself
@@ -919,5 +948,16 @@ object RelationalQueries extends QueryGroup {
                    true AS distinct_within_5pct
             FROM lineitem"""
       }.mkString("\n        UNION ALL\n        "),
+
+    "q_zorder" ->
+      graft.operators.ZOrder.zOrderedSql("lineitem", "l_orderkey", "l_partkey",
+        Seq("l_orderkey", "l_partkey", "l_linenumber")),
+
+    // the layout changes WHERE rows live, never WHICH rows match
+    "q_zorder_scan" ->
+      s"""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+          FROM lineitem
+          WHERE l_orderkey BETWEEN ${ZBox._1} AND ${ZBox._2}
+            AND l_partkey BETWEEN ${ZBox._3} AND ${ZBox._4}""",
   )
 }

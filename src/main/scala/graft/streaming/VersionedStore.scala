@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned keyed store with time travel — the changelog side of
+  * [[UpsertSink]] kept instead of discarded: every commit appends an
+  * immutable changelog under `log/v=<k>/`, and any historical version can
+  * be reconstructed (the `VERSION AS OF` read of transactional table
+  * formats, re-expressed as plain parquet + one window).
+  *
+  * Layout:
+  * {{{
+  *   <path>/log/v=<k>/         commit k's changes: key cols, payload, _op
+  *   <path>/checkpoint/v=<c>/  materialized snapshot at version c
+  * }}}
+  *
+  * A read at version v applies only `log (c, v]` over the newest
+  * checkpoint `c <= v`: per key, the row with the highest version wins
+  * and delete tombstones (`_op = 'd'`) drop the key. Read cost is
+  * therefore ∝ |checkpoint| + |delta since|, never the full history —
+  * and commits are append-only (no read-modify-write), so ingest work is
+  * ∝ the batch alone. Checkpoints bound the delta the same way
+  * [[graft.pipeline.IncrementalAgg]] bounds its refresh.
+  *
+  * Contract: one row per key per commit (a compacted CDC batch — the
+  * shape [[UpsertSink.applyChangelog]] consumes); version resolution
+  * inside a commit would otherwise be undefined in ANY engine.
+  */
+object VersionedStore {
+
+  val OpCol = "_op"
+  val DeleteOp = "d"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Version directories under `root` (`v=<k>` → k, sorted). Driver-side
+    * listing of one directory level — bounded metadata. */
+  private def listVersions(spark: SparkSession, root: Path): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Committed changelog versions, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    listVersions(spark, new Path(path, "log"))
+
+  /** Append `changes` (key cols + payload + `_op`) as the next version;
+    * returns the version number assigned. */
+  def commit(spark: SparkSession, path: String, changes: DataFrame): Long = {
+    require(changes.columns.contains(OpCol),
+      s"changelog commit needs an '$OpCol' column ('u' upsert / '$DeleteOp' delete)")
+    val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+    changes.write.mode("errorifexists").parquet(s"$path/log/v=$next")
+    next
+  }
+
+  /** Reconstruct the table as of `version`: newest checkpoint ≤ version,
+    * plus the changelog delta after it, resolved per key by highest
+    * version (checkpoint rows count as their checkpoint version). */
+  def snapshotAt(spark: SparkSession, path: String, version: Long,
+                 keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotAt needs at least one key column")
+    val committed = versions(spark, path)
+    require(committed.nonEmpty, s"no commits at $path")
+    require(committed.contains(version),
+      s"version $version not committed at $path (have ${committed.mkString(", ")})")
+    val ckpts = listVersions(spark, new Path(path, "checkpoint")).filter(_ <= version)
+    val base = ckpts.lastOption
+    val deltaVs = committed.filter(v => v > base.getOrElse(0L) && v <= version)
+    // basePath keeps the v=<k> dirs as a partition column on the read
+    val delta =
+      if (deltaVs.isEmpty) None
+      else Some(spark.read.option("basePath", s"$path/log")
+        .parquet(deltaVs.map(v => s"$path/log/v=$v"): _*)
+        .withColumn("__v", col("v").cast("long")).drop("v"))
+    val baseDf = base.map { c =>
+      spark.read.parquet(s"$path/checkpoint/v=$c")
+        .withColumn(OpCol, lit("u")).withColumn("__v", lit(c))
+    }
+    val all = (baseDf.toSeq ++ delta.toSeq).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OpCol) =!= DeleteOp)
+      .drop("__rn", "__v", OpCol)
+  }
+
+  /** Materialize the snapshot at `version` as a checkpoint, so later
+    * reads start from it instead of replaying history. Temp-write +
+    * rename: concurrent readers never see a partial checkpoint. */
+  def checkpoint(spark: SparkSession, path: String, version: Long,
+                 keys: Seq[String]): Unit = {
+    val live = new Path(s"$path/checkpoint/v=$version")
+    val f = fs(spark, live)
+    val tmp = new Path(live.getParent, s"_v=$version.ckpt_tmp")
+    snapshotAt(spark, path, version, keys).write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(tmp, live))
+      throw new java.io.IOException(s"checkpoint: failed to install $tmp at $live")
+  }
+}

@@ -135,6 +135,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")
   }
 
+  test("q_zorder: 1-row stats ride a broadcast, never a shuffled cartesian") {
+    // the min/max normalization stats must attach as a broadcast nested
+    // loop over ONE row — a CartesianProduct would shuffle the fact side
+    val p = plan("q_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian in:\n$p")
+  }
+
+  test("q_bpe pair counting aggregates two-phase over the vocabulary") {
+    // the per-iteration pair count must be partial+final (map-side
+    // combine) so the exchange carries pair cardinality, not vocab rows
+    import org.apache.spark.sql.functions.col
+    val words = graft.text.Bpe.wordCounts(
+      Tables.load(spark, sf0001, "documents"))
+      .withColumn("repr", graft.text.Bpe.charRepr(col("word")))
+    val p = graft.text.Bpe.pairCounts(words)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate in:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
