@@ -64,4 +64,42 @@ object Profiling {
       wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — one row
+    * per unordered pair `(col_a, col_b, r)` — the feature-redundancy
+    * report run before training on tabular signals.
+    *
+    * ONE scan, ONE plain aggregate: r is derived from raw co-moments
+    * (n, Σx, Σx², Σxy), so all C(k,2) pairs come out of a single
+    * Expand-free pass with O(k²) scalar state — never a per-pair job
+    * like `Statistics.corr` loops, never a shuffle of the data. The
+    * co-moment sums use the repo-wide round-then-DECIMAL discipline:
+    * partial sums are exact, so r is partition-order independent and
+    * reproducible in the SQL oracle (builtin `corr`'s streaming double
+    * co-moments are not).
+    *
+    * Index-based aliases keep column names out of identifier positions.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c.cast("double"), 6).cast("decimal(27,6)")).cast("double")
+    val aggs =
+      cols.zipWithIndex.map { case (c, i) => dsum(df(c)).as(s"s$i") } ++
+      cols.zipWithIndex.map { case (c, i) => dsum(df(c) * df(c)).as(s"ss$i") } ++
+      pairs.map { case (i, j) => dsum(df(cols(i)) * df(cols(j))).as(s"sp${i}_$j") } :+
+      count(lit(1)).cast("double").as("n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // numerator/denominator shapes mirror the oracle SQL term for term:
+    // identical IEEE ops on identical (exact) inputs → identical doubles
+    val rows = pairs.map { case (i, j) =>
+      val num = col("n") * col(s"sp${i}_$j") - col(s"s$i") * col(s"s$j")
+      val den = sqrt(col("n") * col(s"ss$i") - col(s"s$i") * col(s"s$i")) *
+        sqrt(col("n") * col(s"ss$j") - col(s"s$j") * col(s"s$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        round(num / den, 6).as("r"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

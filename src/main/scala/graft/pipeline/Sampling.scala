@@ -69,7 +69,13 @@ object Sampling {
 
   /** Append a `split` column assigning each row to one of the named
     * weighted partitions (e.g. train/val/test) by salted hash range —
-    * exhaustive and disjoint by construction. */
+    * exhaustive and disjoint by construction.
+    *
+    * Pass a GROUP key (user id, session, source document) instead of a
+    * row key for a leakage-free grouped split: the hash is a pure
+    * function of the key, so every row of a group lands in the same
+    * split — no shuffle, no group materialization (q_group_split gates
+    * this with an oracle-recomputed zero-leak count). */
   def assignSplit(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
                   salt: String = "split"): DataFrame = {
     require(weights.nonEmpty, "need at least one split")

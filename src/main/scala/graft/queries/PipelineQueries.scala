@@ -403,35 +403,102 @@ object PipelineQueries extends QueryGroup {
     // checkpoint between — then the table AS OF v2 and AS OF v3, both
     // reconstructed from the same store (v3 through checkpoint + delta).
     // Append-only commits; read cost ∝ checkpoint + delta, never history.
+    // hybrid retrieval: reciprocal-rank fusion of the sparse TF-IDF
+    // ranking (inverted-index access path) and the dense cosine ranking
+    // (embedding access path) for the same query docs — rank-only
+    // fusion, no score calibration; the heavy lifting stays in the two
+    // per-modality retrievers, fusion is a bounded union + tiny agg
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val sparse = graft.search.SparseSim.tfidfTopK(docs(s, dir), AnnQueryIds, 10)
+        .select("query_id", "doc_id", "rank")
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.search.HybridRetrieval.rrfFuse(
+        Seq("sparse" -> sparse, "dense" -> dense), k = 10)
+    }),
+
+    // per-document TF-IDF keywords (top-3 terms): the topical-metadata
+    // extraction step of a corpus pipeline, ranked on bounded
+    // TopKPerKey heaps — no float summation anywhere (pure products)
+    "q_keywords" -> ((s, dir) =>
+      graft.search.SparseSim.keywords(docs(s, dir), n = 3)),
+
+    // GROUP-AWARE split: orders assigned to train/val/test keyed on
+    // o_custkey, so every order of a customer lands in one split —
+    // the leakage-free protocol for grouped data (split by entity,
+    // never by row). n_leaky_groups recomputed by the oracle = the
+    // leak-freedom claim is itself hash-verified, not just asserted.
+    "q_group_split" -> ((s, dir) => {
+      val a = graft.pipeline.Sampling.assignSplit(
+        Tables.load(s, dir, "orders"), "o_custkey", SplitWeights)
+      val leaky = a.groupBy("o_custkey")
+        .agg(count_distinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky_groups"))
+      a.groupBy("split")
+        .agg(count(lit(1)).as("n_orders"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .crossJoin(broadcast(leaky))
+    }),
+
     "q_time_travel" -> ((s, dir) => {
-      import graft.streaming.VersionedStore
-      val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
       val path = QueryGroup.scratchDir("graft-ttstore")
-      val k3 = col("doc_id") % 13 === 3
-      VersionedStore.commit(s, path,
-        d.filter(!k3).withColumn("_op", lit("u")))
-      VersionedStore.commit(s, path,
-        d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0 && !k3)
-          .withColumn("source", concat(lit("v2:"), col("lang")))
-          .withColumn("_op", lit("u"))
-        .unionByName(
-          d.filter(col("doc_id") % 7 === 0 && !k3).withColumn("_op", lit("d"))))
-      VersionedStore.checkpoint(s, path, 2L, Seq("doc_id"))
-      VersionedStore.commit(s, path,
-        d.filter(k3)
-          .withColumn("source", concat(lit("v3:"), col("source")))
-          .withColumn("_op", lit("u"))
-        .unionByName(
-          d.filter(col("doc_id") % 11 === 0 && !k3)
-            .withColumn("source", concat(lit("v3u:"), col("lang")))
-            .withColumn("_op", lit("u"))))
-      VersionedStore.snapshotAt(s, path, 2L, Seq("doc_id"))
-        .withColumn("as_of", lit(2L))
-        .unionByName(VersionedStore.snapshotAt(s, path, 3L, Seq("doc_id"))
-          .withColumn("as_of", lit(3L)))
-        .select("as_of", "doc_id", "lang", "source", "n_chars")
+      ttStoreSetup(s, dir, path)
+      ttSnapshots(s, path)
+    }),
+
+    // the same store after VACUUM at the v2 checkpoint: log v1–v2 and
+    // pre-base checkpoints are gone, yet both retained reads answer
+    // byte-identically (shared oracle with q_time_travel) — the
+    // retention contract of transactional-table VACUUM on the gate
+    "q_vacuum" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val path = QueryGroup.scratchDir("graft-ttvacuum")
+      ttStoreSetup(s, dir, path)
+      val stats = VersionedStore.vacuum(s, path, retain = 2L)
+      require(stats.droppedLogs == Seq(1L, 2L),
+        s"vacuum should drop logs v1,v2 (subsumed by the v2 checkpoint): $stats")
+      ttSnapshots(s, path)
     }),
   )
+
+  /** Shared q_time_travel / q_vacuum fixture: three CDC commits (insert
+    * wave, update+tombstone wave, late-insert/revive/re-update wave)
+    * with a checkpoint at v2. */
+  private def ttStoreSetup(s: SparkSession, dir: String, path: String): Unit = {
+    import graft.streaming.VersionedStore
+    val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+    val k3 = col("doc_id") % 13 === 3
+    VersionedStore.commit(s, path,
+      d.filter(!k3).withColumn("_op", lit("u")))
+    VersionedStore.commit(s, path,
+      d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0 && !k3)
+        .withColumn("source", concat(lit("v2:"), col("lang")))
+        .withColumn("_op", lit("u"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0 && !k3).withColumn("_op", lit("d"))))
+    VersionedStore.checkpoint(s, path, 2L, Seq("doc_id"))
+    VersionedStore.commit(s, path,
+      d.filter(k3)
+        .withColumn("source", concat(lit("v3:"), col("source")))
+        .withColumn("_op", lit("u"))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0 && !k3)
+          .withColumn("source", concat(lit("v3u:"), col("lang")))
+          .withColumn("_op", lit("u"))))
+  }
+
+  /** The table AS OF v2 and AS OF v3, both reconstructed from the same
+    * store (v3 through checkpoint + delta). */
+  private def ttSnapshots(s: SparkSession, path: String): DataFrame = {
+    import graft.streaming.VersionedStore
+    VersionedStore.snapshotAt(s, path, 2L, Seq("doc_id"))
+      .withColumn("as_of", lit(2L))
+      .unionByName(VersionedStore.snapshotAt(s, path, 3L, Seq("doc_id"))
+        .withColumn("as_of", lit(3L)))
+      .select("as_of", "doc_id", "lang", "source", "n_chars")
+  }
 
   val SampleFrac = 0.1
   val ReservoirK = 20
@@ -640,6 +707,20 @@ object PipelineQueries extends QueryGroup {
           SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
     }
 
+  // shared by q_cosine_topk and (as the dense leg) q_hybrid_rrf
+  private lazy val cosineOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ($ids)),
+             s AS (SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+                   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             r AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id ASC) AS rank
+                   FROM s)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   // shared by q_tfidf_topk and q_tfidf_store (the store path must compute
   // the identical result from persisted tables)
   private lazy val tfidfOracle: String = {
@@ -669,6 +750,53 @@ object PipelineQueries extends QueryGroup {
                    FROM scored)
         SELECT query_id, doc_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
   }
+
+  // RRF fusion of the two retriever oracles — contribution arithmetic
+  // mirrors HybridRetrieval.rrfFuse (round-then-DECIMAL partial sums)
+  private lazy val hybridOracle: String =
+    s"""WITH sparse AS ($tfidfOracle),
+             dense AS ($cosineOracle),
+             u AS (SELECT query_id, doc_id, rank, 'sparse' AS src FROM sparse
+                   UNION ALL
+                   SELECT query_id, vec_id AS doc_id, rank, 'dense' AS src FROM dense),
+             f AS (SELECT query_id, doc_id,
+                          CAST(sum(CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(25,9))) AS DOUBLE) AS rrf,
+                          max(CASE WHEN src = 'sparse' THEN rank END) AS sparse_rank,
+                          max(CASE WHEN src = 'dense' THEN rank END) AS dense_rank
+                   FROM u GROUP BY 1, 2),
+             r AS (SELECT query_id, doc_id, rrf, sparse_rank, dense_rank,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rrf DESC, doc_id ASC) AS rank
+                   FROM f)
+        SELECT query_id, doc_id, round(rrf, 6) AS rrf, sparse_rank, dense_rank, rank
+        FROM r WHERE rank <= 10"""
+
+  // shared by q_time_travel and q_vacuum (vacuum keeps retained reads
+  // byte-identical, so the same full-history replay is the truth)
+  private lazy val timeTravelOracle: String =
+    """WITH log AS (
+         SELECT doc_id, lang, source, n_chars, 'u' AS op, 1 AS v
+         FROM documents WHERE doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, 'v2:' || lang, n_chars, 'u', 2
+         FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'd', 2
+         FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, 'v3:' || source, n_chars, 'u', 3
+         FROM documents WHERE doc_id % 13 = 3
+         UNION ALL
+         SELECT doc_id, lang, 'v3u:' || lang, n_chars, 'u', 3
+         FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 3),
+       snap AS (
+         SELECT a.as_of, l.*,
+                row_number() OVER (PARTITION BY a.as_of, l.doc_id
+                                   ORDER BY l.v DESC) AS rn
+         FROM (VALUES (2), (3)) AS a(as_of)
+         JOIN log l ON l.v <= a.as_of)
+       SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, source, n_chars
+       FROM snap WHERE rn = 1 AND op <> 'd'"""
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -964,18 +1092,7 @@ object PipelineQueries extends QueryGroup {
     // the store path computes the same result from persisted tables
     "q_tfidf_store" -> tfidfOracle,
 
-    "q_cosine_topk" -> {
-      val ids = AnnQueryIds.mkString(", ")
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ($ids)),
-               s AS (SELECT q.query_id, e.vec_id,
-                            list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
-                     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-               r AS (SELECT query_id, vec_id, cos,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, vec_id ASC) AS rank
-                     FROM s)
-          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
-    },
+    "q_cosine_topk" -> cosineOracle,
 
     "q_lang_id" -> {
       val hitExprs = TextAnalysis.DefaultMarkers.map { case (lang, _) =>
@@ -1081,30 +1198,45 @@ object PipelineQueries extends QueryGroup {
     // the full changelog replayed per as_of version: highest version per
     // key wins, tombstones drop the key — checkpointing on the Spark side
     // must be invisible in the answer
-    "q_time_travel" ->
-      """WITH log AS (
-           SELECT doc_id, lang, source, n_chars, 'u' AS op, 1 AS v
-           FROM documents WHERE doc_id % 13 <> 3
-           UNION ALL
-           SELECT doc_id, lang, 'v2:' || lang, n_chars, 'u', 2
-           FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3
-           UNION ALL
-           SELECT doc_id, lang, source, n_chars, 'd', 2
-           FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
-           UNION ALL
-           SELECT doc_id, lang, 'v3:' || source, n_chars, 'u', 3
-           FROM documents WHERE doc_id % 13 = 3
-           UNION ALL
-           SELECT doc_id, lang, 'v3u:' || lang, n_chars, 'u', 3
-           FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 3),
-         snap AS (
-           SELECT a.as_of, l.*,
-                  row_number() OVER (PARTITION BY a.as_of, l.doc_id
-                                     ORDER BY l.v DESC) AS rn
-           FROM (VALUES (2), (3)) AS a(as_of)
-           JOIN log l ON l.v <= a.as_of)
-         SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, source, n_chars
-         FROM snap WHERE rn = 1 AND op <> 'd'""",
+    "q_time_travel" -> timeTravelOracle,
+
+    // vacuum must be equally invisible at the retained versions — the
+    // oracle replays the SAME full history the store no longer has
+    "q_vacuum" -> timeTravelOracle,
+
+    "q_hybrid_rrf" -> hybridOracle,
+
+    "q_keywords" ->
+      s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
+                        FROM ($SqlTokens) GROUP BY 1, 2),
+               vocab AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+               w AS (SELECT doc_id, term,
+                            round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS w
+                     FROM post JOIN vocab USING (term)),
+               r AS (SELECT doc_id, term, w,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY w DESC, term ASC) AS rank
+                     FROM w)
+          SELECT doc_id, term, w, rank FROM r WHERE rank <= 3""",
+
+    "q_group_split" -> {
+      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+      val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+        s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
+      }.mkString(" ")
+      s"""WITH a AS (SELECT o_custkey,
+                            CASE $arms ELSE '${SplitWeights.last._1}' END AS split
+                     FROM (SELECT o_custkey,
+                                  ${sqlSaltedHash("split", "o_custkey")} AS h
+                           FROM orders)),
+               leak AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_groups
+                        FROM (SELECT o_custkey, count(DISTINCT split) AS ns
+                              FROM a GROUP BY 1))
+          SELECT split, count(*) AS n_orders,
+                 count(DISTINCT o_custkey) AS n_customers,
+                 (SELECT n_leaky_groups FROM leak) AS n_leaky_groups
+          FROM a GROUP BY 1"""
+    },
 
     "q_bpe_segment" ->
       s"""WITH $bpeMergeCtes,

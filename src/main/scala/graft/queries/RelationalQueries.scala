@@ -603,7 +603,41 @@ object RelationalQueries extends QueryGroup {
                 col("l_partkey").between(ZBox._3, ZBox._4))
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
     }),
+
+    // ---- Bloom-pruned semi join: the selective dim side (urgent,
+    //      high-value orders) is summarized as a broadcast bitset and
+    //      fact rows that cannot match are dropped BEFORE the join's
+    //      exchange. Semantically the plain semi join (Bloom has no
+    //      false negatives; the exact join kills false positives) —
+    //      which is exactly what the oracle verifies. BloomSpec asserts
+    //      the pre-filter really prunes and stays superset-correct.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > BloomDimPrice)
+      graft.operators.BloomJoin.prunedSemiJoin(
+          t(s, dir, "lineitem"), dim, Seq("l_orderkey" -> "o_orderkey"),
+          numBits = 1 << 16)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // ---- pairwise Pearson correlation matrix over the fact table's
+    //      numeric columns: ONE scan, ONE Expand-free aggregate of
+    //      decimal co-moments; r derived per pair from the exact sums
+    //      (builtin `corr`'s streaming double co-moments are
+    //      order-dependent and not oracle-reproducible)
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.operators.Profiling.correlationMatrix(t(s, dir, "lineitem"), CorrCols)),
   )
+
+  /** q_bloom_join dim-side price floor — selective at every fixture SF. */
+  val BloomDimPrice = 150000.0
+
+  /** q_corr_matrix columns (the lineitem numeric measures). */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** q_zorder_scan box predicate (x0, x1, y0, y1) — nonzero matches at
     * every fixture scale factor. */
@@ -959,5 +993,39 @@ object RelationalQueries extends QueryGroup {
           FROM lineitem
           WHERE l_orderkey BETWEEN ${ZBox._1} AND ${ZBox._2}
             AND l_partkey BETWEEN ${ZBox._3} AND ${ZBox._4}""",
+
+    // the Bloom pre-filter is semantically invisible: the oracle is the
+    // plain semi join
+    "q_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT'
+                                 AND o_totalprice > $BloomDimPrice)
+          GROUP BY l_returnflag""",
+
+    // identical co-moment/derivation shapes term for term (exact decimal
+    // sums → identical doubles → identical r)
+    "q_corr_matrix" -> {
+      def ds(e: String) = s"CAST(sum(CAST(round($e, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+      val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+        yield (i, j)
+      val sums =
+        CorrCols.zipWithIndex.map { case (c, i) => s"${ds(c)} AS s$i" } ++
+        CorrCols.zipWithIndex.map { case (c, i) => s"${ds(s"$c * $c")} AS ss$i" } ++
+        pairs.map { case (i, j) =>
+          s"${ds(s"${CorrCols(i)} * ${CorrCols(j)}")} AS sp${i}_$j" } :+
+        "CAST(count(*) AS DOUBLE) AS n"
+      val rows = pairs.map { case (i, j) =>
+        s"""SELECT '${CorrCols(i)}' AS col_a, '${CorrCols(j)}' AS col_b,
+                   round((n * sp${i}_$j - s$i * s$j) /
+                         (sqrt(n * ss$i - s$i * s$i) * sqrt(n * ss$j - s$j * s$j)), 6) AS r
+            FROM m"""
+      }
+      s"""WITH m AS (SELECT ${sums.mkString(",\n                          ")}
+                     FROM lineitem)
+          ${rows.mkString("\n          UNION ALL\n          ")}"""
+    },
   )
 }

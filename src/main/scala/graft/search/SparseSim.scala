@@ -92,4 +92,23 @@ object SparseSim {
           .orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
       .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Top-`n` TF-IDF keywords per document — `(doc_id, term, w, rank)`,
+    * `w = round(tf · ln(N/df), 6)`, ties by term. The per-doc summary a
+    * training pipeline attaches as metadata (topical routing, mixture
+    * labeling). Scale shape: the weights join is postings ⋈ vocab on
+    * `term` (vocab broadcasts), ranking is TopKPerKey's bounded
+    * per-group heaps — state ∝ n per doc, never the full term list; no
+    * per-doc ordering issue since each weight is a pure product (no
+    * float summation at all). */
+  def keywords(corpus: DataFrame, n: Int, dfCapFrac: Double = 1.0): DataFrame = {
+    val w = tfidfWeights(corpus, dfCapFrac)
+      .withColumn("w", round(col("w"), 6))
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(w,
+        keys = Seq("doc_id"), order = Seq("w" -> false, "term" -> true), n)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("w").desc, col("term").asc)).cast("long"))
+      .select(col("doc_id"), col("term"), col("w"), col("rank"))
+  }
 }

@@ -69,10 +69,14 @@ object VersionedStore {
                  keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotAt needs at least one key column")
     val committed = versions(spark, path)
-    require(committed.nonEmpty, s"no commits at $path")
-    require(committed.contains(version),
-      s"version $version not committed at $path (have ${committed.mkString(", ")})")
-    val ckpts = listVersions(spark, new Path(path, "checkpoint")).filter(_ <= version)
+    // a vacuumed store may have dropped the log of a checkpointed version;
+    // the checkpoint itself still makes that version readable
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    require(committed.nonEmpty || ckptVs.nonEmpty, s"no commits at $path")
+    require(committed.contains(version) || ckptVs.contains(version),
+      s"version $version not readable at $path (logs ${committed.mkString(", ")}; " +
+        s"checkpoints ${ckptVs.mkString(", ")} — vacuumed history cannot be time-traveled)")
+    val ckpts = ckptVs.filter(_ <= version)
     val base = ckpts.lastOption
     val deltaVs = committed.filter(v => v > base.getOrElse(0L) && v <= version)
     // basePath keeps the v=<k> dirs as a partition column on the read
@@ -91,6 +95,40 @@ object VersionedStore {
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OpCol) =!= DeleteOp)
       .drop("__rn", "__v", OpCol)
+  }
+
+  final case class VacuumStats(base: Long, droppedLogs: Seq[Long],
+                               droppedCheckpoints: Seq[Long])
+
+  /** Drop history not needed to reconstruct any version ≥ `retain`.
+    *
+    * Let `c` be the newest checkpoint ≤ `retain`: every read at v ≥ c
+    * starts from that checkpoint and replays only `log (c, v]`, so log
+    * versions ≤ c and checkpoints < c are dead weight — they are
+    * deleted. Reads at any v ≥ c (including c itself, now served purely
+    * by the checkpoint) return byte-identical answers; versions < c
+    * become unreadable *by design* (that is the retention policy, the
+    * same contract as transactional table formats' VACUUM).
+    *
+    * Refuses to run when no checkpoint ≤ `retain` exists — deleting any
+    * log then would corrupt the reads the caller asked to keep. Driver
+    * work is one directory listing + O(dropped) deletes; no data pass.
+    */
+  def vacuum(spark: SparkSession, path: String, retain: Long): VacuumStats = {
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    require(committed.nonEmpty || ckptVs.nonEmpty, s"no commits at $path")
+    val base = ckptVs.filter(_ <= retain).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"vacuum(retain=$retain) needs a checkpoint at or before $retain " +
+          s"(have ${ckptVs.mkString(", ")}) — run checkpoint() first, or " +
+          "every version <= retain would become unreadable"))
+    val dropLogs = committed.filter(_ <= base)
+    val dropCkpts = ckptVs.filter(_ < base)
+    val f = fs(spark, new Path(path))
+    dropLogs.foreach(v => f.delete(new Path(s"$path/log/v=$v"), true))
+    dropCkpts.foreach(v => f.delete(new Path(s"$path/checkpoint/v=$v"), true))
+    VacuumStats(base, dropLogs, dropCkpts)
   }
 
   /** Materialize the snapshot at `version` as a checkpoint, so later

@@ -125,4 +125,36 @@ class PackingProfilingSpec extends SparkSpec {
       Packing.packAssignments(df, "doc_id", "n_tok", 4, 128))
     assert(e.getMessage.contains("shard"))
   }
+
+  // ---- correlation matrix ----
+
+  test("correlationMatrix: exact on perfectly correlated columns") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0, -0.5 * i))
+      .toDF("x", "y", "z")
+    val m = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("x", "y")) === 1.0)   // positive linear
+    assert(m(("x", "z")) === -1.0)  // negative linear
+    assert(m(("y", "z")) === -1.0)
+    assert(m.size === 3, "C(3,2) unordered pairs")
+  }
+
+  test("correlationMatrix agrees with builtin corr and ignores partitioning") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val ours = Profiling.correlationMatrix(li, cols)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val builtin = li.agg(
+      corr(col("l_quantity"), col("l_extendedprice")),
+      corr(col("l_quantity"), col("l_discount")),
+      corr(col("l_extendedprice"), col("l_discount")))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(ours(("l_quantity", "l_extendedprice")) - builtin._1) < 1e-6)
+    assert(math.abs(ours(("l_quantity", "l_discount"))      - builtin._2) < 1e-6)
+    assert(math.abs(ours(("l_extendedprice", "l_discount")) - builtin._3) < 1e-6)
+    // exact decimal co-moments → identical r under any partitioning
+    val re = Profiling.correlationMatrix(li.repartition(13), cols)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(re === ours)
+  }
 }

@@ -135,6 +135,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")
   }
 
+  test("q_corr_matrix: one scan, one Expand-free aggregate for all pairs") {
+    val p = plan("q_corr_matrix")
+    assert(!p.contains("Expand"), s"Expand found in co-moment plan:\n$p")
+    // formatted output lists each node twice (tree + detail) — count ids
+    val scanIds = """\((\d+)\) Scan parquet""".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(scanIds.size === 1,
+      s"all C(k,2) pairs must come from ONE lineitem pass:\n$p")
+  }
+
+  test("q_bloom_join: bloom probe on the scan side, then a real semi join") {
+    val p = plan("q_bloom_join")
+    // the probe is pure column arithmetic over the broadcast bitset —
+    // shift/AND must appear below the semi join, not a UDF
+    assert(p.contains("shiftrightunsigned"), s"bloom probe missing in:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi join missing in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian found in:\n$p")
+  }
+
+  test("q_hybrid_rrf: fusion adds no corpus-side nested loop") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"cartesian found in:\n$p")
+    assert(p.contains("TopKPerKey"), s"bounded-heap ranking missing in:\n$p")
+  }
+
   test("q_zorder: 1-row stats ride a broadcast, never a shuffled cartesian") {
     // the min/max normalization stats must attach as a broadcast nested
     // loop over ONE row — a CartesianProduct would shuffle the fact side

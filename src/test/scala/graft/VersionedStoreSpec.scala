@@ -55,6 +55,49 @@ class VersionedStoreSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       VersionedStore.snapshotAt(spark, path, 9L, Seq("k"))
     }
-    assert(e.getMessage.contains("not committed"))
+    assert(e.getMessage.contains("not readable"))
+  }
+
+  test("vacuum drops subsumed history; retained reads are byte-identical") {
+    val path = QueryGroup.scratchDir("graft-vstore-vac")
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (1L, "a1", "d")))
+    VersionedStore.commit(spark, path, ch((3L, "c3", "u")))
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+
+    def at(v: Long) = VersionedStore.snapshotAt(spark, path, v, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    val before2 = at(2L)
+    val before3 = at(3L)
+
+    val stats = VersionedStore.vacuum(spark, path, retain = 2L)
+    assert(stats.base === 2L)
+    assert(stats.droppedLogs === Seq(1L, 2L))     // subsumed by ckpt v2
+    assert(stats.droppedCheckpoints === Seq(1L))  // superseded by ckpt v2
+    assert(VersionedStore.versions(spark, path) === Seq(3L))
+
+    // retained versions answer identically (v2 now served by the
+    // checkpoint alone, v3 by checkpoint + log v3)
+    assert(at(2L) === before2)
+    assert(at(3L) === before3)
+
+    // vacuumed history is gone by design
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.snapshotAt(spark, path, 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum refuses to run without a checkpoint at or before retain") {
+    val path = QueryGroup.scratchDir("graft-vstore-vac-nockpt")
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u")))
+    val e = intercept[IllegalStateException] {
+      VersionedStore.vacuum(spark, path, retain = 2L)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    // nothing was deleted
+    assert(VersionedStore.versions(spark, path) === Seq(1L, 2L))
   }
 }
