@@ -71,6 +71,28 @@ object Indexer {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("int").as("tf"))
 
+  /** Positional inverted index: `(term, doc_id, positions, tf)` with
+    * `positions` the sorted 0-based token offsets of `term` in the
+    * document — the index shape phrase/proximity queries need
+    * ([[graft.search.PhraseSearch]]). The reference's index is
+    * frequency-only (`mapreduce/mapper2.py:14-18` emits bare
+    * `(term, doc)` pairs); positions are the standard search-engine
+    * extension of that posting format.
+    *
+    * Scale: same single wide dependency as [[postings]] — one exchange
+    * on `(term, doc_id)`; `collect_list` state per group is the
+    * occurrence count of that term in that one document (bounded by
+    * document length, not corpus size).
+    */
+  def positionalPostings(corpus: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(Analyzer.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).cast("int").as("tf"))
+
   /** Document frequency per term: `(term, df)`.
     * Reference: `reducer2.py:46-52` (doc-boundary counting in the sorted
     * stream). Postings are already distinct per `(term, doc_id)`, so a

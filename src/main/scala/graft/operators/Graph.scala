@@ -55,4 +55,33 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation count over an undirected pair list.
+    * Triangles measure local clustering — in a near-duplicate graph they
+    * separate tight duplicate cliques (every pair agrees) from chains of
+    * borderline matches (transitive false positives), the standard
+    * post-LSH diagnostic before trusting cluster survivorship.
+    *
+    * Shape: edges canonicalized to `a < b`; a triangle `a < b < c` is
+    * found once as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — three equi-joins on
+    * node ids, no enumeration of wedges beyond what the (b)-keyed join
+    * produces. Scale: wedge volume is Σ_b deg(b)², the unavoidable lower
+    * bound; joins shuffle on node ids, and the duplicate-graph degrees
+    * are bounded by cluster sizes, not corpus size.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true) // pairs may carry the whole LSH lineage
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -151,6 +151,13 @@ object EventQueries extends QueryGroup {
           Seq("view", "click", "purchase"))
         .select(col("step"), col("step_type"), col("n_users"),
           round(col("conversion"), 6).as("conversion"))),
+
+    // robust outlier flagging per event type: median/MAD z-score — the
+    // estimator the outliers themselves can't poison (unlike mean/std);
+    // two exact-percentile aggregate passes, stats broadcast back
+    "q_outliers" -> ((s, dir) =>
+      graft.operators.Distribution.robustOutliers(events(s, dir),
+        "event_type", "event_id", "value", cut = 3.0)),
   )
 
   private val TumblingSql =
@@ -281,6 +288,20 @@ object EventQueries extends QueryGroup {
          SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
          UNION ALL
          SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c1, 6) FROM c""",
+
+    // median/MAD twins of Distribution.robustOutliers: the filter runs
+    // on the UNROUNDED score (as the Spark side does), output rounded
+    "q_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+              m2 AS (SELECT e.event_type, e.event_id, e.value, med.med
+                     FROM events e JOIN med USING (event_type)),
+              mad AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+                      FROM m2 GROUP BY 1)
+         SELECT m2.event_type, m2.event_id, m2.value,
+                round((m2.value - m2.med) / (1.4826 * mad.mad), 6) AS rz
+         FROM m2 JOIN mad USING (event_type)
+         WHERE abs((m2.value - m2.med) / (1.4826 * mad.mad)) > 3.0""",
   )
 
   // shared step CTEs for the funnel pair (earliest strictly-ordered

@@ -79,6 +79,39 @@ object PipelineQueries extends QueryGroup {
           "doc_a", "doc_b", iters = 3)
         .select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))),
 
+    // local-clustering companion of q_pagerank: per-node triangle counts
+    // over the same near-dup graph — separates tight duplicate cliques
+    // from chains of borderline matches
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCounts(
+        Dedup.minhashLshPairs(Dedup.shingles(docs(s, dir)), JaccardThreshold),
+        "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("n_triangles"))),
+
+    // windowed co-occurrence + PMI: collocation mining over the corpus —
+    // equi-join pair generation (each token emits `window` probe keys),
+    // exact integer counts, one ln at the end
+    "q_cooccur_pmi" -> ((s, dir) =>
+      graft.text.Cooccurrence.pmiPairs(docs(s, dir), window = CooccurWindow,
+        minCount = CooccurMinCount)),
+
+    // the hashing trick: unbounded vocabulary → fixed bucket space via
+    // the portable salted hash; the featurization every engine (and the
+    // oracle) reproduces with zero shared dictionary state
+    "q_feature_hash" -> ((s, dir) =>
+      graft.pipeline.Features.hashedTf(docs(s, dir), FeatureBuckets)),
+
+    // retrieval-quality evaluation ON the gate: per-query recall@k of
+    // the sign-LSH ANN against the exact brute-force top-k — the number
+    // you tune nPlanes/probeBits by at scale
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(AnnQueryIds: _*))
+      graft.similarity.Eval.recallAtK(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1))
+    }),
+
     // stratified deterministic sampling: per-language fractions
     // (downsample the dominant stratum, drop unlisted strata)
     "q_stratified" -> ((s, dir) =>
@@ -503,6 +536,9 @@ object PipelineQueries extends QueryGroup {
   val SampleFrac = 0.1
   val ReservoirK = 20
   val BpeNMerges = 3
+  val CooccurWindow = 3
+  val CooccurMinCount = 5L
+  val FeatureBuckets = 64
   val PackShards = 4
   val PackSeqLen = 1024
   val ChunkSize = 64
@@ -1056,6 +1092,68 @@ object PipelineQueries extends QueryGroup {
          FROM perdim GROUP BY label""",
 
     "q_ann_lsh" -> annLshOracle,
+
+    // recall@k of the LSH list against the exact list — both sides are
+    // the two retrievers' own (already-verified) oracles
+    "q_ann_recall" ->
+      s"""WITH exact AS ($cosineOracle),
+               approx AS ($annLshOracle),
+               j AS (SELECT e.query_id, e.vec_id,
+                            CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                     FROM exact e LEFT JOIN approx a
+                     ON e.query_id = a.query_id AND e.vec_id = a.vec_id)
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(hit) AS BIGINT) AS n_hit,
+                 round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+          FROM j GROUP BY query_id""",
+
+    // triangles over the near-dup graph: 3-way self-join of the exact
+    // Jaccard pair list (the same edge truth q_dedup_minhash verifies)
+    "q_triangles" ->
+      s"""WITH pairs AS (${jaccardOracle(JaccardThreshold)}),
+               e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                                     greatest(doc_a, doc_b) AS b FROM pairs),
+               t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM e e1
+                     JOIN e e2 ON e1.b = e2.a
+                     JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+               n AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM n GROUP BY doc_id""",
+
+    // windowed co-occurrence PMI — the range condition here is the
+    // equi-join offset explosion on the Spark side; factor order in the
+    // ln argument mirrors Cooccurrence.pmiPairs exactly
+    "q_cooccur_pmi" ->
+      s"""WITH lists AS ($SqlLists),
+               tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                       FROM lists),
+               ev AS (SELECT least(a.term, b.term) AS term_a,
+                             greatest(a.term, b.term) AS term_b
+                      FROM tok a JOIN tok b
+                      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $CooccurWindow),
+               pc AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_ab
+                      FROM ev GROUP BY 1, 2 HAVING count(*) >= $CooccurMinCount),
+               uni AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+               tot AS (SELECT (SELECT count(*) FROM tok) AS t_total,
+                              (SELECT count(*) FROM ev) AS p_total)
+          SELECT p.term_a, p.term_b, p.n_ab,
+                 round(ln((p.n_ab::DOUBLE * t.t_total::DOUBLE * t.t_total::DOUBLE)
+                          / (t.p_total::DOUBLE * ua.n::DOUBLE * ub.n::DOUBLE)), 6) AS pmi
+          FROM pc p
+          JOIN uni ua ON p.term_a = ua.term
+          JOIN uni ub ON p.term_b = ub.term
+          CROSS JOIN tot t""",
+
+    // hashing trick: bucket = portable salted hash mod nBuckets —
+    // counter-for-counter reproducible
+    "q_feature_hash" ->
+      s"""WITH tok AS ($SqlTokens),
+               b AS (SELECT doc_id,
+                            ${sqlSaltedHash("feat", "term")} % $FeatureBuckets AS bucket
+                     FROM tok)
+          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+          FROM b GROUP BY 1, 2""",
 
     "q_ann_ivf" -> annIvfOracle,
 

@@ -221,6 +221,14 @@ object RelationalQueries extends QueryGroup {
         .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // equi-DEPTH twin of q_histogram: buckets bounded by exact
+    // interpolated percentile cutpoints (rounded before comparison so
+    // edge assignment is engine-reproducible); no global sort, no
+    // single-partition window — one percentile agg + broadcast cuts
+    "q_equidepth" -> ((s, dir) =>
+      graft.operators.Distribution.equiDepthHistogram(
+        t(s, dir, "orders"), "o_totalprice", 10)),
+
     // ---- conditional aggregation (CASE WHEN inside agg)
     "q_case_agg" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -913,6 +921,19 @@ object RelationalQueries extends QueryGroup {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
          FROM orders GROUP BY 1""",
+
+    "q_equidepth" ->
+      s"""WITH cuts AS (SELECT list_transform(
+                                 quantile_cont(o_totalprice,
+                                   [${(1 until 10).map(i => s"0.$i").mkString(", ")}]),
+                                 c -> round(c, 6)) AS cuts
+                        FROM orders),
+               b AS (SELECT o_totalprice AS v,
+                            CAST(len(list_filter(cuts.cuts, c -> c < o_totalprice)) AS BIGINT) AS bucket
+                     FROM orders CROSS JOIN cuts)
+          SELECT bucket, count(*) AS n,
+                 round(min(v), 6) AS lo, round(max(v), 6) AS hi
+          FROM b GROUP BY bucket""",
 
     "q_regex_funcs" ->
       """SELECT p_partkey,

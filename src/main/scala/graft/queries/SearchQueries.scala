@@ -24,6 +24,10 @@ object SearchQueries extends QueryGroup {
     */
   val FlagshipQuery = "fast hash join scan"
 
+  /** Phrase whose tokens occur consecutively in multiple fixture docs
+    * (picked by trigram frequency over the sf0.01 corpus). */
+  val PhraseQuery = "slow hash batch"
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   // DuckDB-side analyzer chain, kept textually in sync with Analyzer.normText.
@@ -134,6 +138,12 @@ object SearchQueries extends QueryGroup {
     // APPEND the other half (postings/doc_stats grow in place, vocab/meta
     // recompute+swap), query the combined store — the oracle proves the
     // incrementally-built store answers exactly like a full build
+    // positional-index phrase search: consecutive-token match through
+    // the positional postings (shifted-position-list intersection), the
+    // canonical extension of the reference's frequency-only index
+    "q_phrase_search" -> ((s, dir) =>
+      graft.search.PhraseSearch.search(docs(s, dir), PhraseQuery, 10)),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -171,6 +181,8 @@ object SearchQueries extends QueryGroup {
                  CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
           FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
 
+    "q_phrase_search" -> phraseOracle,
+
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
     "q_bm25_append" -> bm25Oracle,
@@ -192,6 +204,33 @@ object SearchQueries extends QueryGroup {
                 regexp_replace(text, '[\t\n]', ' ', 'g') AS text
          FROM documents""",
   )
+
+  /** Phrase oracle: per-term position lists, then count the start offsets
+    * of term 0 from which every later term sits at the right shift —
+    * textually the same intersection PhraseSearch does with
+    * `array_intersect` over shifted lists. */
+  private lazy val phraseOracle: String = {
+    val terms = graft.analyzer.Analyzer.analyzeQuery(PhraseQuery)
+    val legs = terms.distinct // oracle builder assumes distinct terms (the fixture phrase is)
+    val legCtes = legs.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, list(pos) AS l_$t FROM tok WHERE term = '$t' GROUP BY doc_id)"
+    }.mkString(",\n             ")
+    val joins = (1 until legs.length).map(i => s"JOIN p$i USING (doc_id)").mkString(" ")
+    val contains = terms.zipWithIndex.tail.map { case (t, i) =>
+      s"list_contains(l_$t, x + $i)"
+    }.mkString(" AND ")
+    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($SqlCorpus) WHERE t <> ''),
+             tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+                     FROM lists),
+             $legCtes,
+             m AS (SELECT p0.doc_id,
+                          CAST(len(list_filter(l_${terms.head}, x -> $contains)) AS BIGINT) AS phrase_tf
+                   FROM p0 $joins),
+             f AS (SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0)
+        SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, phrase_tf
+        FROM f ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10"""
+  }
 
   /** Shared oracle: the store query's answer is definitionally the same as
     * the in-memory search — the store is a lossless persistence of the

@@ -1,0 +1,70 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzer
+import graft.index.Indexer
+
+/** Exact phrase search over the positional inverted index
+  * ([[Indexer.positionalPostings]]).
+  *
+  * The reference engine ranks bags of words only (`app/query.py:58-86`
+  * scores every query term independently); phrase matching is the
+  * canonical positional-index extension: a document matches iff the
+  * phrase's terms occur at consecutive token offsets, and `phrase_tf`
+  * is the number of such start offsets.
+  *
+  * Algorithm — the classic postings-intersection, expressed in Spark
+  * Column algebra so the whole match stays in whole-stage codegen:
+  * for phrase terms t_0..t_{n-1}, take each term's position list,
+  * shift term i's positions by −i, and intersect: a surviving value p
+  * is a token offset where t_0 = p, t_1 = p+1, … align — i.e. a phrase
+  * start. No UDF, no explode of positions: the intersection is
+  * per-(doc) array arithmetic after an n-way equi-join on `doc_id`.
+  *
+  * Scale (100 TB corpus): each leg of the join is ONE term's postings
+  * list (the scan prunes on `term IN (...)` — pushed to parquet, and to
+  * a single `term_bucket` partition each when reading the persisted
+  * store). Candidate docs after the first join are bounded by the
+  * rarest term's document frequency; joins are doc_id equi-joins that
+  * AQE plans as broadcasts when a term is rare. Duplicate phrase terms
+  * ("buffalo buffalo") cost no extra join legs — each occurrence index
+  * reuses the same term frame with a different shift.
+  */
+object PhraseSearch {
+
+  /** Top-`k` documents containing `phrase` as consecutive tokens, ranked
+    * by occurrence count: `(rank, doc_id, phrase_tf)`. */
+  def search(corpus: DataFrame, phrase: String, k: Int = 10): DataFrame =
+    searchPostings(Indexer.positionalPostings(corpus), phrase, k)
+
+  /** Same, over an already-built positional postings table
+    * `(term, doc_id, positions)` — e.g. a persisted index store. */
+  def searchPostings(positional: DataFrame, phrase: String, k: Int = 10): DataFrame = {
+    val terms = Analyzer.analyzeQuery(phrase)
+    require(terms.nonEmpty, s"phrase analyzed to zero terms: '$phrase'")
+    // one pruned read per DISTINCT term; occurrence i of a duplicated
+    // term re-uses the same frame with a different shift
+    val byTerm: Map[String, DataFrame] = terms.distinct.map { t =>
+      t -> positional.filter(col("term") === lit(t))
+        .select(col("doc_id"), col("positions"))
+    }.toMap
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      byTerm(t).select(col("doc_id"),
+        transform(col("positions"), p => p - lit(i)).as(s"s_$i"))
+    }
+    val joined = legs.reduce(_.join(_, "doc_id"))
+    val starts = (1 until terms.length)
+      .foldLeft(col("s_0"))((acc, i) => array_intersect(acc, col(s"s_$i")))
+    joined
+      .select(col("doc_id"), size(starts).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+      .limit(k) // TakeOrderedAndProject: per-partition heaps, no full sort
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("phrase_tf").desc, col("doc_id").asc)).cast("long").as("rank"),
+        col("doc_id"), col("phrase_tf"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Features
+import graft.similarity.Eval
+import graft.text.Cooccurrence
+
+class CooccurFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiPairs counts windowed unordered pairs exactly") {
+    // "a b c a": window 2 events: (a,b)(a,c) (b,c)(b,a) (c,a) → canonical
+    // (a,b):2 (a,c):2 (b,c):1; T=4 tokens, P=5 events
+    val df = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val r = Cooccurrence.pmiPairs(df, window = 2, minCount = 1)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    assert(r == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("pmiPairs pmi matches the closed form") {
+    val df = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val r = Cooccurrence.pmiPairs(df, window = 2, minCount = 1)
+      .filter(col("term_a") === "b" && col("term_b") === "c")
+      .collect().head.getDouble(3)
+    // pmi(b,c) = ln((1·4·4)/(5·1·1))
+    assert(math.abs(r - math.log(16.0 / 5.0)) < 1e-6)
+  }
+
+  test("pmiPairs does not pair across documents") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Cooccurrence.pmiPairs(df, window = 5, minCount = 1).isEmpty)
+  }
+
+  test("hashedTf preserves total token mass in bounded buckets") {
+    val df = Seq((1L, "x y z x"), (2L, "y y")).toDF("doc_id", "text")
+    val r = Features.hashedTf(df, nBuckets = 8).collect()
+    assert(r.map(_.getLong(2)).sum == 6L)
+    assert(r.forall(x => x.getLong(1) >= 0 && x.getLong(1) < 8))
+    // same token always lands in the same bucket: doc 2's "y y" is one row
+    assert(r.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("recallAtK scores hits / exact size per query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (3L, 30L)).toDF("query_id", "vec_id")
+    val r = Eval.recallAtK(exact, approx).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 0L, 0.0))))
+  }
+
+  test("triangleCounts finds each node's triangle participation") {
+    // K4 on 1..4 has 4 triangles, every node in 3; node 5 dangles
+    val edges = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)) :+ ((4L, 5L))
+    val r = graft.operators.Graph.triangleCounts(
+        edges.toDF("a", "b"), "a", "b")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+}

@@ -181,6 +181,38 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate in:\n$p")
   }
 
+  test("q_phrase_search: doc_id equi-joins only; top-k via bounded heaps") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct"), s"cartesian found in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k in:\n$p")
+  }
+
+  test("q_cooccur_pmi: pair generation is an equi-join, never a range/nested loop") {
+    val p = plan("q_cooccur_pmi")
+    assert(!p.contains("CartesianProduct"), s"cartesian found in:\n$p")
+    // the (doc_id, pos) pair join must be a hash/merge equi-join; the only
+    // nested loop allowed is the 1-row totals broadcast (q_zorder pattern)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      s"equi-join for pair generation missing in:\n$p")
+    // two 1-row nested loops are legitimate: T×P (1-row × 1-row) and the
+    // totals attach onto the pair frame; anything more would mean the
+    // pair generation itself degenerated
+    val bnlj = "\\+- BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"more nested loops than the 1-row attaches in:\n$p")
+  }
+
+  test("q_equidepth: no global sort, no single-partition window") {
+    val p = plan("q_equidepth")
+    assert(!p.contains("windowspecdefinition"), s"window found in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort found in:\n$p")
+  }
+
+  test("q_feature_hash: hash projection fused into the scan, one exchange") {
+    val p = plan("q_feature_hash")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected at most the aggregate exchange in:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
