@@ -90,7 +90,15 @@ object Profiling {
       cols.zipWithIndex.map { case (c, i) => dsum(df(c) * df(c)).as(s"ss$i") } ++
       pairs.map { case (i, j) => dsum(df(cols(i)) * df(cols(j))).as(s"sp${i}_$j") } :+
       count(lit(1)).cast("double").as("n")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // The O(k²) decimal co-moment sums are CPU-bound in the map-side
+    // partial agg, and a low-row-group parquet input caps scan-task
+    // parallelism (the q_stats_agg note). dsum is order-independent, so
+    // spreading rows first is semantically free and recovers full
+    // parallelism; at real scale input splits already match cores.
+    val wide = df
+      .select(cols.map(df(_)): _*) // prune before the exchange
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .agg(aggs.head, aggs.tail: _*)
     // numerator/denominator shapes mirror the oracle SQL term for term:
     // identical IEEE ops on identical (exact) inputs → identical doubles
     val rows = pairs.map { case (i, j) =>

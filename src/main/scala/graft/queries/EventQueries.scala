@@ -152,6 +152,24 @@ object EventQueries extends QueryGroup {
         .select(col("step"), col("step_type"), col("n_users"),
           round(col("conversion"), 6).as("conversion"))),
 
+    // first-order Markov transition model over each user's event
+    // sequence: P(next event type | current) — the behavioral-model
+    // summary a funnel generalizes to. Denominator via groupBy + join
+    // (not a window over the 4-value type key)
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+      tr.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+    }),
+
     // robust outlier flagging per event type: median/MAD z-score — the
     // estimator the outliers themselves can't poison (unlike mean/std);
     // two exact-percentile aggregate passes, stats broadcast back
@@ -288,6 +306,18 @@ object EventQueries extends QueryGroup {
          SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
          UNION ALL
          SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c1, 6) FROM c""",
+
+    "q_transitions" ->
+      """WITH tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS prev_type,
+                            event_type
+                     FROM events),
+              c AS (SELECT prev_type, event_type, count(*) AS n
+                    FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.prev_type, c.event_type, c.n,
+                round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (prev_type)""",
 
     // median/MAD twins of Distribution.robustOutliers: the filter runs
     // on the UNROUNDED score (as the Spark side does), output rounded

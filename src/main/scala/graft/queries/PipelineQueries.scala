@@ -112,6 +112,20 @@ object PipelineQueries extends QueryGroup {
         Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1))
     }),
 
+    // MMR diversity re-rank over the exact top-10: relevance traded
+    // against redundancy with the already-selected set; all frames
+    // bounded by |queries|·k — the corpus is never rescanned. rel/sim
+    // pre-rounded to 6 dp so every selection comparison is
+    // engine-reproducible; fixed k unrolls into the SQL oracle
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(AnnQueryIds: _*))
+      val cands = Similarity.bruteForceTopK(e, q, 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("rel"))
+      val sims = graft.similarity.Mmr.candidatePairSims(cands, e)
+      graft.similarity.Mmr.rerank(cands, sims, k = MmrK, lambda = MmrLambda)
+    }),
+
     // stratified deterministic sampling: per-language fractions
     // (downsample the dominant stratum, drop unlisted strata)
     "q_stratified" -> ((s, dir) =>
@@ -536,6 +550,8 @@ object PipelineQueries extends QueryGroup {
   val SampleFrac = 0.1
   val ReservoirK = 20
   val BpeNMerges = 3
+  val MmrK = 4
+  val MmrLambda = 0.7
   val CooccurWindow = 3
   val CooccurMinCount = 5L
   val FeatureBuckets = 64
@@ -755,6 +771,47 @@ object PipelineQueries extends QueryGroup {
                                              ORDER BY cos DESC, vec_id ASC) AS rank
                    FROM s)
         SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
+  // MMR unrolled selection — candidates/sims from the verified cosine
+  // oracle family; weight literals interpolated from the SAME Scala
+  // doubles the Spark side uses (1.0 - 0.7 is not the literal 0.3)
+  private lazy val mmrOracle: String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oml = s"CAST(${1.0 - MmrLambda} AS DOUBLE)"
+    val steps = (2 to MmrK).map { i =>
+      s"""m$i AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS msim
+                 FROM cand c
+                 JOIN sims p ON p.query_id = c.query_id AND p.a = c.vec_id
+                 JOIN sel${i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b
+                 WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                                   WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+                 GROUP BY 1, 2, 3),
+         p$i AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY $lam * rel - $oml * msim DESC,
+                                                    vec_id ASC) AS rn
+                 FROM m$i),
+         sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+                   SELECT query_id, CAST($i AS BIGINT) AS step, vec_id
+                   FROM p$i WHERE rn = 1)"""
+    }.mkString(",\n             ")
+    s"""WITH exact AS ($cosineOracle),
+             cand AS (SELECT query_id, vec_id, cos AS rel FROM exact),
+             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             sims AS (SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+                             round(list_cosine_similarity(e1.v, e2.v), 6) AS sim
+                      FROM cand c1 JOIN cand c2
+                        ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+                      JOIN e e1 ON c1.vec_id = e1.vec_id
+                      JOIN e e2 ON c2.vec_id = e2.vec_id),
+             sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step, vec_id
+                      FROM (SELECT query_id, vec_id,
+                                   row_number() OVER (PARTITION BY query_id
+                                                      ORDER BY rel DESC, vec_id ASC) AS rn
+                            FROM cand) WHERE rn = 1),
+             $steps
+        SELECT query_id, step, vec_id FROM sel$MmrK"""
   }
 
   // shared by q_tfidf_topk and q_tfidf_store (the store path must compute
@@ -1191,6 +1248,7 @@ object PipelineQueries extends QueryGroup {
     "q_tfidf_store" -> tfidfOracle,
 
     "q_cosine_topk" -> cosineOracle,
+    "q_mmr_rerank" -> mmrOracle,
 
     "q_lang_id" -> {
       val hitExprs = TextAnalysis.DefaultMarkers.map { case (lang, _) =>

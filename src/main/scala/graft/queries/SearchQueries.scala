@@ -138,6 +138,19 @@ object SearchQueries extends QueryGroup {
     // APPEND the other half (postings/doc_stats grow in place, vocab/meta
     // recompute+swap), query the combined store — the oracle proves the
     // incrementally-built store answers exactly like a full build
+    // S-series: schema-evolution read — two parquet batches written with
+    // DIFFERENT column sets (an evolving corpus's natural state), read
+    // back as one table via mergeSchema: missing columns null-fill, no
+    // rewrite of old data. The oracle proves the merged read is exactly
+    // the union-with-nulls.
+    "q_schema_merge" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-mergeschema")
+      val d = docs(s, dir)
+      d.select("doc_id", "text").write.parquet(s"$path/part1")
+      d.select("doc_id", "lang", "n_chars").write.parquet(s"$path/part2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/part1", s"$path/part2")
+    }),
+
     // positional-index phrase search: consecutive-token match through
     // the positional postings (shifted-position-list intersection), the
     // canonical extension of the reference's frequency-only index
@@ -182,6 +195,12 @@ object SearchQueries extends QueryGroup {
           FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
 
     "q_phrase_search" -> phraseOracle,
+
+    "q_schema_merge" ->
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, n_chars FROM documents""",
 
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
