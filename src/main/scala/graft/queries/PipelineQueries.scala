@@ -112,6 +112,20 @@ object PipelineQueries extends QueryGroup {
         Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1))
     }),
 
+    // rank-weighted companion of q_ann_recall: NDCG@10 with graded gains
+    // (the exact list's 6-dp cos), position discounts as precomputed
+    // literal constants shared with the oracle
+    "q_ann_ndcg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(AnnQueryIds: _*))
+      val exact = Similarity.bruteForceTopK(e, q, 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("rel"), col("rank"))
+      val approx = Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      graft.similarity.Eval.ndcgAtK(exact, approx, 10)
+    }),
+
     // MMR diversity re-rank over the exact top-10: relevance traded
     // against redundancy with the already-selected set; all frames
     // bounded by |queries|·k — the corpus is never rescanned. rel/sim
@@ -1149,6 +1163,30 @@ object PipelineQueries extends QueryGroup {
          FROM perdim GROUP BY label""",
 
     "q_ann_lsh" -> annLshOracle,
+
+    // NDCG@10 with the same two retriever oracles; discounts are the
+    // SAME Scala-computed literals Eval.dcgWeight feeds the Spark side
+    "q_ann_ndcg" -> {
+      def wcase(rankExpr: String): String =
+        s"CASE $rankExpr " + (1 to 10).map(r =>
+          s"WHEN $r THEN CAST(${graft.similarity.Eval.dcgWeight(r)} AS DOUBLE)")
+          .mkString(" ") + " ELSE 0.0 END"
+      s"""WITH exact AS ($cosineOracle),
+               approx AS ($annLshOracle),
+               g AS (SELECT query_id, vec_id, cos AS rel FROM exact),
+               d AS (SELECT a.query_id,
+                            CAST(sum(CAST(round(coalesce(g.rel, 0.0) * ${wcase("a.rank")}, 9)
+                                          AS DECIMAL(25,9))) AS DOUBLE) AS dcg
+                     FROM approx a LEFT JOIN g
+                       ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+                     WHERE a.rank <= 10 GROUP BY 1),
+               i AS (SELECT query_id,
+                            CAST(sum(CAST(round(cos * ${wcase("rank")}, 9)
+                                          AS DECIMAL(25,9))) AS DOUBLE) AS idcg
+                     FROM exact WHERE rank <= 10 GROUP BY 1)
+          SELECT i.query_id, round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+          FROM i LEFT JOIN d USING (query_id)"""
+    },
 
     // recall@k of the LSH list against the exact list — both sides are
     // the two retrievers' own (already-verified) oracles

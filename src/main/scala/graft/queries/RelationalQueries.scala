@@ -221,6 +221,21 @@ object RelationalQueries extends QueryGroup {
         .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // large-order report (the TPC-H Q18 shape): aggregate the fact
+    // table, HAVING-filter the aggregate, semi-join the survivors back
+    // through orders to customers — the agg side shrinks BEFORE any
+    // dimension join, so the joins carry only qualifying orders
+    "q_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > BigOrderQty)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     // equi-DEPTH twin of q_histogram: buckets bounded by exact
     // interpolated percentile cutpoints (rounded before comparison so
     // edge assignment is engine-reproducible); no global sort, no
@@ -643,6 +658,9 @@ object RelationalQueries extends QueryGroup {
   /** q_bloom_join dim-side price floor — selective at every fixture SF. */
   val BloomDimPrice = 150000.0
 
+  /** q_big_orders quantity floor — selective but nonempty at every SF. */
+  val BigOrderQty = 150.0
+
   /** q_corr_matrix columns (the lineitem numeric measures). */
   val CorrCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -921,6 +939,15 @@ object RelationalQueries extends QueryGroup {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
          FROM orders GROUP BY 1""",
+
+    "q_big_orders" ->
+      s"""WITH big AS (SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING ${dsumSql("l_quantity")} > $BigOrderQty)
+          SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice, b.sum_qty
+          FROM orders o
+          JOIN big b ON o.o_orderkey = b.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey""",
 
     "q_equidepth" ->
       s"""WITH cuts AS (SELECT list_transform(

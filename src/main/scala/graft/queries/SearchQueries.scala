@@ -28,6 +28,9 @@ object SearchQueries extends QueryGroup {
     * (picked by trigram frequency over the sf0.01 corpus). */
   val PhraseQuery = "slow hash batch"
 
+  /** Proximity window (tokens) for the sloppy-phrase query. */
+  val ProxWindow = 4
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   // DuckDB-side analyzer chain, kept textually in sync with Analyzer.normText.
@@ -157,6 +160,12 @@ object SearchQueries extends QueryGroup {
     "q_phrase_search" -> ((s, dir) =>
       graft.search.PhraseSearch.search(docs(s, dir), PhraseQuery, 10)),
 
+    // sloppy-phrase relaxation: all terms within ProxWindow tokens of a
+    // first-term anchor, any order — same pruned-leg join shape
+    "q_proximity_search" -> ((s, dir) =>
+      graft.search.PhraseSearch.proximitySearch(docs(s, dir), PhraseQuery,
+        ProxWindow, 10)),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -195,6 +204,7 @@ object SearchQueries extends QueryGroup {
           FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
 
     "q_phrase_search" -> phraseOracle,
+    "q_proximity_search" -> proximityOracle,
 
     "q_schema_merge" ->
       """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
@@ -249,6 +259,31 @@ object SearchQueries extends QueryGroup {
         SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank,
                doc_id, phrase_tf
         FROM f ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10"""
+  }
+
+  /** Proximity oracle: anchors of term 0 from which every other term has
+    * an occurrence within ProxWindow — nested list_filter mirroring the
+    * nested `exists` the Spark side runs. */
+  private lazy val proximityOracle: String = {
+    val terms = graft.analyzer.Analyzer.analyzeQuery(PhraseQuery).distinct
+    val legCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, list(pos) AS l_$t FROM tok WHERE term = '$t' GROUP BY doc_id)"
+    }.mkString(",\n             ")
+    val joins = (1 until terms.length).map(i => s"JOIN p$i USING (doc_id)").mkString(" ")
+    val conds = terms.tail.map { t =>
+      s"len(list_filter(l_$t, y -> abs(y - x) <= $ProxWindow)) > 0"
+    }.mkString(" AND ")
+    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($SqlCorpus) WHERE t <> ''),
+             tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+                     FROM lists),
+             $legCtes,
+             m AS (SELECT p0.doc_id,
+                          CAST(len(list_filter(l_${terms.head}, x -> $conds)) AS BIGINT) AS prox_tf
+                   FROM p0 $joins),
+             f AS (SELECT doc_id, prox_tf FROM m WHERE prox_tf > 0)
+        SELECT CAST(row_number() OVER (ORDER BY prox_tf DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, prox_tf
+        FROM f ORDER BY prox_tf DESC, doc_id ASC LIMIT 10"""
   }
 
   /** Shared oracle: the store query's answer is definitionally the same as

@@ -67,4 +67,37 @@ object PhraseSearch {
           .orderBy(col("phrase_tf").desc, col("doc_id").asc)).cast("long").as("rank"),
         col("doc_id"), col("phrase_tf"))
   }
+
+  /** Proximity search: top-`k` documents where every query term occurs
+    * within `window` tokens of an anchor occurrence of the FIRST term,
+    * in any order — the sloppy-phrase relaxation of [[search]].
+    * `prox_tf` counts qualifying anchor positions. Same join shape and
+    * scale posture as the exact phrase: one pruned postings leg per
+    * distinct term, doc_id equi-joins, per-doc array math (nested
+    * higher-order `exists` — no position explode).
+    */
+  def proximitySearch(corpus: DataFrame, query: String, window: Int,
+                      k: Int = 10): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).distinct
+    require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val positional = Indexer.positionalPostings(corpus)
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("term") === lit(t))
+        .select(col("doc_id"), col("positions").as(s"p_$i"))
+    }
+    val joined = legs.reduce(_.join(_, "doc_id"))
+    val anchors = (1 until terms.length).foldLeft(col("p_0")) { (acc, i) =>
+      filter(acc, x => exists(col(s"p_$i"), y => abs(y - x) <= lit(window)))
+    }
+    joined
+      .select(col("doc_id"), size(anchors).cast("long").as("prox_tf"))
+      .filter(col("prox_tf") > 0)
+      .orderBy(col("prox_tf").desc, col("doc_id").asc)
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("prox_tf").desc, col("doc_id").asc)).cast("long").as("rank"),
+        col("doc_id"), col("prox_tf"))
+  }
 }

@@ -50,6 +50,26 @@ class CooccurFeaturesSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 0L, 0.0))))
   }
 
+  test("ndcgAtK is 1 for a perfect list, discounts rank inversions, 0 for misses") {
+    val exact = Seq(
+      (1L, 10L, 0.9, 1L), (1L, 11L, 0.5, 2L),
+      (2L, 20L, 0.8, 1L), (2L, 21L, 0.4, 2L),
+      (3L, 30L, 0.7, 1L), (3L, 31L, 0.6, 2L))
+      .toDF("query_id", "vec_id", "rel", "rank")
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),  // perfect
+      (2L, 21L, 1L), (2L, 20L, 2L),  // swapped
+      (3L, 99L, 1L), (3L, 98L, 2L))  // all misses
+      .toDF("query_id", "vec_id", "rank")
+    val r = Eval.ndcgAtK(exact, approx, 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 1.0)
+    assert(r(3L) == 0.0)
+    val w2 = graft.similarity.Eval.dcgWeight(2)
+    val expected2 = (0.4 + 0.8 * w2) / (0.8 + 0.4 * w2)
+    assert(math.abs(r(2L) - expected2) < 1e-6)
+  }
+
   test("triangleCounts finds each node's triangle participation") {
     // K4 on 1..4 has 4 triangles, every node in 3; node 5 dangles
     val edges = (for {

@@ -46,6 +46,25 @@ class PhraseSearchSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 3L), (2L, 2L)))
   }
 
+  test("proximitySearch matches any-order terms within the window") {
+    val c = corpus(
+      1L -> "hash x y slow",       // slow within 3 of hash anchor? anchor=hash@0, slow@3 → |3-0|<=3 ✓
+      2L -> "slow a b c d e hash", // gap 6 > 3 ✗
+      3L -> "x slow hash y",       // ✓ (reverse order near)
+      4L -> "hash only here")
+    val r = graft.search.PhraseSearch.proximitySearch(c, "hash slow", 3, 10)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("proximitySearch counts each qualifying anchor of the first term") {
+    val c = corpus(1L -> "a b a b a")
+    // anchors of "a" with a "b" within 1: positions 0,2,4 → all qualify
+    val r = graft.search.PhraseSearch.proximitySearch(c, "a b", 1, 10)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 3L)))
+  }
+
   test("positional postings store sorted 0-based offsets") {
     val pp = graft.index.Indexer.positionalPostings(corpus(1L -> "b a b b"))
       .filter(col("term") === "b").collect()
