@@ -176,6 +176,17 @@ object EventQueries extends QueryGroup {
     "q_outliers" -> ((s, dir) =>
       graft.operators.Distribution.robustOutliers(events(s, dir),
         "event_type", "event_id", "value", cut = 3.0)),
+
+    // cohort retention triangle: users grouped by first-event week,
+    // counted per activity-week offset — user-keyed exchanges only
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.Retention.cohortRetention(events(s, dir))),
+
+    // population-stability-index drift between the even/odd event halves
+    // per event type — exact integer shares, decimal-summed contributions
+    "q_psi_drift" -> ((s, dir) =>
+      graft.operators.Drift.psi(events(s, dir), "event_type", "value",
+        col("event_id") % 2 === 0, col("event_id") % 2 === 1, 50.0)),
   )
 
   private val TumblingSql =
@@ -318,6 +329,38 @@ object EventQueries extends QueryGroup {
          SELECT c.prev_type, c.event_type, c.n,
                 round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
          FROM c JOIN t USING (prev_type)""",
+
+    "q_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+                           floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 604800 AS week
+                    FROM events),
+              c AS (SELECT user_id, min(week) AS cohort_week_s FROM w GROUP BY 1)
+         SELECT c.cohort_week_s,
+                CAST((w.week - c.cohort_week_s) // 604800 AS BIGINT) AS week_offset,
+                count(*) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+
+    "q_psi_drift" ->
+      """WITH ref AS (SELECT event_type AS grp,
+                             CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                             count(*) AS n_ref
+                      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+              rt AS (SELECT grp, bucket, n_ref,
+                            sum(n_ref) OVER (PARTITION BY grp) AS t_ref FROM ref),
+              cmp AS (SELECT event_type AS grp,
+                             CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                             count(*) AS n_cmp
+                      FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+              ct AS (SELECT grp, bucket, n_cmp,
+                            sum(n_cmp) OVER (PARTITION BY grp) AS t_cmp FROM cmp),
+              j AS (SELECT rt.grp, rt.bucket,
+                           CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p,
+                           CAST(n_cmp AS DOUBLE) / CAST(t_cmp AS DOUBLE) AS q
+                    FROM rt JOIN ct USING (grp, bucket))
+         SELECT grp AS event_type, count(*) AS n_buckets_compared,
+                round(CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(25,9))) AS DOUBLE), 6) AS psi
+         FROM j GROUP BY 1""",
 
     // median/MAD twins of Distribution.robustOutliers: the filter runs
     // on the UNROUNDED score (as the Spark side does), output rounded
