@@ -509,6 +509,21 @@ object PipelineQueries extends QueryGroup {
       ttSnapshots(s, path)
     }),
 
+    // the SAME three CDC waves arriving through the REAL streaming
+    // runtime: file drops → one micro-batch per file (oldest-first) →
+    // replay-safe per-batch commitAt (version = batchId+1) → checkpoint
+    // → both AS OF reads answer exactly like the batch-built store
+    // (shared oracle with q_time_travel)
+    "q_cdc_stream" -> ((s, dir) => {
+      val root = QueryGroup.scratchDir("graft-cdcstream")
+      val src = s"$root/src"
+      val store = s"$root/store"
+      ttWaveDrops(s, dir, src)
+      graft.streaming.StreamRuntime.runCommits(s, src, store)
+      graft.streaming.VersionedStore.checkpoint(s, store, 2L, Seq("doc_id"))
+      ttSnapshots(s, store)
+    }),
+
     // the same store after VACUUM at the v2 checkpoint: log v1–v2 and
     // pre-base checkpoints are gone, yet both retained reads answer
     // byte-identically (shared oracle with q_time_travel) — the
@@ -527,27 +542,55 @@ object PipelineQueries extends QueryGroup {
   /** Shared q_time_travel / q_vacuum fixture: three CDC commits (insert
     * wave, update+tombstone wave, late-insert/revive/re-update wave)
     * with a checkpoint at v2. */
-  private def ttStoreSetup(s: SparkSession, dir: String, path: String): Unit = {
-    import graft.streaming.VersionedStore
+  /** The three CDC waves the time-travel family commits (insert wave,
+    * update+tombstone wave, late-insert/revive/re-update wave). */
+  private def ttWaves(s: SparkSession, dir: String): Seq[DataFrame] = {
     val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
     val k3 = col("doc_id") % 13 === 3
-    VersionedStore.commit(s, path,
-      d.filter(!k3).withColumn("_op", lit("u")))
-    VersionedStore.commit(s, path,
+    Seq(
+      d.filter(!k3).withColumn("_op", lit("u")),
       d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0 && !k3)
         .withColumn("source", concat(lit("v2:"), col("lang")))
         .withColumn("_op", lit("u"))
-      .unionByName(
-        d.filter(col("doc_id") % 7 === 0 && !k3).withColumn("_op", lit("d"))))
-    VersionedStore.checkpoint(s, path, 2L, Seq("doc_id"))
-    VersionedStore.commit(s, path,
+        .unionByName(
+          d.filter(col("doc_id") % 7 === 0 && !k3).withColumn("_op", lit("d"))),
       d.filter(k3)
         .withColumn("source", concat(lit("v3:"), col("source")))
         .withColumn("_op", lit("u"))
-      .unionByName(
-        d.filter(col("doc_id") % 11 === 0 && !k3)
-          .withColumn("source", concat(lit("v3u:"), col("lang")))
-          .withColumn("_op", lit("u"))))
+        .unionByName(
+          d.filter(col("doc_id") % 11 === 0 && !k3)
+            .withColumn("source", concat(lit("v3u:"), col("lang")))
+            .withColumn("_op", lit("u"))))
+  }
+
+  private def ttStoreSetup(s: SparkSession, dir: String, path: String): Unit = {
+    import graft.streaming.VersionedStore
+    val waves = ttWaves(s, dir)
+    VersionedStore.commit(s, path, waves(0))
+    VersionedStore.commit(s, path, waves(1))
+    VersionedStore.checkpoint(s, path, 2L, Seq("doc_id"))
+    VersionedStore.commit(s, path, waves(2))
+  }
+
+  /** Drop each wave into `srcDir` as ONE parquet file with strictly
+    * increasing modification times, so the file stream source
+    * (oldest-first, maxFilesPerTrigger=1) replays them as micro-batches
+    * in commit order. */
+  private def ttWaveDrops(s: SparkSession, dir: String, srcDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    ttWaves(s, dir).zipWithIndex.foreach { case (w, i) =>
+      val tmp = s"$srcDir/_tmp$i"
+      w.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"wave_$i%03d.parquet")
+      require(fs.rename(part, dst), s"rename $part -> $dst failed")
+      fs.setTimes(dst, 1000L * (i + 1), -1)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
   }
 
   /** The table AS OF v2 and AS OF v3, both reconstructed from the same
@@ -1397,6 +1440,10 @@ object PipelineQueries extends QueryGroup {
     // vacuum must be equally invisible at the retained versions — the
     // oracle replays the SAME full history the store no longer has
     "q_vacuum" -> timeTravelOracle,
+
+    // the streaming ingest must land the identical store state — the
+    // full-history replay is the truth for it too
+    "q_cdc_stream" -> timeTravelOracle,
 
     "q_hybrid_rrf" -> hybridOracle,
 

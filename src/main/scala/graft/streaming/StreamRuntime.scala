@@ -44,6 +44,29 @@ object StreamRuntime {
       dir
     })
 
+  /** Stream a directory of CDC changelog files into a
+    * [[VersionedStore]]: one micro-batch per source file
+    * (`maxFilesPerTrigger=1`, files processed oldest-first), each batch
+    * committed at version `batchId + 1` via the replay-safe
+    * [[VersionedStore.commitAt]]. The streaming write side of the
+    * versioned store — ingest work per trigger ∝ that batch alone, and
+    * a crash-replayed batch overwrites its own version directory. */
+  def runCommits(spark: SparkSession, srcDir: String, storePath: String): Unit = {
+    val scratch = graft.queries.QueryGroup.scratchDir("graft-cdc-run")
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        VersionedStore.commitAt(batch.sparkSession, storePath, batch, id + 1)
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run `transform` over a file-source stream of `srcDir` to completion
     * with AvailableNow and return the final result as a batch DataFrame. */
   def runAvailableNow(spark: SparkSession, srcDir: String,

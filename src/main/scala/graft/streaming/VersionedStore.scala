@@ -62,6 +62,22 @@ object VersionedStore {
     next
   }
 
+  /** Commit at an EXPLICIT version with overwrite semantics — the
+    * streaming-ingest face of [[commit]]: a `foreachBatch` writer derives
+    * the version from the micro-batch id, so a batch REPLAYED after a
+    * failure rewrites its own `v=` directory instead of appending a
+    * duplicate commit (idempotent by construction, the same replay
+    * discipline as [[graft.similarity.IvfStore]]'s batch overwrite).
+    * Single-writer per store, like every transactional-table format's
+    * log append. */
+  def commitAt(spark: SparkSession, path: String, changes: DataFrame,
+               version: Long): Unit = {
+    require(changes.columns.contains(OpCol),
+      s"changelog commit needs an '$OpCol' column ('u' upsert / '$DeleteOp' delete)")
+    require(version >= 1, s"versions start at 1, got $version")
+    changes.write.mode("overwrite").parquet(s"$path/log/v=$version")
+  }
+
   /** Reconstruct the table as of `version`: newest checkpoint ≤ version,
     * plus the changelog delta after it, resolved per key by highest
     * version (checkpoint rows count as their checkpoint version). */

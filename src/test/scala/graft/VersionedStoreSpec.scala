@@ -100,4 +100,44 @@ class VersionedStoreSpec extends SparkSpec {
     // nothing was deleted
     assert(VersionedStore.versions(spark, path) === Seq(1L, 2L))
   }
+
+  test("commitAt is replay-idempotent: re-running a batch overwrites its own version") {
+    val path = QueryGroup.scratchDir("graft-vstore-replay")
+    VersionedStore.commitAt(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u")), 1L)
+    // a crash-replay of batch 0 re-commits version 1 — possibly with the
+    // same content recomputed; the store must hold ONE copy, not two
+    VersionedStore.commitAt(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u")), 1L)
+    VersionedStore.commitAt(spark, path, ch((2L, "b2", "u")), 2L)
+    assert(VersionedStore.versions(spark, path) === Seq(1L, 2L))
+    val at2 = VersionedStore.snapshotAt(spark, path, 2L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(at2 === Set((1L, "a1"), (2L, "b2")))
+  }
+
+  test("runCommits streams file drops into ordered versions") {
+    val root = QueryGroup.scratchDir("graft-vstore-stream")
+    val src = s"$root/src"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    Seq(
+      ch((1L, "a1", "u"), (2L, "b1", "u")),
+      ch((2L, "b2", "u"), (1L, "a1", "d"))).zipWithIndex.foreach { case (w, i) =>
+      val tmp = s"$src/_tmp$i"
+      w.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(src, f"w$i.parquet"))
+      fs.setTimes(new org.apache.hadoop.fs.Path(src, f"w$i.parquet"), 1000L * (i + 1), -1)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    graft.streaming.StreamRuntime.runCommits(spark, src, s"$root/store")
+    assert(VersionedStore.versions(spark, s"$root/store") === Seq(1L, 2L))
+    val at1 = VersionedStore.snapshotAt(spark, s"$root/store", 1L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    val at2 = VersionedStore.snapshotAt(spark, s"$root/store", 2L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(at1 === Set((1L, "a1"), (2L, "b1")))
+    assert(at2 === Set((2L, "b2")))
+  }
 }
