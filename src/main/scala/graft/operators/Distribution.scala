@@ -40,6 +40,30 @@ object Distribution {
       .select(col(groupCol), col(idCol), col(valCol), round(col("rz"), 6).as("rz"))
   }
 
+  /** Winsorization: clip `valCol` to its group's [lo, hi] exact
+    * percentiles — the standard heavy-tail taming pass before computing
+    * means/losses that a single spike would otherwise own. Returns all
+    * rows with `clipped` (and the original value) so downstream aggs
+    * can run on either. Cutpoints rounded to 6 dp before comparison
+    * (same engine-reproducibility rule as [[equiDepthHistogram]]).
+    * One group-keyed percentile agg + a broadcast join back — no sort,
+    * no window.
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String, valCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val cuts = df.groupBy(groupCol).agg(
+      round(expr(s"percentile($valCol, $lo)"), 6).as("p_lo"),
+      round(expr(s"percentile($valCol, $hi)"), 6).as("p_hi"))
+    df.select(col(groupCol), col(idCol), col(valCol))
+      .join(broadcast(cuts), groupCol)
+      .withColumn("clipped",
+        when(col(valCol) < col("p_lo"), col("p_lo"))
+          .when(col(valCol) > col("p_hi"), col("p_hi"))
+          .otherwise(col(valCol)))
+      .select(col(groupCol), col(idCol), col(valCol), col("clipped"))
+  }
+
   /** Equi-depth histogram: `nBuckets` buckets holding ~equal row counts,
     * with exact interpolated percentile cutpoints. Returns
     * `(bucket, n, lo, hi)` — bucket i covers values in

@@ -187,6 +187,21 @@ object EventQueries extends QueryGroup {
     "q_psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psi(events(s, dir), "event_type", "value",
         col("event_id") % 2 === 0, col("event_id") % 2 === 1, 50.0)),
+
+    // winsorization: clip to the [p05, p95] per-type percentiles — the
+    // heavy-tail taming pass; one percentile agg + broadcast join back
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Distribution.winsorize(events(s, dir),
+        "event_type", "event_id", "value", 0.05, 0.95)),
+
+    // per-type OLS trend from exact decimal co-moments (x scaled to days
+    // so round(x²,6) sums stay inside DECIMAL(27,6) — the operator's
+    // documented precision contract)
+    "q_linreg" -> ((s, dir) =>
+      graft.operators.Regression.linearFit(
+        events(s, dir).withColumn("x",
+          (col("ts").cast("long") - lit(1704067200L)).cast("double") / 86400.0),
+        "event_type", "x", "value")),
   )
 
   private val TumblingSql =
@@ -361,6 +376,34 @@ object EventQueries extends QueryGroup {
          SELECT grp AS event_type, count(*) AS n_buckets_compared,
                 round(CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(25,9))) AS DOUBLE), 6) AS psi
          FROM j GROUP BY 1""",
+
+    "q_winsorize" ->
+      """WITH cuts AS (SELECT event_type,
+                              round(quantile_cont(value, 0.05), 6) AS p_lo,
+                              round(quantile_cont(value, 0.95), 6) AS p_hi
+                       FROM events GROUP BY 1)
+         SELECT e.event_type, e.event_id, e.value,
+                CASE WHEN e.value < c.p_lo THEN c.p_lo
+                     WHEN e.value > c.p_hi THEN c.p_hi
+                     ELSE e.value END AS clipped
+         FROM events e JOIN cuts c USING (event_type)""",
+
+    // co-moment twins of Regression.linearFit, term for term
+    "q_linreg" -> {
+      def ds(e: String) = s"CAST(sum(CAST(round($e, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+      s"""WITH b AS (SELECT event_type,
+                            CAST(floor(epoch(ts))::BIGINT - 1704067200 AS DOUBLE) / 86400.0 AS x,
+                            value AS y
+                     FROM events),
+              m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                           ${ds("x")} AS sx, ${ds("y")} AS sy,
+                           ${ds("x * x")} AS sxx, ${ds("x * y")} AS sxy
+                    FROM b GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+         FROM m"""
+    },
 
     // median/MAD twins of Distribution.robustOutliers: the filter runs
     // on the UNROUNDED score (as the Spark side does), output rounded

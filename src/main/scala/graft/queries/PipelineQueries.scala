@@ -151,6 +151,13 @@ object PipelineQueries extends QueryGroup {
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // symmetric int8 vector quantization: the 4x storage cut that
+    // decides whether an ANN corpus fits executor memory; per-row
+    // Column arithmetic, codes oracle-verified counter-for-counter
+    "q_embed_quant" -> ((s, dir) =>
+      graft.similarity.Quantize.toInt8(emb(s, dir))
+        .select(col("id").as("vec_id"), col("scale"), col("qvec"))),
+
     // embedding pooling: mean vector per label (class prototypes) —
     // two-phase per-(label,dim) decimal aggregate, arrays reassembled in
     // dimension order; exchange carries |labels|·d, never vectors
@@ -1330,6 +1337,20 @@ object PipelineQueries extends QueryGroup {
 
     "q_cosine_topk" -> cosineOracle,
     "q_mmr_rerank" -> mmrOracle,
+
+    // quantization codes rebuilt value-for-value: float→double casts are
+    // exact, round-half-away matches Spark's HALF_UP
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              s AS (SELECT vec_id,
+                           round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
+                           v
+                    FROM e)
+         SELECT vec_id, scale,
+                CASE WHEN scale = 0
+                     THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS qvec
+         FROM s""",
 
     "q_lang_id" -> {
       val hitExprs = TextAnalysis.DefaultMarkers.map { case (lang, _) =>

@@ -52,6 +52,26 @@ class RetentionDriftSpec extends SparkSpec {
       s"shifted halves must flag drift, got $r1")
   }
 
+  test("winsorize clips to group percentiles and leaves interior values alone") {
+    val df = ((1 to 100).map(i => ("g", i.toLong, i.toDouble))).toDF("grp", "id", "v")
+    val r = graft.operators.Distribution.winsorize(df, "grp", "id", "v", 0.05, 0.95)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    // exact interpolated percentiles of 1..100: p05 = 5.95, p95 = 95.05
+    assert(r(1L) == 5.95 && r(3L) == 5.95)
+    assert(r(100L) == 95.05 && r(97L) == 95.05)
+    assert(r(50L) == 50.0)
+  }
+
+  test("linearFit recovers an exact line and flags zero-variance groups") {
+    val exact = ((0 until 50).map(i => ("a", i.toDouble, 3.0 * i + 7.0)) ++
+      (0 until 5).map(_ => ("b", 2.0, 9.0))).toDF("grp", "x", "y")
+    val r = graft.operators.Regression.linearFit(exact, "grp", "x", "y")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), Option(x.get(2)), Option(x.get(3)))).toMap
+    assert(r("a") == ((50L, Some(3.0), Some(7.0))))
+    assert(r("b") == ((5L, None, None)))
+  }
+
   test("psi excludes buckets empty on either side") {
     val df = Seq(
       (1L, "g", 5.0), (2L, "g", 5.0),   // bucket 0: both sides (ids 1,2)
