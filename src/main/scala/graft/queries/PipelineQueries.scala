@@ -1199,18 +1199,26 @@ object PipelineQueries extends QueryGroup {
 
     "q_dedup_embed" -> dedupEmbedOracle,
 
+    // micro-unit integer mean (see Pooling.meanVectors): su/n rounded
+    // half-away in exact integer arithmetic — double round(s/n, 6)
+    // flips 7th-digit half boundaries between engines
     "q_embed_centroid" ->
       """WITH perdim AS (
            SELECT label, pos,
-                  CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE) AS s,
+                  CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS su,
                   count(*) AS n
            FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                         unnest(embedding) AS x
                  FROM embeddings)
-           GROUP BY 1, 2)
+           GROUP BY 1, 2),
+              m AS (SELECT label, pos, n,
+                           CAST(CASE WHEN su < 0 THEN -((-su * 2 + n) // (2 * n))
+                                     ELSE (su * 2 + n) // (2 * n) END AS DOUBLE)
+                             / 1000000.0 AS m
+                    FROM perdim)
          SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-                list(round(s / n, 6) ORDER BY pos) AS centroid
-         FROM perdim GROUP BY label""",
+                list(m ORDER BY pos) AS centroid
+         FROM m GROUP BY label""",
 
     "q_ann_lsh" -> annLshOracle,
 

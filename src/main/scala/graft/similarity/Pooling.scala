@@ -23,27 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object Pooling {
 
-  /** Exact decimal sum of `round(expr, 6)` — order-independent. */
-  private def dsum6(e: Column): Column =
-    sum(round(e, 6).cast("decimal(25,6)")).cast("double")
-
   /** Per-`byCol` mean vector: `(by, n_vecs, centroid)` with the centroid
-    * rounded at 6 decimals per element. */
+    * rounded at 6 decimals per element.
+    *
+    * The final per-element rounding is EXACT INTEGER arithmetic in
+    * micro-units (su = Σ·10⁶ as BIGINT, half-away division by n), not
+    * `round(s/n, 6)` on a double: a mean landing on a 7th-digit half
+    * boundary (e.g. 0.0032135) rounds differently across engines when
+    * computed through binary doubles (Spark rounds the shortest decimal
+    * repr, DuckDB the scaled binary — observed flipping one component
+    * at sf0.1). Integer half-away on the exact rational is
+    * engine-identical by construction.
+    */
   def meanVectors(emb: DataFrame, byCol: String,
                   vecCol: String = "embedding"): DataFrame = {
     val perDim = emb
       .select(col(byCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col(byCol), col("pos"))
-      .agg(dsum6(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(round(col("x").cast("double"), 6).cast("decimal(25,6)")).as("sdec"),
+        count(lit(1)).as("n"))
+      .withColumn("su", (col("sdec") * lit(1000000)).cast("long"))
+      // half-away-from-zero rounding of su/n via nonnegative integer
+      // division only (DuckDB's // floors, Spark's DIV truncates — they
+      // agree on nonnegatives, so the sign is factored out first)
+      .withColumn("mm", expr(
+        "CASE WHEN su < 0 THEN -((-su * 2 + n) DIV (2 * n)) " +
+          "ELSE (su * 2 + n) DIV (2 * n) END"))
+      .withColumn("m", col("mm").cast("double") / lit(1000000.0))
     perDim
       .groupBy(col(byCol))
       .agg(
         max(col("n")).as("n_vecs"),
         // struct sort on (pos, …) reassembles dimension order; ragged
-        // inputs keep per-dim n in the struct so every element divides
-        // by its own contributor count
-        transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          e => round(e.getField("s") / e.getField("n"), 6)).as("centroid"))
+        // inputs already divided by their own per-dim contributor count
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
       .select(col(byCol), col("n_vecs"), col("centroid"))
   }
 }
