@@ -6,7 +6,10 @@ val names = Seq(
   "q_bucketed_join", "q_asof_join", "q_time_tumbling", "q_decontaminate",
   "q_unpivot", "q_histogram", "q_corr_subq", "q_reservoir", "q_ngram_vocab",
   "q_incr_agg", "q_window_ntile", "q_fuzzy_join", "q_char_entropy",
-  "q_profile", "q_chunk", "q_funnel")
+  "q_profile", "q_chunk", "q_funnel",
+  "q_phrase_search", "q_cooccur_pmi", "q_feature_hash", "q_equidepth",
+  "q_triangles", "q_mmr_rerank", "q_transitions", "q_cohort_retention",
+  "q_psi_drift", "q_linreg", "q_embed_quant", "q_big_orders")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
