@@ -37,4 +37,41 @@ object Chunking {
         size(col("col")).cast("long").as("n_tokens"),
         array_join(col("col"), " ").as("chunk"))
   }
+
+  /** Content-defined chunking: a chunk boundary opens AFTER any token
+    * whose portable hash is ≡ 0 (mod `modulus`) — boundaries depend on
+    * CONTENT, not position, so inserting a sentence shifts at most the
+    * chunk it lands in while fixed-size windows shift every later chunk
+    * (the property that makes CDC chunks dedup-friendly across document
+    * revisions; expected chunk length ≈ `modulus` tokens).
+    *
+    * Returns `(doc_id, chunk_id, n_tokens, fingerprint)` — fingerprint
+    * is the portable hash of the space-joined chunk text (order-
+    * sensitive), the join key for chunk-level dedup across documents.
+    *
+    * Scale: tokenize + hash fuse into the scan; the running boundary
+    * count is ONE window over the doc-keyed order (high-cardinality
+    * partition key), then a (doc, chunk) aggregate whose collect state
+    * is bounded by chunk length. Everything exchanges on doc ids.
+    */
+  def contentDefinedChunks(df: DataFrame, modulus: Int = 32,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"),
+        posexplode(Analyzer.tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("boundary",
+        (pmod(Sampling.saltedHash("cdc", col("term")), lit(modulus.toLong)) === 0)
+          .cast("long"))
+      // chunk id = boundaries strictly BEFORE this token (a boundary
+      // token closes its own chunk)
+      .withColumn("chunk_id", coalesce(sum(col("boundary")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Sampling.saltedHash("cdcfp",
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            e => e.getField("term")), " ")).as("fingerprint"))
+  }
 }

@@ -151,6 +151,12 @@ object PipelineQueries extends QueryGroup {
       Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // content-defined chunking: boundaries from token-hash landmarks
+    // (shift-robust — the dedup-friendly chunking), one doc-keyed
+    // running window + per-chunk fingerprint
+    "q_cdc_chunk" -> ((s, dir) =>
+      graft.pipeline.Chunking.contentDefinedChunks(docs(s, dir), CdcModulus)),
+
     // symmetric int8 vector quantization: the 4x storage cut that
     // decides whether an ANN corpus fits executor memory; per-row
     // Column arithmetic, codes oracle-verified counter-for-counter
@@ -623,6 +629,7 @@ object PipelineQueries extends QueryGroup {
   val PackSeqLen = 1024
   val ChunkSize = 64
   val ChunkOverlap = 8
+  val CdcModulus = 32
   // fr/zh upweighted, de kept, es downweighted below 1, en dropped
   val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1345,6 +1352,25 @@ object PipelineQueries extends QueryGroup {
 
     "q_cosine_topk" -> cosineOracle,
     "q_mmr_rerank" -> mmrOracle,
+
+    // boundary + running-count + fingerprint rebuilt from the portable
+    // hash family
+    "q_cdc_chunk" ->
+      s"""WITH lists AS ($SqlLists),
+              tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                      FROM lists),
+              b AS (SELECT doc_id, pos, term,
+                           CASE WHEN ${sqlSaltedHash("cdc", "term")} % $CdcModulus = 0
+                                THEN 1 ELSE 0 END AS boundary
+                    FROM tok),
+              c AS (SELECT doc_id, pos, term,
+                           coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                    FROM b)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                count(*) AS n_tokens,
+                ${sqlSaltedHash("cdcfp", "string_agg(term, ' ' ORDER BY pos)")} AS fingerprint
+         FROM c GROUP BY 1, 2""",
 
     // quantization codes rebuilt value-for-value: float→double casts are
     // exact, round-half-away matches Spark's HALF_UP
