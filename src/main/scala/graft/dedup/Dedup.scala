@@ -304,6 +304,45 @@ object Dedup {
       (col("id") === col("lbl")).cast("long").as("is_survivor"))
   }
 
+  /** Per-document duplicated-SPAN statistics — the exact-substring
+    * duplication diagnostic (the relational form of the exact-substring
+    * pass in "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): every n-token sliding window is hashed, and a
+    * span counts as duplicated when its hash occurs in at least
+    * `minDocs` DISTINCT documents. Returns
+    * `(doc_id, n_spans, dup_spans, dup_frac)` — the per-doc fraction of
+    * window positions covered by corpus-repeated text, the signal that
+    * drives span-level cut lists. Documents shorter than `n` tokens
+    * have no spans and are absent from the output.
+    *
+    * Scale: gram generation is a per-row position explode fused into
+    * the scan — the n-token gram text exists only transiently inside
+    * the projection, and only `(doc_id, hash)` leaves it. Span stats
+    * and the doc rollup shuffle 16-byte rows keyed by hash/doc. (A
+    * rolling-hash Expression would avoid re-materializing each n-gram's
+    * text; the portable md5 family is kept so the oracle reproduces
+    * every hash.)
+    */
+  def duplicateSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    import graft.pipeline.Sampling
+    val spans = df
+      .select(col(idCol).as("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("pos", explode(sequence(lit(1), size(col("toks")) - lit(n - 1))))
+      .select(col("doc_id"), Sampling.saltedHash("span",
+        array_join(slice(col("toks"), col("pos"), lit(n)), " ")).as("h"))
+    val stats = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+    spans.join(stats, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+  }
+
   /** All-pairs reference implementation (O(n²) crossJoin) — the test
     * oracle for the bucketed operator above; never the production path. */
   def embeddingNearDupPairsBrute(emb: DataFrame, minCos: Double,

@@ -55,7 +55,17 @@ object Chunking {
     * is bounded by chunk length. Everything exchanges on doc ids.
     */
   def contentDefinedChunks(df: DataFrame, modulus: Int = 32,
-                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    chunkAssignments(df, modulus, idCol, textCol)
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Sampling.saltedHash("cdcfp", chunkTextAgg).as("fingerprint"))
+
+  /** `(doc_id, pos, term, chunk_id)` — every token tagged with its
+    * content-defined chunk (see [[contentDefinedChunks]] for the
+    * boundary rule and the scale posture). */
+  private def chunkAssignments(df: DataFrame, modulus: Int,
+                               idCol: String, textCol: String): DataFrame = {
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -68,10 +78,47 @@ object Chunking {
       // chunk id = boundaries strictly BEFORE this token (a boundary
       // token closes its own chunk)
       .withColumn("chunk_id", coalesce(sum(col("boundary")).over(w), lit(0L)))
+  }
+
+  /** Chunk text rebuilt in token order inside a (doc, chunk) aggregate
+    * (collect_list order is nondeterministic; the sort restores it). */
+  private def chunkTextAgg: org.apache.spark.sql.Column =
+    array_join(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+      e => e.getField("term")), " ")
+
+  /** Cross-document chunk dedup — boilerplate removal at chunk
+    * granularity: any content-defined chunk whose text occurs in at
+    * least `minDocs` DISTINCT documents is dropped from ALL of them
+    * (repeated-content semantics: headers, license blocks, mirrored
+    * passages), and each document is reassembled from its surviving
+    * chunks in order. Returns
+    * `(doc_id, n_chunks, dropped_chunks, clean_text)`; a document whose
+    * chunks were all shared comes back with empty `clean_text`, and a
+    * document with no shared chunks reassembles to exactly its
+    * normalized text (spec-asserted). Shift-robust boundaries
+    * ([[contentDefinedChunks]]) are what make the chunk-text equality
+    * meaningful across revised/near-dup documents.
+    *
+    * Scale: chunking work as in [[contentDefinedChunks]]; the dedup
+    * decision shuffles only (fingerprint, doc) pairs for the
+    * distinct-doc count, then chunk rows re-shuffle by doc for
+    * reassembly — state per (doc, chunk) bounded by chunk length,
+    * per fingerprint by its doc count.
+    */
+  def chunkDedupClean(df: DataFrame, modulus: Int = 32, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val chunks = chunkAssignments(df, modulus, idCol, textCol)
       .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        Sampling.saltedHash("cdcfp",
-          array_join(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
-            e => e.getField("term")), " ")).as("fingerprint"))
+      .agg(chunkTextAgg.as("chunk"))
+      .withColumn("fp", Sampling.saltedHash("cdcfp", col("chunk")))
+    val shared = chunks.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(shared, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dropped_chunks"),
+        array_join(transform(array_sort(collect_list(
+            when(col("n_docs") < minDocs, struct(col("chunk_id"), col("chunk"))))),
+          e => e.getField("chunk")), " ").as("clean_text"))
   }
 }

@@ -125,6 +125,46 @@ object Sampling {
       .drop("__n_copies")
   }
 
+  /** Temperature-based mixture resampling at α = 0.5: stratum shares are
+    * flattened from p ∝ n toward uniform via p ∝ √n (the multilingual
+    * mixing rule of mBERT/XLM-R — low-resource strata upweighted,
+    * dominant ones sampled below 1), then realized as a deterministic
+    * per-row copy count exactly like [[upsample]]: `floor(r)` copies
+    * plus one more when the salted key hash clears the fractional cut.
+    * The replication factor is `r_s = (√n_s / Σ√n) · (N / n_s)` — total
+    * corpus size is preserved in expectation.
+    *
+    * Reproducibility contract: `√n` is rounded to 6 dp (sqrt is exactly
+    * rounded in IEEE, so both engines see the same double) and Σ√n is
+    * accumulated in DECIMAL — exact and order-independent, so `r_s` is
+    * bit-identical on any engine under any partitioning, and the oracle
+    * recomputes every copy count. (A general temperature α would need
+    * `pow`, which is NOT exactly rounded — α is fixed at 0.5 to keep
+    * the factors portable.)
+    *
+    * Scale: stratum counts are one partial-agg shuffle of the stratum
+    * key; factors (one row per stratum) broadcast back; the copy
+    * explode is per-row on the scan. No data-sized shuffle.
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, stratumCol: String,
+                          salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__sq", round(sqrt(col("__n").cast("double")), 6))
+    val tot = counts.agg(
+      sum(col("__sq").cast("decimal(18,6)")).cast("double").as("__z"),
+      sum(col("__n")).cast("double").as("__total"))
+    val factors = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        ((col("__sq") / col("__z")) * (col("__total") / col("__n").cast("double"))).as("__r"))
+    val fracCut = floor((col("__r") - floor(col("__r"))) * lit(HashRange.toDouble)).cast("long")
+    df.join(broadcast(factors), stratumCol)
+      .withColumn("__n_copies", floor(col("__r")).cast("long") +
+        when(saltedHash(salt, col(keyCol)) < fracCut, 1L).otherwise(0L))
+      .filter(col("__n_copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies", "__r")
+  }
+
   /** Stratified deterministic sampling: a different fraction per stratum
     * value (e.g. downsample the dominant language, keep the rest) — the
     * domain-balancing step of a training-data mixture. Rows whose stratum

@@ -450,6 +450,24 @@ object PipelineQueries extends QueryGroup {
           UpsampleWeights.toMap)
         .select(col("doc_id"), col("lang"), col("copy"))),
 
+    // temperature mixing at α = 0.5: per-language replication factors
+    // DERIVED from the data (p ∝ √n flattening), realized as
+    // deterministic per-row copy counts — every copy oracle-recomputed
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureResample(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
+    // exact-substring duplication diagnostic: per-doc fraction of
+    // 8-token sliding windows whose hash recurs in ≥2 distinct docs
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), SpanN, SpanMinDocs)),
+
+    // cross-document chunk dedup: shared CDC chunks dropped from every
+    // doc, survivors reassembled in order (boilerplate removal)
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.pipeline.Chunking.chunkDedupClean(docs(s, dir), CdcModulus, ChunkMinDocs)),
+
     // letter-histogram Shannon entropy (gibberish/binary-blob signal)
     "q_char_entropy" -> ((s, dir) => {
       val (n, ratio, ent) = TextAnalysis.charEntropy(col("text"))
@@ -630,6 +648,9 @@ object PipelineQueries extends QueryGroup {
   val ChunkSize = 64
   val ChunkOverlap = 8
   val CdcModulus = 32
+  val ChunkMinDocs = 2
+  val SpanN = 8
+  val SpanMinDocs = 2
   // fr/zh upweighted, de kept, es downweighted below 1, en dropped
   val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1371,6 +1392,69 @@ object PipelineQueries extends QueryGroup {
                 count(*) AS n_tokens,
                 ${sqlSaltedHash("cdcfp", "string_agg(term, ' ' ORDER BY pos)")} AS fingerprint
          FROM c GROUP BY 1, 2""",
+
+    // same chunk construction as q_cdc_chunk, then the shared-chunk
+    // drop + ordered reassembly of the survivors
+    "q_chunk_dedup" ->
+      s"""WITH lists AS ($SqlLists),
+              tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                      FROM lists),
+              b AS (SELECT doc_id, pos, term,
+                           CASE WHEN ${sqlSaltedHash("cdc", "term")} % $CdcModulus = 0
+                                THEN 1 ELSE 0 END AS boundary
+                    FROM tok),
+              c AS (SELECT doc_id, pos, term,
+                           coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                    FROM b),
+              ch AS (SELECT doc_id, chunk_id,
+                            string_agg(term, ' ' ORDER BY pos) AS chunk
+                     FROM c GROUP BY 1, 2),
+              f AS (SELECT doc_id, chunk_id, chunk,
+                           ${sqlSaltedHash("cdcfp", "chunk")} AS fp
+                    FROM ch),
+              st AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM f GROUP BY 1)
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN n_docs >= $ChunkMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dropped_chunks,
+                coalesce(string_agg(CASE WHEN n_docs < $ChunkMinDocs THEN chunk END,
+                                    ' ' ORDER BY chunk_id), '') AS clean_text
+         FROM f JOIN st USING (fp) GROUP BY 1""",
+
+    // n-gram spans via inclusive list slicing, duplication = hash seen
+    // in >= SpanMinDocs distinct docs (same portable hash family)
+    "q_dup_spans" ->
+      s"""WITH lists AS ($SqlLists),
+              g AS (SELECT doc_id,
+                           ${sqlSaltedHash("span", s"array_to_string(l[pos:pos+${SpanN - 1}], ' ')")} AS h
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l) - $SpanN + 2)) AS pos
+                          FROM lists WHERE len(l) >= $SpanN)),
+              st AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN n_docs >= $SpanMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_spans,
+                round(CAST(sum(CASE WHEN n_docs >= $SpanMinDocs THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS dup_frac
+         FROM g JOIN st USING (h) GROUP BY 1""",
+
+    // factors from √n-flattened shares (√n rounded to 6 dp, Σ in exact
+    // DECIMAL — bit-identical r on both engines), then the same
+    // base + hash-decided-extra replication as q_upsample
+    "q_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+              s AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS sq FROM c),
+              t AS (SELECT CAST(sum(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS z,
+                           CAST(sum(n) AS DOUBLE) AS nn
+                    FROM s),
+              f AS (SELECT lang, (sq / z) * (nn / CAST(n AS DOUBLE)) AS r FROM s, t),
+              d AS (SELECT doc_id, dd.lang,
+                           CAST(floor(r) AS BIGINT)
+                           + (CASE WHEN ${sqlSaltedHash("temp", "doc_id")} <
+                                        CAST(floor((r - floor(r)) * 1152921504606846976.0) AS BIGINT)
+                              THEN 1 ELSE 0 END) AS n
+                    FROM documents dd JOIN f USING (lang))
+         SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy
+         FROM d WHERE n >= 1""",
 
     // quantization codes rebuilt value-for-value: float→double casts are
     // exact, round-half-away matches Spark's HALF_UP

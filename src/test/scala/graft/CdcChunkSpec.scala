@@ -44,4 +44,22 @@ class CdcChunkSpec extends SparkSpec {
       }
     assert(byDoc(1L) == byDoc(2L))
   }
+
+  test("chunk dedup: shared chunks dropped everywhere, lone docs reassemble verbatim") {
+    val df = Seq((1L, text), (2L, text), (3L, "completely different filler words"))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkDedupClean(df, modulus = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1 and 2 are identical → every chunk shared → all dropped
+    Seq(1L, 2L).foreach { d =>
+      val (n, dropped, clean) = out(d)
+      assert(dropped == n && clean == "", s"doc $d: ($n, $dropped, '$clean')")
+    }
+    // doc 3 shares nothing → reassembly in chunk order is its normalized text
+    val (n3, dropped3, clean3) = out(3L)
+    assert(dropped3 == 0L)
+    assert(clean3 == "completely different filler words",
+      s"lossless reassembly, got '$clean3'")
+    assert(n3 >= 1L)
+  }
 }

@@ -110,6 +110,32 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("temperature resample: balanced strata untouched, skew flattened toward uniform") {
+    // perfectly balanced: every r = 1 → identity (one copy per row)
+    val balanced = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val outB = Sampling.temperatureResample(balanced, "doc_id", "lang")
+      .as[(String, Long, Long)].collect()
+    assert(outB.length === 40 && outB.forall(_._3 == 1L),
+      "equal strata have factor exactly 1 — no row dropped or replicated")
+
+    // 9:1 skew at α=0.5 → target shares 3:1 — minority replicated ~3×,
+    // majority sampled at ~0.75
+    val skewed = (1L to 200L).map(i => (i, if (i <= 180) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureResample(skewed, "doc_id", "lang")
+      .as[(String, Long, Long)].collect()
+    val byLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // r_small = (√20/(√180+√20))·(200/20) = 2.5; r_big = (√180/…)·(200/180) ≈ 0.833
+    assert(byLang("small") > 20 && byLang("small") <= 3 * 20,
+      s"minority must be upweighted, got ${byLang("small")}")
+    assert(byLang("big") < 180, s"majority must be downsampled, got ${byLang("big")}")
+    // deterministic
+    val again = Sampling.temperatureResample(skewed, "doc_id", "lang")
+      .as[(String, Long, Long)].collect()
+    assert(again.toSet === out.toSet)
+  }
+
   test("decontaminate drops exactly the flagged training docs; bench side broadcasts") {
     import graft.pipeline.Contamination
     val bench = docs.filter($"doc_id" % 50 === 0)
