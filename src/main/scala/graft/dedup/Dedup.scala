@@ -325,6 +325,19 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = spanFlags(df, n, minDocs, idCol, textCol)
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("dup")).as("dup_spans"))
+      .withColumn("dup_frac",
+        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+  }
+
+  /** `(doc_id, pos, dup)` for every n-token span start (1-based `pos`);
+    * `dup` = 1 when the span's hash occurs in ≥ `minDocs` distinct docs.
+    * Shared by the [[duplicateSpans]] diagnostic and the [[spanClean]]
+    * transform. */
+  private def spanFlags(df: DataFrame, n: Int, minDocs: Int,
+                        idCol: String, textCol: String): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     import graft.pipeline.Sampling
@@ -332,15 +345,44 @@ object Dedup {
       .select(col(idCol).as("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .withColumn("pos", explode(sequence(lit(1), size(col("toks")) - lit(n - 1))))
-      .select(col("doc_id"), Sampling.saltedHash("span",
+      .select(col("doc_id"), col("pos"), Sampling.saltedHash("span",
         array_join(slice(col("toks"), col("pos"), lit(n)), " ")).as("h"))
     val stats = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
     spans.join(stats, "h")
+      .select(col("doc_id"), col("pos"),
+        when(col("n_docs") >= minDocs, 1L).otherwise(0L).as("dup"))
+  }
+
+  /** Exact-substring dedup APPLIED (the cut-list transform paired with
+    * the [[duplicateSpans]] diagnostic): a token is removed when ANY
+    * n-token window covering it is duplicated across ≥ `minDocs`
+    * distinct documents — duplicated passages disappear from every
+    * holder, unique prose survives. Returns
+    * `(doc_id, n_tokens, removed_tokens, clean_text)` with the
+    * survivors rejoined in order (docs shorter than `n` tokens pass
+    * through verbatim; fully-duplicated docs come back empty).
+    *
+    * Scale: span flags as in [[duplicateSpans]]; coverage is a
+    * left join of the token stream with span starts on (doc, pos) plus
+    * ONE bounded rows-window (`n-1 PRECEDING`) over the doc-keyed
+    * order — everything shuffles by doc id, window state is n rows.
+    */
+  def spanClean(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), 0)
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(Analyzer.tokens(col(textCol))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+    toks
+      .join(spanFlags(df, n, minDocs, idCol, textCol), Seq("doc_id", "pos"), "left")
+      .withColumn("covered", max(coalesce(col("dup"), lit(0L))).over(w))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dup_spans"))
-      .withColumn("dup_frac",
-        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("removed_tokens"),
+        array_join(transform(array_sort(collect_list(
+            when(col("covered") === 0L, struct(col("pos"), col("term"))))),
+          e => e.getField("term")), " ").as("clean_text"))
   }
 
   /** All-pairs reference implementation (O(n²) crossJoin) — the test

@@ -468,6 +468,11 @@ object PipelineQueries extends QueryGroup {
     "q_chunk_dedup" -> ((s, dir) =>
       graft.pipeline.Chunking.chunkDedupClean(docs(s, dir), CdcModulus, ChunkMinDocs)),
 
+    // ...and the cut list APPLIED: tokens covered by any corpus-
+    // duplicated window removed, survivors rejoined in order
+    "q_span_clean" -> ((s, dir) =>
+      Dedup.spanClean(docs(s, dir), SpanN, SpanMinDocs)),
+
     // letter-histogram Shannon entropy (gibberish/binary-blob signal)
     "q_char_entropy" -> ((s, dir) => {
       val (n, ratio, ent) = TextAnalysis.charEntropy(col("text"))
@@ -1436,6 +1441,30 @@ object PipelineQueries extends QueryGroup {
                 round(CAST(sum(CASE WHEN n_docs >= $SpanMinDocs THEN 1 ELSE 0 END) AS DOUBLE)
                       / count(*), 6) AS dup_frac
          FROM g JOIN st USING (h) GROUP BY 1""",
+
+    // span flags as in q_dup_spans, then coverage = bounded rows-window
+    // max over the token stream, survivors rejoined in order
+    "q_span_clean" ->
+      s"""WITH lists AS ($SqlLists),
+              g AS (SELECT doc_id, pos,
+                           ${sqlSaltedHash("span", s"array_to_string(l[pos:pos+${SpanN - 1}], ' ')")} AS h
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l) - $SpanN + 2)) AS pos
+                          FROM lists WHERE len(l) >= $SpanN)),
+              st AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+              fl AS (SELECT doc_id, pos,
+                            CASE WHEN n_docs >= $SpanMinDocs THEN 1 ELSE 0 END AS dup
+                     FROM g JOIN st USING (h)),
+              tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                      FROM lists),
+              cov AS (SELECT t.doc_id, t.pos, t.term,
+                             max(coalesce(fl.dup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                               ROWS BETWEEN ${SpanN - 1} PRECEDING AND CURRENT ROW) AS covered
+                      FROM tok t LEFT JOIN fl ON t.doc_id = fl.doc_id AND t.pos = fl.pos)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(covered) AS BIGINT) AS removed_tokens,
+                coalesce(string_agg(CASE WHEN covered = 0 THEN term END, ' ' ORDER BY pos), '')
+                  AS clean_text
+         FROM cov GROUP BY 1""",
 
     // factors from √n-flattened shares (√n rounded to 6 dp, Σ in exact
     // DECIMAL — bit-identical r on both engines), then the same

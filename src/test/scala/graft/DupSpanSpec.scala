@@ -32,6 +32,26 @@ class DupSpanSpec extends SparkSpec {
     assert(out(3L)._2 == 0L, "unrelated doc has no duplicated span")
   }
 
+  test("spanClean removes exactly the covered tokens, everywhere") {
+    val df = Seq(
+      (1L, shared),
+      (2L, "zzz prefix " + shared + " suffix yyy"),
+      (3L, "wholly unrelated words that appear nowhere else in this corpus ok"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanClean(df, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is entirely covered by duplicated windows → emptied
+    assert(out(1L) == ((12L, 12L, "")), s"doc 1: ${out(1L)}")
+    // doc 2 loses the 12 embedded tokens; its unique prefix/suffix survive
+    assert(out(2L) == ((16L, 12L, "zzz prefix suffix yyy")), s"doc 2: ${out(2L)}")
+    // untouched docs reassemble verbatim (normalized)
+    assert(out(3L)._2 == 0L &&
+      out(3L)._3 == "wholly unrelated words that appear nowhere else in this corpus ok")
+    // below-n docs pass through whole
+    assert(out(4L) == ((2L, 0L, "short doc")), s"doc 4: ${out(4L)}")
+  }
+
   test("dup_frac is the duplicated share of span positions") {
     val df = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
     val out = Dedup.duplicateSpans(df, n = 8).collect()
