@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
       s"expected at most the aggregate exchange in:\n$p")
   }
 
+  test("span/chunk dedup queries: hash equi-joins only, no all-pairs path") {
+    Seq("q_dup_spans", "q_span_clean", "q_chunk_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: all-pairs join in:\n$p")
+    }
+  }
+
+  test("q_temperature_mix: per-stratum factors ride a broadcast back to the data") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast factor join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stratum factors must never shuffle the corpus side:\n$p")
+  }
+
   test("aggregation queries use two-phase (partial) hash aggregation") {
     val p = plan("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
