@@ -560,6 +560,15 @@ object PipelineQueries extends QueryGroup {
       ttSnapshots(s, store)
     }),
 
+    // what changed between two snapshots: added / removed / changed
+    // keys with both sides of every change — one full-outer join on the
+    // key over two bounded snapshot reads, output ∝ churn
+    "q_version_diff" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-ttdiff")
+      ttStoreSetup(s, dir, path)
+      graft.streaming.VersionedStore.diff(s, path, 2L, 3L, Seq("doc_id"))
+    }),
+
     // the same store after VACUUM at the v2 checkpoint: log v1–v2 and
     // pre-base checkpoints are gone, yet both retained reads answer
     // byte-identically (shared oracle with q_time_travel) — the
@@ -988,7 +997,51 @@ object PipelineQueries extends QueryGroup {
        SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, source, n_chars
        FROM snap WHERE rn = 1 AND op <> 'd'"""
 
+  // v2/v3 snapshots via the shared full-history replay, then a FULL
+  // JOIN keeping only rows that differ (IS DISTINCT FROM = Spark's <=>)
+  private lazy val versionDiffOracle: String =
+    """WITH log AS (
+         SELECT doc_id, lang, source, n_chars, 'u' AS op, 1 AS v
+         FROM documents WHERE doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, 'v2:' || lang, n_chars, 'u', 2
+         FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'd', 2
+         FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+         UNION ALL
+         SELECT doc_id, lang, 'v3:' || source, n_chars, 'u', 3
+         FROM documents WHERE doc_id % 13 = 3
+         UNION ALL
+         SELECT doc_id, lang, 'v3u:' || lang, n_chars, 'u', 3
+         FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 3),
+       snap AS (
+         SELECT a.as_of, l.*,
+                row_number() OVER (PARTITION BY a.as_of, l.doc_id
+                                   ORDER BY l.v DESC) AS rn
+         FROM (VALUES (2), (3)) AS a(as_of)
+         JOIN log l ON l.v <= a.as_of),
+       s2 AS (SELECT doc_id, lang, source, n_chars FROM snap
+              WHERE as_of = 2 AND rn = 1 AND op <> 'd'),
+       s3 AS (SELECT doc_id, lang, source, n_chars FROM snap
+              WHERE as_of = 3 AND rn = 1 AND op <> 'd')
+       SELECT coalesce(s2.doc_id, s3.doc_id) AS doc_id,
+              s2.lang AS old_lang, s2.source AS old_source,
+              s2.n_chars AS old_n_chars,
+              s3.lang AS new_lang, s3.source AS new_source,
+              s3.n_chars AS new_n_chars,
+              CASE WHEN s2.doc_id IS NULL THEN 'added'
+                   WHEN s3.doc_id IS NULL THEN 'removed'
+                   ELSE 'changed' END AS status
+       FROM s2 FULL JOIN s3 ON s2.doc_id = s3.doc_id
+       WHERE s2.doc_id IS NULL OR s3.doc_id IS NULL
+          OR s2.lang IS DISTINCT FROM s3.lang
+          OR s2.source IS DISTINCT FROM s3.source
+          OR s2.n_chars IS DISTINCT FROM s3.n_chars"""
+
   def oracles: Map[String, String] = Map(
+    "q_version_diff" -> versionDiffOracle,
+
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
 

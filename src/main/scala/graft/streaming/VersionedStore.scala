@@ -113,6 +113,45 @@ object VersionedStore {
       .drop("__rn", "__v", OpCol)
   }
 
+  /** Snapshot DIFF between two store versions: which keys were `added`,
+    * `removed`, or `changed` going `vOld` → `vNew` (unchanged rows are
+    * omitted — at 100 TB the diff output is ∝ churn, not table size).
+    * Non-key columns come back `old_`/`new_`-prefixed, so the row shows
+    * both sides of every change. A key deleted before `vOld` and
+    * re-inserted by `vNew` reports as `added` — diff is a statement
+    * about the two snapshots, not the history between them.
+    *
+    * Scale: two snapshot reads (checkpoint + bounded log replay each)
+    * into ONE full-outer shuffle join on the key; comparison is a
+    * null-safe scalar predicate, no window, no second pass.
+    */
+  def diff(spark: SparkSession, path: String, vOld: Long, vNew: Long,
+           keys: Seq[String]): DataFrame =
+    diffFrames(snapshotAt(spark, path, vOld, keys),
+      snapshotAt(spark, path, vNew, keys), keys)
+
+  /** Generic two-frame diff behind [[diff]] (exposed for snapshots that
+    * did not come from a store). Frames must share a schema. */
+  def diffFrames(old: DataFrame, newer: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(old.columns.sameElements(newer.columns),
+      s"schema mismatch: ${old.columns.mkString(",")} vs ${newer.columns.mkString(",")}")
+    val dataCols = old.columns.filterNot(keys.contains).toSeq
+    def side(df: DataFrame, tag: String) =
+      df.select(keys.map(col) ++ dataCols.map(c => col(c).as(s"${tag}_$c"))
+        :+ lit(1).as(s"__in_$tag"): _*)
+    val changed = dataCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    side(old, "old").join(side(newer, "new"), keys, "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .drop("__in_old", "__in_new")
+  }
+
   final case class VacuumStats(base: Long, droppedLogs: Seq[Long],
                                droppedCheckpoints: Seq[Long])
 

@@ -140,4 +140,31 @@ class VersionedStoreSpec extends SparkSpec {
     assert(at1 === Set((1L, "a1"), (2L, "b1")))
     assert(at2 === Set((2L, "b2")))
   }
+
+  test("diff reports added/removed/changed and omits unchanged (nulls equal)") {
+    val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("gone"), 40L))
+      .toDF("k", "s", "n")
+    val neu = Seq((1L, Some("a"), 10L), (2L, Some("B!"), 20L),
+      (3L, None: Option[String], 30L), (5L, Some("new"), 50L))
+      .toDF("k", "s", "n")
+    val out = VersionedStore.diffFrames(old, neu, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    // k=1 identical, k=3 identical with null payload → both omitted
+    assert(out === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+    val row2 = VersionedStore.diffFrames(old, neu, Seq("k"))
+      .filter($"k" === 2L).collect().head
+    assert(row2.getString(1) == "b" && row2.getString(3) == "B!",
+      s"old_/new_ payload visible on changed rows: $row2")
+  }
+
+  test("diff on the store: a v2-deleted key re-inserted at v3 reports as added") {
+    val root = QueryGroup.scratchDir("graft-vsdiff")
+    VersionedStore.commit(spark, root, ch((1L, "x1", "u"), (2L, "y1", "u")))
+    VersionedStore.commit(spark, root, ch((2L, "y1", "d")))
+    VersionedStore.commit(spark, root, ch((2L, "y3", "u"), (1L, "x3", "u")))
+    val d23 = VersionedStore.diff(spark, root, 2L, 3L, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d23 === Map(1L -> "changed", 2L -> "added"))
+  }
 }
