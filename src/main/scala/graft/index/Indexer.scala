@@ -212,14 +212,53 @@ object Indexer {
     // rename failures roll back instead of deleting the last copy. FS is
     // resolved from the path itself so a store on a non-default
     // filesystem (s3a://, hdfs://) works.
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
-      graft.FsOps.atomicSwap(
-        live.getFileSystem(spark.sparkContext.hadoopConfiguration), live, tmp)
-    }
-    swap("vocab")
-    swap("meta")
+    swapTable(spark, path, "vocab")
+    swapTable(spark, path, "meta")
+  }
+
+  /** Install `<name>_tmp` over the live `<name>` table (crash-safe
+    * rename-aside swap — see the appendIndex commentary). */
+  private def swapTable(spark: org.apache.spark.sql.SparkSession,
+                        path: String, name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+    graft.FsOps.atomicSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live, tmp)
+  }
+
+  /** Soft-delete documents from a persisted index store — Lucene-style
+    * tombstones: the doc ids append into a `deletes` side table and the
+    * postings/doc_stats parquet is NEVER rewritten (deleting from a
+    * term-bucketed layout would touch every bucket); readers subtract
+    * the tombstone set ([[readIndexLive]]). The derived tables (vocab,
+    * meta) ARE recomputed from the live view and swapped, so stored df
+    * and corpus stats track live documents only — search over the store
+    * answers exactly like a fresh index built without the deleted docs
+    * (gate-verified).
+    *
+    * Ids not present in the store are ignored (idempotent; re-deleting
+    * is a no-op). Deleted ids stay reserved: [[appendIndex]]'s
+    * duplicate guard still sees them in doc_stats, and the tombstone
+    * applies store-wide — re-adding a deleted id is refused rather than
+    * silently resurrected-then-killed.
+    *
+    * Scale: the tombstone append is ∝ the delete batch; the vocab/meta
+    * recompute is the same one aggregate-over-postings appendIndex
+    * already pays. Query-time cost is one anti-join against the
+    * (typically tiny, broadcastable) tombstone set.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val present = ids.select(col(idCol).as("doc_id")).distinct()
+      .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    present.write.mode("append").parquet(s"$path/deletes")
+    val live = readIndexLive(spark, path)
+    vocab(live.postings.select("term", "doc_id", "tf"))
+      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+    meta(live.docStats).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    swapTable(spark, path, "vocab")
+    swapTable(spark, path, "meta")
   }
 
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
@@ -240,4 +279,23 @@ object Indexer {
       postings = spark.read.parquet(s"$path/postings"),
       vocab = spark.read.parquet(s"$path/vocab"),
       meta = spark.read.parquet(s"$path/meta"))
+
+  /** LIVE view of a store: [[readIndex]] minus tombstoned documents
+    * ([[deleteDocs]]). Without a `deletes` table this IS readIndex —
+    * zero extra IO; with one, doc_stats and postings gain an anti-join
+    * against the tombstone set (vocab/meta were already recomputed live
+    * at delete time). Term-bucket partition pruning on postings is
+    * unaffected — the anti-join applies after the pruned scan. */
+  def readIndexLive(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex = {
+    val ix = readIndex(spark, path)
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) ix
+    else {
+      val dels = spark.read.parquet(s"$path/deletes")
+      ix.copy(
+        docStats = ix.docStats.join(dels, Seq("doc_id"), "left_anti"),
+        postings = ix.postings.join(dels, Seq("doc_id"), "left_anti"))
+    }
+  }
 }

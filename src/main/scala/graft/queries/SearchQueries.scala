@@ -177,6 +177,20 @@ object SearchQueries extends QueryGroup {
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           col("title"), round(col("score"), 4).as("score"))
     }),
+
+    // E3 delete lifecycle: soft-delete a third of the corpus from the
+    // persisted store (tombstones — postings never rewritten; vocab/meta
+    // recomputed live), then search — the oracle proves the store
+    // answers exactly like a fresh index built WITHOUT the deleted docs
+    "q_bm25_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-ixdel")
+      Indexer.writeIndex(Indexer.buildIndex(d, titleCol = Some("source")), path)
+      Indexer.deleteDocs(s, path, d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -215,6 +229,8 @@ object SearchQueries extends QueryGroup {
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
     "q_bm25_append" -> bm25Oracle,
+    "q_bm25_delete" -> bm25OracleFor(
+      s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",
@@ -291,15 +307,23 @@ object SearchQueries extends QueryGroup {
     * same four index tables. `title` comes from `first(title)` over the
     * doc_id group (functionally dependent → a plain join here).
     */
-  private lazy val bm25Oracle: String = {
+  private lazy val bm25Oracle: String = bm25OracleFor(SqlCorpus)
+
+  /** The full BM25 pipeline over an arbitrary corpus CTE — shared by the
+    * build/store/append oracles (whole corpus) and the delete oracle
+    * (live docs only: a tombstoned store must answer exactly like a
+    * fresh index built without the deleted documents). */
+  private def bm25OracleFor(corpusSql: String): String = {
+    val tok =
+      s"SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term FROM ($corpusSql) WHERE t <> ''"
     val terms = Analyzer.analyzeQuery(FlagshipQuery).distinct
       .map(t => s"'$t'").mkString(", ")
-    s"""WITH doc_stats AS ($SqlDocStats),
-             postings AS ($SqlPostings),
+    s"""WITH doc_stats AS (SELECT doc_id, count(*) AS length FROM ($tok) GROUP BY doc_id),
+             postings AS (SELECT term, doc_id, count(*) AS tf FROM ($tok) GROUP BY term, doc_id),
              vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
              meta AS (SELECT count(*) AS n,
                              CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
-                      FROM ($SqlCorpus) c LEFT JOIN doc_stats t USING (doc_id)),
+                      FROM ($corpusSql) c LEFT JOIN doc_stats t USING (doc_id)),
              q AS (SELECT unnest([$terms]) AS term),
              scored AS (
                SELECT p.doc_id,

@@ -66,7 +66,9 @@ object BM25 {
   def searchStore(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryText: String, params: Params = Params(),
                   nBuckets: Int = 64): DataFrame = {
-    val ix = graft.index.Indexer.readIndex(spark, path)
+    // live view: a store with soft-deletes must never return dead docs;
+    // without tombstones this is a plain readIndex (no extra IO)
+    val ix = graft.index.Indexer.readIndexLive(spark, path)
     val terms = Analyzer.analyzeQuery(queryText).distinct
     if (terms.isEmpty) return emptyResult(ix)
     val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nBuckets)).distinct

@@ -71,6 +71,40 @@ class IndexStoreSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-9) }
   }
 
+  test("soft-delete: tombstoned store answers like a rebuild without the docs") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixdel").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    Indexer.deleteDocs(spark, path,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+
+    val rebuilt = BM25.search(
+      Indexer.buildIndex(docs.filter(col("doc_id") % 3 =!= 0)), "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    val stored = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(stored.map(r => (r._1, r._2)) === rebuilt.map(r => (r._1, r._2)),
+      "tombstoned store must rank exactly like the live-only rebuild")
+    stored.zip(rebuilt).foreach { case (s, d) =>
+      assert(math.abs(s._3 - d._3) < 1e-9)
+    }
+    // no deleted doc can surface
+    assert(stored.forall(_._2 % 3 != 0))
+    // postings parquet untouched (tombstones only); meta tracks live docs
+    val deadInStore = spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(deadInStore > 0, "soft delete must not rewrite postings")
+    val totalDocs = spark.read.parquet(s"$path/meta")
+      .select("total_docs").as[Long].head()
+    assert(totalDocs == docs.filter(col("doc_id") % 3 =!= 0).count())
+    // idempotent: re-deleting the same ids changes nothing
+    Indexer.deleteDocs(spark, path,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    val again = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(again === stored)
+  }
+
   test("appendIndex rejects doc_ids already in the store, store untouched") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixdup").toString
