@@ -207,6 +207,20 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // IVF delete lifecycle: tombstone a quarter of the vectors (lists
+    // never rewritten, centroids frozen), search the store — answers
+    // exactly like probing the surviving vectors with the same centroids
+    "q_ann_ivf_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfdel")
+      graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
+      graft.similarity.IvfStore.deleteVectors(s, path,
+        e.filter(col("vec_id") % 4 === 3).select("vec_id"))
+      graft.similarity.IvfStore.searchStore(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // count-min sketch frequency estimates for every token, with the
     // exact count alongside (estimate >= truth always; the d*w counter
     // table is mergeable additive state, rebuilt counter-for-counter by
@@ -835,7 +849,13 @@ object PipelineQueries extends QueryGroup {
                                            ELSE 0.0 END), 1.0) AS quality_score
         FROM documents d JOIN lists USING (doc_id)"""
 
-  private lazy val annIvfOracle: String = {
+  private lazy val annIvfOracle: String = annIvfOracleFor("TRUE")
+
+  /** IVF probe pipeline with the candidate universe restricted to
+    * `livePred` over vec_id — centroids and query assignment stay on the
+    * FULL corpus (frozen-centroid store semantics); shared by the
+    * build/store/stream oracles (TRUE) and the delete oracle. */
+  private def annIvfOracleFor(livePred: String): String = {
       val ids = AnnQueryIds.mkString(", ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
@@ -847,7 +867,7 @@ object PipelineQueries extends QueryGroup {
                                  row_number() OVER (PARTITION BY vec_id
                                                     ORDER BY cdist ASC, cid ASC) AS rn
                           FROM pairs),
-               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1 AND ($livePred)),
                qassign AS (SELECT vec_id AS query_id, cid FROM ranked
                            WHERE rn <= 4 AND vec_id IN ($ids)),
                cand AS (SELECT DISTINCT q.query_id, a.vec_id
@@ -1402,6 +1422,7 @@ object PipelineQueries extends QueryGroup {
 
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
+    "q_ann_ivf_delete" -> annIvfOracleFor("vec_id % 4 <> 3"),
 
     "q_cms_freq" ->
       s"""WITH tok AS ($SqlTokens),

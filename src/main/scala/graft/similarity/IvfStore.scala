@@ -104,6 +104,27 @@ object IvfStore {
     graft.operators.Compaction.compactPartitionsRecursive(
       spark, s"$path/lists", targetBytes)
 
+  /** Soft-delete vectors from a persisted IVF store: ids append into a
+    * `deletes` tombstone table — the cid-partitioned lists are NEVER
+    * rewritten (a delete batch touches arbitrary cids; rewriting them
+    * all is a compaction job, not an ingest-path cost), and
+    * [[searchStore]] subtracts the tombstone set after the pruned scan.
+    * Centroids are frozen by design (as for streaming ingest) — deletes
+    * thin the lists they probe; re-training is a separate rebuild, the
+    * standard IVF maintenance split. Idempotent: duplicate tombstones
+    * change nothing (anti-join semantics). */
+  def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
+                    idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/deletes")
+
+  private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) lists
+    else lists.join(spark.read.parquet(s"$path/deletes"), Seq("vec_id"), "left_anti")
+  }
+
   def searchStore(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -117,6 +138,8 @@ object IvfStore {
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cid").isin(probed: _*))
-    Similarity.probeRank(lists, q, k)
+    // tombstone anti-join applies AFTER the pruned scan (deletes table
+    // broadcastable; partition pruning unaffected)
+    Similarity.probeRank(liveLists(spark, path, lists), q, k)
   }
 }

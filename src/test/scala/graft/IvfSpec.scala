@@ -97,6 +97,37 @@ class IvfSpec extends SparkSpec {
     assert(lists.groupBy("vec_id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("soft-delete thins the probed lists without rewriting them") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val path = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    IvfStore.writeIndex(e, path, kmeansIters = 0)
+    val before = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    // tombstone every result of query 0 — they must all vanish
+    val dead = before.filter(_._1 == 0L).map(_._2).toSet
+    IvfStore.deleteVectors(spark, path,
+      dead.toSeq.toDF("vec_id"))
+    val after = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(after.forall(r => !dead.contains(r._2)),
+      "tombstoned vectors must never surface again")
+    // other queries keep their surviving neighbors, ranks re-packed
+    after.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length))
+    }
+    // lists parquet untouched — the dead vectors are still on disk
+    val onDisk = spark.read.parquet(s"$path/lists")
+      .filter($"vec_id".isin(dead.toSeq: _*)).count()
+    assert(onDisk == dead.size, "soft delete must not rewrite lists")
+    // idempotent re-delete
+    IvfStore.deleteVectors(spark, path, dead.toSeq.toDF("vec_id"))
+    val again = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(again.toSet === after.toSet)
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0L)
