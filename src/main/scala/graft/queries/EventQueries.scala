@@ -202,6 +202,22 @@ object EventQueries extends QueryGroup {
         events(s, dir).withColumn("x",
           (col("ts").cast("long") - lit(1704067200L)).cast("double") / 86400.0),
         "event_type", "x", "value")),
+
+    // pre-aggregated distinct-count rollup: per-(day, type) KMV states
+    // persisted once, the all-time distinct-users answer produced by
+    // MERGING stored sketches (exact merge ⇒ identical to a direct
+    // sketch over raw events — which is what the oracle computes)
+    "q_sketch_rollup" -> ((s, dir) => {
+      import graft.operators.SketchStore
+      val k = RelationalQueries.KmvK
+      val path = QueryGroup.scratchDir("graft-sketchstore")
+      SketchStore.write(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        path, "day", "event_type", "user_id", k)
+      SketchStore.mergedEstimate(s, path, k)
+        .select(col("grp").as("event_type"), col("n_buckets").as("n_days"),
+          col("approx").as("approx_users"))
+    }),
   )
 
   private val TumblingSql =
@@ -233,6 +249,29 @@ object EventQueries extends QueryGroup {
        FROM sess GROUP BY user_id, sid"""
 
   def oracles: Map[String, String] = Map(
+    // direct KMV over raw events — by the exact-merge property this IS
+    // what the stored-sketch merge computes (same estimator family as
+    // q_kmv_distinct)
+    "q_sketch_rollup" -> {
+      val k = RelationalQueries.KmvK
+      s"""WITH h AS (SELECT DISTINCT event_type AS grp,
+                            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                     FROM events),
+              r AS (SELECT grp, h,
+                           row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+                    FROM h),
+              s AS (SELECT grp, count(*) AS n, max(h) AS hk
+                    FROM r WHERE rn <= $k GROUP BY grp),
+              d AS (SELECT event_type AS grp,
+                           count(DISTINCT CAST(ts AS DATE)) AS n_days
+                    FROM events GROUP BY 1)
+         SELECT s.grp AS event_type, d.n_days,
+                CASE WHEN n < $k THEN n
+                     ELSE CAST(floor(${k - 1} * 1152921504606846976.0 / hk) AS BIGINT)
+                END AS approx_users
+         FROM s JOIN d USING (grp)"""
+    },
+
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -39,6 +39,32 @@ class SketchSpec extends SparkSpec {
     assert(relErr < 0.38, s"est=$est exact=$exact relErr=$relErr")
   }
 
+  test("sketch rollup: merged stored states equal the direct sketch, any subset") {
+    import graft.operators.SketchStore
+    val ev = Tables.loadEvents(spark, sf0001)
+      .withColumn("day", to_date($"ts"))
+    val path = java.nio.file.Files.createTempDirectory("sketchstore").toString
+    SketchStore.write(ev, path, "day", "event_type", "user_id", k)
+
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type".as("grp"), portableTokenHash($"user_id".cast("string")).as("h"))
+        .groupBy("grp").agg(kmv($"h").as("sk"))
+        .select($"grp", SketchStore.kmvEstimate($"sk", k).as("approx"))
+        .as[(String, Long)].collect().toMap
+
+    // all buckets: merge-from-store == direct over all raw rows
+    val merged = SketchStore.mergedEstimate(spark, path, k)
+      .select($"grp", $"approx").as[(String, Long)].collect().toMap
+    assert(merged === direct(ev), "exact merge: stored rollup must match raw sketch")
+
+    // a bucket subset: filtered merge == direct over just those days
+    val cutoff = java.sql.Date.valueOf("2024-01-08")
+    val sub = SketchStore.mergedEstimate(spark, path, k, col("bucket") < lit(cutoff))
+      .select($"grp", $"approx").as[(String, Long)].collect().toMap
+    assert(sub === direct(ev.filter($"day" < lit(cutoff))),
+      "bucket-subset merge answers without touching raw history")
+  }
+
   test("CMS never under-counts, and batch-sketch sums equal the whole-corpus sketch") {
     import graft.operators.CountMinSketch
     val toks = Tables.load(spark, sf0001, "documents")
