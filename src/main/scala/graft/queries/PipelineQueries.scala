@@ -207,6 +207,18 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // memory-bound IVF: int8-quantized inverted lists (4x less list
+    // bytes), probe dequantizes round(code*scale, 6) in the projection —
+    // codes, reconstruction and scores all reproduced by the oracle
+    "q_ann_ivf_quant" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfquant")
+      graft.similarity.IvfStore.writeIndexQuantized(e, path, kmeansIters = 0)
+      graft.similarity.IvfStore.searchStoreQuantized(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // IVF delete lifecycle: tombstone a quarter of the vectors (lists
     // never rewritten, centroids frozen), search the store — answers
     // exactly like probing the surviving vectors with the same centroids
@@ -885,6 +897,53 @@ object PipelineQueries extends QueryGroup {
           SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
     }
 
+  /** Quantized-IVF probe: assignment/candidates from the RAW vectors
+    * (store assigns before quantizing), scoring against the
+    * `round(code·scale, 6)` reconstruction — the int8 codes are the
+    * q_embed_quant oracle's, so the whole memory-bound path is
+    * value-for-value reproducible. */
+  private lazy val annIvfQuantOracle: String = {
+      val ids = AnnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               qz AS (SELECT vec_id,
+                             round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
+                             v
+                      FROM e),
+               codes AS (SELECT vec_id, scale,
+                                CASE WHEN scale = 0
+                                     THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                     ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+                                END AS qvec
+                         FROM qz),
+               dq AS (SELECT vec_id, list_transform(qvec, x -> round(x * scale, 6)) AS v
+                      FROM codes),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               qassign AS (SELECT vec_id AS query_id, cid FROM ranked
+                           WHERE rn <= 4 AND vec_id IN ($ids)),
+               cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                        FROM qassign q JOIN assign a USING (cid)
+                        WHERE a.vec_id <> q.query_id),
+               scored AS (SELECT cand.query_id, cand.vec_id,
+                                 list_cosine_similarity(eq.v, ec.v) AS cos
+                          FROM cand
+                          JOIN e eq ON cand.query_id = eq.vec_id
+                          JOIN dq ec ON cand.vec_id = ec.vec_id),
+               r AS (SELECT query_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   // shared by q_cosine_topk and (as the dense leg) q_hybrid_rrf
   private lazy val cosineOracle: String = {
     val ids = AnnQueryIds.mkString(", ")
@@ -1423,6 +1482,7 @@ object PipelineQueries extends QueryGroup {
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
     "q_ann_ivf_delete" -> annIvfOracleFor("vec_id % 4 <> 3"),
+    "q_ann_ivf_quant" -> annIvfQuantOracle,
 
     "q_cms_freq" ->
       s"""WITH tok AS ($SqlTokens),

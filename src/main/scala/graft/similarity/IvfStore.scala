@@ -39,6 +39,73 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** IVF store with int8-QUANTIZED inverted lists — the memory-bound
+    * configuration: assignment happens on the raw vectors (exactly as
+    * [[writeIndex]]), but the persisted lists carry `(scale, qvec)`
+    * codes ([[Quantize.toInt8]]) instead of floats — 4× less list bytes
+    * through every probe scan, shuffle and broadcast, which at 100 TB
+    * is the difference between lists living in executor memory or
+    * spilling. Search ([[searchStoreQuantized]]) dequantizes on the fly
+    * and ranks on the reconstructed vectors; ranking error is bounded
+    * by the scale/2-per-component reconstruction error (QuantizeSpec),
+    * and the whole pipeline stays engine-reproducible — codes, dequant
+    * and scores are all oracle-verified.
+    */
+  def writeIndexQuantized(corpus: DataFrame, path: String,
+                          nCentroids: Int = 16, kmeansIters: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned = Similarity.assignToCentroids(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      cents, "vec_id", "v", keep = 1)
+    // reconstruction norm computed ONCE at write time and persisted —
+    // probes then pay only the dot product
+    val codes = Quantize.toInt8(corpus, idCol, vecCol)
+      .withColumn("rv", transform(col("qvec"),
+        x => round(x.cast("double") * col("scale"), 6)))
+      .select(col("id").as("vec_id"), col("scale"),
+        transform(col("qvec"), x => x.cast("byte")).as("qvec"),
+        sqrt(Similarity.dot(col("rv"), col("rv"))).as("nv"))
+    assigned.select("vec_id", "cid").join(codes, "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe a quantized store: same pruning/probe shape as
+    * [[searchStore]], vectors reconstructed as `round(code·scale, 6)`
+    * inside the probe projection (queries stay raw floats). */
+  def searchStoreQuantized(spark: SparkSession, path: String, queries: DataFrame,
+                           k: Int, nProbe: Int = 4,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = Similarity.assignToCentroids(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        cents, "query_id", "qv", keep = nProbe)
+      .withColumn("nq", Similarity.norm(col("qv")))
+    val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    // dequantize inside the probe projection; stored nv — the dot is the
+    // only per-pair arithmetic. Scoring uses the declarative fold (same
+    // left-to-right double accumulation as the codegen dotF, which is
+    // float-array-only).
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").isin(probed: _*))
+      .withColumn("v", transform(col("qvec"),
+        x => round(x.cast("double") * col("scale"), 6)))
+      .select("cid", "vec_id", "v", "nv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    liveLists(spark, path, lists).join(broadcast(q), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Persist only the centroid table — the bootstrap step of a streaming
     * ingest: centroid training is a periodic batch job over a corpus
     * sample; ingest then assigns continuously against the frozen

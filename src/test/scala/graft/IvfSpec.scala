@@ -128,6 +128,46 @@ class IvfSpec extends SparkSpec {
     assert(again.toSet === after.toSet)
   }
 
+  test("quantized store: high-recall ranking on 4x smaller lists") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val raw = java.nio.file.Files.createTempDirectory("ivfraw").toString
+    val quant = java.nio.file.Files.createTempDirectory("ivfquant").toString
+    IvfStore.writeIndex(e, raw, kmeansIters = 0)
+    IvfStore.writeIndexQuantized(e, quant, kmeansIters = 0)
+
+    val exact = IvfStore.searchStore(spark, raw, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    val approx = IvfStore.searchStoreQuantized(spark, quant, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    // same candidates probed — quantization error only perturbs scores a
+    // little, so top-10 overlap must be high and scores close
+    val byQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val overlap = approx.count(r => byQ(r._1).contains(r._2))
+    assert(overlap >= approx.length * 8 / 10,
+      s"quantized top-10 must mostly agree with exact: $overlap/${approx.length}")
+    val exactScores = exact.map(r => (r._1, r._2) -> r._3).toMap
+    approx.foreach { r =>
+      exactScores.get((r._1, r._2)).foreach { s =>
+        assert(math.abs(s - r._3) < 0.02, s"score drift too large: $s vs ${r._3}")
+      }
+    }
+    // the quantized lists are genuinely smaller on disk
+    def bytes(p: String) = {
+      val d = new java.io.File(s"$p/lists")
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(d)
+    }
+    // payload is 4x smaller (64 B codes vs 256 B floats per vector), but
+    // at 500-vector fixture scale parquet's per-element repetition
+    // levels, page headers and footers dominate — assert the direction
+    // with headroom rather than the asymptotic ratio
+    assert(bytes(quant) < bytes(raw) * 6 / 10,
+      s"int8 lists must be substantially smaller: ${bytes(quant)} vs ${bytes(raw)}")
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0L)
