@@ -93,6 +93,21 @@ object Indexer {
       .agg(sort_array(collect_list(col("pos"))).as("positions"),
         count(lit(1)).cast("int").as("tf"))
 
+  /** Persist positional postings as a term-bucketed store (same layout
+    * discipline as [[writeIndex]]'s postings: CRC32 bucket partition →
+    * a k-term phrase reads ≤ k of `nBuckets` partitions, statically
+    * pruned via the driver-side bucket twin). The positional analog of
+    * the frequency store — what [[graft.search.PhraseSearch.searchStore]]
+    * queries. */
+  def writePositional(corpus: DataFrame, path: String, nBuckets: Int = 64,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    positionalPostings(corpus, idCol, textCol)
+      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+      .repartition(nBuckets, col("term_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$path/positional")
+
   /** Document frequency per term: `(term, df)`.
     * Reference: `reducer2.py:46-52` (doc-boundary counting in the sorted
     * stream). Postings are already distinct per `(term, doc_id)`, so a

@@ -166,6 +166,15 @@ object SearchQueries extends QueryGroup {
       graft.search.PhraseSearch.proximitySearch(docs(s, dir), PhraseQuery,
         ProxWindow, 10)),
 
+    // phrase search through a PERSISTED positional store: term-bucketed
+    // layout, driver-computed bucket IN-list → static partition pruning
+    // (the positional analog of q_bm25_store's access path)
+    "q_phrase_store" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-posstore")
+      Indexer.writePositional(docs(s, dir), path)
+      graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -218,6 +227,7 @@ object SearchQueries extends QueryGroup {
           FROM ($SqlCorpus) c LEFT JOIN ($SqlDocStats) t USING (doc_id)""",
 
     "q_phrase_search" -> phraseOracle,
+    "q_phrase_store" -> phraseOracle,
     "q_proximity_search" -> proximityOracle,
 
     "q_schema_merge" ->

@@ -68,6 +68,22 @@ object PhraseSearch {
         col("doc_id"), col("phrase_tf"))
   }
 
+  /** Phrase search against a PERSISTED positional store
+    * ([[Indexer.writePositional]]): the phrase's term buckets become a
+    * driver-computed IN-literal, so the parquet reader statically prunes
+    * to ≤ |distinct terms| of the store's partitions before any IO —
+    * the same access-path story as [[BM25.searchStore]], now for
+    * positions. */
+  def searchStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  phrase: String, k: Int = 10, nBuckets: Int = 64): DataFrame = {
+    val terms = Analyzer.analyzeQuery(phrase)
+    require(terms.nonEmpty, s"phrase analyzed to zero terms: '$phrase'")
+    val buckets = terms.distinct.map(Indexer.termBucketOf(_, nBuckets)).distinct
+    val positional = spark.read.parquet(s"$path/positional")
+      .filter(col("term_bucket").isin(buckets: _*))
+    searchPostings(positional, phrase, k)
+  }
+
   /** Proximity search: top-`k` documents where every query term occurs
     * within `window` tokens of an anchor occurrence of the FIRST term,
     * in any order — the sloppy-phrase relaxation of [[search]].

@@ -72,4 +72,20 @@ class PhraseSearchSpec extends SparkSpec {
     assert(pp.head.getAs[scala.collection.Seq[Int]]("positions").toSeq == Seq(0, 2, 3))
     assert(pp.head.getAs[Int]("tf") == 3)
   }
+
+  test("persisted positional store answers like the inline index, pruned at the scan") {
+    import graft.search.PhraseSearch
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("posstore").toString
+    graft.index.Indexer.writePositional(docs, path, nBuckets = 16)
+    val inline = PhraseSearch.search(docs, "slow hash batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stored = PhraseSearch.searchStore(spark, path, "slow hash batch", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored === inline)
+    val plan = PhraseSearch.searchStore(spark, path, "slow hash batch", nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [term_bucket"),
+      s"expected term_bucket partition filter in:\n$plan")
+  }
 }
