@@ -175,6 +175,14 @@ object SearchQueries extends QueryGroup {
       graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
     }),
 
+    // ...and the sloppy-phrase face of the same store
+    "q_proximity_store" -> ((s, dir) => {
+      val path = QueryGroup.scratchDir("graft-proxstore")
+      Indexer.writePositional(docs(s, dir), path)
+      graft.search.PhraseSearch.proximityStore(s, path, PhraseQuery,
+        ProxWindow, 10)
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -229,6 +237,7 @@ object SearchQueries extends QueryGroup {
     "q_phrase_search" -> phraseOracle,
     "q_phrase_store" -> phraseOracle,
     "q_proximity_search" -> proximityOracle,
+    "q_proximity_store" -> proximityOracle,
 
     "q_schema_merge" ->
       """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars

@@ -93,11 +93,28 @@ object PhraseSearch {
     * higher-order `exists` — no position explode).
     */
   def proximitySearch(corpus: DataFrame, query: String, window: Int,
-                      k: Int = 10): DataFrame = {
+                      k: Int = 10): DataFrame =
+    proximityPostings(Indexer.positionalPostings(corpus), query, window, k)
+
+  /** Proximity search against the persisted positional store — same
+    * bucket-pruned access path as [[searchStore]]. */
+  def proximityStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: String, window: Int, k: Int = 10,
+                     nBuckets: Int = 64): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).distinct
+    require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
+    val buckets = terms.map(Indexer.termBucketOf(_, nBuckets)).distinct
+    proximityPostings(
+      spark.read.parquet(s"$path/positional")
+        .filter(col("term_bucket").isin(buckets: _*)),
+      query, window, k)
+  }
+
+  private def proximityPostings(positional: DataFrame, query: String,
+                                window: Int, k: Int): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).distinct
     require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
     require(window >= 1, s"window must be >= 1, got $window")
-    val positional = Indexer.positionalPostings(corpus)
     val legs = terms.zipWithIndex.map { case (t, i) =>
       positional.filter(col("term") === lit(t))
         .select(col("doc_id"), col("positions").as(s"p_$i"))

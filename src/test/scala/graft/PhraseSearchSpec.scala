@@ -87,5 +87,12 @@ class PhraseSearchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [term_bucket"),
       s"expected term_bucket partition filter in:\n$plan")
+    // the proximity face of the same store
+    val proxInline = PhraseSearch.proximitySearch(docs, "slow hash batch", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val proxStored = PhraseSearch.proximityStore(spark, path, "slow hash batch", 4,
+        nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(proxStored === proxInline)
   }
 }
