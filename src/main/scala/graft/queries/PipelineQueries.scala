@@ -586,6 +586,28 @@ object PipelineQueries extends QueryGroup {
       ttSnapshots(s, store)
     }),
 
+    // k-anonymity release gate: quasi-identifier combos with < k peers
+    // suppressed (nulled), large groups pass; counts broadcast back in
+    // a null-safe join — the corpus never shuffles
+    "q_k_anon" -> ((s, dir) =>
+      graft.pipeline.Privacy.kAnonymize(
+          docs(s, dir).select("doc_id", "lang", "source"),
+          Seq("lang", "source"), KAnonK)
+        .select("doc_id", "lang", "source", "anon_ok")),
+
+    // builtin streaming dedup through the REAL runtime: the corpus
+    // dropped TWICE into the file source (a replayed ingest), one
+    // micro-batch per drop, dropDuplicates state across batches —
+    // append-mode sink receives each document exactly once
+    "q_stream_dedup_runtime" -> ((s, dir) => {
+      val root = QueryGroup.scratchDir("graft-streamdedup")
+      val src = s"$root/src"
+      graft.streaming.StreamRuntime.replayDrops(s, docs(s, dir), src, 2)
+      graft.streaming.StreamRuntime.runAvailableNowAppend(s, src,
+        _.dropDuplicates("doc_id"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // what changed between two snapshots: added / removed / changed
     // keys with both sides of every change — one full-outer join on the
     // key over two bounded snapshot reads, output ∝ churn
@@ -691,6 +713,7 @@ object PipelineQueries extends QueryGroup {
   val ChunkMinDocs = 2
   val SpanN = 8
   val SpanMinDocs = 2
+  val KAnonK = 5L
   // fr/zh upweighted, de kept, es downweighted below 1, en dropped
   val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1120,6 +1143,22 @@ object PipelineQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "q_version_diff" -> versionDiffOracle,
+
+    // group sizes from the same null-safe grouping, suppression mirrored
+    "q_k_anon" ->
+      s"""WITH c AS (SELECT lang, source, count(*) AS n
+                     FROM documents GROUP BY 1, 2)
+         SELECT doc_id,
+                CASE WHEN n >= $KAnonK THEN d.lang END AS lang,
+                CASE WHEN n >= $KAnonK THEN d.source END AS source,
+                CAST(CASE WHEN n >= $KAnonK THEN 1 ELSE 0 END AS BIGINT) AS anon_ok
+         FROM documents d
+         JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+               AND d.source IS NOT DISTINCT FROM c.source""",
+
+    // a replayed ingest deduplicates back to exactly the corpus
+    "q_stream_dedup_runtime" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",

@@ -86,4 +86,50 @@ object StreamRuntime {
     q.awaitTermination()
     spark.read.parquet(out)
   }
+
+  /** Run `transform` in APPEND mode with one micro-batch per source file
+    * (oldest-first): each trigger's NEWLY-emitted rows append into the
+    * result — the execution face for stateful operators that emit a row
+    * exactly once (`dropDuplicates`, watermark-closed windows), where
+    * complete-mode re-emission would be wrong. Sink stays executor-side
+    * parquet (no driver collect). */
+  def runAvailableNowAppend(spark: SparkSession, srcDir: String,
+                            transform: DataFrame => DataFrame): DataFrame = {
+    val scratch = graft.queries.QueryGroup.scratchDir("graft-stream-append")
+    val out = s"$scratch/result"
+    val schema = spark.read.parquet(srcDir).schema
+    val q = transform(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Drop `df` into `srcDir` as `n` identical single-file batches with
+    * strictly increasing modification times — a replayed-ingest fixture
+    * for the file stream source (oldest-first, one batch per file). */
+  def replayDrops(spark: SparkSession, df: DataFrame, srcDir: String, n: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val tmp = s"$srcDir/_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    (0 until n).foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"drop_$i%03d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, 1000L * (i + 1), -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 }

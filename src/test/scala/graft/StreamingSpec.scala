@@ -311,4 +311,16 @@ class StreamingSpec extends SparkSpec {
       .select(col("window_start").cast("string")).as[String].collect().toSet
     assert(res === Set("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
   }
+
+  test("append-mode runtime dedup: a replayed drop emits each key exactly once") {
+    import graft.streaming.StreamRuntime
+    val root = graft.queries.QueryGroup.scratchDir("graft-sdedup-spec")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s")
+    StreamRuntime.replayDrops(spark, df, s"$root/src", 3)
+    val out = StreamRuntime.runAvailableNowAppend(spark, s"$root/src",
+        _.dropDuplicates("k"))
+      .as[(Long, String)].collect()
+    assert(out.length == 20, s"each key exactly once, got ${out.length}")
+    assert(out.toSet === (1L to 20L).map(i => (i, s"v$i")).toSet)
+  }
 }
