@@ -100,13 +100,15 @@ object Indexer {
     * the frequency store — what [[graft.search.PhraseSearch.searchStore]]
     * queries. */
   def writePositional(corpus: DataFrame, path: String, nBuckets: Int = 64,
-                      idCol: String = "doc_id", textCol: String = "text"): Unit =
+                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     positionalPostings(corpus, idCol, textCol)
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .repartition(nBuckets, col("term_bucket"))
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
+    writeBucketsMarker(corpus.sparkSession, path, nBuckets)
+  }
 
   /** Document frequency per term: `(term, df)`.
     * Reference: `reducer2.py:46-52` (doc-boundary counting in the sorted
@@ -169,6 +171,7 @@ object Indexer {
       .write.mode("overwrite").parquet(s"$path/vocab")
     meta(spark.read.parquet(s"$path/doc_stats"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    writeBucketsMarker(spark, path, nBuckets)
   }
 
   /** Incrementally add documents to a persisted index store: postings and
@@ -194,6 +197,9 @@ object Indexer {
                   newCorpus: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", titleCol: Option[String] = None,
                   nBuckets: Int = 64): Unit = {
+    // the store's own recorded layout wins over the parameter — a
+    // mismatched append would land rows in partitions pruning never probes
+    val nb = storedBuckets(spark, path).getOrElse(nBuckets)
     // duplicate-doc guard: one distributed semi join (no collect), checked
     // before the first byte is appended so a violation leaves the store
     // untouched
@@ -207,8 +213,8 @@ object Indexer {
     val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
     delta.docStats.write.mode("append").parquet(s"$path/doc_stats")
     delta.postings
-      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
-      .repartition(nBuckets, col("term_bucket"))
+      .withColumn("term_bucket", termBucket(col("term"), nb))
+      .repartition(nb, col("term_bucket"))
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
@@ -280,11 +286,72 @@ object Indexer {
   def termBucket(term: Column, nBuckets: Int = 64): Column =
     pmod(crc32(term), lit(nBuckets.toLong))
 
+  // ---- bucket-count marker: the store records its own layout so an
+  // append/search with a mismatched nBuckets can't silently write rows
+  // into partitions the pruning literals will never probe (the same
+  // fail-safe discipline as UpsertSink's `_nparts`). Readers prefer the
+  // marker; the parameter is only the fallback for pre-marker stores.
+
+  private val BucketsMarker = "_nbuckets"
+
+  private def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$BucketsMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket count a store was written with, if recorded. */
+  def storedBuckets(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$BucketsMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
   /** Driver-side twin of [[termBucket]] for building pruning literals. */
   def termBucketOf(term: String, nBuckets: Int = 64): Long = {
     val c = new java.util.zip.CRC32()
     c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Math.floorMod(c.getValue, nBuckets.toLong)
+  }
+
+  /** Physically apply accumulated tombstones ([[deleteDocs]]) — the
+    * maintenance counterpart of soft delete: postings and doc_stats are
+    * rewritten WITHOUT the dead documents (term-bucket layout
+    * preserved), installed via the crash-safe swap, and the tombstone
+    * table is dropped. Query plans lose the anti-join; deleted ids are
+    * RELEASED (a later [[appendIndex]] may reuse them). vocab/meta are
+    * already live (recomputed at delete time) and stay untouched.
+    *
+    * Scale: one full rewrite of the two big tables — a scheduled
+    * compaction-class job, NOT an ingest-path cost; run it when the
+    * tombstone set's anti-join overhead (or storage of dead rows)
+    * outweighs a rewrite, exactly like segment merging in log-based
+    * indexes. No-op when no tombstones exist.
+    */
+  def expungeDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+                     nBuckets: Int = 64): Unit = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) return
+    val nb = storedBuckets(spark, path).getOrElse(nBuckets)
+    val live = readIndexLive(spark, path)
+    live.postings
+      .repartition(nb, col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings_tmp")
+    live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
+    swapTable(spark, path, "postings")
+    swapTable(spark, path, "doc_stats")
+    fs.delete(del, true)
   }
 
   /** Load a persisted index store back as an [[InvertedIndex]]. */

@@ -175,6 +175,20 @@ object SearchQueries extends QueryGroup {
       graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
     }),
 
+    // ...and the tombstones physically APPLIED (maintenance rewrite,
+    // layout preserved, anti-join gone, ids released) — answers must not
+    // change (same oracle as q_bm25_delete)
+    "q_bm25_expunge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-ixexp")
+      Indexer.writeIndex(Indexer.buildIndex(d, titleCol = Some("source")), path)
+      Indexer.deleteDocs(s, path, d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      Indexer.expungeDeletes(s, path)
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     // ...and the sloppy-phrase face of the same store
     "q_proximity_store" -> ((s, dir) => {
       val path = QueryGroup.scratchDir("graft-proxstore")
@@ -249,6 +263,8 @@ object SearchQueries extends QueryGroup {
     "q_bm25_store"  -> bm25Oracle,
     "q_bm25_append" -> bm25Oracle,
     "q_bm25_delete" -> bm25OracleFor(
+      s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
+    "q_bm25_expunge" -> bm25OracleFor(
       s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
 
     "q_jsonl_roundtrip" ->

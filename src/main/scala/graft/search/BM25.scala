@@ -71,7 +71,9 @@ object BM25 {
     val ix = graft.index.Indexer.readIndexLive(spark, path)
     val terms = Analyzer.analyzeQuery(queryText).distinct
     if (terms.isEmpty) return emptyResult(ix)
-    val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nBuckets)).distinct
+    // the store's recorded bucket count wins over the parameter
+    val nb = graft.index.Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
+    val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nb)).distinct
     val pruned = ix.postings.filter(col("term_bucket").isin(buckets: _*))
     searchTerms(ix.copy(postings = pruned), terms, params)
   }

@@ -78,7 +78,8 @@ object PhraseSearch {
                   phrase: String, k: Int = 10, nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(phrase)
     require(terms.nonEmpty, s"phrase analyzed to zero terms: '$phrase'")
-    val buckets = terms.distinct.map(Indexer.termBucketOf(_, nBuckets)).distinct
+    val nb = Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
+    val buckets = terms.distinct.map(Indexer.termBucketOf(_, nb)).distinct
     val positional = spark.read.parquet(s"$path/positional")
       .filter(col("term_bucket").isin(buckets: _*))
     searchPostings(positional, phrase, k)
@@ -103,7 +104,8 @@ object PhraseSearch {
                      nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).distinct
     require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
-    val buckets = terms.map(Indexer.termBucketOf(_, nBuckets)).distinct
+    val nb = Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
+    val buckets = terms.map(Indexer.termBucketOf(_, nb)).distinct
     proximityPostings(
       spark.read.parquet(s"$path/positional")
         .filter(col("term_bucket").isin(buckets: _*)),

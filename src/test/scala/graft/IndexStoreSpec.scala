@@ -105,6 +105,38 @@ class IndexStoreSpec extends SparkSpec {
     assert(again === stored)
   }
 
+  test("expunge applies tombstones physically, preserves answers, releases ids") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixexp").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    val dead = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    Indexer.deleteDocs(spark, path, dead)
+    val before = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    Indexer.expungeDeletes(spark, path, nBuckets = 16)
+    // answers unchanged; dead rows physically gone; tombstones dropped
+    val after = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(after === before, "expunge must not change answers")
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id") % 3 === 0).count() == 0)
+    assert(!new java.io.File(s"$path/deletes").exists)
+    // term-bucket pruning still works on the rewritten store
+    val plan = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [term_bucket"))
+    // expunged ids are released: re-appending them now succeeds — with
+    // the DEFAULT nBuckets: the store's _nbuckets marker must override
+    // the mismatched parameter (silent-pruning-corruption guard)
+    Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 3 === 0))
+    val restored = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    val full = BM25.search(Indexer.buildIndex(docs), "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(restored.map(r => (r._1, r._2)) === full.map(r => (r._1, r._2)),
+      "delete -> expunge -> re-append round-trips to the full index")
+  }
+
   test("appendIndex rejects doc_ids already in the store, store untouched") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixdup").toString
