@@ -26,12 +26,30 @@ object Verify {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
+    // Gate outputs must be scalar-only: the driver's pandas canonicalizer
+    // sort_values() throws `unhashable type: numpy.ndarray` on any
+    // array/map/struct column (r5 shipped q_embed_centroid/q_embed_quant
+    // red exactly this way). Fail fast HERE, at build time, instead.
+    val nonScalar = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.MapType
+             | _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        if (bad.nonEmpty) {
+          nonScalar += name
+          System.err.println(s"[verify] $name emits non-scalar gate columns " +
+            s"${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")} " +
+            "— the driver cannot canonicalize these; posexplode to scalar rows")
+        } else
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -51,5 +69,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nonScalar.nonEmpty) {
+      System.err.println(s"[verify] ${nonScalar.size} quer(ies) with non-scalar " +
+        s"output schemas: ${nonScalar.mkString(", ")} — fix before shipping")
+      sys.exit(2)
+    }
   }
 }

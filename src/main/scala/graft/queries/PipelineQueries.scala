@@ -159,16 +159,25 @@ object PipelineQueries extends QueryGroup {
 
     // symmetric int8 vector quantization: the 4x storage cut that
     // decides whether an ANN corpus fits executor memory; per-row
-    // Column arithmetic, codes oracle-verified counter-for-counter
+    // Column arithmetic, codes oracle-verified counter-for-counter.
+    // GATE SHAPE: the driver's pandas canonicalizer cannot sort array<>
+    // columns (r5 red), so the gate posexplodes to one (vec_id, scale,
+    // pos, q) scalar row per code — the operator API keeps the array
     "q_embed_quant" -> ((s, dir) =>
       graft.similarity.Quantize.toInt8(emb(s, dir))
-        .select(col("id").as("vec_id"), col("scale"), col("qvec"))),
+        .select(col("id").as("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("pos", "q")))
+        .withColumn("pos", col("pos").cast("long"))),
 
     // embedding pooling: mean vector per label (class prototypes) —
     // two-phase per-(label,dim) decimal aggregate, arrays reassembled in
-    // dimension order; exchange carries |labels|·d, never vectors
+    // dimension order; exchange carries |labels|·d, never vectors.
+    // Same scalar-only gate shape: (label, n_vecs, pos, m) per dimension
     "q_embed_centroid" -> ((s, dir) =>
-      graft.similarity.Pooling.meanVectors(emb(s, dir), "label")),
+      graft.similarity.Pooling.meanVectors(emb(s, dir), "label")
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("pos", "m")))
+        .withColumn("pos", col("pos").cast("long"))),
 
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -935,7 +944,9 @@ object PipelineQueries extends QueryGroup {
                codes AS (SELECT vec_id, scale,
                                 CASE WHEN scale = 0
                                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                                     ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+                                     ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                                            least(CAST(127 AS BIGINT),
+                                                  CAST(round(x / scale) AS BIGINT))))
                                 END AS qvec
                          FROM qz),
                dq AS (SELECT vec_id, list_transform(qvec, x -> round(x * scale, 6)) AS v
@@ -1405,7 +1416,9 @@ object PipelineQueries extends QueryGroup {
 
     // micro-unit integer mean (see Pooling.meanVectors): su/n rounded
     // half-away in exact integer arithmetic — double round(s/n, 6)
-    // flips 7th-digit half boundaries between engines
+    // flips 7th-digit half boundaries between engines. Scalar-only gate
+    // shape: one (label, n_vecs, pos, m) row per dimension (0-based pos
+    // mirrors Spark's posexplode)
     "q_embed_centroid" ->
       """WITH perdim AS (
            SELECT label, pos,
@@ -1419,10 +1432,11 @@ object PipelineQueries extends QueryGroup {
                            CAST(CASE WHEN su < 0 THEN -((-su * 2 + n) // (2 * n))
                                      ELSE (su * 2 + n) // (2 * n) END AS DOUBLE)
                              / 1000000.0 AS m
-                    FROM perdim)
-         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-                list(m ORDER BY pos) AS centroid
-         FROM m GROUP BY label""",
+                    FROM perdim),
+              nv AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs
+                     FROM m GROUP BY label)
+         SELECT m.label, nv.n_vecs, CAST(m.pos - 1 AS BIGINT) AS pos, m.m AS m
+         FROM m JOIN nv ON m.label = nv.label""",
 
     "q_ann_lsh" -> annLshOracle,
 
@@ -1659,18 +1673,26 @@ object PipelineQueries extends QueryGroup {
          FROM d WHERE n >= 1""",
 
     // quantization codes rebuilt value-for-value: float→double casts are
-    // exact, round-half-away matches Spark's HALF_UP
+    // exact, round-half-away matches Spark's HALF_UP; codes clamped to
+    // [-127, 127] like Quantize.toInt8 (a rounded-down scale can
+    // otherwise yield 128). Scalar-only gate shape: one (vec_id, scale,
+    // pos, q) row per code (0-based pos mirrors Spark's posexplode)
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               s AS (SELECT vec_id,
                            round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
                            v
-                    FROM e)
-         SELECT vec_id, scale,
-                CASE WHEN scale = 0
-                     THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                     ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS qvec
-         FROM s""",
+                    FROM e),
+              c AS (SELECT vec_id, scale,
+                           CASE WHEN scale = 0
+                                THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                                       least(CAST(127 AS BIGINT),
+                                             CAST(round(x / scale) AS BIGINT)))) END AS qvec
+                    FROM s)
+         SELECT vec_id, scale, CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS pos,
+                unnest(qvec) AS q
+         FROM c""",
 
     "q_lang_id" -> {
       val hitExprs = TextAnalysis.DefaultMarkers.map { case (lang, _) =>

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** `(id, scale, qvec)` — scale rounded to 9 dp (reproducibility),
-    * codes in [-127, 127]. Zero vectors get scale 0 and all-zero codes. */
+    * codes CLAMPED to [-127, 127]. Zero vectors get scale 0 and all-zero
+    * codes. The clamp is load-bearing, not belt-and-braces: the 9-dp
+    * rounding can round scale DOWN (e.g. max|v| = 1.2e-5 → scale
+    * 9.4e-8), so round(max|v|/scale) can reach 128 — which would
+    * overflow the byte cast in IvfStore.writeIndexQuantized under
+    * Spark 4's default ANSI mode. */
   def toInt8(df: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
@@ -29,7 +34,8 @@ object Quantize {
         when(col("scale") === 0.0,
           transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
-            x => round(x / col("scale"), 0).cast("long")))
+            x => greatest(lit(-127L),
+              least(lit(127L), round(x / col("scale"), 0).cast("long")))))
           .as("qvec"))
   }
 

@@ -42,4 +42,22 @@ class QuantizeSpec extends SparkSpec {
     val qv = r.getAs[scala.collection.Seq[Long]]("qvec").toSeq
     assert(qv(1) == -127L)
   }
+
+  test("tiny magnitudes stay clamped to [-127,127] despite scale round-down") {
+    // max|v| = 1.2e-5 → scale rounds 9.448...e-8 down to 9.4e-8, and
+    // round(1.2e-5 / 9.4e-8) = 128 without the clamp — the byte-cast
+    // overflow ADVICE r5 flagged. Clamp must hold and the byte cast
+    // must survive ANSI mode.
+    val e = Seq(
+      (1L, Seq(1.2e-5f, -1.2e-5f, 6.0e-6f)),
+      (2L, Seq(1.0e-7f, -3.0e-8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Quantize.toInt8(e)
+    val codes = q.select(explode(col("qvec"))).as[Long].collect()
+    assert(codes.forall(c => c >= -127 && c <= 127), codes.toSeq.toString)
+    // the downstream byte cast (IvfStore.writeIndexQuantized) must not throw
+    val bytes = q.select(transform(col("qvec"), x => x.cast("byte")).as("b"))
+      .selectExpr("explode(b)").as[Byte].collect()
+    assert(bytes.forall(b => b >= -127 && b <= 127))
+  }
 }
