@@ -107,7 +107,11 @@ object Indexer {
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
-    writeBucketsMarker(corpus.sparkSession, path, nBuckets)
+    // per-TABLE marker: a positional store co-located with a frequency
+    // index at the same path must not overwrite the frequency store's
+    // layout record (or vice versa) — that would silently mis-prune the
+    // other store, the exact failure the marker exists to prevent
+    writeBucketsMarker(corpus.sparkSession, path, nBuckets, PositionalBucketsMarker)
   }
 
   /** Document frequency per term: `(term, df)`.
@@ -218,21 +222,37 @@ object Indexer {
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    // derived tables: recompute from the combined store (vocab = one
-    // two-phase agg over postings; meta = 1 row) into a temp dir, then
-    // swap via filesystem rename — never overwrite a path mid-read, and
-    // never collect to the driver (vocab is |terms| rows at scale)
-    val posts = spark.read.parquet(s"$path/postings")
-    val stats = spark.read.parquet(s"$path/doc_stats")
-    vocab(posts.select("term", "doc_id", "tf"))
+    // derived tables: recompute from the combined LIVE store view —
+    // after deleteDocs then appendIndex, the raw parquet still carries
+    // the tombstoned docs' rows, and deriving from it would let deleted
+    // docs' df re-enter vocab and their rows re-enter meta's N/avg_dl,
+    // breaking deleteDocs' "answers like a fresh index" invariant
+    refreshDerived(spark, path)
+  }
+
+  /** Recompute vocab and meta from the LIVE view (postings/doc_stats
+    * minus tombstones) and install them via the crash-safe swap
+    * (graft.FsOps.atomicSwap): rename the live table ASIDE (not
+    * delete-then-rename, which has a window with NO vocab/meta at all),
+    * install the new one, then drop the old copy — rename failures roll
+    * back instead of deleting the last copy. FS is resolved from the
+    * path itself so a store on a non-default filesystem (s3a://,
+    * hdfs://) works. Never collects to the driver (vocab is |terms|
+    * rows at scale).
+    *
+    * This is also the store's REPAIR step: [[deleteDocs]] commits its
+    * tombstone append before the derived tables swap, so a crash in
+    * that window leaves live-filtered postings with stale vocab/meta
+    * (df and N still counting deleted docs — BM25 scores skew until the
+    * next delete/append). Both halves are idempotent; re-running the
+    * interrupted deleteDocs with the same ids, or calling this directly,
+    * restores the invariant.
+    */
+  def refreshDerived(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = readIndexLive(spark, path)
+    vocab(live.postings.select("term", "doc_id", "tf"))
       .write.mode("overwrite").parquet(s"$path/vocab_tmp")
-    meta(stats).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    // crash-safe swap (graft.FsOps.atomicSwap): rename the live table
-    // ASIDE (not delete-then-rename, which has a window with NO
-    // vocab/meta at all), install the new one, then drop the old copy —
-    // rename failures roll back instead of deleting the last copy. FS is
-    // resolved from the path itself so a store on a non-default
-    // filesystem (s3a://, hdfs://) works.
+    meta(live.docStats).write.mode("overwrite").parquet(s"$path/meta_tmp")
     swapTable(spark, path, "vocab")
     swapTable(spark, path, "meta")
   }
@@ -274,12 +294,10 @@ object Indexer {
       .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
         Seq("doc_id"), "left_semi")
     present.write.mode("append").parquet(s"$path/deletes")
-    val live = readIndexLive(spark, path)
-    vocab(live.postings.select("term", "doc_id", "tf"))
-      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
-    meta(live.docStats).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    swapTable(spark, path, "vocab")
-    swapTable(spark, path, "meta")
+    // crash window: the tombstone append above is committed before the
+    // derived-table swap below — see refreshDerived's scaladoc for the
+    // repair contract (re-run with the same ids, or call refreshDerived)
+    refreshDerived(spark, path)
   }
 
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
@@ -293,10 +311,15 @@ object Indexer {
   // marker; the parameter is only the fallback for pre-marker stores.
 
   private val BucketsMarker = "_nbuckets"
+  /** The positional table records its layout under its OWN marker name so
+    * co-locating a positional store with a frequency index at one path
+    * can't clobber the other store's record. */
+  val PositionalBucketsMarker = "_nbuckets_positional"
 
   private def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, n: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$BucketsMarker")
+                                 path: String, n: Int,
+                                 marker: String = BucketsMarker): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -305,8 +328,8 @@ object Indexer {
 
   /** The bucket count a store was written with, if recorded. */
   def storedBuckets(spark: org.apache.spark.sql.SparkSession,
-                    path: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$BucketsMarker")
+                    path: String, marker: String = BucketsMarker): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -315,6 +338,14 @@ object Indexer {
       finally in.close()
     }
   }
+
+  /** Layout record for a positional store ([[writePositional]]): its own
+    * marker first, falling back to the shared root marker for stores
+    * written before the per-table name existed. */
+  def storedPositionalBuckets(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Option[Int] =
+    storedBuckets(spark, path, PositionalBucketsMarker)
+      .orElse(storedBuckets(spark, path))
 
   /** Driver-side twin of [[termBucket]] for building pruning literals. */
   def termBucketOf(term: String, nBuckets: Int = 64): Long = {

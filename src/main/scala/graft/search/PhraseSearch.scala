@@ -78,7 +78,7 @@ object PhraseSearch {
                   phrase: String, k: Int = 10, nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(phrase)
     require(terms.nonEmpty, s"phrase analyzed to zero terms: '$phrase'")
-    val nb = Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
+    val nb = Indexer.storedPositionalBuckets(spark, path).getOrElse(nBuckets)
     val buckets = terms.distinct.map(Indexer.termBucketOf(_, nb)).distinct
     val positional = spark.read.parquet(s"$path/positional")
       .filter(col("term_bucket").isin(buckets: _*))
@@ -104,7 +104,7 @@ object PhraseSearch {
                      nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).distinct
     require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
-    val nb = Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
+    val nb = Indexer.storedPositionalBuckets(spark, path).getOrElse(nBuckets)
     val buckets = terms.map(Indexer.termBucketOf(_, nb)).distinct
     proximityPostings(
       spark.read.parquet(s"$path/positional")

@@ -137,6 +137,62 @@ class IndexStoreSpec extends SparkSpec {
       "delete -> expunge -> re-append round-trips to the full index")
   }
 
+  test("appendIndex after deleteDocs keeps tombstoned docs out of vocab/meta") {
+    // regression (ADVICE r5): appendIndex used to rebuild vocab/meta from
+    // the RAW postings/doc_stats parquet, so a delete-then-append let the
+    // deleted docs' df re-enter vocab and their rows re-enter meta — the
+    // store stopped answering like a fresh index without the dead docs
+    val docs = Tables.load(spark, sf0001, "documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val extra = docs.filter(col("doc_id") % 2 === 1)
+    val path = Files.createTempDirectory("ixdelapp").toString
+    Indexer.writeIndex(Indexer.buildIndex(base), path, nBuckets = 16)
+    Indexer.deleteDocs(spark, path,
+      base.filter(col("doc_id") % 4 === 0).select("doc_id"))
+    Indexer.appendIndex(spark, path, extra, nBuckets = 16)
+
+    val liveDocs = docs.filter(col("doc_id") % 4 =!= 0)
+    val fresh = Indexer.buildIndex(liveDocs)
+    // derived tables must track the LIVE view only
+    val storedVocab = spark.read.parquet(s"$path/vocab").collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    val freshVocab = fresh.vocab.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(storedVocab === freshVocab,
+      "vocab after delete+append must exclude tombstoned docs' df")
+    val storedMeta = spark.read.parquet(s"$path/meta")
+      .as[(Long, Double)].head()
+    val freshMeta = fresh.meta.as[(Long, Double)].head()
+    assert(storedMeta._1 == freshMeta._1)
+    assert(math.abs(storedMeta._2 - freshMeta._2) < 1e-9)
+    // and search answers exactly like the fresh live-only index
+    val stored = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    val direct = BM25.search(fresh, "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(stored.map(r => (r._1, r._2)) === direct.map(r => (r._1, r._2)))
+    stored.zip(direct).foreach { case (s, d) => assert(math.abs(s._3 - d._3) < 1e-9) }
+  }
+
+  test("co-located positional + frequency stores keep separate bucket markers") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val path = Files.createTempDirectory("ixcoloc").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    // different layout for the positional table at the SAME store path —
+    // must not clobber the frequency index's marker (ADVICE r5)
+    Indexer.writePositional(docs, path, nBuckets = 8)
+    assert(Indexer.storedBuckets(spark, path).contains(16))
+    assert(Indexer.storedPositionalBuckets(spark, path).contains(8))
+    // both access paths still answer correctly through their own layout
+    val bm = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 999)
+    assert(bm.count() > 0)
+    val inline = graft.search.PhraseSearch
+      .search(docs, "the", k = 5).select("doc_id").as[Long].collect().toSet
+    val fromStore = graft.search.PhraseSearch
+      .searchStore(spark, path, "the", k = 5, nBuckets = 999)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromStore === inline)
+  }
+
   test("appendIndex rejects doc_ids already in the store, store untouched") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixdup").toString
