@@ -341,11 +341,70 @@ object Indexer {
 
   /** Layout record for a positional store ([[writePositional]]): its own
     * marker first, falling back to the shared root marker for stores
-    * written before the per-table name existed. */
+    * written before the per-table name existed.
+    *
+    * Legacy caveat: before the per-table marker, co-locating
+    * [[writePositional]] with a frequency index at one path CLOBBERED the
+    * shared root marker with the positional layout. New writes can no
+    * longer do that, but a pre-existing store may still carry the wrong
+    * root record — which is why the store readers run the marker through
+    * [[pruningBuckets]] (validate against the physical partition dirs;
+    * fall back to an unpruned read rather than mis-prune). One-time
+    * migration for such a store: write `_nbuckets` with the FREQUENCY
+    * layout's bucket count and `_nbuckets_positional` with the positional
+    * one (both are plain single-int text files). */
   def storedPositionalBuckets(spark: org.apache.spark.sql.SparkSession,
                               path: String): Option[Int] =
     storedBuckets(spark, path, PositionalBucketsMarker)
       .orElse(storedBuckets(spark, path))
+
+  /** `term_bucket=` partition values physically present under a bucketed
+    * table — one driver-side directory listing (bounded metadata: ≤
+    * nBuckets entries). */
+  private def observedBuckets(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("term_bucket="))
+      .map(_.stripPrefix("term_bucket=").toLong)
+  }
+
+  /** The bucket count to PRUNE a store read with, or None for "read the
+    * whole table" — the recorded (or fallback) layout is only trusted
+    * after validation against the table's physical `term_bucket=`
+    * partition directories. A partition value ≥ the claimed count proves
+    * the record stale (e.g. a legacy co-located store whose root marker
+    * was clobbered — see [[storedPositionalBuckets]]); pruning with it
+    * would silently skip the partitions a query's terms live in, so the
+    * reader degrades to a full-table read (correct, slower) instead. */
+  def pruningBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+                     table: String, recorded: Option[Int],
+                     fallback: Int): Option[Int] = {
+    val nb = recorded.getOrElse(fallback)
+    val bad = observedBuckets(spark, s"$path/$table").filter(_ >= nb)
+    if (bad.isEmpty) Some(nb)
+    else {
+      System.err.println(s"[graft] $path/$table: recorded bucket count $nb is " +
+        s"inconsistent with on-disk partitions (saw term_bucket=${bad.max}) — " +
+        "reading UNPRUNED; rewrite the layout markers to restore pruning " +
+        "(see Indexer.storedPositionalBuckets)")
+      None
+    }
+  }
+
+  /** Anti-join a store's tombstone table (if any) onto a doc_id-keyed
+    * frame — the shared live-view filter behind [[readIndexLive]] and the
+    * positional store readers ([[graft.search.PhraseSearch]]). Zero extra
+    * IO when the store has no `deletes` table. */
+  def minusDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+                   table: DataFrame): DataFrame = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) table
+    else table.join(spark.read.parquet(s"$path/deletes"), Seq("doc_id"), "left_anti")
+  }
 
   /** Driver-side twin of [[termBucket]] for building pruning literals. */
   def termBucketOf(term: String, nBuckets: Int = 64): Long = {
@@ -358,15 +417,23 @@ object Indexer {
     * maintenance counterpart of soft delete: postings and doc_stats are
     * rewritten WITHOUT the dead documents (term-bucket layout
     * preserved), installed via the crash-safe swap, and the tombstone
-    * table is dropped. Query plans lose the anti-join; deleted ids are
-    * RELEASED (a later [[appendIndex]] may reuse them). vocab/meta are
-    * already live (recomputed at delete time) and stay untouched.
+    * table is dropped. A co-located positional table
+    * ([[writePositional]]) is rewritten the same way — its OWN layout
+    * preserved — BEFORE the tombstones drop, so the positional faces
+    * ([[graft.search.PhraseSearch]]) can never serve dead docs after the
+    * tombstone set they anti-join is gone. Query plans lose the
+    * anti-join; deleted ids are RELEASED (a later [[appendIndex]] may
+    * reuse them). vocab/meta are already live (recomputed at delete
+    * time) and stay untouched.
     *
-    * Scale: one full rewrite of the two big tables — a scheduled
+    * Scale: one full rewrite of the big tables — a scheduled
     * compaction-class job, NOT an ingest-path cost; run it when the
     * tombstone set's anti-join overhead (or storage of dead rows)
     * outweighs a rewrite, exactly like segment merging in log-based
-    * indexes. No-op when no tombstones exist.
+    * indexes. No-op when no tombstones exist. Crash-safe: every rewrite
+    * lands via the rename-aside swap, and a crash before the final
+    * tombstone drop leaves `deletes` in place — re-running is idempotent
+    * (the anti-joins simply match nothing on already-clean tables).
     */
   def expungeDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
                      nBuckets: Int = 64): Unit = {
@@ -382,6 +449,17 @@ object Indexer {
     live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
     swapTable(spark, path, "postings")
     swapTable(spark, path, "doc_stats")
+    val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
+    if (fs.exists(pos)) {
+      // the positional table keeps its OWN bucket layout, which may
+      // differ from the frequency store's (per-table markers)
+      val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
+      minusDeletes(spark, path, spark.read.parquet(s"$path/positional"))
+        .repartition(pnb, col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$path/positional_tmp")
+      swapTable(spark, path, "positional")
+    }
     fs.delete(del, true)
   }
 
@@ -401,14 +479,8 @@ object Indexer {
     * unaffected — the anti-join applies after the pruned scan. */
   def readIndexLive(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex = {
     val ix = readIndex(spark, path)
-    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(del)) ix
-    else {
-      val dels = spark.read.parquet(s"$path/deletes")
-      ix.copy(
-        docStats = ix.docStats.join(dels, Seq("doc_id"), "left_anti"),
-        postings = ix.postings.join(dels, Seq("doc_id"), "left_anti"))
-    }
+    ix.copy(
+      docStats = minusDeletes(spark, path, ix.docStats),
+      postings = minusDeletes(spark, path, ix.postings))
   }
 }

@@ -197,6 +197,36 @@ object SearchQueries extends QueryGroup {
         ProxWindow, 10)
     }),
 
+    // the positional face of the DELETE lifecycle: frequency index and
+    // positional store co-located at ONE path, a third of the corpus
+    // tombstoned — phrase search over the store must answer exactly like
+    // a fresh positional index built without the deleted docs (the same
+    // "answers like a fresh index" invariant q_bm25_delete verifies for
+    // the frequency face)
+    "q_phrase_store_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-posdel")
+      Indexer.writeIndex(Indexer.buildIndex(d), path)
+      Indexer.writePositional(d, path)
+      Indexer.deleteDocs(s, path, d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
+    }),
+
+    // ...and after the tombstones are physically APPLIED: expunge
+    // rewrites the co-located positional table too (its own layout
+    // preserved) BEFORE dropping the tombstone set, so the sloppy-phrase
+    // face keeps excluding the dead docs once the anti-join is gone
+    "q_proximity_store_expunge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-posexp")
+      Indexer.writeIndex(Indexer.buildIndex(d), path)
+      Indexer.writePositional(d, path)
+      Indexer.deleteDocs(s, path, d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      Indexer.expungeDeletes(s, path)
+      graft.search.PhraseSearch.proximityStore(s, path, PhraseQuery,
+        ProxWindow, 10)
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -252,6 +282,10 @@ object SearchQueries extends QueryGroup {
     "q_phrase_store" -> phraseOracle,
     "q_proximity_search" -> proximityOracle,
     "q_proximity_store" -> proximityOracle,
+    // the live-subset recompute: a tombstoned (or expunged) co-located
+    // store must answer like a fresh positional index without the dead docs
+    "q_phrase_store_delete" -> phraseOracleFor(SqlCorpusLive),
+    "q_proximity_store_expunge" -> proximityOracleFor(SqlCorpusLive),
 
     "q_schema_merge" ->
       """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
@@ -285,11 +319,17 @@ object SearchQueries extends QueryGroup {
          FROM documents""",
   )
 
+  /** The tombstone-lifecycle entries' corpus: live docs only. */
+  private lazy val SqlCorpusLive =
+    s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"
+
   /** Phrase oracle: per-term position lists, then count the start offsets
     * of term 0 from which every later term sits at the right shift —
     * textually the same intersection PhraseSearch does with
     * `array_intersect` over shifted lists. */
-  private lazy val phraseOracle: String = {
+  private lazy val phraseOracle: String = phraseOracleFor(SqlCorpus)
+
+  private def phraseOracleFor(corpusSql: String): String = {
     val terms = graft.analyzer.Analyzer.analyzeQuery(PhraseQuery)
     val legs = terms.distinct // oracle builder assumes distinct terms (the fixture phrase is)
     val legCtes = legs.zipWithIndex.map { case (t, i) =>
@@ -299,7 +339,7 @@ object SearchQueries extends QueryGroup {
     val contains = terms.zipWithIndex.tail.map { case (t, i) =>
       s"list_contains(l_$t, x + $i)"
     }.mkString(" AND ")
-    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($SqlCorpus) WHERE t <> ''),
+    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($corpusSql) WHERE t <> ''),
              tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
                      FROM lists),
              $legCtes,
@@ -315,7 +355,9 @@ object SearchQueries extends QueryGroup {
   /** Proximity oracle: anchors of term 0 from which every other term has
     * an occurrence within ProxWindow — nested list_filter mirroring the
     * nested `exists` the Spark side runs. */
-  private lazy val proximityOracle: String = {
+  private lazy val proximityOracle: String = proximityOracleFor(SqlCorpus)
+
+  private def proximityOracleFor(corpusSql: String): String = {
     val terms = graft.analyzer.Analyzer.analyzeQuery(PhraseQuery).distinct
     val legCtes = terms.zipWithIndex.map { case (t, i) =>
       s"p$i AS (SELECT doc_id, list(pos) AS l_$t FROM tok WHERE term = '$t' GROUP BY doc_id)"
@@ -324,7 +366,7 @@ object SearchQueries extends QueryGroup {
     val conds = terms.tail.map { t =>
       s"len(list_filter(l_$t, y -> abs(y - x) <= $ProxWindow)) > 0"
     }.mkString(" AND ")
-    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($SqlCorpus) WHERE t <> ''),
+    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($corpusSql) WHERE t <> ''),
              tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
                      FROM lists),
              $legCtes,

@@ -71,10 +71,17 @@ object BM25 {
     val ix = graft.index.Indexer.readIndexLive(spark, path)
     val terms = Analyzer.analyzeQuery(queryText).distinct
     if (terms.isEmpty) return emptyResult(ix)
-    // the store's recorded bucket count wins over the parameter
-    val nb = graft.index.Indexer.storedBuckets(spark, path).getOrElse(nBuckets)
-    val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nb)).distinct
-    val pruned = ix.postings.filter(col("term_bucket").isin(buckets: _*))
+    // the store's recorded bucket count wins over the parameter — but only
+    // after validation against the physical partition layout (a legacy
+    // co-located store may carry a clobbered root marker; mis-pruning
+    // would silently drop the query's postings, so degrade to unpruned)
+    val pruned = graft.index.Indexer.pruningBuckets(spark, path, "postings",
+        graft.index.Indexer.storedBuckets(spark, path), nBuckets) match {
+      case Some(nb) =>
+        val buckets = terms.map(graft.index.Indexer.termBucketOf(_, nb)).distinct
+        ix.postings.filter(col("term_bucket").isin(buckets: _*))
+      case None => ix.postings
+    }
     searchTerms(ix.copy(postings = pruned), terms, params)
   }
 

@@ -73,16 +73,15 @@ object PhraseSearch {
     * driver-computed IN-literal, so the parquet reader statically prunes
     * to ≤ |distinct terms| of the store's partitions before any IO —
     * the same access-path story as [[BM25.searchStore]], now for
-    * positions. */
+    * positions. Like that reader, this is a LIVE view: a store carrying
+    * soft-delete tombstones ([[Indexer.deleteDocs]] on a co-located
+    * index) never returns dead docs — the anti-join applies after the
+    * pruned scan, so pruning is unaffected. */
   def searchStore(spark: org.apache.spark.sql.SparkSession, path: String,
                   phrase: String, k: Int = 10, nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(phrase)
     require(terms.nonEmpty, s"phrase analyzed to zero terms: '$phrase'")
-    val nb = Indexer.storedPositionalBuckets(spark, path).getOrElse(nBuckets)
-    val buckets = terms.distinct.map(Indexer.termBucketOf(_, nb)).distinct
-    val positional = spark.read.parquet(s"$path/positional")
-      .filter(col("term_bucket").isin(buckets: _*))
-    searchPostings(positional, phrase, k)
+    searchPostings(livePositional(spark, path, terms, nBuckets), phrase, k)
   }
 
   /** Proximity search: top-`k` documents where every query term occurs
@@ -98,18 +97,32 @@ object PhraseSearch {
     proximityPostings(Indexer.positionalPostings(corpus), query, window, k)
 
   /** Proximity search against the persisted positional store — same
-    * bucket-pruned access path as [[searchStore]]. */
+    * bucket-pruned, tombstone-aware access path as [[searchStore]]. */
   def proximityStore(spark: org.apache.spark.sql.SparkSession, path: String,
                      query: String, window: Int, k: Int = 10,
                      nBuckets: Int = 64): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).distinct
     require(terms.nonEmpty, s"query analyzed to zero terms: '$query'")
-    val nb = Indexer.storedPositionalBuckets(spark, path).getOrElse(nBuckets)
-    val buckets = terms.map(Indexer.termBucketOf(_, nb)).distinct
-    proximityPostings(
-      spark.read.parquet(s"$path/positional")
-        .filter(col("term_bucket").isin(buckets: _*)),
-      query, window, k)
+    proximityPostings(livePositional(spark, path, terms, nBuckets), query, window, k)
+  }
+
+  /** The store readers' shared access path: bucket-pruned positional scan
+    * (the store's validated layout record builds the static IN-literal;
+    * an untrustworthy record — e.g. a legacy co-located store whose root
+    * marker was clobbered — degrades to an unpruned read instead of
+    * mis-pruning), then the tombstone anti-join for the live view. */
+  private def livePositional(spark: org.apache.spark.sql.SparkSession,
+                             path: String, terms: Seq[String],
+                             nBuckets: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$path/positional")
+    val pruned = Indexer.pruningBuckets(spark, path, "positional",
+        Indexer.storedPositionalBuckets(spark, path), nBuckets) match {
+      case Some(nb) =>
+        val buckets = terms.distinct.map(Indexer.termBucketOf(_, nb)).distinct
+        raw.filter(col("term_bucket").isin(buckets: _*))
+      case None => raw
+    }
+    Indexer.minusDeletes(spark, path, pruned)
   }
 
   private def proximityPostings(positional: DataFrame, query: String,

@@ -193,6 +193,77 @@ class IndexStoreSpec extends SparkSpec {
     assert(fromStore === inline)
   }
 
+  test("positional store: tombstones excluded, expunge rewrites positional table") {
+    // regression (VERDICT r6): the positional faces used to ignore the
+    // delete lifecycle — searchStore/proximityStore returned tombstoned
+    // docs, and expungeDeletes dropped the tombstone table WITHOUT
+    // rewriting the positional table, making dead docs permanent
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixposdel").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    Indexer.writePositional(docs, path, nBuckets = 8) // its OWN layout
+    Indexer.deleteDocs(spark, path,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+
+    val live = docs.filter(col("doc_id") % 3 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSeq
+    val freshPhrase = rows(graft.search.PhraseSearch.search(live, "the", k = 10))
+    val freshProx = rows(graft.search.PhraseSearch.proximitySearch(live, "the", 3, k = 10))
+    assert(freshPhrase.nonEmpty, "fixture term must match some live docs")
+
+    // soft-deleted: both positional faces answer like a fresh live-only index
+    val delPhrase = rows(graft.search.PhraseSearch
+      .searchStore(spark, path, "the", k = 10, nBuckets = 999))
+    val delProx = rows(graft.search.PhraseSearch
+      .proximityStore(spark, path, "the", 3, k = 10, nBuckets = 999))
+    assert(delPhrase === freshPhrase, "phrase store must exclude tombstoned docs")
+    assert(delProx === freshProx, "proximity store must exclude tombstoned docs")
+
+    // expunged: tombstones gone, positional physically clean, answers stable
+    Indexer.expungeDeletes(spark, path, nBuckets = 16)
+    assert(!new java.io.File(s"$path/deletes").exists)
+    assert(spark.read.parquet(s"$path/positional")
+      .filter(col("doc_id") % 3 === 0).count() == 0,
+      "expunge must rewrite the co-located positional table")
+    assert(rows(graft.search.PhraseSearch
+      .searchStore(spark, path, "the", k = 10, nBuckets = 999)) === freshPhrase)
+    assert(rows(graft.search.PhraseSearch
+      .proximityStore(spark, path, "the", 3, k = 10, nBuckets = 999)) === freshProx)
+    // the positional table's own layout survived the rewrite
+    assert(Indexer.storedPositionalBuckets(spark, path).contains(8))
+    assert(spark.read.parquet(s"$path/positional").columns.contains("term_bucket"))
+  }
+
+  test("clobbered legacy root marker degrades to an unpruned (correct) read") {
+    // a pre-per-table-marker co-located store: writePositional overwrote
+    // the root _nbuckets with the POSITIONAL layout — BM25.searchStore
+    // must detect the marker/layout mismatch and read unpruned instead of
+    // silently mis-pruning the frequency postings (ADVICE r6)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixlegacy").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    Indexer.writePositional(docs, path, nBuckets = 8)
+    val expected = BM25.searchStore(spark, path, "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    // simulate the legacy clobber: root marker says 8, per-table marker
+    // absent (write through the Hadoop fs so the checksum sidecar tracks)
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(s"$path/_nbuckets"), true)
+    out.write("8".getBytes); out.close()
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/_nbuckets_positional"), false)
+    val legacy = BM25.searchStore(spark, path, "fast hash join scan")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(legacy === expected,
+      "stale marker must degrade to an unpruned read, not mis-prune")
+    // the positional face (root fallback = 8 matches its real layout) stays pruned+correct
+    val pos = graft.search.PhraseSearch.searchStore(spark, path, "the", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pos === graft.search.PhraseSearch.search(docs, "the", k = 5)
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("appendIndex rejects doc_ids already in the store, store untouched") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixdup").toString
