@@ -122,16 +122,25 @@ object Indexer {
   def vocab(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** Corpus-level stats as a typed 1-row DataFrame `(total_docs, avg_dl)`.
+  /** Corpus-level stats as a typed 1-row DataFrame
+    * `(total_docs, avg_dl, length_sum)`.
     * Reference: sentinel keys `!!DOC_COUNT` / `!!LENGTH_SUM` funneled
     * through a single reducer (`mapper1.py:20-21`, `reducer1.py:13-37`)
     * then env vars then Cassandra text rows — all replaced by one
     * two-phase aggregate.
-    */
+    *
+    * `length_sum` is the exact long sum behind `avg_dl` — kept so the
+    * stored meta is MERGEABLE partial-aggregate state: an append can
+    * combine stored sums with the delta's sums and re-derive `avg_dl`
+    * with the same single division, bit-identical to a full recompute
+    * ([[appendIndex]]'s incremental path). `avg_dl` is defined as
+    * sum/count explicitly (not `avg`) so every producer computes it from
+    * the same exact longs. */
   def meta(docStats: DataFrame): DataFrame =
     docStats.agg(
       count(lit(1)).as("total_docs"),
-      avg(col("length")).as("avg_dl"))
+      (sum(col("length")).cast("double") / count(lit(1))).as("avg_dl"),
+      coalesce(sum(col("length")).cast("long"), lit(0L)).as("length_sum"))
 
   /** All four index tables built from one corpus scan. */
   final case class InvertedIndex(docStats: DataFrame, postings: DataFrame,
@@ -222,12 +231,53 @@ object Indexer {
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    // derived tables: recompute from the combined LIVE store view —
-    // after deleteDocs then appendIndex, the raw parquet still carries
-    // the tombstoned docs' rows, and deriving from it would let deleted
-    // docs' df re-enter vocab and their rows re-enter meta's N/avg_dl,
-    // breaking deleteDocs' "answers like a fresh index" invariant
-    refreshDerived(spark, path)
+    // derived tables: merged INCREMENTALLY from the delta — work ∝
+    // |batch| + |vocab|, never ∝ the stored postings (the r6 full
+    // recompute re-aggregated the whole store on every append). Sound
+    // because the stored vocab/meta track the LIVE view (maintained at
+    // every delete/append) and the appended docs are disjoint from every
+    // doc_id the store has ever seen — live or tombstoned (the duplicate
+    // guard above checks doc_stats, which RETAINS tombstoned rows) — so
+    // live(after) = live(before) ⊎ delta and the merge is exact
+    mergeDerived(spark, path, delta)
+  }
+
+  /** Incremental derived-table maintenance behind [[appendIndex]]: the
+    * stored vocab IS a mergeable per-term partial (df sums), the stored
+    * meta carries exact mergeable long sums (total_docs, length_sum) —
+    * the [[graft.pipeline.IncrementalAgg]] partial-view pattern applied
+    * to the index's own derived state. `avg_dl` is re-derived from the
+    * merged exact sums with the same one division [[meta]] uses, so the
+    * result is BIT-identical to a full [[refreshDerived]]
+    * (spec-verified), at delta cost.
+    *
+    * Scale: the vocab merge shuffles |stored vocab| + |delta vocab| rows
+    * (the term domain, not the corpus); the meta merge is two 1-row
+    * frames. Installed via the same crash-safe swap as refreshDerived —
+    * which remains the repair/compaction path (and the fallback for a
+    * store whose meta predates the mergeable `length_sum` layout). */
+  private def mergeDerived(spark: org.apache.spark.sql.SparkSession, path: String,
+                           delta: InvertedIndex): Unit = {
+    val storedMeta = spark.read.parquet(s"$path/meta")
+    if (!storedMeta.columns.contains("length_sum")) {
+      refreshDerived(spark, path); return
+    }
+    spark.read.parquet(s"$path/vocab").select("term", "df")
+      .unionByName(vocab(delta.postings))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+    val deltaMeta = delta.docStats.agg(
+      count(lit(1)).as("d_n"),
+      coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
+    storedMeta.crossJoin(deltaMeta)
+      .select(
+        (col("total_docs") + col("d_n")).as("total_docs"),
+        ((col("length_sum") + col("d_sum")).cast("double") /
+          (col("total_docs") + col("d_n"))).as("avg_dl"),
+        (col("length_sum") + col("d_sum")).as("length_sum"))
+      .write.mode("overwrite").parquet(s"$path/meta_tmp")
+    swapTable(spark, path, "vocab")
+    swapTable(spark, path, "meta")
   }
 
   /** Recompute vocab and meta from the LIVE view (postings/doc_stats

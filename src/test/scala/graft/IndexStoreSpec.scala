@@ -160,8 +160,9 @@ class IndexStoreSpec extends SparkSpec {
     assert(storedVocab === freshVocab,
       "vocab after delete+append must exclude tombstoned docs' df")
     val storedMeta = spark.read.parquet(s"$path/meta")
-      .as[(Long, Double)].head()
-    val freshMeta = fresh.meta.as[(Long, Double)].head()
+      .select("total_docs", "avg_dl").as[(Long, Double)].head()
+    val freshMeta = fresh.meta
+      .select("total_docs", "avg_dl").as[(Long, Double)].head()
     assert(storedMeta._1 == freshMeta._1)
     assert(math.abs(storedMeta._2 - freshMeta._2) < 1e-9)
     // and search answers exactly like the fresh live-only index
@@ -191,6 +192,37 @@ class IndexStoreSpec extends SparkSpec {
       .searchStore(spark, path, "the", k = 5, nBuckets = 999)
       .select("doc_id").as[Long].collect().toSet
     assert(fromStore === inline)
+  }
+
+  test("incremental vocab/meta merge is bit-identical to the full recompute") {
+    // appendIndex merges the delta's derived state into the stored
+    // vocab/meta (work ∝ batch) — after a MIXED append/delete/append
+    // sequence the merged tables must equal a full refreshDerived
+    // recompute exactly, avg_dl to the last bit (both derive it from
+    // the same exact long sums)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixincr").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs.filter(col("doc_id") % 3 === 0)),
+      path, nBuckets = 16)
+    Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 3 === 1))
+    Indexer.deleteDocs(spark, path,
+      docs.filter(col("doc_id") % 6 === 0).select("doc_id"))
+    Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 3 === 2))
+
+    def vocabRows = spark.read.parquet(s"$path/vocab")
+      .as[(String, Long)].collect().toSeq.sorted
+    def metaRow = spark.read.parquet(s"$path/meta")
+      .select("total_docs", "avg_dl", "length_sum")
+      .as[(Long, Double, Long)].head()
+    val (mergedVocab, mergedMeta) = (vocabRows, metaRow)
+    Indexer.refreshDerived(spark, path) // the full-recompute repair path
+    assert(vocabRows === mergedVocab,
+      "incrementally merged vocab must equal the full recompute")
+    assert(metaRow === mergedMeta,
+      "incrementally merged meta must equal the full recompute bit-for-bit")
+    // sanity: the merged state tracks the live view (deletes excluded)
+    val liveN = docs.filter(col("doc_id") % 6 =!= 0).count()
+    assert(mergedMeta._1 === liveN)
   }
 
   test("positional store: tombstones excluded, expunge rewrites positional table") {

@@ -42,9 +42,11 @@ class IndexerSpec extends SparkSpec {
   }
 
   test("meta: total_docs counts all docs; avg_dl averages over all docs") {
-    val (n, avg) = ix.meta.as[(Long, Double)].first()
+    val (n, avg, lsum) = ix.meta.select("total_docs", "avg_dl", "length_sum")
+      .as[(Long, Double, Long)].first()
     assert(n === 4)
     assert(math.abs(avg - 3.0) < 1e-12) // (6+4+2+0)/4
+    assert(lsum === 12L) // the exact mergeable sum behind avg_dl
   }
 
   test("sum of tf per doc equals doc length (conservation property)") {

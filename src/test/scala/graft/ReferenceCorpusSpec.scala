@@ -28,7 +28,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("index stats are sane on the wiki corpus") {
-    val (n, avgDl) = ix.meta.as[(Long, Double)].first()
+    val (n, avgDl) = ix.meta.select("total_docs", "avg_dl").as[(Long, Double)].first()
     assert(n === 1000)
     assert(avgDl > 100 && avgDl < 10000, s"suspicious avg_dl $avgDl")
     // df <= N; postings conserve doc length
