@@ -20,13 +20,20 @@ import scala.util.control.NonFatal
   * Each query is run up to `SPARK_GRAFT_BENCH_REPS` times (default 3)
   * and the MINIMUM wall time is reported, so one noisy run (GC pause,
   * concurrent load) can't poison the committed number. Reps are
-  * ADAPTIVE: only queries whose first rep finishes under
-  * `SPARK_GRAFT_BENCH_REP_CUTOFF_SECS` (default 1.0) get the extra
-  * reps — for the store-lifecycle queries (multi-second store writes
-  * dominated by real work, where jitter is proportionally small)
-  * min-of-3 would triple the most expensive part of the sweep for no
-  * extra signal, which is what timed out the round-5 driver run. A
-  * failing first rep is also not retried (failures are deterministic).
+  * ADAPTIVE: queries whose first rep finishes under
+  * `SPARK_GRAFT_BENCH_REP_CUTOFF_SECS` (default 1.0) get the full rep
+  * count; the 1–5 s band (cutoff to
+  * `SPARK_GRAFT_BENCH_SLOW_CUTOFF_SECS`, default 5.0) gets min-of-2 —
+  * one noisy measurement in that band used to become the committed
+  * number (r6: a single-rep q_chunk pinned at 8.4 s vs 2.1 s clean);
+  * only the slowest store-lifecycle queries (multi-second store writes
+  * dominated by real work, where jitter is proportionally small) stay
+  * single-rep — min-of-3 there would triple the most expensive part of
+  * the sweep for no extra signal, which is what timed out the round-5
+  * driver run. A failing first rep is not retried (failures are
+  * deterministic). Each bench_last.jsonl line records the rep count
+  * actually used, so cross-round comparisons can tell single-run from
+  * min-of-N numbers.
   *
   * Evidence is INCREMENTAL: each completed query appends one
   * `{"name":…,"secs":…,"ok":…}` line to `bench_last.jsonl`, so even a
@@ -52,19 +59,24 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    }
+
     // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
     // lands entirely on whichever query the map orders first (~5 s skew).
+    // The FIRST gate query also runs once untimed — the generic warmup
+    // does not touch every init path (store writes, streaming runtimes),
+    // so first-position residual skew survived it (r6: q_chunk's only
+    // timed rep committed 8.4 s vs 2.1 s on a clean re-run).
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+      SparkEntry.queries.headOption.foreach { case (_, fn) => runOnce(fn) }
     } catch { case NonFatal(_) => () }
-
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      val df = fn(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-    }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -72,6 +84,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val repCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CUTOFF_SECS", "1.0").toDouble
+    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF_SECS", "5.0").toDouble
     val jsonlPath = java.nio.file.Paths.get("bench_last.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
@@ -88,11 +101,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = timeOnce()
-      val extra =
-        if (errors.contains(name) || first >= repCutoff) Nil
-        else (2 to reps).map(_ => timeOnce())
+      val nReps =
+        if (errors.contains(name) || first >= slowCutoff) 1
+        else if (first >= repCutoff) 2.min(reps) // 1–5 s band: min-of-2
+        else reps
+      val extra = (2 to nReps).map(_ => timeOnce())
       val best = (first +: extra).min
-      val line = s"""{"name":${jstr(name)},"secs":$best,"ok":${!errors.contains(name)}}"""
+      val line = s"""{"name":${jstr(name)},"secs":$best,"ok":${!errors.contains(name)},"reps":${1 + extra.size}}"""
       try java.nio.file.Files.writeString(jsonlPath, line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -31,6 +31,7 @@ object Verify {
     // array/map/struct column (r5 shipped q_embed_centroid/q_embed_quant
     // red exactly this way). Fail fast HERE, at build time, instead.
     val nonScalar = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -50,6 +51,10 @@ object Verify {
         } else
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        // a thrown query produces no dump dir — track it and exit nonzero
+        // below (it used to be stderr-only, so a broken query silently
+        // vanished from the compare instead of failing it)
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -73,6 +78,13 @@ object Verify {
       System.err.println(s"[verify] ${nonScalar.size} quer(ies) with non-scalar " +
         s"output schemas: ${nonScalar.mkString(", ")} — fix before shipping")
       sys.exit(2)
+    }
+    if (failed.nonEmpty) {
+      // exit AFTER every dump + oracle_sql.json landed, so the artifacts
+      // for the queries that did build remain comparable
+      System.err.println(s"[verify] ${failed.size} quer(ies) THREW during " +
+        s"build/write: ${failed.mkString(", ")} — fix before shipping")
+      sys.exit(3)
     }
   }
 }

@@ -27,23 +27,33 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** Per-group PSI of `valCol` between `refFilter` rows and
-    * `cmpFilter` rows: `(group, n_buckets_compared, psi)`. */
+    * `cmpFilter` rows: `(group, n_buckets_compared, psi)`.
+    *
+    * `manyGroups = false` (default) computes the per-group totals with a
+    * window over the bucket-count frame — one exchange, right for
+    * monitoring reports over few groups. With a HIGH-cardinality group
+    * key a single window partition per group serializes each group's
+    * buckets through one task; `manyGroups = true` swaps it for a
+    * groupBy + equi-join on the (tiny, |groups|-row) totals frame —
+    * same exact integer totals, identical output (spec-verified), plan
+    * shaped for the many-group case. */
   def psi(df: DataFrame, groupCol: String, valCol: String,
           refFilter: org.apache.spark.sql.Column,
           cmpFilter: org.apache.spark.sql.Column,
-          bucketWidth: Double): DataFrame = {
+          bucketWidth: Double, manyGroups: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def side(f: org.apache.spark.sql.Column, n: String, t: String) =
-      df.filter(f)
+    def side(f: org.apache.spark.sql.Column, n: String, t: String) = {
+      val counts = df.filter(f)
         .select(col(groupCol).as("grp"),
           floor(col(valCol) / lit(bucketWidth)).cast("long").as("bucket"))
         .groupBy("grp", "bucket").agg(count(lit(1)).as(n))
-        .withColumn(t, sum(col(n)).over(
+      if (manyGroups)
+        counts.join(counts.groupBy("grp").agg(sum(col(n)).as(t)), Seq("grp"))
+      else
+        counts.withColumn(t, sum(col(n)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
-    // NOTE: the totals window partitions by the group key — fine when
-    // groups are few (monitoring reports); with many groups swap for a
-    // groupBy+join like Cooccurrence does. Bucket-count frames are
-    // |groups|·|buckets| rows either way — tiny.
+    }
+    // Bucket-count frames are |groups|·|buckets| rows in either mode.
     val ref = side(refFilter, "n_ref", "t_ref")
     val cmp = side(cmpFilter, "n_cmp", "t_cmp")
     ref.join(cmp, Seq("grp", "bucket")) // inner: both sides nonzero

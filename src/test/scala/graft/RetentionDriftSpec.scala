@@ -50,6 +50,13 @@ class RetentionDriftSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r1.getDouble(2) - 1.2 * math.log(4.0)) < 1e-6,
       s"shifted halves must flag drift, got $r1")
+
+    // the many-group plan (groupBy+join totals instead of a per-group
+    // window) computes the same exact integer totals → identical output
+    val r1m = Drift.psi(drift, "grp", "v", col("id") % 2 === 0, col("id") % 2 === 1,
+      10.0, manyGroups = true).collect().head
+    assert(r1m.getLong(1) == r1.getLong(1) && r1m.getDouble(2) == r1.getDouble(2),
+      s"manyGroups variant must match the window plan: $r1m vs $r1")
   }
 
   test("winsorize clips to group percentiles and leaves interior values alone") {
