@@ -272,8 +272,10 @@ object Indexer {
     storedMeta.crossJoin(deltaMeta)
       .select(
         (col("total_docs") + col("d_n")).as("total_docs"),
-        ((col("length_sum") + col("d_sum")).cast("double") /
-          (col("total_docs") + col("d_n"))).as("avg_dl"),
+        // an empty merged store nulls avg_dl exactly like meta() over zero rows
+        when(col("total_docs") + col("d_n") === 0, lit(null).cast("double"))
+          .otherwise((col("length_sum") + col("d_sum")).cast("double") /
+            (col("total_docs") + col("d_n"))).as("avg_dl"),
         (col("length_sum") + col("d_sum")).as("length_sum"))
       .write.mode("overwrite").parquet(s"$path/meta_tmp")
     swapTable(spark, path, "vocab")
@@ -294,9 +296,11 @@ object Indexer {
     * tombstone append before the derived tables swap, so a crash in
     * that window leaves live-filtered postings with stale vocab/meta
     * (df and N still counting deleted docs — BM25 scores skew until the
-    * next delete/append). Both halves are idempotent; re-running the
-    * interrupted deleteDocs with the same ids, or calling this directly,
-    * restores the invariant.
+    * next delete/append). Call this directly to restore the invariant —
+    * re-running the interrupted deleteDocs does NOT repair (its
+    * already-tombstoned ids filter makes the re-run a no-op), and the
+    * incremental delete/append maintenance paths assume the stored
+    * vocab/meta are live-consistent.
     */
   def refreshDerived(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val live = readIndexLive(spark, path)
@@ -322,32 +326,76 @@ object Indexer {
     * postings/doc_stats parquet is NEVER rewritten (deleting from a
     * term-bucketed layout would touch every bucket); readers subtract
     * the tombstone set ([[readIndexLive]]). The derived tables (vocab,
-    * meta) ARE recomputed from the live view and swapped, so stored df
-    * and corpus stats track live documents only — search over the store
-    * answers exactly like a fresh index built without the deleted docs
-    * (gate-verified).
+    * meta) are DECREMENTED by the newly-dead docs' contribution and
+    * swapped, so stored df and corpus stats track live documents only —
+    * search over the store answers exactly like a fresh index built
+    * without the deleted docs (gate-verified).
     *
-    * Ids not present in the store are ignored (idempotent; re-deleting
-    * is a no-op). Deleted ids stay reserved: [[appendIndex]]'s
+    * Ids not present in the store are ignored, and ids already
+    * tombstoned are filtered out before anything is written (idempotent;
+    * re-deleting is a true no-op and the tombstone table stays
+    * duplicate-free). Deleted ids stay reserved: [[appendIndex]]'s
     * duplicate guard still sees them in doc_stats, and the tombstone
     * applies store-wide — re-adding a deleted id is refused rather than
     * silently resurrected-then-killed.
     *
-    * Scale: the tombstone append is ∝ the delete batch; the vocab/meta
-    * recompute is the same one aggregate-over-postings appendIndex
-    * already pays. Query-time cost is one anti-join against the
-    * (typically tiny, broadcastable) tombstone set.
+    * Scale: the tombstone append is ∝ the delete batch, and the derived
+    * maintenance is the decrement twin of [[appendIndex]]'s merge — the
+    * dead docs' per-term df comes from one semi-joined pass over the
+    * postings store whose SHUFFLE carries only the dead docs' rows
+    * (the scan itself is unavoidable without a doc-keyed postings
+    * layout: delete gets the dead terms from the store, not from text
+    * it no longer has), then per-term subtraction against the |vocab|
+    * view and a 1-row meta decrement from exact long sums —
+    * bit-identical to the full recompute (spec-verified). Query-time
+    * cost is one anti-join against the (typically tiny, broadcastable)
+    * tombstone set.
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, path: String,
                  ids: DataFrame, idCol: String = "doc_id"): Unit = {
-    val present = ids.select(col(idCol).as("doc_id")).distinct()
-      .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-    present.write.mode("append").parquet(s"$path/deletes")
-    // crash window: the tombstone append above is committed before the
-    // derived-table swap below — see refreshDerived's scaladoc for the
-    // repair contract (re-run with the same ids, or call refreshDerived)
-    refreshDerived(spark, path)
+    // only ids that exist AND are not already tombstoned contribute —
+    // re-decrementing an already-dead doc would corrupt df/meta
+    val newDead = minusDeletes(spark, path,
+      ids.select(col(idCol).as("doc_id")).distinct()
+        .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    if (newDead.isEmpty) return // nothing new to tombstone
+    val storedMeta = spark.read.parquet(s"$path/meta")
+    if (!storedMeta.columns.contains("length_sum")) {
+      // store predates the mergeable meta layout: tombstone + full recompute
+      newDead.write.mode("append").parquet(s"$path/deletes")
+      refreshDerived(spark, path)
+      return
+    }
+    // the decremented tables must materialize BEFORE the tombstone
+    // append: newDead anti-joins the deletes table it is about to grow
+    spark.read.parquet(s"$path/postings").select("term", "doc_id")
+      .join(newDead, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("dead_df"))
+      .join(spark.read.parquet(s"$path/vocab").select("term", "df"),
+        Seq("term"), "right_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0) // a term with no live doc left drops, like a fresh build
+      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+    val deadStats = spark.read.parquet(s"$path/doc_stats")
+      .join(newDead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("d_n"),
+        coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
+    storedMeta.crossJoin(deadStats)
+      .select(
+        (col("total_docs") - col("d_n")).as("total_docs"),
+        // an emptied store nulls avg_dl exactly like meta() over zero rows
+        when(col("total_docs") === col("d_n"), lit(null).cast("double"))
+          .otherwise((col("length_sum") - col("d_sum")).cast("double") /
+            (col("total_docs") - col("d_n"))).as("avg_dl"),
+        (col("length_sum") - col("d_sum")).as("length_sum"))
+      .write.mode("overwrite").parquet(s"$path/meta_tmp")
+    // crash window: the tombstone append commits before the derived
+    // swaps — repair by calling refreshDerived (see its scaladoc)
+    newDead.write.mode("append").parquet(s"$path/deletes")
+    swapTable(spark, path, "vocab")
+    swapTable(spark, path, "meta")
   }
 
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */

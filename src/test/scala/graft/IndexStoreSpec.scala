@@ -223,6 +223,19 @@ class IndexStoreSpec extends SparkSpec {
     // sanity: the merged state tracks the live view (deletes excluded)
     val liveN = docs.filter(col("doc_id") % 6 =!= 0).count()
     assert(mergedMeta._1 === liveN)
+
+    // delete-everything edge: the decrement must null avg_dl and empty
+    // vocab exactly like the full recompute over zero live docs
+    Indexer.deleteDocs(spark, path, docs.select("doc_id"))
+    def metaRaw = spark.read.parquet(s"$path/meta")
+      .select("total_docs", "avg_dl", "length_sum")
+      .collect().toSeq.map(_.toSeq)
+    val emptied = metaRaw
+    assert(emptied.head === Seq(0L, null, 0L), s"emptied meta: $emptied")
+    assert(spark.read.parquet(s"$path/vocab").count() === 0)
+    Indexer.refreshDerived(spark, path)
+    assert(metaRaw === emptied)
+    assert(spark.read.parquet(s"$path/vocab").count() === 0)
   }
 
   test("positional store: tombstones excluded, expunge rewrites positional table") {
