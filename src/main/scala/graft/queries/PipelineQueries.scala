@@ -268,6 +268,22 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // ...and the tombstones physically APPLIED: expunge rewrites the
+    // inverted lists without the dead vectors (cid layout preserved,
+    // crash-safe swap) and drops the tombstone table — answers must not
+    // change (same live-subset oracle as q_ann_ivf_delete)
+    "q_ann_ivf_expunge" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfexp")
+      graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
+      graft.similarity.IvfStore.deleteVectors(s, path,
+        e.filter(col("vec_id") % 4 === 3).select("vec_id"))
+      graft.similarity.IvfStore.expungeDeletes(s, path)
+      graft.similarity.IvfStore.searchStore(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // count-min sketch frequency estimates for every token, with the
     // exact count alongside (estimate >= truth always; the d*w counter
     // table is mergeable additive state, rebuilt counter-for-counter by
@@ -1600,6 +1616,8 @@ object PipelineQueries extends QueryGroup {
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
     "q_ann_ivf_delete" -> annIvfOracleFor("vec_id % 4 <> 3"),
+    // expunge must be invisible in answers — same live-subset truth
+    "q_ann_ivf_expunge" -> annIvfOracleFor("vec_id % 4 <> 3"),
     "q_ann_ivf_quant" -> annIvfQuantOracle,
 
     "q_cms_freq" ->

@@ -185,6 +185,35 @@ object IvfStore {
     ids.select(col(idCol).as("vec_id")).distinct()
       .write.mode("append").parquet(s"$path/deletes")
 
+  /** Physically apply accumulated tombstones ([[deleteVectors]]) — the
+    * compaction-class counterpart of soft delete, mirroring
+    * [[graft.index.Indexer.expungeDeletes]]: the inverted lists are
+    * rewritten WITHOUT the dead vectors (partition layout preserved —
+    * `cid`, or `batch`/`cid` for a streaming-ingested store), installed
+    * via the crash-safe rename-aside swap, and the tombstone table is
+    * dropped. Probes lose the anti-join; centroids stay frozen (deletes
+    * thin lists, re-training is a rebuild). Run it when the tombstone
+    * anti-join overhead or dead-row storage outweighs one lists rewrite —
+    * a scheduled maintenance job beside [[compactLists]], never an
+    * ingest-path cost. No-op without tombstones; crash-safe re-run is
+    * idempotent (the anti-join matches nothing on already-clean lists
+    * while the tombstone table survives until the final drop). */
+  def expungeDeletes(spark: SparkSession, path: String): Unit = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) return
+    val lists = spark.read.parquet(s"$path/lists")
+    val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
+    liveLists(spark, path, lists)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$path/lists_tmp")
+    graft.FsOps.atomicSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/lists"),
+      new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+    fs.delete(del, true)
+  }
+
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)

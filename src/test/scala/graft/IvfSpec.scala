@@ -126,6 +126,22 @@ class IvfSpec extends SparkSpec {
     val again = IvfStore.searchStore(spark, path, q, 10)
       .as[(Long, Long, Double, Long)].collect()
     assert(again.toSet === after.toSet)
+
+    // expunge: dead rows physically gone, tombstones dropped, answers
+    // unchanged, cid partition layout (and its pruning) preserved
+    IvfStore.expungeDeletes(spark, path)
+    assert(!new java.io.File(s"$path/deletes").exists)
+    assert(spark.read.parquet(s"$path/lists")
+      .filter($"vec_id".isin(dead.toSeq: _*)).count() == 0,
+      "expunge must rewrite the lists without the dead vectors")
+    val expunged = IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(expunged.toSet === after.toSet, "expunge must not change answers")
+    assert(spark.read.parquet(s"$path/lists").columns.contains("cid"))
+    // no-op on a store without tombstones
+    IvfStore.expungeDeletes(spark, path)
+    assert(IvfStore.searchStore(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet === after.toSet)
   }
 
   test("quantized store: high-recall ranking on 4x smaller lists") {
