@@ -190,13 +190,12 @@ object Indexer {
   /** Incrementally add documents to a persisted index store: postings and
     * doc_stats for the new docs APPEND into the existing parquet (new
     * row-groups in the same term_bucket partitions — no rewrite of
-    * existing data), then the small derived tables (vocab, meta) are
-    * recomputed from the combined store and overwritten.
+    * existing data), a co-located positional table grows with the same
+    * batch ([[appendPositional]]), and the small derived tables (vocab,
+    * meta) MERGE the delta's mergeable partials ([[mergeDerived]]).
     *
-    * Scale: the expensive tables grow append-only — the work is
-    * proportional to the NEW corpus plus one aggregate over the postings
-    * store for vocab (itself a two-phase agg over (term, doc_id) rows,
-    * the same shape as the original build). The reference had no
+    * Scale: every table grows append-only and every maintenance step is
+    * ∝ the NEW corpus (plus the |vocab|-row merge). The reference had no
     * incremental path at all (full `index.sh` re-run, dropping the
     * Cassandra tables, `app/index.sh:22-28`).
     *
@@ -231,6 +230,15 @@ object Indexer {
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/postings")
+    // a CO-LOCATED positional table must grow with the same batch —
+    // otherwise the phrase/proximity faces would silently miss the
+    // appended docs (the append-side twin of the delete-consistency
+    // invariant). The doc_stats duplicate guard above already vouches
+    // for the batch, so the positional probe is skipped.
+    val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
+    if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+      appendPositional(spark, path, newCorpus, idCol, textCol, nBuckets,
+        checkDuplicates = false)
     // derived tables: merged INCREMENTALLY from the delta — work ∝
     // |batch| + |vocab|, never ∝ the stored postings (the r6 full
     // recompute re-aggregated the whole store on every append). Sound
@@ -240,6 +248,41 @@ object Indexer {
     // guard above checks doc_stats, which RETAINS tombstoned rows) — so
     // live(after) = live(before) ⊎ delta and the merge is exact
     mergeDerived(spark, path, delta)
+  }
+
+  /** Incrementally add documents to a persisted POSITIONAL store
+    * ([[writePositional]]): the batch's positional postings append as
+    * new row-groups in the store's existing term_bucket partitions (its
+    * OWN recorded layout — never the parameter when a marker exists).
+    * Called automatically by [[appendIndex]] for a co-located store;
+    * call it directly for a standalone positional store.
+    *
+    * `checkDuplicates = true` (the standalone default) probes the store
+    * for the batch's doc_ids first — one column-pruned scan of the
+    * positional table (doc_id is not the partition key, so the probe
+    * cannot prune; a maintenance-path cost, same failure-over-corruption
+    * trade as appendIndex's guard). [[appendIndex]] passes false: its
+    * doc_stats guard already vouches for the batch. */
+  def appendPositional(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newCorpus: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", nBuckets: Int = 64,
+                       checkDuplicates: Boolean = true): Unit = {
+    val nb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
+    if (checkDuplicates) {
+      val overlapping = newCorpus.select(col(idCol).as("doc_id")).distinct()
+        .join(spark.read.parquet(s"$path/positional").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      require(overlapping.isEmpty,
+        s"appendPositional: some doc_ids in the new corpus already exist in " +
+          s"the positional store at $path — appending them would double-count " +
+          s"positions. Example: ${overlapping.limit(3).collect().mkString(", ")}")
+    }
+    positionalPostings(newCorpus, idCol, textCol)
+      .withColumn("term_bucket", termBucket(col("term"), nb))
+      .repartition(nb, col("term_bucket"))
+      .write.mode("append")
+      .partitionBy("term_bucket")
+      .parquet(s"$path/positional")
   }
 
   /** Incremental derived-table maintenance behind [[appendIndex]]: the

@@ -197,6 +197,21 @@ object SearchQueries extends QueryGroup {
         ProxWindow, 10)
     }),
 
+    // the positional face of the APPEND lifecycle: a co-located store
+    // built on half the corpus, the other half appended through
+    // appendIndex (which must grow the positional table with the same
+    // batch) — phrase search answers exactly like a store built on the
+    // full corpus (oracle shared with q_phrase_store)
+    "q_phrase_store_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half1 = d.filter(col("doc_id") % 2 === 0)
+      val path = QueryGroup.scratchDir("graft-posapp")
+      Indexer.writeIndex(Indexer.buildIndex(half1), path)
+      Indexer.writePositional(half1, path)
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1))
+      graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
+    }),
+
     // the positional face of the DELETE lifecycle: frequency index and
     // positional store co-located at ONE path, a third of the corpus
     // tombstoned — phrase search over the store must answer exactly like
@@ -280,6 +295,9 @@ object SearchQueries extends QueryGroup {
 
     "q_phrase_search" -> phraseOracle,
     "q_phrase_store" -> phraseOracle,
+    // the incrementally-appended co-located store answers like one built
+    // on the full corpus
+    "q_phrase_store_append" -> phraseOracle,
     "q_proximity_search" -> proximityOracle,
     "q_proximity_store" -> proximityOracle,
     // the live-subset recompute: a tombstoned (or expunged) co-located

@@ -280,6 +280,35 @@ class IndexStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/positional").columns.contains("term_bucket"))
   }
 
+  test("appendIndex grows a co-located positional table with the batch") {
+    // append-side twin of the delete-consistency invariant: without it,
+    // phrase/proximity over a co-located store silently miss appended docs
+    val docs = Tables.load(spark, sf0001, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val path = Files.createTempDirectory("ixposapp").toString
+    Indexer.writeIndex(Indexer.buildIndex(half1), path, nBuckets = 16)
+    Indexer.writePositional(half1, path, nBuckets = 8) // its OWN layout
+    Indexer.appendIndex(spark, path, half2, nBuckets = 16)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSeq
+    val full = rows(graft.search.PhraseSearch.search(docs, "the", k = 10))
+    assert(rows(graft.search.PhraseSearch
+      .searchStore(spark, path, "the", k = 10, nBuckets = 999)) === full,
+      "appended co-located store must answer like a full-corpus positional index")
+    // the appended rows landed in the positional table's OWN 8-bucket layout
+    assert(Indexer.storedPositionalBuckets(spark, path).contains(8))
+    assert(spark.read.parquet(s"$path/positional")
+      .filter(col("term_bucket") >= 8).count() === 0)
+
+    // standalone appendPositional refuses doc_ids already in the store
+    val e = intercept[IllegalArgumentException] {
+      Indexer.appendPositional(spark, path, docs.limit(3))
+    }
+    assert(e.getMessage.contains("double-count"))
+  }
+
   test("clobbered legacy root marker degrades to an unpruned (correct) read") {
     // a pre-per-table-marker co-located store: writePositional overwrote
     // the root _nbuckets with the POSITIONAL layout — BM25.searchStore
