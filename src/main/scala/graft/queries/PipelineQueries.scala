@@ -322,6 +322,19 @@ object PipelineQueries extends QueryGroup {
       graft.search.SparseSim.tfidfTopKStore(s, path, AnnQueryIds, 10)
     }),
 
+    // ...and against a TOMBSTONED store: the TF-IDF face must answer
+    // from the live view like every other store reader — dead docs are
+    // neither retrievable nor scoreable-against, and N/df track live
+    // docs (query doc 0 is itself deleted, so its result set vanishes)
+    "q_tfidf_store_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-tfidfdel")
+      graft.index.Indexer.writeIndex(graft.index.Indexer.buildIndex(d), path)
+      graft.index.Indexer.deleteDocs(s, path,
+        d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      graft.search.SparseSim.tfidfTopKStore(s, path, AnnQueryIds, 10)
+    }),
+
     // streaming IVF ingest: centroids bootstrapped as a batch job, then
     // the vector corpus arrives through the REAL streaming runtime (file
     // source → AvailableNow → per-batch assign + replay-safe append) and
@@ -1099,13 +1112,18 @@ object PipelineQueries extends QueryGroup {
 
   // shared by q_tfidf_topk and q_tfidf_store (the store path must compute
   // the identical result from persisted tables)
-  private lazy val tfidfOracle: String = {
+  private lazy val tfidfOracle: String = tfidfOracleFor("TRUE")
+
+  // the live-subset truth for the tombstoned store: a deleted doc is
+  // neither retrievable, scoreable-against, nor counted in N/df
+  private def tfidfOracleFor(livePred: String): String = {
     val ids = AnnQueryIds.mkString(", ")
     s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
-                      FROM ($SqlTokens) GROUP BY 1, 2),
+                      FROM ($SqlTokens) WHERE $livePred GROUP BY 1, 2),
              vocab AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
              w AS (SELECT doc_id, term,
-                          tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS w
+                          tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents
+                                   WHERE $livePred) / df) AS w
                    FROM post JOIN vocab USING (term)),
              norms AS (SELECT doc_id,
                               sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
@@ -1645,6 +1663,8 @@ object PipelineQueries extends QueryGroup {
     "q_tfidf_topk" -> tfidfOracle,
     // the store path computes the same result from persisted tables
     "q_tfidf_store" -> tfidfOracle,
+    // deleted docs out of results, scoring and N/df alike
+    "q_tfidf_store_delete" -> tfidfOracleFor("doc_id % 3 <> 0"),
 
     "q_cosine_topk" -> cosineOracle,
     "q_mmr_rerank" -> mmrOracle,

@@ -59,11 +59,15 @@ object SparseSim {
     * ([[Indexer.writeIndex]] layout): postings/vocab are the stored
     * tables, and N comes from the stored `meta` — the single source of
     * truth once the index is persisted (a 1-row bounded-metadata read,
-    * not a corpus recount per invocation). */
+    * not a corpus recount per invocation). LIVE view like every other
+    * store reader ([[Indexer.readIndexLive]]): a store carrying
+    * soft-delete tombstones never returns (or scores against) dead docs
+    * — vocab/meta are already live-maintained, and the postings
+    * anti-join keeps the weights consistent with them. */
   def tfidfTopKStore(spark: org.apache.spark.sql.SparkSession, path: String,
                      queryIds: Seq[Long], k: Int,
                      dfCapFrac: Double = 1.0): DataFrame = {
-    val ix = Indexer.readIndex(spark, path)
+    val ix = Indexer.readIndexLive(spark, path)
     val n = ix.meta.select(col("total_docs")).head().getLong(0).toDouble
     topKFromWeights(
       tfidfWeightsFrom(ix.postings.select("term", "doc_id", "tf"), ix.vocab,

@@ -42,6 +42,25 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopKStore serves the live view of a tombstoned store") {
+    // regression (r7): the TF-IDF store face used to read the raw
+    // postings, returning (and scoring against) soft-deleted docs
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("tfidfdel").toString
+    graft.index.Indexer.writeIndex(graft.index.Indexer.buildIndex(docs), path,
+      nBuckets = 16)
+    graft.index.Indexer.deleteDocs(spark, path,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    val stored = SparseSim.tfidfTopKStore(spark, path, Seq(1L, 2L), 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val fresh = SparseSim.tfidfTopK(docs.filter(col("doc_id") % 3 =!= 0),
+        Seq(1L, 2L), 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(stored === fresh,
+      "tombstoned store must answer like a fresh index on the live docs")
+    assert(stored.nonEmpty && stored.forall(_._2 % 3 != 0))
+  }
+
   test("keywords: exactly n per doc, ranked by weight then term") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val kw = SparseSim.keywords(docs, n = 3).cache()
