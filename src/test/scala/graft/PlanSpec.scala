@@ -60,6 +60,22 @@ class PlanSpec extends SparkSpec {
       s"expected term_bucket partition filter in:\n$p")
   }
 
+  test("q_phrase_store_delete: pruning survives the tombstone anti-join, which broadcasts") {
+    // the delete-aware positional read must keep BOTH scale properties:
+    // the bucket IN-list still reaches the scan as a PartitionFilter
+    // (the anti-join applies after pruning), and the tombstone set joins
+    // as a broadcast anti-join, never a sort-merge
+    val df = SparkEntry.queries("q_phrase_store_delete")(spark, sf0001)
+    df.collect() // AQE: join strategy only fixed in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [term_bucket"),
+      s"expected term_bucket partition filter in:\n$p")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"expected broadcast anti-join for tombstones in:\n$p")
+    assert(!p.split('\n').exists(l => l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"tombstone anti-join must not sort-merge in:\n$p")
+  }
+
   test("q_bucketed_join: co-located SMJ with no join-side Exchange") {
     val df = SparkEntry.queries("q_bucketed_join")(spark, sf0001)
     df.collect() // finalize AQE
