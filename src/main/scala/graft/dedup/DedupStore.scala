@@ -104,6 +104,32 @@ object DedupStore {
     report
   }
 
+  /** Remove documents from the signature store — the maintenance
+    * counterpart of [[ingest]]'s append-only growth: a doc dropped from
+    * the corpus (retention, takedown, quality purge) must stop blocking
+    * future near-duplicates of itself. Both tables are REWRITTEN without
+    * the ids and installed via the crash-safe rename-aside swap
+    * (graft.FsOps.atomicSwap); ids absent from the store are ignored
+    * (idempotent re-run).
+    *
+    * Scale: a compaction-class maintenance job, ∝ the signature tables
+    * (~bands rows + one shingle set per doc — store-sized, never the
+    * corpus text), not an ingest-path cost. The tombstone alternative
+    * would charge every future ingest an extra anti-join on the stored
+    * side instead; removal traffic is rare enough that the rewrite wins
+    * (same trade as the index stores' expunge). */
+  def removeDocs(spark: SparkSession, path: String, ids: DataFrame,
+                 idCol: String = "doc_id"): Unit = {
+    val rm = ids.select(col(idCol).as("doc_id")).distinct()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("sets", "buckets")) {
+      spark.read.parquet(s"$path/$t")
+        .join(rm, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/${t}_tmp")
+      graft.FsOps.atomicSwap(fs, new Path(s"$path/$t"), new Path(s"$path/${t}_tmp"))
+    }
+  }
+
   /** Streaming dedup-on-ingest: every micro-batch of a document stream is
     * deduped against all documents ingested in EARLIER batches (the store
     * grows between batches, so later batches dedup against stream-arrived

@@ -52,6 +52,20 @@ object PipelineQueries extends QueryGroup {
         JaccardThreshold)
     }),
 
+    // ...and the store's REMOVE lifecycle: a quarter of the stored docs
+    // purged (both signature tables rewritten, crash-safe swap) before
+    // the ingest — removed docs must stop blocking near-duplicates, so
+    // the report matches exactly the pairs against the SURVIVING half
+    "q_dedup_ingest_remove" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-dedupremove")
+      graft.dedup.DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
+      graft.dedup.DedupStore.removeDocs(s, path,
+        d.filter(col("doc_id") % 4 === 0).select("doc_id"))
+      graft.dedup.DedupStore.ingest(s, path, d.filter(col("doc_id") % 2 === 1),
+        JaccardThreshold)
+    }),
+
     // pair list → actionable clusters: connected components over the
     // near-dup graph, min-id survivor per component
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1110,6 +1124,23 @@ object PipelineQueries extends QueryGroup {
         SELECT query_id, step, vec_id FROM sel$MmrK"""
   }
 
+  // dedup-on-ingest truth: exact cross-half Jaccard pairs, the stored
+  // side scoped by `storedPred` (full even half, or the post-remove
+  // survivors)
+  private def dedupIngestOracleFor(storedPred: String): String =
+    s"""WITH sh AS ($SqlShingles),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT y.doc_id AS new_id, x.doc_id AS dup_of, count(*) AS i
+                       FROM sh x JOIN sh y ON x.shingle = y.shingle
+                        AND $storedPred AND y.doc_id % 2 = 1
+                       GROUP BY 1, 2)
+        SELECT new_id, dup_of,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sz sa ON dup_of = sa.doc_id
+        JOIN sz sb ON new_id = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold"""
+
   // shared by q_tfidf_topk and q_tfidf_store (the store path must compute
   // the identical result from persisted tables)
   private lazy val tfidfOracle: String = tfidfOracleFor("TRUE")
@@ -1262,19 +1293,11 @@ object PipelineQueries extends QueryGroup {
 
     // cross-half twin of jaccardOracle: store half (even ids) × new half
     // (odd ids)
-    "q_dedup_ingest" ->
-      s"""WITH sh AS ($SqlShingles),
-               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               inter AS (SELECT y.doc_id AS new_id, x.doc_id AS dup_of, count(*) AS i
-                         FROM sh x JOIN sh y ON x.shingle = y.shingle
-                          AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
-                         GROUP BY 1, 2)
-          SELECT new_id, dup_of,
-                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-          FROM inter
-          JOIN sz sa ON dup_of = sa.doc_id
-          JOIN sz sb ON new_id = sb.doc_id
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold""",
+    "q_dedup_ingest" -> dedupIngestOracleFor("x.doc_id % 2 = 0"),
+
+    // removed stored docs (doc_id % 4 = 0) no longer match — the stored
+    // side of the truth is only the surviving half
+    "q_dedup_ingest_remove" -> dedupIngestOracleFor("x.doc_id % 4 = 2"),
 
     "q_array_funcs" ->
       s"""SELECT doc_id,

@@ -100,6 +100,29 @@ class DedupSpec extends SparkSpec {
       s"doc 21 should match original store docs only (10 was withheld): $r2")
   }
 
+  test("removeDocs purges a doc from the store so its near-dups are re-admitted") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupremove").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 4), path)
+    // purge docs 1 and 2 (the "a b c..." content); 3 and 4 survive
+    DedupStore.removeDocs(spark, path, Seq(1L, 2L).toDF("doc_id"))
+    // both signature tables physically clean
+    for (t <- Seq("sets", "buckets"))
+      assert(spark.read.parquet(s"$path/$t")
+        .filter($"doc_id".isin(1L, 2L)).count() == 0, s"$t not purged")
+    // a new copy of the purged content is flagged ONLY against the
+    // surviving near-dup (3), not the removed originals — and a copy of
+    // removed-only content would sail through
+    val r = DedupStore.ingest(spark, path,
+        Seq((30L, "a b c d e f g h")).toDF("doc_id", "text"), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r.map(_._2) === Set(3L), s"expected match against survivor 3 only: $r")
+    // idempotent: removing ids absent from the store changes nothing
+    DedupStore.removeDocs(spark, path, Seq(1L, 99L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$path/sets").count() ===
+      corpus.filter($"doc_id".isin(3L, 4L, 30L)).count())
+  }
+
   test("duplicateClusters: transitive components, min-id survivor") {
     // chain 1-2-3 plus isolated pair 5-6; 8 links back to 1 (A≈B≈C shape)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 8L))
