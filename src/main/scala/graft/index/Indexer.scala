@@ -604,6 +604,158 @@ object Indexer {
     fs.delete(del, true)
   }
 
+  /** Integrity check ("fsck") for a persisted index store: one report row
+    * per invariant, `(invariant, checked, violations)`, with `violations`
+    * all zero for a healthy store. The DETECT step beside
+    * [[refreshDerived]]'s repair step — run it after a crash in a
+    * maintenance window ([[deleteDocs]]'s documented tombstone-before-swap
+    * gap), after a hand migration (bucket-marker rewrite,
+    * [[storedPositionalBuckets]]), or on a schedule, then repair: derived
+    * drift → refreshDerived; layout drift → rewrite the flagged table
+    * with the recorded bucket function; anything else → rebuild.
+    *
+    * Invariants (in report order):
+    *   - `meta_matches_live` — stored meta equals a fresh recompute over
+    *     the live view (exact long sums when the store carries
+    *     `length_sum`; avg_dl/total_docs for legacy layouts).
+    *   - `positional_bucket_layout` / `postings_bucket_layout` — every
+    *     row's `term_bucket` partition value equals the store's RECORDED
+    *     bucket function of its term: the invariant static pruning
+    *     depends on. A violation means pruned queries silently miss rows
+    *     (e.g. a clobbered legacy marker, or an append run with the wrong
+    *     layout before the marker discipline existed).
+    *   - `positional_matches_postings` — a co-located positional table
+    *     describes the same live `(term, doc_id, tf)` surface as the
+    *     frequency postings, and each positions list is sorted,
+    *     duplicate-free, and tf-sized.
+    *   - `postings_docs_in_doc_stats` — every posting's doc_id has a
+    *     doc_stats row (BM25's length join silently drops orphans).
+    *   - `tombstones_valid` — tombstones are duplicate-free and reference
+    *     docs the store actually holds ([[deleteDocs]] maintains both; a
+    *     foreign id would mean the tombstone append raced a rebuild).
+    *   - `vocab_matches_live` — stored vocab equals a fresh per-term df
+    *     recompute over the live postings (the exact drift the delete
+    *     crash window leaves).
+    *
+    * Scale: each check is one scan + aggregate over the table it audits —
+    * deliberately UNPRUNED (a checker must read everything to vouch for
+    * everything; this is a scheduled-maintenance job, not a query-path
+    * cost). The report is ≤ 7 rows; nothing collects to the driver.
+    * Tables absent by design (no `positional`, no `deletes`) report
+    * checked = 0 rather than dropping rows, so the report schema is
+    * stable for monitoring.
+    */
+  def checkStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                 nBuckets: Int = 64): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(table: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$table")
+      p.getFileSystem(hconf).exists(p)
+    }
+    def row(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("invariant"),
+        coalesce(col("checked"), lit(0L)).cast("long").as("checked"),
+        coalesce(col("violations"), lit(0L)).cast("long").as("violations"))
+    def emptyRow(name: String): DataFrame =
+      spark.range(1).select(lit(name).as("invariant"),
+        lit(0L).as("checked"), lit(0L).as("violations"))
+
+    val postings = spark.read.parquet(s"$path/postings")
+    val docIds = spark.read.parquet(s"$path/doc_stats").select("doc_id")
+    val nb = storedBuckets(spark, path).getOrElse(nBuckets)
+
+    val postingsLayout = row("postings_bucket_layout",
+      postings.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("term_bucket").cast("long") =!= termBucket(col("term"), nb), 1L)
+          .otherwise(0L)).as("violations")))
+
+    val orphanDocs = {
+      val pd = postings.select("doc_id").distinct()
+      row("postings_docs_in_doc_stats",
+        pd.agg(count(lit(1)).as("checked")).crossJoin(
+          pd.join(docIds, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+    }
+
+    val tombstones =
+      if (!exists("deletes")) emptyRow("tombstones_valid")
+      else {
+        val del = spark.read.parquet(s"$path/deletes").select("doc_id")
+        row("tombstones_valid",
+          del.agg(count(lit(1)).as("checked"),
+              countDistinct(col("doc_id")).as("distinct_ids"))
+            .crossJoin(del.join(docIds, Seq("doc_id"), "left_anti")
+              .agg(count(lit(1)).as("orphans")))
+            .select(col("checked"),
+              (col("orphans") + col("checked") - col("distinct_ids")).as("violations")))
+      }
+
+    val live = readIndexLive(spark, path)
+
+    val vocabCheck = {
+      val stored = spark.read.parquet(s"$path/vocab")
+        .select(col("term"), col("df").cast("long").as("stored_df"))
+      val fresh = vocab(live.postings.select("term", "doc_id", "tf"))
+        .select(col("term"), col("df").cast("long").as("live_df"))
+      row("vocab_matches_live",
+        stored.join(fresh, Seq("term"), "full_outer").agg(
+          sum(when(col("live_df").isNotNull, 1L).otherwise(0L)).as("checked"),
+          sum(when(!(col("stored_df") <=> col("live_df")), 1L).otherwise(0L))
+            .as("violations")))
+    }
+
+    val metaCheck = {
+      val stored = spark.read.parquet(s"$path/meta")
+      val fresh = meta(live.docStats)
+      val drift =
+        if (stored.columns.contains("length_sum"))
+          !(col("s.total_docs").cast("long") <=> col("f.total_docs").cast("long")) ||
+            !(col("s.length_sum").cast("long") <=> col("f.length_sum").cast("long")) ||
+            !(col("s.avg_dl") <=> col("f.avg_dl"))
+        else // legacy layout: no exact sums recorded
+          !(col("s.total_docs").cast("long") <=> col("f.total_docs").cast("long")) ||
+            !(col("s.avg_dl") <=> col("f.avg_dl"))
+      row("meta_matches_live",
+        stored.alias("s").crossJoin(fresh.alias("f"))
+          .select(lit(1L).as("checked"),
+            when(drift, 1L).otherwise(0L).as("violations")))
+    }
+
+    val positionalChecks =
+      if (!exists("positional"))
+        Seq(emptyRow("positional_bucket_layout"),
+          emptyRow("positional_matches_postings"))
+      else {
+        val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
+        val pos = spark.read.parquet(s"$path/positional")
+        val layout = row("positional_bucket_layout",
+          pos.agg(
+            count(lit(1)).as("checked"),
+            sum(when(col("term_bucket").cast("long") =!= termBucket(col("term"), pnb), 1L)
+              .otherwise(0L)).as("violations")))
+        val livePos = minusDeletes(spark, path, pos)
+          .select(col("term"), col("doc_id"),
+            col("tf").cast("long").as("pos_tf"),
+            when(col("tf") =!= size(col("positions")) ||
+              col("positions") =!= array_sort(array_distinct(col("positions"))), 1L)
+              .otherwise(0L).as("malformed"))
+        val liveFreq = live.postings
+          .select(col("term"), col("doc_id"), col("tf").cast("long").as("freq_tf"))
+        val surface = row("positional_matches_postings",
+          livePos.join(liveFreq, Seq("term", "doc_id"), "full_outer").agg(
+            sum(when(col("pos_tf").isNotNull, 1L).otherwise(0L)).as("checked"),
+            (sum(when(!(col("pos_tf") <=> col("freq_tf")), 1L).otherwise(0L)) +
+              sum(coalesce(col("malformed"), lit(0L)))).as("violations")))
+        Seq(layout, surface)
+      }
+
+    (Seq(metaCheck) ++ positionalChecks ++
+      Seq(orphanDocs, postingsLayout, tombstones, vocabCheck))
+      .reduce(_.unionByName(_))
+      .orderBy("invariant")
+  }
+
   /** Load a persisted index store back as an [[InvertedIndex]]. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex =
     InvertedIndex(

@@ -242,6 +242,23 @@ object SearchQueries extends QueryGroup {
         ProxWindow, 10)
     }),
 
+    // store integrity check ("fsck") after a full mixed lifecycle:
+    // co-located frequency + positional store built on half the corpus,
+    // the other half appended, a third soft-deleted — every invariant
+    // must hold with zero violations, and the CHECKED counts are
+    // data-derived (postings/vocab/tombstone cardinalities), so the
+    // oracle verifies what the checker actually audited, not just zeros
+    "q_store_fsck" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-fsck")
+      val half1 = d.filter(col("doc_id") % 2 === 0)
+      Indexer.writeIndex(Indexer.buildIndex(half1), path)
+      Indexer.writePositional(half1, path)
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1))
+      Indexer.deleteDocs(s, path, d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      Indexer.checkStore(s, path)
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -310,6 +327,28 @@ object SearchQueries extends QueryGroup {
          FROM documents
          UNION ALL
          SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, n_chars FROM documents""",
+
+    // the fsck report over the lifecycle store: tombstoned docs stay in
+    // the physical postings/positional tables (checked = full-corpus
+    // cardinalities) while the derived/live-surface checks count the
+    // live subset — and every invariant holds (violations = 0)
+    "q_store_fsck" ->
+      s"""WITH tok AS ($SqlTok),
+               pairs AS (SELECT DISTINCT term, doc_id FROM tok)
+          SELECT 'meta_matches_live' AS invariant,
+                 CAST(1 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'positional_bucket_layout',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT 'positional_matches_postings',
+                 (SELECT count(*) FROM pairs WHERE doc_id % 3 <> 0), 0
+          UNION ALL SELECT 'postings_bucket_layout',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT 'postings_docs_in_doc_stats',
+                 (SELECT count(DISTINCT doc_id) FROM tok), 0
+          UNION ALL SELECT 'tombstones_valid',
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0
+          UNION ALL SELECT 'vocab_matches_live',
+                 (SELECT count(DISTINCT term) FROM tok WHERE doc_id % 3 <> 0), 0""",
 
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,

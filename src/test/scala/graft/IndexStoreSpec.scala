@@ -309,6 +309,60 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("double-count"))
   }
 
+  test("checkStore: healthy lifecycle store passes; corruption detected; repair restores") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixfsck").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    Indexer.writeIndex(Indexer.buildIndex(half1), path, nBuckets = 16)
+    Indexer.writePositional(half1, path, nBuckets = 8)
+    Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 2 === 1))
+    Indexer.deleteDocs(spark, path, docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def report(): Map[String, (Long, Long)] =
+      Indexer.checkStore(spark, path, nBuckets = 16)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val healthy = report()
+    assert(healthy.size === 7)
+    assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
+    // the checker audited real cardinalities, not empty frames
+    assert(healthy("postings_bucket_layout")._1 > 0)
+    assert(healthy("positional_matches_postings")._1 > 0)
+    assert(healthy("tombstones_valid")._1 > 0)
+    assert(healthy("meta_matches_live") === ((1L, 0L)))
+
+    // derived-table drift (every df off by one — the shape a crashed
+    // delete's stale vocab takes): flagged on exactly one invariant,
+    // repaired by refreshDerived
+    spark.read.parquet(s"$path/vocab").withColumn("df", col("df") + lit(1L))
+      .write.mode("overwrite").parquet(s"$path/vocab_bad")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vocab"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/vocab_bad"),
+      new org.apache.hadoop.fs.Path(s"$path/vocab"))
+    val drifted = report()
+    assert(drifted("vocab_matches_live")._2 > 0)
+    assert((drifted - "vocab_matches_live").values.forall(_._2 == 0L))
+    Indexer.refreshDerived(spark, path)
+    assert(report().values.forall(_._2 == 0L), "refreshDerived must repair the drift")
+
+    // foreign + duplicate tombstones: one orphan id and one repeat — the
+    // checker counts both, and nothing else is affected (the live view
+    // semantics are unchanged)
+    val dup = spark.read.parquet(s"$path/deletes").limit(1)
+    dup.union(Seq(-42L).toDF("doc_id")).write.mode("append").parquet(s"$path/deletes")
+    val badTombs = report()
+    assert(badTombs("tombstones_valid")._2 === 2L)
+    assert((badTombs - "tombstones_valid").values.forall(_._2 == 0L))
+
+    // stale layout record (a hand-migration gone wrong): recorded bucket
+    // count disagrees with the bucket function that placed the rows
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_nbuckets"), true)
+    out.write("4".getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    assert(report()("postings_bucket_layout")._2 > 0)
+  }
+
   test("clobbered legacy root marker degrades to an unpruned (correct) read") {
     // a pre-per-table-marker co-located store: writePositional overwrote
     // the root _nbuckets with the POSITIONAL layout — BM25.searchStore
