@@ -298,6 +298,22 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // IVF store integrity check ("fsck", the vector twin of
+    // q_store_fsck): tombstoned store audited in one pass per invariant —
+    // centroid cover, vec_id uniqueness, write-path assignment recompute,
+    // precomputed-norm consistency — all zero violations, with the
+    // checked cardinalities (distinct assigned cids, corpus size)
+    // data-derived in the oracle via the same assignment CTEs the IVF
+    // search oracles use
+    "q_ivf_fsck" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivffsck")
+      graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
+      graft.similarity.IvfStore.deleteVectors(s, path,
+        e.filter(col("vec_id") % 4 === 3).select("vec_id"))
+      graft.similarity.IvfStore.checkStore(s, path)
+    }),
+
     // count-min sketch frequency estimates for every token, with the
     // exact count alongside (estimate >= truth always; the d*w counter
     // table is mergeable additive state, rebuilt counter-for-counter by
@@ -1657,6 +1673,29 @@ object PipelineQueries extends QueryGroup {
     // the streaming-ingested store must converge to the same index
     "q_ann_ivf_stream" -> annIvfOracle,
     "q_ann_ivf_delete" -> annIvfOracleFor("vec_id % 4 <> 3"),
+
+    // fsck over the tombstoned store: physical lists still hold every
+    // vector (soft delete never rewrites), so every checked count is a
+    // full-corpus cardinality; codes_wellformed reports 0 on a raw store
+    "q_ivf_fsck" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+          SELECT 'centroid_cover' AS invariant,
+                 CAST((SELECT count(DISTINCT cid) FROM assign) AS BIGINT) AS checked,
+                 CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'codes_wellformed', 0, 0
+          UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
     // expunge must be invisible in answers — same live-subset truth
     "q_ann_ivf_expunge" -> annIvfOracleFor("vec_id % 4 <> 3"),
     "q_ann_ivf_quant" -> annIvfQuantOracle,

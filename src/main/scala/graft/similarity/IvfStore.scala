@@ -214,6 +214,103 @@ object IvfStore {
     fs.delete(del, true)
   }
 
+  /** Integrity check ("fsck") for a persisted IVF store — the vector
+    * twin of [[graft.index.Indexer.checkStore]]: one report row per
+    * invariant, `(invariant, checked, violations)`, all-zero violations
+    * for a healthy store.
+    *
+    * Invariants (report order):
+    *   - `centroid_cover` — every list partition's cid exists in the
+    *     centroid table (an uncovered cid is unreachable by probing:
+    *     its vectors silently vanish from every search).
+    *   - `codes_wellformed` (quantized stores) — every int8 code is in
+    *     the clamped [-127, 127] range and scales are non-negative;
+    *     checked = 0 on raw stores.
+    *   - `ids_unique` — one list row per vec_id (a duplicate means a
+    *     replayed ingest bypassed the batch-partition overwrite and now
+    *     double-counts in every probe it lands in).
+    *   - `lists_assignment` (raw stores) — each row's cid is the nearest
+    *     persisted centroid of its vector, recomputed with the exact
+    *     write-path assignment: the pruning invariant (a mis-assigned
+    *     vector is probed under the wrong lists). Quantized stores
+    *     report checked = 0: assignment ran on the raw vectors, which
+    *     the store intentionally no longer holds.
+    *   - `norms_consistent` — the precomputed `nv` equals the norm of
+    *     the stored vector (raw) or of the `round(code·scale, 6)`
+    *     reconstruction (quantized) — a stale norm skews every cosine.
+    *
+    * Scale: one unpruned pass over lists per check (scheduled
+    * maintenance, not probe-path cost), centroids broadcast; the report
+    * is 5 rows and nothing collects. Physical rows are audited —
+    * tombstoned vectors included, matching what [[expungeDeletes]] will
+    * rewrite. Tombstones themselves carry no validity invariant here by
+    * design: duplicates and foreign ids are both documented no-ops of
+    * [[deleteVectors]]'s anti-join semantics. */
+  def checkStore(spark: SparkSession, path: String): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val quantized = lists.columns.contains("qvec")
+    def row(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("invariant"),
+        coalesce(col("checked"), lit(0L)).cast("long").as("checked"),
+        coalesce(col("violations"), lit(0L)).cast("long").as("violations"))
+    def emptyRow(name: String): DataFrame =
+      spark.range(1).select(lit(name).as("invariant"),
+        lit(0L).as("checked"), lit(0L).as("violations"))
+
+    val cover = {
+      val cids = lists.select("cid").distinct()
+      row("centroid_cover",
+        cids.agg(count(lit(1)).as("checked")).crossJoin(
+          cids.join(cents.select("cid"), Seq("cid"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+    }
+
+    val unique = row("ids_unique",
+      lists.agg(count(lit(1)).as("checked"),
+          countDistinct(col("vec_id")).as("d"))
+        .select(col("checked"), (col("checked") - col("d")).as("violations")))
+
+    val assignment =
+      if (quantized) emptyRow("lists_assignment")
+      else {
+        val recomputed = Similarity.assignToCentroids(
+            lists.select(col("vec_id"), col("v")), cents,
+            "vec_id", "v", keep = 1)
+          .select(col("vec_id"), col("cid").as("rcid"))
+        row("lists_assignment",
+          lists.select("vec_id", "cid").join(recomputed, Seq("vec_id"))
+            .agg(count(lit(1)).as("checked"),
+              sum(when(col("cid") =!= col("rcid"), 1L).otherwise(0L))
+                .as("violations")))
+      }
+
+    val norms = {
+      val withRef =
+        if (quantized)
+          lists.withColumn("ref_v", transform(col("qvec"),
+            x => round(x.cast("double") * col("scale"), 6)))
+        else lists.withColumn("ref_v", col("v"))
+      row("norms_consistent",
+        withRef.agg(count(lit(1)).as("checked"),
+          sum(when(!(col("nv") <=>
+              sqrt(Similarity.dot(col("ref_v"), col("ref_v")))), 1L)
+            .otherwise(0L)).as("violations")))
+    }
+
+    val codes =
+      if (!quantized) emptyRow("codes_wellformed")
+      else row("codes_wellformed",
+        lists.agg(count(lit(1)).as("checked"),
+          sum(when(col("scale") < 0 ||
+              exists(col("qvec"), x => x < -127 || x > 127), 1L)
+            .otherwise(0L)).as("violations")))
+
+    Seq(cover, codes, unique, assignment, norms)
+      .reduce(_.unionByName(_))
+      .orderBy("invariant")
+  }
+
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -184,6 +184,43 @@ class IvfSpec extends SparkSpec {
       s"int8 lists must be substantially smaller: ${bytes(quant)} vs ${bytes(raw)}")
   }
 
+  test("checkStore: healthy raw and quantized stores pass; corruption detected") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivffsck").toString
+    IvfStore.writeIndex(e, path, kmeansIters = 2)
+    IvfStore.deleteVectors(spark, path, e.filter($"vec_id" % 4 === 3).select("vec_id"))
+    def report(p: String): Map[String, (Long, Long)] =
+      IvfStore.checkStore(spark, p).as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val healthy = report(path)
+    assert(healthy.size === 5)
+    assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
+    assert(healthy("lists_assignment")._1 > 0)
+    assert(healthy("norms_consistent")._1 > 0)
+    assert(healthy("codes_wellformed")._1 === 0L) // raw store: not applicable
+
+    // one appended copy of a row under a foreign cid: duplicate vec_id +
+    // uncovered cid + mis-assignment — one violation on each invariant,
+    // norms untouched (the copy's nv is still right for its vector)
+    spark.read.parquet(s"$path/lists").limit(1).withColumn("cid", lit(999))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+    val bad = report(path)
+    assert(bad("ids_unique")._2 === 1L)
+    assert(bad("centroid_cover")._2 === 1L)
+    assert(bad("lists_assignment")._2 === 1L)
+    assert(bad("norms_consistent")._2 === 0L)
+
+    val qpath = java.nio.file.Files.createTempDirectory("ivffsckq").toString
+    IvfStore.writeIndexQuantized(e, qpath, kmeansIters = 2)
+    val qh = report(qpath)
+    assert(qh.values.forall(_._2 == 0L), s"healthy quantized store has violations: $qh")
+    assert(qh("codes_wellformed")._1 > 0)
+    assert(qh("lists_assignment")._1 === 0L) // raw vectors gone by design
+    assert(qh("norms_consistent")._1 > 0)
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
     val q = e.filter($"vec_id" === 0L)
