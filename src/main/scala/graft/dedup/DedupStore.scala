@@ -130,6 +130,85 @@ object DedupStore {
     }
   }
 
+  /** Integrity check ("fsck") for a persisted signature store — the dedup
+    * twin of [[graft.index.Indexer.checkStore]]: one report row per
+    * invariant, `(invariant, checked, violations)`, all-zero violations
+    * when healthy.
+    *
+    * Both [[ingest]] (two sequential appends) and [[removeDocs]] (two
+    * sequential table swaps) have a crash window BETWEEN their `sets` and
+    * `buckets` writes; a crash there leaves the two tables describing
+    * different document populations — near-dups of the drifted docs then
+    * silently pass or block. This checker is the detect step; repair is
+    * re-deriving `buckets` from `sets` ([[writeSignatures]]'s derivation)
+    * or re-running the interrupted removeDocs.
+    *
+    * Invariants (report order):
+    *   - `bucket_cardinality` — every doc carries exactly `bands` bucket
+    *     rows over the full band range (a short set means a
+    *     mixed-geometry append: those docs collide on fewer bands and
+    *     quietly lose recall).
+    *   - `buckets_match_signatures` — the stored buckets equal a fresh
+    *     minhash+LSH recompute from the stored shingle sets with the
+    *     declared geometry: the content invariant (catches a sets
+    *     rewrite that never regenerated buckets, and any geometry
+    *     mismatch between the two tables).
+    *   - `id_surface_match` — `sets` and `buckets` hold the same doc_id
+    *     population (the crash-window drift above).
+    *   - `ids_unique` — one shingle-set row per doc_id.
+    *
+    * Scale: the recompute is one pass over `sets` (signatures ∝ docs ×
+    * numHashes — store-sized, never corpus text) plus a
+    * `(doc_id, band, bucket)`-keyed full-outer join against the stored
+    * buckets; scheduled maintenance, not an ingest-path cost. Nothing
+    * collects to the driver.
+    */
+  def checkStore(spark: SparkSession, path: String,
+                 numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    import graft.operators.StoreCheck.row
+    val sets = spark.read.parquet(s"$path/sets")
+    val buckets = spark.read.parquet(s"$path/buckets")
+
+    val unique = row("ids_unique",
+      sets.agg(count(lit(1)).as("checked"),
+          countDistinct(col("doc_id")).as("d"))
+        .select(col("checked"), (col("checked") - col("d")).as("violations")))
+
+    val surface = {
+      val a = sets.select("doc_id").distinct().withColumn("in_sets", lit(1))
+      val b = buckets.select("doc_id").distinct().withColumn("in_buckets", lit(1))
+      row("id_surface_match",
+        a.join(b, Seq("doc_id"), "full_outer").agg(
+          sum(when(col("in_sets").isNotNull, 1L).otherwise(0L)).as("checked"),
+          sum(when(col("in_sets").isNull || col("in_buckets").isNull, 1L)
+            .otherwise(0L)).as("violations")))
+    }
+
+    val cardinality = row("bucket_cardinality",
+      buckets.groupBy("doc_id")
+        .agg(count(lit(1)).as("rows"), countDistinct(col("band")).as("dbands"))
+        .agg(count(lit(1)).as("checked"),
+          sum(when(col("rows") =!= bands.toLong || col("dbands") =!= bands.toLong, 1L)
+            .otherwise(0L)).as("violations")))
+
+    val content = {
+      val recomputed = Dedup.lshBuckets(
+          Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
+        .select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("rec", lit(1))
+      val stored = buckets.select("doc_id", "band", "bucket")
+        .withColumn("sto", lit(1))
+      row("buckets_match_signatures",
+        stored.join(recomputed, Seq("doc_id", "band", "bucket"), "full_outer").agg(
+          sum(when(col("rec").isNotNull, 1L).otherwise(0L)).as("checked"),
+          sum(when(col("rec").isNull || col("sto").isNull, 1L).otherwise(0L))
+            .as("violations")))
+    }
+
+    graft.operators.StoreCheck.report(
+      Seq(cardinality, content, surface, unique))
+  }
+
   /** Streaming dedup-on-ingest: every micro-batch of a document stream is
     * deduped against all documents ingested in EARLIER batches (the store
     * grows between batches, so later batches dedup against stream-arrived

@@ -652,13 +652,8 @@ object Indexer {
       val p = new org.apache.hadoop.fs.Path(s"$path/$table")
       p.getFileSystem(hconf).exists(p)
     }
-    def row(name: String, agg: DataFrame): DataFrame =
-      agg.select(lit(name).as("invariant"),
-        coalesce(col("checked"), lit(0L)).cast("long").as("checked"),
-        coalesce(col("violations"), lit(0L)).cast("long").as("violations"))
-    def emptyRow(name: String): DataFrame =
-      spark.range(1).select(lit(name).as("invariant"),
-        lit(0L).as("checked"), lit(0L).as("violations"))
+    import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
+    def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
 
     val postings = spark.read.parquet(s"$path/postings")
     val docIds = spark.read.parquet(s"$path/doc_stats").select("doc_id")
@@ -750,10 +745,8 @@ object Indexer {
         Seq(layout, surface)
       }
 
-    (Seq(metaCheck) ++ positionalChecks ++
+    graft.operators.StoreCheck.report(Seq(metaCheck) ++ positionalChecks ++
       Seq(orphanDocs, postingsLayout, tombstones, vocabCheck))
-      .reduce(_.unionByName(_))
-      .orderBy("invariant")
   }
 
   /** Load a persisted index store back as an [[InvertedIndex]]. */

@@ -66,6 +66,22 @@ object PipelineQueries extends QueryGroup {
         JaccardThreshold)
     }),
 
+    // dedup store integrity check ("fsck", the signature twin of
+    // q_store_fsck / q_ivf_fsck): audit a store that lived the full
+    // maintenance lifecycle (build → remove quarter) — id surface match
+    // between the two tables (the removeDocs/ingest crash-window drift),
+    // per-doc band cardinality, stored buckets vs a fresh minhash+LSH
+    // recompute from the stored sets, id uniqueness. All-zero violations;
+    // checked cardinalities derive from the surviving shingled population
+    "q_dedup_fsck" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-dedupfsck")
+      graft.dedup.DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
+      graft.dedup.DedupStore.removeDocs(s, path,
+        d.filter(col("doc_id") % 4 === 0).select("doc_id"))
+      graft.dedup.DedupStore.checkStore(s, path)
+    }),
+
     // pair list → actionable clusters: connected components over the
     // near-dup graph, min-id survivor per component
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1314,6 +1330,19 @@ object PipelineQueries extends QueryGroup {
     // removed stored docs (doc_id % 4 = 0) no longer match — the stored
     // side of the truth is only the surviving half
     "q_dedup_ingest_remove" -> dedupIngestOracleFor("x.doc_id % 4 = 2"),
+
+    // fsck over the post-remove store: population = shingle-able docs
+    // (>= 3 tokens) in the surviving quarter (doc_id % 4 = 2); the
+    // content check's audited volume is one recomputed row per band
+    "q_dedup_fsck" ->
+      s"""WITH lists AS ($SqlLists),
+               pop AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lists
+                       WHERE len(l) >= 3 AND doc_id % 4 = 2)
+          SELECT 'bucket_cardinality' AS invariant,
+                 (SELECT n FROM pop) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'buckets_match_signatures', (SELECT n * 32 FROM pop), 0
+          UNION ALL SELECT 'id_surface_match', (SELECT n FROM pop), 0
+          UNION ALL SELECT 'ids_unique', (SELECT n FROM pop), 0""",
 
     "q_array_funcs" ->
       s"""SELECT doc_id,

@@ -250,13 +250,8 @@ object IvfStore {
     val lists = spark.read.parquet(s"$path/lists")
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val quantized = lists.columns.contains("qvec")
-    def row(name: String, agg: DataFrame): DataFrame =
-      agg.select(lit(name).as("invariant"),
-        coalesce(col("checked"), lit(0L)).cast("long").as("checked"),
-        coalesce(col("violations"), lit(0L)).cast("long").as("violations"))
-    def emptyRow(name: String): DataFrame =
-      spark.range(1).select(lit(name).as("invariant"),
-        lit(0L).as("checked"), lit(0L).as("violations"))
+    import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
+    def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
 
     val cover = {
       val cids = lists.select("cid").distinct()
@@ -306,9 +301,7 @@ object IvfStore {
               exists(col("qvec"), x => x < -127 || x > 127), 1L)
             .otherwise(0L)).as("violations")))
 
-    Seq(cover, codes, unique, assignment, norms)
-      .reduce(_.unionByName(_))
-      .orderBy("invariant")
+    graft.operators.StoreCheck.report(Seq(cover, codes, unique, assignment, norms))
   }
 
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {

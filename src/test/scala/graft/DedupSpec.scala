@@ -123,6 +123,49 @@ class DedupSpec extends SparkSpec {
       corpus.filter($"doc_id".isin(3L, 4L, 30L)).count())
   }
 
+  test("checkStore: healthy lifecycle store passes; sets/buckets drift detected") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupfsck").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 4), path)
+    DedupStore.removeDocs(spark, path, Seq(2L).toDF("doc_id"))
+    DedupStore.ingest(spark, path, Seq((30L, "m n o p q r s t")).toDF("doc_id", "text"), 0.5)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def report(): Map[String, (Long, Long)] =
+      DedupStore.checkStore(spark, path)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // store holds 1, 3, 4 (2 removed; 5 too short to shingle) + ingested 30
+    val healthy = report()
+    assert(healthy.size === 4)
+    assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
+    assert(healthy("ids_unique")._1 === 4L)
+    assert(healthy("id_surface_match")._1 === 4L)
+    assert(healthy("bucket_cardinality")._1 === 4L)
+    assert(healthy("buckets_match_signatures")._1 === 4L * 32)
+
+    // the removeDocs crash window: sets rewritten, buckets not — the
+    // removed doc's buckets are orphans on BOTH the surface and content
+    // invariants, nothing else flagged
+    spark.read.parquet(s"$path/sets").filter($"doc_id" =!= 3L)
+      .write.mode("overwrite").parquet(s"$path/sets_tmp")
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/sets"),
+      new org.apache.hadoop.fs.Path(s"$path/sets_tmp"))
+    val drifted = report()
+    assert(drifted("id_surface_match")._2 === 1L)
+    assert(drifted("buckets_match_signatures")._2 === 32L)
+    assert(drifted("bucket_cardinality")._2 === 0L && drifted("ids_unique")._2 === 0L)
+
+    // repair = re-derive buckets from the surviving sets; report clean again
+    val sets = spark.read.parquet(s"$path/sets")
+    Dedup.lshBuckets(Dedup.withMinhashSignature(sets), 128, 32)
+      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/buckets"),
+      new org.apache.hadoop.fs.Path(s"$path/buckets_tmp"))
+    assert(report().values.forall(_._2 == 0L), "re-derived buckets must be clean")
+  }
+
   test("duplicateClusters: transitive components, min-id survivor") {
     // chain 1-2-3 plus isolated pair 5-6; 8 links back to 1 (A≈B≈C shape)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 8L))
