@@ -586,6 +586,41 @@ object PipelineQueries extends QueryGroup {
           UpsampleWeights.toMap)
         .select(col("doc_id"), col("lang"), col("copy"))),
 
+    // the flagship composed entry: the END-TO-END training-data prep
+    // pipeline as ONE declarative plan — quality filter → in-pool
+    // MinHash+LSH near-dup removal → benchmark decontamination →
+    // deterministic split assignment with a (split, lang) token-budget
+    // report. Each stage is the individually-oracle-verified operator
+    // (q_quality_filter, q_dedup_keep, q_decontaminate, q_token_budget);
+    // this entry hash-verifies their COMPOSITION, the contract a real
+    // corpus build depends on. Scale shape: the corpus is read once per
+    // stage lineage, every join key is doc_id or a banded/shingle hash,
+    // the benchmark side broadcasts, and the only driver-sized result is
+    // the final |splits|×|langs| report.
+    "q_prep_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val pool = d.filter(col("doc_id") % 50 =!= 0)
+      val kept = pool.join(
+        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(Dedup.shingles(kept), JaccardThreshold))
+      val deduped = kept.join(
+        clusters.filter(col("is_survivor") === 0).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val clean = graft.pipeline.Contamination.decontaminate(
+        deduped, bench, minShared = 2L)
+      graft.pipeline.Sampling.assignSplit(clean, "doc_id", SplitWeights)
+        .select(col("split"), col("lang"),
+          graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .withColumn("token_share", col("sum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+    }),
+
     // temperature mixing at α = 0.5: per-language replication factors
     // DERIVED from the data (p ∝ √n flattening), realized as
     // deterministic per-row copy counts — every copy oracle-recomputed
@@ -1424,6 +1459,67 @@ object PipelineQueries extends QueryGroup {
                  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                  CAST(sum(n_tok) AS DOUBLE) /
                    (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists) AS token_share
+          FROM assigned GROUP BY 1, 2"""
+    },
+
+    // the composed prep pipeline: each stage's oracle CTE chained on the
+    // previous stage's surviving doc_ids — quality keep (the
+    // q_quality_filter predicate), near-dup components over the KEPT
+    // subset only (restricting pairwise edges to the pool commutes with
+    // the pairwise Jaccard predicate), shingle decontamination of the
+    // survivors against the raw benchmark set, then the q_token_budget
+    // report arithmetic over the clean population
+    "q_prep_pipeline" -> {
+      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+      val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+        s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE q AS (SELECT doc_id FROM ($QualitySql)
+                    WHERE doc_id % 50 <> 0 AND n_tokens >= 25
+                      AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
+               sh0 AS ($SqlShingles),
+               sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN q USING (doc_id)),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+                         FROM sh x JOIN sh y ON x.shingle = y.shingle
+                          AND x.doc_id < y.doc_id
+                         GROUP BY 1, 2),
+               pairs AS (SELECT doc_a, doc_b FROM inter
+                         JOIN sz sa ON doc_a = sa.doc_id
+                         JOIN sz sb ON doc_b = sb.doc_id
+                         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+               edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT a AS id FROM edges),
+               reach(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+               nonsurv AS (SELECT id FROM (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+                           WHERE id <> m),
+               dd AS (SELECT doc_id FROM q
+                      WHERE doc_id NOT IN (SELECT id FROM nonsurv)),
+               bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
+               tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
+               contam AS (SELECT DISTINCT doc_id FROM (
+                            SELECT t.doc_id, b.bench_id
+                            FROM tsh t JOIN bsh b USING (shingle)
+                            GROUP BY 1, 2 HAVING count(*) >= 2)),
+               clean AS (SELECT doc_id FROM dd
+                         WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+               lists AS ($SqlLists),
+               assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
+                                   d.lang, len(l) AS n_tok
+                            FROM (SELECT doc_id, lang,
+                                         ${sqlSaltedHash("split", "doc_id")} AS h
+                                  FROM documents) d
+                            JOIN clean USING (doc_id)
+                            JOIN lists USING (doc_id))
+          SELECT split, lang, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                 CAST(sum(n_tok) AS DOUBLE) /
+                   (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists
+                    JOIN clean USING (doc_id)) AS token_share
           FROM assigned GROUP BY 1, 2"""
     },
 
