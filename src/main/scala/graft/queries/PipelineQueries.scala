@@ -797,6 +797,22 @@ object PipelineQueries extends QueryGroup {
         s"vacuum should drop logs v1,v2 (subsumed by the v2 checkpoint): $stats")
       ttSnapshots(s, path)
     }),
+
+    // versioned store integrity check ("fsck", the changelog twin of
+    // q_store_fsck / q_ivf_fsck / q_dedup_fsck): the three-wave fixture
+    // with checkpoints at v2 AND v3, so the newest checkpoint has a
+    // replayable basis (previous checkpoint + log v3) — its content is
+    // audited against an independent replay; commit key-uniqueness,
+    // replay-range contiguity and _op well-formedness over the full log.
+    // All-zero violations; every checked count derives from the wave
+    // populations in the oracle
+    "q_vstore_fsck" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val path = QueryGroup.scratchDir("graft-ttfsck")
+      ttStoreSetup(s, dir, path)
+      VersionedStore.checkpoint(s, path, 3L, Seq("doc_id"))
+      VersionedStore.checkStore(s, path, Seq("doc_id"))
+    }),
   )
 
   /** Shared q_time_travel / q_vacuum fixture: three CDC commits (insert
@@ -2101,6 +2117,33 @@ object PipelineQueries extends QueryGroup {
     // ...and the composed ingest→checkpoint→vacuum→read lifecycle must
     // answer like the same full-history replay at the retained versions
     "q_store_lifecycle" -> timeTravelOracle,
+
+    // fsck over the three-wave store (checkpoints at v2 and v3, no
+    // vacuum): checkpoint_matches_log audits the v3 checkpoint — its
+    // checked count is the v3 LIVE population (everything except docs
+    // tombstoned at v2 and never revived at v3); the log-wide checks
+    // audit one row per (version, key), which the disjoint wave
+    // predicates make exactly the wave-population sum
+    "q_vstore_fsck" ->
+      """WITH n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE doc_id % 13 <> 3),
+              n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE (doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3)
+                        OR (doc_id % 7 = 0 AND doc_id % 13 <> 3)),
+              n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE doc_id % 13 = 3
+                        OR (doc_id % 11 = 0 AND doc_id % 13 <> 3)),
+              live AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                       WHERE NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
+                                  AND doc_id % 11 <> 0))
+         SELECT 'checkpoint_matches_log' AS invariant,
+                (SELECT n FROM live) AS checked,
+                CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'commit_key_unique',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
+         UNION ALL SELECT 'log_contiguous', 3, 0
+         UNION ALL SELECT 'op_wellformed',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0""",
 
     "q_hybrid_rrf" -> hybridOracle,
 

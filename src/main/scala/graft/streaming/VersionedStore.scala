@@ -92,7 +92,15 @@ object VersionedStore {
     require(committed.contains(version) || ckptVs.contains(version),
       s"version $version not readable at $path (logs ${committed.mkString(", ")}; " +
         s"checkpoints ${ckptVs.mkString(", ")} — vacuumed history cannot be time-traveled)")
-    val ckpts = ckptVs.filter(_ <= version)
+    snapshotUsing(spark, path, version, keys, ckptVs.filter(_ <= version), committed)
+  }
+
+  /** [[snapshotAt]]'s core with the usable-checkpoint list explicit, so
+    * [[checkStore]] can replay a checkpointed version from an EARLIER
+    * basis (excluding the checkpoint under audit). */
+  private def snapshotUsing(spark: SparkSession, path: String, version: Long,
+                            keys: Seq[String], ckpts: Seq[Long],
+                            committed: Seq[Long]): DataFrame = {
     val base = ckpts.lastOption
     val deltaVs = committed.filter(v => v > base.getOrElse(0L) && v <= version)
     // basePath keeps the v=<k> dirs as a partition column on the read
@@ -197,5 +205,92 @@ object VersionedStore {
     snapshotAt(spark, path, version, keys).write.mode("overwrite").parquet(tmp.toString)
     if (!f.rename(tmp, live))
       throw new java.io.IOException(s"checkpoint: failed to install $tmp at $live")
+  }
+
+  /** Integrity check ("fsck") for a versioned store — the changelog twin
+    * of [[graft.index.Indexer.checkStore]]: one report row per
+    * invariant, `(invariant, checked, violations)`, all-zero violations
+    * when healthy.
+    *
+    * What can drift: [[checkpoint]] materializes DERIVED state (a
+    * snapshot) beside the authoritative log — a checkpoint written by a
+    * buggy or crashed job, or a log directory lost to a botched
+    * hand-vacuum, silently corrupts every later read that starts from
+    * it. The invariants:
+    *
+    *   - `checkpoint_matches_log` — the newest checkpoint equals an
+    *     independent replay of the same version from the PREVIOUS
+    *     checkpoint + log delta (reported `checked = 0` when a vacuum
+    *     has legitimately dropped that replay basis: authority is then
+    *     the checkpoint itself, there is nothing to audit against).
+    *   - `commit_key_unique` — one row per key per commit, the contract
+    *     [[commit]] documents (violated upstream by an uncompacted CDC
+    *     batch; version resolution inside a commit is undefined).
+    *   - `log_contiguous` — for every committed log version v, the full
+    *     replay range (newest checkpoint ≤ v, v] is present: a missing
+    *     middle version is NOT an error at read time (snapshotAt just
+    *     skips it), which is exactly why it needs an fsck.
+    *   - `op_wellformed` — every log row's `_op` is 'u' or 'd'.
+    *
+    * Scale: one pass over the log partitions + one checkpoint-vs-replay
+    * full-outer diff (∝ |checkpoint| + |delta|); version lists are
+    * driver-side directory metadata, as everywhere in this store.
+    * Scheduled maintenance, not a read-path cost.
+    */
+  def checkStore(spark: SparkSession, path: String,
+                 keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "checkStore needs the store's key columns")
+    import graft.operators.StoreCheck.{report, row}
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+
+    val brokenReplays = committed.count { v =>
+      val base = ckptVs.filter(_ <= v).lastOption.getOrElse(0L)
+      !((base + 1) to v).forall(committed.contains)
+    }
+    val contiguous = spark.range(1).select(
+      lit("log_contiguous").as("invariant"),
+      lit(committed.size.toLong).as("checked"),
+      lit(brokenReplays.toLong).as("violations"))
+
+    val logChecks =
+      if (committed.isEmpty)
+        Seq(graft.operators.StoreCheck.emptyRow(spark, "commit_key_unique"),
+          graft.operators.StoreCheck.emptyRow(spark, "op_wellformed"))
+      else {
+        val log = spark.read.option("basePath", s"$path/log")
+          .parquet(committed.map(v => s"$path/log/v=$v"): _*)
+          .withColumn("__v", col("v").cast("long")).drop("v")
+        Seq(
+          row("commit_key_unique",
+            log.groupBy(col("__v") +: keys.map(col): _*)
+              .agg(count(lit(1)).as("c"))
+              .agg(count(lit(1)).as("checked"),
+                sum(when(col("c") > 1, 1L).otherwise(0L)).as("violations"))),
+          row("op_wellformed",
+            log.agg(count(lit(1)).as("checked"),
+              sum(when(!col(OpCol).isin("u", DeleteOp), 1L).otherwise(0L))
+                .as("violations"))))
+      }
+
+    val ckptCheck = ckptVs.lastOption match {
+      case Some(c) =>
+        val earlier = ckptVs.filter(_ < c)
+        val base0 = earlier.lastOption.getOrElse(0L)
+        if (!((base0 + 1) to c).forall(committed.contains))
+          graft.operators.StoreCheck.emptyRow(spark, "checkpoint_matches_log")
+        else {
+          val stored = spark.read.parquet(s"$path/checkpoint/v=$c")
+          val replay = snapshotUsing(spark, path, c, keys, earlier, committed)
+          row("checkpoint_matches_log",
+            stored.agg(count(lit(1)).as("checked")).crossJoin(
+              diffFrames(stored, replay.select(stored.columns.map(col).toSeq: _*), keys)
+                .agg(count(lit(1)).as("violations"))))
+        }
+      case None =>
+        graft.operators.StoreCheck.emptyRow(spark, "checkpoint_matches_log")
+    }
+
+    report(Seq(ckptCheck) ++ logChecks :+ contiguous)
   }
 }

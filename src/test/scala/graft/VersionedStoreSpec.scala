@@ -186,6 +186,63 @@ class VersionedStoreSpec extends SparkSpec {
     }.getMessage.contains("vacuumed"))
   }
 
+  test("checkStore: healthy store passes; checkpoint drift, dup keys, log gap detected") {
+    val path = QueryGroup.scratchDir("graft-vstorefsck")
+    VersionedStore.commit(spark, path,
+      ch((1L, "a1", "u"), (2L, "b1", "u"), (3L, "c1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (3L, "c1", "d")))
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    VersionedStore.commit(spark, path, ch((3L, "c3", "u"), (4L, "d3", "u")))
+    VersionedStore.checkpoint(spark, path, 3L, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def report(): Map[String, (Long, Long)] =
+      VersionedStore.checkStore(spark, path, Seq("k"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val healthy = report()
+    assert(healthy.size === 4)
+    assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
+    assert(healthy("checkpoint_matches_log")._1 === 4L) // v3 live: keys 1,2,3,4
+    assert(healthy("commit_key_unique")._1 === 7L)      // 3 + 2 + 2 (v, key) groups
+    assert(healthy("log_contiguous")._1 === 3L)
+    assert(healthy("op_wellformed")._1 === 7L)
+
+    // checkpoint drift: the v3 checkpoint rewritten by a buggy job
+    // (payload flipped for one key) — content invariant flags exactly it
+    spark.read.parquet(s"$path/checkpoint/v=3")
+      .withColumn("val", when(col("k") === 2L, lit("WRONG")).otherwise(col("val")))
+      .write.mode("overwrite").parquet(s"$path/checkpoint/v=3_bad")
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3"),
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3_bad"))
+    val drifted = report()
+    assert(drifted("checkpoint_matches_log")._2 === 1L)
+    assert((drifted - "checkpoint_matches_log").values.forall(_._2 == 0L))
+    // repair = re-materialize the checkpoint from the log
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3"), true)
+    VersionedStore.checkpoint(spark, path, 3L, Seq("k"))
+    assert(report().values.forall(_._2 == 0L))
+
+    // an uncompacted CDC batch: same key twice in one commit
+    VersionedStore.commit(spark, path, ch((5L, "e4", "u"), (5L, "e4b", "u")))
+    val dup = report()
+    assert(dup("commit_key_unique")._2 === 1L)
+
+    // a log directory lost to a botched hand-vacuum. With the v3
+    // checkpoint still standing nothing is SILENTLY wrong (v2 is loudly
+    // unreadable; later reads replay from the checkpoint) — fsck agrees,
+    // still zero contiguity violations:
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/log/v=2"), true)
+    assert(report()("log_contiguous")._2 === 0L)
+    // ...but once the v3 checkpoint is ALSO gone, v3 and v4 reads replay
+    // from the v1 checkpoint across the missing v2 and silently skip its
+    // changes — exactly the two versions fsck flags
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3"), true)
+    val gap = report()
+    assert(gap("log_contiguous") === ((3L, 2L)))
+  }
+
   test("diff reports added/removed/changed and omits unchanged (nulls equal)") {
     val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
       (3L, None: Option[String], 30L), (4L, Some("gone"), 40L))
