@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
       s"nested-loop join found in:\n$p")
   }
 
+  test("q_prep_pipeline: four composed stages, no nested loop anywhere") {
+    val p = plan("q_prep_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join found in:\n$p")
+    // the benchmark-side decontamination join must ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
   test("q_profile: exact distinct branches plan without an Expand") {
     val p = plan("q_profile")
     assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")
