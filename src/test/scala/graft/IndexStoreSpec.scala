@@ -309,6 +309,63 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("double-count"))
   }
 
+  test("lifecycle matrix: all four store faces answer like a fresh rebuild after every step") {
+    // The r6 positional finding and the r7 TF-IDF-face finding were both
+    // the same defect class: ONE read face missing ONE lifecycle event.
+    // This closes the class structurally — after EVERY lifecycle step,
+    // EVERY face (BM25, phrase, proximity, sparse TF-IDF) must answer
+    // exactly like a fresh index built on the live population.
+    import graft.search.{PhraseSearch, SparseSim}
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixmatrix").toString
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 =!= 0)
+    val b3 = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0)
+
+    Indexer.writeIndex(Indexer.buildIndex(b1), path, nBuckets = 16)
+    Indexer.writePositional(b1, path, nBuckets = 8)
+
+    def faces(live: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val bmF = BM25.search(Indexer.buildIndex(live), "fast hash join scan")
+        .as[(Int, Long, Double)].collect().toSeq
+      val bmS = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(bmS.map(r => (r._1, r._2)) === bmF.map(r => (r._1, r._2)),
+        s"[$tag] bm25 ranking diverged from fresh rebuild")
+      bmS.zip(bmF).foreach { case (s, f) =>
+        assert(math.abs(s._3 - f._3) < 1e-9, s"[$tag] bm25 score diverged") }
+
+      def trip(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(trip(PhraseSearch.searchStore(spark, path, "slow hash batch", nBuckets = 8))
+        === trip(PhraseSearch.search(live, "slow hash batch")),
+        s"[$tag] phrase face diverged from fresh rebuild")
+      assert(trip(PhraseSearch.proximityStore(spark, path, "slow hash batch", 4, nBuckets = 8))
+        === trip(PhraseSearch.proximitySearch(live, "slow hash batch", 4)),
+        s"[$tag] proximity face diverged from fresh rebuild")
+
+      val tfF = SparseSim.tfidfTopK(live, Seq(2L, 4L), 5)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val tfS = SparseSim.tfidfTopKStore(spark, path, Seq(2L, 4L), 5)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(tfS === tfF, s"[$tag] tfidf face diverged from fresh rebuild")
+    }
+
+    faces(b1, "build")
+    Indexer.appendIndex(spark, path, b2)
+    val live1 = b1.unionByName(b2)
+    faces(live1, "append")
+    Indexer.deleteDocs(spark, path,
+      live1.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    val live2 = live1.filter(col("doc_id") % 5 =!= 0)
+    faces(live2, "delete")
+    Indexer.expungeDeletes(spark, path, nBuckets = 16)
+    faces(live2, "expunge")
+    // re-growth after expunge: includes % 5 ids released by the purge
+    Indexer.appendIndex(spark, path, b3)
+    faces(live2.unionByName(b3), "re-append")
+  }
+
   test("checkStore: healthy lifecycle store passes; corruption detected; repair restores") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixfsck").toString
