@@ -142,6 +142,17 @@ object PipelineQueries extends QueryGroup {
         Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1))
     }),
 
+    // first-hit companion of q_ann_recall: per-query reciprocal rank of
+    // the LSH list against the exact truth (the MRR building block —
+    // "did the ANN surface ANY true neighbor, and how high")
+    "q_ann_mrr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(AnnQueryIds: _*))
+      graft.similarity.Eval.reciprocalRank(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.lshTopK(e, q, 10, nPlanes = 6, probeBits = 1), 10)
+    }),
+
     // rank-weighted companion of q_ann_recall: NDCG@10 with graded gains
     // (the exact list's 6-dp cos), position discounts as precomputed
     // literal constants shared with the oracle
@@ -1725,6 +1736,22 @@ object PipelineQueries extends QueryGroup {
           SELECT i.query_id, round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
           FROM i LEFT JOIN d USING (query_id)"""
     },
+
+    // reciprocal rank from the same two retriever oracles: smallest
+    // approx rank whose item is in the exact list, 0-filled misses
+    "q_ann_mrr" ->
+      s"""WITH exact AS ($cosineOracle),
+               approx AS ($annLshOracle),
+               f AS (SELECT a.query_id, min(a.rank) AS fr
+                     FROM approx a JOIN exact e
+                       ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                     WHERE a.rank <= 10 GROUP BY 1)
+          SELECT q.query_id,
+                 CAST(coalesce(f.fr, 0) AS BIGINT) AS first_hit_rank,
+                 round(CASE WHEN f.fr IS NULL THEN 0.0
+                            ELSE 1.0 / f.fr END, 6) AS rr
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN f USING (query_id)""",
 
     // recall@k of the LSH list against the exact list — both sides are
     // the two retrievers' own (already-verified) oracles

@@ -32,6 +32,27 @@ object Eval {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Per-query reciprocal rank of `approx` against `exact` — the MRR
+    * building block beside [[recallAtK]] (did we find ANY of the truth,
+    * and how high?). A query's score is `1/r` for the smallest approx
+    * rank `r ≤ k` whose item appears in the exact list, 0 when none
+    * does; `first_hit_rank` reports that rank (0 = miss). Mean over
+    * queries = MRR@k, left to the caller — per-query rows are the
+    * verifiable unit. Same bounded-frame posture as [[recallAtK]]:
+    * one equi-join on (query_id, vec_id) over ≤ |queries|·k rows. */
+  def reciprocalRank(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val firstHit = approx.filter(col("rank") <= k)
+      .join(exact.select(col("query_id"), col("vec_id"), lit(1).as("rel")),
+        Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(min(col("rank")).as("fr"))
+    exact.select("query_id").distinct()
+      .join(firstHit, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("fr"), lit(0L)).cast("long").as("first_hit_rank"),
+        round(when(col("fr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("fr")), 6).as("rr"))
+  }
+
   /** Rank-position discount 1/log₂(r+1) as a PRE-COMPUTED literal table.
     * Both engines then use bit-identical double constants — computing
     * log2 at query time would expose libm-vs-StrictMath last-ulp

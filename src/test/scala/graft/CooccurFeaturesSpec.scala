@@ -50,6 +50,19 @@ class CooccurFeaturesSpec extends SparkSpec {
     assert(r == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 0L, 0.0))))
   }
 
+  test("reciprocalRank: first hit position, 0-filled misses, rank cutoff honored") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 10L, 3L), // first hit at rank 2
+      (2L, 98L, 1L), (2L, 20L, 4L),                // hit beyond the k=3 cutoff
+      (3L, 97L, 1L))                               // no hit at all
+      .toDF("query_id", "vec_id", "rank")
+    val r = Eval.reciprocalRank(exact, approx, 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r == Map(1L -> ((2L, 0.5)), 2L -> ((0L, 0.0)), 3L -> ((0L, 0.0))))
+  }
+
   test("ndcgAtK is 1 for a perfect list, discounts rank inversions, 0 for misses") {
     val exact = Seq(
       (1L, 10L, 0.9, 1L), (1L, 11L, 0.5, 2L),
