@@ -632,6 +632,39 @@ object PipelineQueries extends QueryGroup {
             .partitionBy()))
     }),
 
+    // observability for the composed pipeline: the per-stage attrition
+    // funnel (raw → pool → quality → dedup → decontaminated) as
+    // doc/token counts — WHERE the corpus shrank, the report a 100 TB
+    // build is actually steered by. Each stage is one count/sum
+    // aggregate riding the stage lineages q_prep_pipeline verifies;
+    // stage labels carry an ordinal prefix so the report sorts in
+    // pipeline order
+    "q_prep_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val pool = d.filter(col("doc_id") % 50 =!= 0)
+      val kept = pool.join(
+        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(Dedup.shingles(kept), JaccardThreshold))
+      val deduped = kept.join(
+        clusters.filter(col("is_survivor") === 0).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val clean = graft.pipeline.Contamination.decontaminate(
+        deduped, bench, minShared = 2L)
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(graft.analyzer.Analyzer.tokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage(d, "0_raw")
+        .unionByName(stage(pool, "1_pool"))
+        .unionByName(stage(kept, "2_quality"))
+        .unionByName(stage(deduped, "3_dedup"))
+        .unionByName(stage(clean, "4_decontam"))
+    }),
+
     // temperature mixing at α = 0.5: per-language replication factors
     // DERIVED from the data (p ∝ √n flattening), realized as
     // deterministic per-row copy counts — every copy oracle-recomputed
@@ -931,6 +964,48 @@ object PipelineQueries extends QueryGroup {
         FROM tok a
         JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"""
+
+  /** The prep pipeline's stage CTE chain (quality keep → in-pool
+    * near-dup components → decontamination), shared by the
+    * q_prep_pipeline and q_prep_funnel oracles. Must be opened with
+    * `WITH RECURSIVE` (the components walk). Exposes `q` (quality-kept
+    * pool), `dd` (dedup survivors), `clean` (decontaminated) and
+    * `lists` (token lists for budget arithmetic). */
+  private lazy val PrepStagesSql =
+    s"""q AS (SELECT doc_id FROM ($QualitySql)
+              WHERE doc_id % 50 <> 0 AND n_tokens >= 25
+                AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
+         sh0 AS ($SqlShingles),
+         sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN q USING (doc_id)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+                   FROM sh x JOIN sh y ON x.shingle = y.shingle
+                    AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM inter
+                   JOIN sz sa ON doc_a = sa.doc_id
+                   JOIN sz sb ON doc_b = sb.doc_id
+                   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         nonsurv AS (SELECT id FROM (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+                     WHERE id <> m),
+         dd AS (SELECT doc_id FROM q
+                WHERE doc_id NOT IN (SELECT id FROM nonsurv)),
+         bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
+         tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
+         contam AS (SELECT DISTINCT doc_id FROM (
+                      SELECT t.doc_id, b.bench_id
+                      FROM tsh t JOIN bsh b USING (shingle)
+                      GROUP BY 1, 2 HAVING count(*) >= 2)),
+         clean AS (SELECT doc_id FROM dd
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         lists AS ($SqlLists)"""
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS ($SqlShingles),
@@ -1501,40 +1576,7 @@ object PipelineQueries extends QueryGroup {
       val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
         s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
       }.mkString(" ")
-      s"""WITH RECURSIVE q AS (SELECT doc_id FROM ($QualitySql)
-                    WHERE doc_id % 50 <> 0 AND n_tokens >= 25
-                      AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
-               sh0 AS ($SqlShingles),
-               sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN q USING (doc_id)),
-               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-                         FROM sh x JOIN sh y ON x.shingle = y.shingle
-                          AND x.doc_id < y.doc_id
-                         GROUP BY 1, 2),
-               pairs AS (SELECT doc_a, doc_b FROM inter
-                         JOIN sz sa ON doc_a = sa.doc_id
-                         JOIN sz sb ON doc_b = sb.doc_id
-                         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
-               edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                         UNION SELECT doc_b, doc_a FROM pairs),
-               nodes AS (SELECT DISTINCT a AS id FROM edges),
-               reach(id, lbl) AS (
-                 SELECT id, id FROM nodes
-                 UNION
-                 SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
-               nonsurv AS (SELECT id FROM (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
-                           WHERE id <> m),
-               dd AS (SELECT doc_id FROM q
-                      WHERE doc_id NOT IN (SELECT id FROM nonsurv)),
-               bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
-               tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
-               contam AS (SELECT DISTINCT doc_id FROM (
-                            SELECT t.doc_id, b.bench_id
-                            FROM tsh t JOIN bsh b USING (shingle)
-                            GROUP BY 1, 2 HAVING count(*) >= 2)),
-               clean AS (SELECT doc_id FROM dd
-                         WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-               lists AS ($SqlLists),
+      s"""WITH RECURSIVE $PrepStagesSql,
                assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
                                    d.lang, len(l) AS n_tok
                             FROM (SELECT doc_id, lang,
@@ -1549,6 +1591,22 @@ object PipelineQueries extends QueryGroup {
                     JOIN clean USING (doc_id)) AS token_share
           FROM assigned GROUP BY 1, 2"""
     },
+
+    // the funnel rides the same stage chain; per-stage counts join each
+    // surviving-id set back onto the token lists
+    "q_prep_funnel" ->
+      s"""WITH RECURSIVE $PrepStagesSql,
+               tok AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok FROM lists)
+          SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok
+          UNION ALL SELECT '1_pool', count(*), sum(n_tok)
+                    FROM tok WHERE doc_id % 50 <> 0
+          UNION ALL SELECT '2_quality', count(*), sum(n_tok)
+                    FROM tok JOIN q USING (doc_id)
+          UNION ALL SELECT '3_dedup', count(*), sum(n_tok)
+                    FROM tok JOIN dd USING (doc_id)
+          UNION ALL SELECT '4_decontam', count(*), sum(n_tok)
+                    FROM tok JOIN clean USING (doc_id)""",
 
     // same shard/order/offset arithmetic as Packing.packReport: salted
     // portable hash → shard and within-shard order, running-sum offset,
