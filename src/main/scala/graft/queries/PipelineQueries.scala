@@ -1599,13 +1599,13 @@ object PipelineQueries extends QueryGroup {
                tok AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok FROM lists)
           SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok
-          UNION ALL SELECT '1_pool', count(*), sum(n_tok)
+          UNION ALL SELECT '1_pool', count(*), CAST(sum(n_tok) AS BIGINT)
                     FROM tok WHERE doc_id % 50 <> 0
-          UNION ALL SELECT '2_quality', count(*), sum(n_tok)
+          UNION ALL SELECT '2_quality', count(*), CAST(sum(n_tok) AS BIGINT)
                     FROM tok JOIN q USING (doc_id)
-          UNION ALL SELECT '3_dedup', count(*), sum(n_tok)
+          UNION ALL SELECT '3_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
                     FROM tok JOIN dd USING (doc_id)
-          UNION ALL SELECT '4_decontam', count(*), sum(n_tok)
+          UNION ALL SELECT '4_decontam', count(*), CAST(sum(n_tok) AS BIGINT)
                     FROM tok JOIN clean USING (doc_id)""",
 
     // same shard/order/offset arithmetic as Packing.packReport: salted
