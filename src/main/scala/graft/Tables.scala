@@ -11,15 +11,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long and truncate to microseconds
-    * with exact integer division (same truncation DuckDB applies when it
-    * reads ns into its µs TIMESTAMP — keeps both engines aligned).
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) —
+    * which Spark 4 refuses to read as a timestamp — or plain
+    * TIMESTAMP(MICROS), depending on the fixture generation. Adapt to
+    * whichever layout is on disk:
+    *   - NANOS: read nanos as long and truncate to microseconds with
+    *     exact integer division (same truncation DuckDB applies when it
+    *     reads ns into its µs TIMESTAMP — keeps both engines aligned);
+    *   - MICROS (isAdjustedToUTC=false → Spark's TIMESTAMP_NTZ): cast
+    *     to the session-zone TimestampType. The session zone is pinned
+    *     to UTC everywhere (Verify/Bench/specs), so the wall-clock
+    *     values — and every downstream window/date_trunc — are
+    *     identical to DuckDB's naive-µs reading of the same file.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 }
