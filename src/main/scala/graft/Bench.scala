@@ -22,18 +22,18 @@ import scala.util.control.NonFatal
   * concurrent load) can't poison the committed number. Reps are
   * ADAPTIVE: queries whose first rep finishes under
   * `SPARK_GRAFT_BENCH_REP_CUTOFF_SECS` (default 1.0) get the full rep
-  * count; the 1–5 s band (cutoff to
-  * `SPARK_GRAFT_BENCH_SLOW_CUTOFF_SECS`, default 5.0) gets min-of-2 —
-  * one noisy measurement in that band used to become the committed
-  * number (r6: a single-rep q_chunk pinned at 8.4 s vs 2.1 s clean);
-  * only the slowest store-lifecycle queries (multi-second store writes
-  * dominated by real work, where jitter is proportionally small) stay
-  * single-rep — min-of-3 there would triple the most expensive part of
-  * the sweep for no extra signal, which is what timed out the round-5
-  * driver run. A failing first rep is not retried (failures are
-  * deterministic). Each bench_last.jsonl line records the rep count
-  * actually used, so cross-round comparisons can tell single-run from
-  * min-of-N numbers.
+  * count; everything at or above it gets min-of-2. NO committed number
+  * is ever a single measurement — the former single-rep ≥5 s band let
+  * one noisy run become the committed number for exactly the queries
+  * that dominate the total (r8: a lone +9 s outlier on
+  * q_profile_approx accounted for most of the apparent round drift;
+  * r6: a single-rep q_chunk pinned 8.4 s vs 2.1 s clean). Min-of-2 on
+  * the slow band costs ~1 extra rep × the handful of multi-second
+  * store-lifecycle queries (~1 min of sweep wall) — bounded, unlike
+  * the min-of-3 everywhere that timed out the round-5 driver run. A
+  * failing first rep is not retried (failures are deterministic). Each
+  * bench_last.jsonl line records the rep count actually used, so
+  * cross-round comparisons can tell single-run from min-of-N numbers.
   *
   * Evidence is INCREMENTAL: each completed query appends one
   * `{"name":…,"secs":…,"ok":…}` line to `bench_last.jsonl`, so even a
@@ -84,7 +84,6 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val repCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CUTOFF_SECS", "1.0").toDouble
-    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF_SECS", "5.0").toDouble
     val jsonlPath = java.nio.file.Paths.get("bench_last.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
@@ -102,8 +101,8 @@ object Bench {
       }
       val first = timeOnce()
       val nReps =
-        if (errors.contains(name) || first >= slowCutoff) 1
-        else if (first >= repCutoff) 2.min(reps) // 1–5 s band: min-of-2
+        if (errors.contains(name)) 1
+        else if (first >= repCutoff) 2.min(reps) // ≥1 s: min-of-2, no single-rep numbers
         else reps
       val extra = (2 to nReps).map(_ => timeOnce())
       val best = (first +: extra).min

@@ -31,9 +31,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      // any other type means the fixture format regressed — fail loudly
+      // instead of null-casting every timestamp downstream (ADVICE r8)
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unexpected parquet type $other (expected INT64 nanos, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ) — fixture-format regression?")
     }
   }
 }
