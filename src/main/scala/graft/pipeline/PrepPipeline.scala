@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The composed training-data prep pipeline: quality filter → in-pool
+  * MinHash+LSH near-dup removal → benchmark decontamination — the
+  * end-to-end corpus build whose composition the q_prep_pipeline /
+  * q_prep_funnel gate entries hash-verify (each stage is individually
+  * oracle-verified by q_quality_filter / q_dedup_keep / q_decontaminate).
+  *
+  * Two execution shapes, SAME answers (gate-verified: the staged twin
+  * q_prep_pipeline_staged shares q_prep_pipeline's oracle):
+  *
+  *   - '''Unstaged''' (default [[stages]]): one declarative plan; each
+  *     stage frame carries the full upstream lineage. Catalyst sees the
+  *     whole pipeline, but a consumer touching several stages (the
+  *     attrition funnel) re-derives shared ancestry per stage — the LSH
+  *     banding ran ~3× inside one funnel entry.
+  *   - '''Staged''' ([[stages]] with a [[stageTo]] boundary): each stage
+  *     boundary materializes its surviving `doc_id` set (a NARROW table —
+  *     ids only, never text) and downstream stages reconstitute rows by
+  *     joining the id set back onto the corpus. Every stage computes
+  *     exactly once regardless of how many consumers read it — at 100 TB
+  *     this is how a corpus build actually runs (each boundary doubles as
+  *     a restart point), at the cost of one id-table write + corpus
+  *     re-join per stage. SCALE.md documents the trade with measured
+  *     numbers.
+  */
+object PrepPipeline {
+
+  /** The pipeline's stage frames, all carrying the corpus' full columns:
+    * `raw` (the input), `bench` (held-out benchmark docs), `pool`
+    * (candidate training docs), `quality` (quality-kept pool), `deduped`
+    * (near-dup survivors), `clean` (decontaminated survivors). */
+  final case class Stages(raw: DataFrame, bench: DataFrame, pool: DataFrame,
+                          quality: DataFrame, deduped: DataFrame,
+                          clean: DataFrame)
+
+  /** A stage-boundary hook: receives each stage's output frame and its
+    * ordinal name, returns the frame downstream stages consume. Identity
+    * → unstaged single plan; [[stageTo]] → materialized boundaries. */
+  type Boundary = (DataFrame, String) => DataFrame
+
+  /** Benchmark split: every 50th doc is held out as the eval set the
+    * pool is decontaminated against. */
+  private def isBench = col("doc_id") % 50 === 0
+
+  /** Build the stage lineage over `docs`. The near-dup step runs INSIDE
+    * the pool only (restricting pairwise edges to the pool commutes with
+    * the pairwise Jaccard predicate); the benchmark side of
+    * decontamination broadcasts ([[Contamination]]). */
+  def stages(docs: DataFrame, jaccardThreshold: Double,
+             boundary: Boundary = (df, _) => df): Stages = {
+    val bench = docs.filter(isBench)
+    val pool = docs.filter(!isBench)
+    val quality = boundary(
+      pool.join(
+        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
+        Seq("doc_id")),
+      "1_quality")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(Dedup.shingles(quality), jaccardThreshold))
+    val deduped = boundary(
+      quality.join(
+        clusters.filter(col("is_survivor") === 0).select("doc_id"),
+        Seq("doc_id"), "left_anti"),
+      "2_dedup")
+    val clean = boundary(
+      Contamination.decontaminate(deduped, bench, minShared = 2L),
+      "3_decontam")
+    Stages(docs, bench, pool, quality, deduped, clean)
+  }
+
+  /** The materializing [[Boundary]]: write the stage's surviving doc_id
+    * set to `dir/<stage>` (ids only — at 100 TB the boundary table is
+    * ~1e9 longs, not the corpus) and reconstitute the stage's rows by
+    * joining the ids back onto `corpus`. The id write is the barrier
+    * that makes every stage compute exactly once; the reconstitution
+    * join is doc_id-keyed and AQE-sized (the id side is the smaller
+    * one). Each boundary doubles as a restart/inspection point — the
+    * operational reason real corpus builds stage. */
+  def stageTo(dir: String, corpus: DataFrame): Boundary = (df, name) => {
+    val p = s"$dir/$name"
+    df.select("doc_id").write.mode("overwrite").parquet(p)
+    corpus.join(df.sparkSession.read.parquet(p), Seq("doc_id"))
+  }
+}

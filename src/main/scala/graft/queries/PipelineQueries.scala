@@ -607,62 +607,47 @@ object PipelineQueries extends QueryGroup {
     // corpus build depends on. Scale shape: the corpus is read once per
     // stage lineage, every join key is doc_id or a banded/shingle hash,
     // the benchmark side broadcasts, and the only driver-sized result is
-    // the final |splits|×|langs| report.
-    "q_prep_pipeline" -> ((s, dir) => {
+    // the final |splits|×|langs| report. Lineage: PrepPipeline.stages.
+    "q_prep_pipeline" -> ((s, dir) =>
+      prepReport(graft.pipeline.PrepPipeline.stages(docs(s, dir), JaccardThreshold))),
+
+    // ...and the SAME pipeline with every stage boundary MATERIALIZED
+    // (PrepPipeline.stageTo: narrow doc_id tables, rows reconstituted by
+    // corpus re-join) — the shape a 100 TB build actually runs, where
+    // each boundary is a restart point and every stage computes exactly
+    // once however many consumers read it. Shares q_prep_pipeline's
+    // oracle: staging is a call-site execution choice with IDENTICAL
+    // answers, which this twin proves by hash
+    "q_prep_pipeline_staged" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bench = d.filter(col("doc_id") % 50 === 0)
-      val pool = d.filter(col("doc_id") % 50 =!= 0)
-      val kept = pool.join(
-        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
-        Seq("doc_id"))
-      val clusters = Dedup.duplicateClusters(
-        Dedup.minhashLshPairs(Dedup.shingles(kept), JaccardThreshold))
-      val deduped = kept.join(
-        clusters.filter(col("is_survivor") === 0).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      val clean = graft.pipeline.Contamination.decontaminate(
-        deduped, bench, minShared = 2L)
-      graft.pipeline.Sampling.assignSplit(clean, "doc_id", SplitWeights)
-        .select(col("split"), col("lang"),
-          graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
-        .withColumn("token_share", col("sum_tokens").cast("double") /
-          sum(col("sum_tokens")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy()))
+      prepReport(graft.pipeline.PrepPipeline.stages(d, JaccardThreshold,
+        graft.pipeline.PrepPipeline.stageTo(
+          QueryGroup.scratchDir("graft-prepstage"), d)))
     }),
 
     // observability for the composed pipeline: the per-stage attrition
     // funnel (raw → pool → quality → dedup → decontaminated) as
     // doc/token counts — WHERE the corpus shrank, the report a 100 TB
-    // build is actually steered by. Each stage is one count/sum
-    // aggregate riding the stage lineages q_prep_pipeline verifies;
-    // stage labels carry an ordinal prefix so the report sorts in
-    // pipeline order
+    // build is actually steered by. The funnel reads every stage, so it
+    // runs over the STAGED lineage (each stage materializes once; the
+    // unstaged shape re-derived the LSH banding ~3× inside this one
+    // entry); stage labels carry an ordinal prefix so the report sorts
+    // in pipeline order
     "q_prep_funnel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bench = d.filter(col("doc_id") % 50 === 0)
-      val pool = d.filter(col("doc_id") % 50 =!= 0)
-      val kept = pool.join(
-        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
-        Seq("doc_id"))
-      val clusters = Dedup.duplicateClusters(
-        Dedup.minhashLshPairs(Dedup.shingles(kept), JaccardThreshold))
-      val deduped = kept.join(
-        clusters.filter(col("is_survivor") === 0).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      val clean = graft.pipeline.Contamination.decontaminate(
-        deduped, bench, minShared = 2L)
+      val st = graft.pipeline.PrepPipeline.stages(d, JaccardThreshold,
+        graft.pipeline.PrepPipeline.stageTo(
+          QueryGroup.scratchDir("graft-funnelstage"), d))
       def stage(df: DataFrame, name: String) =
         df.agg(count(lit(1)).as("n_docs"),
             sum(graft.analyzer.Analyzer.tokenCount(col("text")).cast("long"))
               .as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      stage(d, "0_raw")
-        .unionByName(stage(pool, "1_pool"))
-        .unionByName(stage(kept, "2_quality"))
-        .unionByName(stage(deduped, "3_dedup"))
-        .unionByName(stage(clean, "4_decontam"))
+      stage(st.raw, "0_raw")
+        .unionByName(stage(st.pool, "1_pool"))
+        .unionByName(stage(st.quality, "2_quality"))
+        .unionByName(stage(st.deduped, "3_dedup"))
+        .unionByName(stage(st.clean, "4_decontam"))
     }),
 
     // temperature mixing at α = 0.5: per-language replication factors
@@ -944,6 +929,19 @@ object PipelineQueries extends QueryGroup {
   // fr/zh upweighted, de kept, es downweighted below 1, en dropped
   val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The prep pipeline's final (split, lang) token-budget report over the
+    * clean stage — shared by the unstaged and staged gate twins so the
+    * two entries stay in lockstep when thresholds change. */
+  private def prepReport(st: graft.pipeline.PrepPipeline.Stages): DataFrame =
+    graft.pipeline.Sampling.assignSplit(st.clean, "doc_id", SplitWeights)
+      .select(col("split"), col("lang"),
+        graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("token_share", col("sum_tokens").cast("double") /
+        sum(col("sum_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
     Map("en" -> 0.1, "fr" -> 0.6, "de" -> 0.6, "es" -> 0.6)
@@ -1006,6 +1004,34 @@ object PipelineQueries extends QueryGroup {
          clean AS (SELECT doc_id FROM dd
                    WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
          lists AS ($SqlLists)"""
+
+  /** The composed prep pipeline's oracle: each stage's CTE chained on the
+    * previous stage's surviving doc_ids — quality keep (the
+    * q_quality_filter predicate), near-dup components over the KEPT
+    * subset only, shingle decontamination of the survivors against the
+    * raw benchmark set, then the q_token_budget report arithmetic over
+    * the clean population. Shared verbatim by q_prep_pipeline and
+    * q_prep_pipeline_staged (staging must not change answers). */
+  private lazy val prepPipelineOracle: String = {
+    val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
+    val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
+      s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE $PrepStagesSql,
+             assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
+                                 d.lang, len(l) AS n_tok
+                          FROM (SELECT doc_id, lang,
+                                       ${sqlSaltedHash("split", "doc_id")} AS h
+                                FROM documents) d
+                          JOIN clean USING (doc_id)
+                          JOIN lists USING (doc_id))
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_tok) AS DOUBLE) /
+                 (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists
+                  JOIN clean USING (doc_id)) AS token_share
+        FROM assigned GROUP BY 1, 2"""
+  }
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS ($SqlShingles),
@@ -1564,33 +1590,9 @@ object PipelineQueries extends QueryGroup {
           FROM assigned GROUP BY 1, 2"""
     },
 
-    // the composed prep pipeline: each stage's oracle CTE chained on the
-    // previous stage's surviving doc_ids — quality keep (the
-    // q_quality_filter predicate), near-dup components over the KEPT
-    // subset only (restricting pairwise edges to the pool commutes with
-    // the pairwise Jaccard predicate), shingle decontamination of the
-    // survivors against the raw benchmark set, then the q_token_budget
-    // report arithmetic over the clean population
-    "q_prep_pipeline" -> {
-      val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
-      val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
-        s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
-      }.mkString(" ")
-      s"""WITH RECURSIVE $PrepStagesSql,
-               assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
-                                   d.lang, len(l) AS n_tok
-                            FROM (SELECT doc_id, lang,
-                                         ${sqlSaltedHash("split", "doc_id")} AS h
-                                  FROM documents) d
-                            JOIN clean USING (doc_id)
-                            JOIN lists USING (doc_id))
-          SELECT split, lang, count(*) AS n_docs,
-                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
-                 CAST(sum(n_tok) AS DOUBLE) /
-                   (SELECT CAST(sum(len(l)) AS BIGINT) FROM lists
-                    JOIN clean USING (doc_id)) AS token_share
-          FROM assigned GROUP BY 1, 2"""
-    },
+    "q_prep_pipeline" -> prepPipelineOracle,
+    // the staged twin is DEFINED to be answer-identical: same oracle
+    "q_prep_pipeline_staged" -> prepPipelineOracle,
 
     // the funnel rides the same stage chain; per-stage counts join each
     // surviving-id set back onto the token lists
