@@ -140,8 +140,8 @@ object DedupStore {
     * `buckets` writes; a crash there leaves the two tables describing
     * different document populations — near-dups of the drifted docs then
     * silently pass or block. This checker is the detect step; repair is
-    * re-deriving `buckets` from `sets` ([[writeSignatures]]'s derivation)
-    * or re-running the interrupted removeDocs.
+    * [[refreshBuckets]] (re-derive `buckets` from `sets`) or re-running
+    * the interrupted removeDocs.
     *
     * Invariants (report order):
     *   - `bucket_cardinality` — every doc carries exactly `bands` bucket
@@ -207,6 +207,25 @@ object DedupStore {
 
     graft.operators.StoreCheck.report(
       Seq(cardinality, content, surface, unique))
+  }
+
+  /** Re-derive `buckets` from the stored shingle `sets` and install it
+    * via the crash-safe swap — the REPAIR step beside [[checkStore]]'s
+    * detect (the `sets` table is authoritative: buckets are derived
+    * state, exactly [[writeSignatures]]'s derivation). Fixes every
+    * bucket-side drift the checker flags: the ingest/removeDocs crash
+    * window (tables describing different populations), a mixed-geometry
+    * append, a buckets table lost or clobbered outright. Cost ∝ the
+    * signature store (docs × numHashes), never corpus text — a
+    * scheduled maintenance job, like the index store's refreshDerived. */
+  def refreshBuckets(spark: SparkSession, path: String,
+                     numHashes: Int = 128, bands: Int = 32): Unit = {
+    val sets = spark.read.parquet(s"$path/sets")
+    Dedup.lshBuckets(Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.FsOps.atomicSwap(fs,
+      new Path(s"$path/buckets"), new Path(s"$path/buckets_tmp"))
   }
 
   /** Streaming dedup-on-ingest: every micro-batch of a document stream is

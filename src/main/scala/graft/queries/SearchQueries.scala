@@ -259,6 +259,35 @@ object SearchQueries extends QueryGroup {
       Indexer.checkStore(s, path)
     }),
 
+    // ...and the full corrupt → DETECT → REPAIR → re-check loop an
+    // operator actually runs, as one composed entry. The corruption is
+    // deleteDocs' own documented crash window, reproduced exactly: the
+    // tombstone append committed, the derived swap never ran — so the
+    // stored vocab/meta still describe the full corpus while the live
+    // view excludes the tombstoned third. checkStore flags exactly the
+    // two derived-state invariants (the oracle derives HOW MANY terms
+    // drift, not just that some do), refreshDerived repairs, and the
+    // re-check is all-zero. Phase labels carry an ordinal prefix so the
+    // report sorts in lifecycle order; the detect report materializes
+    // BEFORE the repair mutates the store (a lazy frame would otherwise
+    // re-audit the repaired store).
+    "q_store_repair" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-repair")
+      Indexer.writeIndex(Indexer.buildIndex(d), path)
+      d.filter(col("doc_id") % 3 === 0).select("doc_id").distinct()
+        .write.mode("append").parquet(s"$path/deletes")
+      Indexer.checkStore(s, path)
+        .select(lit("0_detect").as("phase"), col("invariant"),
+          col("checked"), col("violations"))
+        .write.mode("overwrite").parquet(s"$path/detect_report")
+      Indexer.refreshDerived(s, path)
+      s.read.parquet(s"$path/detect_report").unionByName(
+        Indexer.checkStore(s, path)
+          .select(lit("1_repaired").as("phase"), col("invariant"),
+            col("checked"), col("violations")))
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -349,6 +378,44 @@ object SearchQueries extends QueryGroup {
                  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0
           UNION ALL SELECT 'vocab_matches_live',
                  (SELECT count(DISTINCT term) FROM tok WHERE doc_id % 3 <> 0), 0""",
+
+    // the detect→repair loop: in the detect phase the stored meta (1 row)
+    // drifts, and the drifted vocab terms are EXACTLY the distinct terms
+    // occurring in any tombstoned doc (stored df counts them, live df
+    // doesn't — including terms that only live in dead docs, which the
+    // full-outer check counts as violations too). After refreshDerived
+    // every violation is zero; the physical postings/doc_stats (and so
+    // every `checked` cardinality) are untouched by the repair
+    "q_store_repair" ->
+      s"""WITH tok AS ($SqlTok),
+               pairs AS (SELECT DISTINCT term, doc_id FROM tok),
+               dead_terms AS (SELECT count(DISTINCT term) AS n FROM tok
+                              WHERE doc_id % 3 = 0),
+               live_terms AS (SELECT count(DISTINCT term) AS n FROM tok
+                              WHERE doc_id % 3 <> 0)
+          SELECT '0_detect' AS phase, 'meta_matches_live' AS invariant,
+                 CAST(1 AS BIGINT) AS checked, CAST(1 AS BIGINT) AS violations
+          UNION ALL SELECT '0_detect', 'positional_bucket_layout', 0, 0
+          UNION ALL SELECT '0_detect', 'positional_matches_postings', 0, 0
+          UNION ALL SELECT '0_detect', 'postings_bucket_layout',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT '0_detect', 'postings_docs_in_doc_stats',
+                 (SELECT count(DISTINCT doc_id) FROM tok), 0
+          UNION ALL SELECT '0_detect', 'tombstones_valid',
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0
+          UNION ALL SELECT '0_detect', 'vocab_matches_live',
+                 (SELECT n FROM live_terms), (SELECT n FROM dead_terms)
+          UNION ALL SELECT '1_repaired', 'meta_matches_live', 1, 0
+          UNION ALL SELECT '1_repaired', 'positional_bucket_layout', 0, 0
+          UNION ALL SELECT '1_repaired', 'positional_matches_postings', 0, 0
+          UNION ALL SELECT '1_repaired', 'postings_bucket_layout',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT '1_repaired', 'postings_docs_in_doc_stats',
+                 (SELECT count(DISTINCT doc_id) FROM tok), 0
+          UNION ALL SELECT '1_repaired', 'tombstones_valid',
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0
+          UNION ALL SELECT '1_repaired', 'vocab_matches_live',
+                 (SELECT n FROM live_terms), 0""",
 
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,

@@ -214,10 +214,65 @@ object IvfStore {
     fs.delete(del, true)
   }
 
+  /** Repair the inverted lists — the REPAIR step beside [[checkStore]]'s
+    * detect, closing the corrupt → detect → repair → re-check loop an
+    * operator actually runs. One layout-preserving rewrite that fixes
+    * every list-side invariant the checker can flag:
+    *
+    *   - duplicate `vec_id` rows drop (first by ascending cid survives —
+    *     deterministic, and for the replayed-ingest shape that is the
+    *     originally-assigned copy);
+    *   - raw stores re-assign every vector to its nearest persisted
+    *     centroid with the exact write-path assignment (fixing
+    *     mis-assignment AND uncovered cids — the repaired rows land back
+    *     under reachable partitions); quantized stores keep their cid
+    *     (assignment ran on raw vectors the store intentionally no
+    *     longer holds — centroid-level damage there means rebuild);
+    *   - the precomputed norm `nv` recomputes from the stored vector
+    *     (raw) or its `round(code·scale, 6)` reconstruction (quantized),
+    *     bit-identical to the write paths.
+    *
+    * Installed via the crash-safe rename-aside swap, `batch=`/`cid=`
+    * layout preserved. Scale: one pass over lists + one vec_id exchange
+    * (dedup window) + the broadcast assignment — a compaction-class
+    * maintenance job beside [[compactLists]]/[[expungeDeletes]], never a
+    * probe-path cost. */
+  def repairLists(spark: SparkSession, path: String): Unit = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val quantized = lists.columns.contains("qvec")
+    val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cid").asc)
+    val deduped = lists.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val repaired =
+      if (quantized)
+        deduped
+          .withColumn("__rv", transform(col("qvec"),
+            x => round(x.cast("double") * col("scale"), 6)))
+          .withColumn("nv", sqrt(Similarity.dot(col("__rv"), col("__rv"))))
+          .drop("__rv")
+      else {
+        val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+        val reassigned = Similarity.assignToCentroids(
+            deduped.select(col("vec_id"), col("v")), cents, "vec_id", "v", keep = 1)
+          .select(col("vec_id"), col("cid"))
+        deduped.drop("cid").join(reassigned, "vec_id")
+          .withColumn("nv", Similarity.norm(col("v")))
+      }
+    repaired.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$path/lists_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    graft.FsOps.atomicSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      live, new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+  }
+
   /** Integrity check ("fsck") for a persisted IVF store — the vector
     * twin of [[graft.index.Indexer.checkStore]]: one report row per
     * invariant, `(invariant, checked, violations)`, all-zero violations
-    * for a healthy store.
+    * for a healthy store. The repair half is [[repairLists]].
     *
     * Invariants (report order):
     *   - `centroid_cover` — every list partition's cid exists in the

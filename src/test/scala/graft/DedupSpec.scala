@@ -157,13 +157,10 @@ class DedupSpec extends SparkSpec {
     assert(drifted("buckets_match_signatures")._2 === 32L)
     assert(drifted("bucket_cardinality")._2 === 0L && drifted("ids_unique")._2 === 0L)
 
-    // repair = re-derive buckets from the surviving sets; report clean again
-    val sets = spark.read.parquet(s"$path/sets")
-    Dedup.lshBuckets(Dedup.withMinhashSignature(sets), 128, 32)
-      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
-    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/buckets"),
-      new org.apache.hadoop.fs.Path(s"$path/buckets_tmp"))
-    assert(report().values.forall(_._2 == 0L), "re-derived buckets must be clean")
+    // repair = refreshBuckets (re-derive buckets from the surviving
+    // sets, the authoritative table); report clean again
+    DedupStore.refreshBuckets(spark, path)
+    assert(report().values.forall(_._2 == 0L), "refreshBuckets must repair the drift")
   }
 
   test("duplicateClusters: transitive components, min-id survivor") {

@@ -212,6 +212,20 @@ class IvfSpec extends SparkSpec {
     assert(bad("lists_assignment")._2 === 1L)
     assert(bad("norms_consistent")._2 === 0L)
 
+    // repair = repairLists: the duplicate drops (original cid survives),
+    // every row re-assigned to its nearest persisted centroid, norms
+    // recomputed — the re-check is clean and the search face answers
+    // exactly like the uncorrupted store (tombstones still honored)
+    val before = IvfStore.searchStore(spark, path,
+      e.filter($"vec_id" === 0L), 5).as[(Long, Long, Double, Long)].collect().toSet
+    IvfStore.repairLists(spark, path)
+    val repaired = report(path)
+    assert(repaired.values.forall(_._2 == 0L), s"repairLists left violations: $repaired")
+    assert(repaired("ids_unique")._1 === healthy("ids_unique")._1,
+      "repair must restore the original row count")
+    assert(IvfStore.searchStore(spark, path, e.filter($"vec_id" === 0L), 5)
+      .as[(Long, Long, Double, Long)].collect().toSet === before)
+
     val qpath = java.nio.file.Files.createTempDirectory("ivffsckq").toString
     IvfStore.writeIndexQuantized(e, qpath, kmeansIters = 2)
     val qh = report(qpath)
@@ -219,6 +233,22 @@ class IvfSpec extends SparkSpec {
     assert(qh("codes_wellformed")._1 > 0)
     assert(qh("lists_assignment")._1 === 0L) // raw vectors gone by design
     assert(qh("norms_consistent")._1 > 0)
+
+    // quantized repair face: stale norms (every nv drifted) — detected on
+    // norms_consistent, repairLists recomputes nv from the round(code ·
+    // scale, 6) reconstruction (cid kept: assignment ran on raw vectors
+    // the store no longer holds) and the re-check is clean
+    val qfs = new org.apache.hadoop.fs.Path(qpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$qpath/lists").withColumn("nv", col("nv") + lit(1.0))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$qpath/lists_bad")
+    graft.FsOps.atomicSwap(qfs, new org.apache.hadoop.fs.Path(s"$qpath/lists"),
+      new org.apache.hadoop.fs.Path(s"$qpath/lists_bad"))
+    val qbad = report(qpath)
+    assert(qbad("norms_consistent")._2 === qbad("norms_consistent")._1)
+    IvfStore.repairLists(spark, qpath)
+    val qrep = report(qpath)
+    assert(qrep.values.forall(_._2 == 0L), s"quantized repair left violations: $qrep")
   }
 
   test("ivfTopK with nProbe = nCentroids degenerates to brute force") {
