@@ -268,4 +268,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
       s"no codegen spans in final plan:\n$p")
   }
+
+  test("AQE skew-join split fires on a hot-key sort-merge join") {
+    // SCALE.md's skew posture has two halves: manual salting for the
+    // shapes AQE can't fix (Skew.saltedJoin/saltedCount, oracle-verified)
+    // and AQE's runtime skew-split for plain shuffled joins. This pins
+    // the second half: a 90%-hot-key join, broadcast disabled, thresholds
+    // scaled to fixture bytes — the executed SMJ must carry the
+    // skew=true marker (AQE split the hot partition into subpartitions).
+    import org.apache.spark.sql.functions.{lit, when}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(0, 200000).select(
+        when(org.apache.spark.sql.functions.col("id") % 10 === 0,
+          org.apache.spark.sql.functions.col("id") % 1000)
+          .otherwise(lit(7L)).as("k"),
+        org.apache.spark.sql.functions.col("id").as("v"))
+      val right = spark.range(0, 1000)
+        .select(org.apache.spark.sql.functions.col("id").as("k"),
+          lit("x").as("tag"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot-key SMJ as skew-split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
