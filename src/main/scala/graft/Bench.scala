@@ -35,6 +35,11 @@ import scala.util.control.NonFatal
   * bench_last.jsonl line records the rep count actually used, so
   * cross-round comparisons can tell single-run from min-of-N numbers.
   *
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the sweep
+  * to a subset — the local-iteration / scale-spot-run aid (e.g. the
+  * documents-only family against a fixture directory that carries no
+  * relational tables). Unset = full gate.
+  *
   * Evidence is INCREMENTAL: each completed query appends one
   * `{"name":…,"secs":…,"ok":…}` line to `bench_last.jsonl`, so even a
   * run killed by an external time budget leaves per-query evidence for
@@ -87,8 +92,12 @@ object Bench {
     val jsonlPath = java.nio.file.Paths.get("bench_last.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try runOnce(fn)
