@@ -650,6 +650,37 @@ object PipelineQueries extends QueryGroup {
         .unionByName(stage(st.clean, "4_decontam"))
     }),
 
+    // the INCREMENTAL face of the composed pipeline — the shape a
+    // continuously-growing corpus build actually runs day to day:
+    // yesterday's quality-kept docs live in a persisted signature store;
+    // today's batch is quality-filtered, deduped AGAINST THE STORE
+    // (DedupStore.ingest: near-dups of anything already kept are flagged
+    // and withheld — no recompute of yesterday's corpus), survivors
+    // decontaminated and budgeted. The report is the (split, lang)
+    // token budget of the batch's clean ADDITIONS. Scale: store-side
+    // work ∝ the batch (band-bucket collisions), exactly like
+    // q_dedup_ingest; within-batch dups follow ingest's documented
+    // contract (not flagged — both enter the store).
+    "q_prep_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val pool = d.filter(col("doc_id") % 50 =!= 0)
+      def kept(df: DataFrame) = df.join(
+        TextAnalysis.qualityFilter(df).filter(col("kept") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val store = kept(pool.filter(col("doc_id") % 2 === 0))   // yesterday
+      val batch = kept(pool.filter(col("doc_id") % 2 === 1))   // today
+      val path = QueryGroup.scratchDir("graft-prepingest")
+      graft.dedup.DedupStore.writeSignatures(store, path)
+      val report = graft.dedup.DedupStore.ingest(s, path, batch, JaccardThreshold)
+      val deduped = batch.join(
+        report.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val clean = graft.pipeline.Contamination.decontaminate(
+        deduped, bench, minShared = 2L)
+      splitBudgetReport(clean)
+    }),
+
     // temperature mixing at α = 0.5: per-language replication factors
     // DERIVED from the data (p ∝ √n flattening), realized as
     // deterministic per-row copy counts — every copy oracle-recomputed
@@ -930,11 +961,12 @@ object PipelineQueries extends QueryGroup {
   val UpsampleWeights = Seq("fr" -> 2.5, "de" -> 1.0, "es" -> 0.4, "zh" -> 3.0)
   val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
-  /** The prep pipeline's final (split, lang) token-budget report over the
-    * clean stage — shared by the unstaged and staged gate twins so the
-    * two entries stay in lockstep when thresholds change. */
-  private def prepReport(st: graft.pipeline.PrepPipeline.Stages): DataFrame =
-    graft.pipeline.Sampling.assignSplit(st.clean, "doc_id", SplitWeights)
+  /** The (split, lang) token-budget report over a clean document set —
+    * the shared tail of every composed prep entry (batch pipeline, its
+    * staged twin, and the incremental ingest face), so the entries stay
+    * in lockstep when split weights change. */
+  private def splitBudgetReport(clean: DataFrame): DataFrame =
+    graft.pipeline.Sampling.assignSplit(clean, "doc_id", SplitWeights)
       .select(col("split"), col("lang"),
         graft.analyzer.Analyzer.tokenCount(col("text")).cast("long").as("n_tok"))
       .groupBy("split", "lang")
@@ -942,6 +974,9 @@ object PipelineQueries extends QueryGroup {
       .withColumn("token_share", col("sum_tokens").cast("double") /
         sum(col("sum_tokens")).over(org.apache.spark.sql.expressions.Window
           .partitionBy()))
+
+  private def prepReport(st: graft.pipeline.PrepPipeline.Stages): DataFrame =
+    splitBudgetReport(st.clean)
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
     Map("en" -> 0.1, "fr" -> 0.6, "de" -> 0.6, "es" -> 0.6)
@@ -1012,19 +1047,21 @@ object PipelineQueries extends QueryGroup {
     * raw benchmark set, then the q_token_budget report arithmetic over
     * the clean population. Shared verbatim by q_prep_pipeline and
     * q_prep_pipeline_staged (staging must not change answers). */
-  private lazy val prepPipelineOracle: String = {
+  /** The split-assignment + token-budget report tail: expects CTEs
+    * `clean(doc_id)` and `lists(doc_id, l)` in scope — shared by the
+    * batch-pipeline twins and the incremental ingest oracle. */
+  private lazy val SplitReportTailSql: String = {
     val cum = SplitWeights.scanLeft(0.0)(_ + _._2).tail
     val arms = SplitWeights.init.zip(cum.init).map { case ((name, _), c) =>
       s"WHEN h < ${graft.pipeline.Sampling.cut(c)} THEN '$name'"
     }.mkString(" ")
-    s"""WITH RECURSIVE $PrepStagesSql,
-             assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
-                                 d.lang, len(l) AS n_tok
-                          FROM (SELECT doc_id, lang,
-                                       ${sqlSaltedHash("split", "doc_id")} AS h
-                                FROM documents) d
-                          JOIN clean USING (doc_id)
-                          JOIN lists USING (doc_id))
+    s"""assigned AS (SELECT CASE $arms ELSE '${SplitWeights.last._1}' END AS split,
+                            d.lang, len(l) AS n_tok
+                     FROM (SELECT doc_id, lang,
+                                  ${sqlSaltedHash("split", "doc_id")} AS h
+                           FROM documents) d
+                     JOIN clean USING (doc_id)
+                     JOIN lists USING (doc_id))
         SELECT split, lang, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                CAST(sum(n_tok) AS DOUBLE) /
@@ -1032,6 +1069,47 @@ object PipelineQueries extends QueryGroup {
                   JOIN clean USING (doc_id)) AS token_share
         FROM assigned GROUP BY 1, 2"""
   }
+
+  private lazy val prepPipelineOracle: String =
+    s"""WITH RECURSIVE $PrepStagesSql,
+             $SplitReportTailSql"""
+
+  /** The incremental-ingest oracle: kept pool docs split into the stored
+    * half (evens) and today's batch (odds); a batch doc is withheld iff
+    * its exact shingle-set Jaccard against some STORED doc reaches the
+    * threshold (LSH recall at this fixture/threshold is itself
+    * oracle-verified by q_dedup_ingest, whose pair universe contains
+    * these pairs); survivors decontaminate against the raw benchmark
+    * set and ride the shared budget-report tail. */
+  private lazy val prepIngestOracle: String =
+    s"""WITH kept AS (SELECT doc_id FROM ($QualitySql)
+                      WHERE doc_id % 50 <> 0 AND n_tokens >= 25
+                        AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
+             sh0 AS ($SqlShingles),
+             store_sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                          JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 0),
+             batch_sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                          JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 1),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+             inter AS (SELECT b.doc_id AS new_id, a.doc_id AS dup_of, count(*) AS i
+                       FROM store_sh a JOIN batch_sh b ON a.shingle = b.shingle
+                       GROUP BY 1, 2),
+             dups AS (SELECT DISTINCT new_id AS doc_id FROM inter
+                      JOIN sz sa ON dup_of = sa.doc_id
+                      JOIN sz sb ON new_id = sb.doc_id
+                      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+             dd AS (SELECT doc_id FROM kept WHERE doc_id % 2 = 1
+                    AND doc_id NOT IN (SELECT doc_id FROM dups)),
+             bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
+             tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
+             contam AS (SELECT DISTINCT doc_id FROM (
+                          SELECT t.doc_id, b.bench_id
+                          FROM tsh t JOIN bsh b USING (shingle)
+                          GROUP BY 1, 2 HAVING count(*) >= 2)),
+             clean AS (SELECT doc_id FROM dd
+                       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             lists AS ($SqlLists),
+             $SplitReportTailSql"""
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS ($SqlShingles),
@@ -1593,6 +1671,8 @@ object PipelineQueries extends QueryGroup {
     "q_prep_pipeline" -> prepPipelineOracle,
     // the staged twin is DEFINED to be answer-identical: same oracle
     "q_prep_pipeline_staged" -> prepPipelineOracle,
+    // the incremental face: store-backed dedup against yesterday's kept docs
+    "q_prep_ingest" -> prepIngestOracle,
 
     // the funnel rides the same stage chain; per-stage counts join each
     // surviving-id set back onto the token lists

@@ -154,6 +154,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("staged + incremental prep entries: equi-joins only, no nested loop") {
+    // the staged twin's final plan is the reconstitution join + report
+    // (boundaries already materialized by construction); the ingest
+    // face's is the survivor anti-join + decontam broadcast + report
+    for (n <- Seq("q_prep_pipeline_staged", "q_prep_ingest")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found in $n:\n$p")
+    }
+  }
+
   test("q_profile: exact distinct branches plan without an Expand") {
     val p = plan("q_profile")
     assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")
