@@ -650,6 +650,27 @@ object PipelineQueries extends QueryGroup {
         .unionByName(stage(st.clean, "4_decontam"))
     }),
 
+    // the whole story in ONE verified entry: raw corpus → composed prep
+    // (staged boundaries — each stage computes once) → persisted
+    // bucketed BM25 store built over the CLEAN corpus → pruned store
+    // search. This is what "switching the reference to this library"
+    // actually looks like end to end: you index the corpus your prep
+    // pipeline kept, not the raw crawl. The oracle recomputes BM25 over
+    // the prep oracle's own clean set — index-time stats (df, N, avg_dl)
+    // must reflect the cleaned population exactly.
+    "q_prep_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = graft.pipeline.PrepPipeline.stages(d, JaccardThreshold,
+        graft.pipeline.PrepPipeline.stageTo(
+          QueryGroup.scratchDir("graft-prepix"), d))
+      val path = QueryGroup.scratchDir("graft-prepixstore")
+      graft.index.Indexer.writeIndex(
+        graft.index.Indexer.buildIndex(st.clean, titleCol = Some("source")), path)
+      graft.search.BM25.searchStore(s, path, SearchQueries.FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     // the INCREMENTAL face of the composed pipeline — the shape a
     // continuously-growing corpus build actually runs day to day:
     // yesterday's quality-kept docs live in a persisted signature store;
@@ -1673,6 +1694,12 @@ object PipelineQueries extends QueryGroup {
     "q_prep_pipeline_staged" -> prepPipelineOracle,
     // the incremental face: store-backed dedup against yesterday's kept docs
     "q_prep_ingest" -> prepIngestOracle,
+    // BM25 over the prep oracle's own clean population: index-time stats
+    // (df, N, avg_dl) must reflect the cleaned corpus exactly
+    "q_prep_index" -> SearchQueries.bm25OracleFor(
+      s"""WITH RECURSIVE $PrepStagesSql
+          SELECT d.doc_id, $SqlNorm AS t
+          FROM documents d JOIN clean USING (doc_id)"""),
 
     // the funnel rides the same stage chain; per-stage counts join each
     // surviving-id set back onto the token lists

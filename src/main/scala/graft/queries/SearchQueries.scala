@@ -511,10 +511,11 @@ object SearchQueries extends QueryGroup {
   private lazy val bm25Oracle: String = bm25OracleFor(SqlCorpus)
 
   /** The full BM25 pipeline over an arbitrary corpus CTE — shared by the
-    * build/store/append oracles (whole corpus) and the delete oracle
+    * build/store/append oracles (whole corpus), the delete oracle
     * (live docs only: a tombstoned store must answer exactly like a
-    * fresh index built without the deleted documents). */
-  private def bm25OracleFor(corpusSql: String): String = {
+    * fresh index built without the deleted documents), and
+    * PipelineQueries' q_prep_index (the prep-cleaned corpus). */
+  private[queries] def bm25OracleFor(corpusSql: String): String = {
     val tok =
       s"SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term FROM ($corpusSql) WHERE t <> ''"
     val terms = Analyzer.analyzeQuery(FlagshipQuery).distinct
