@@ -70,18 +70,34 @@ object Bench {
         .agg(expr("bit_xor(h)")).collect()
     }
 
+    // Subset filter resolves (and validates) BEFORE anything is deleted:
+    // a typo'd name must fail fast, not clobber the committed evidence
+    // files with a successful-looking empty sweep.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the gate: ${unknown.mkString(", ")}")
+    }
+    val sweep = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
     // lands entirely on whichever query the map orders first (~5 s skew).
-    // The FIRST gate query also runs once untimed — the generic warmup
+    // The SWEEP'S first query also runs once untimed — the generic warmup
     // does not touch every init path (store writes, streaming runtimes),
     // so first-position residual skew survived it (r6: q_chunk's only
-    // timed rep committed 8.4 s vs 2.1 s on a clean re-run).
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-      SparkEntry.queries.headOption.foreach { case (_, fn) => runOnce(fn) }
-    } catch { case NonFatal(_) => () }
+    // timed rep committed 8.4 s vs 2.1 s on a clean re-run). Each step
+    // gets its own try: a subset run against a documents-only fixture has
+    // no lineitem table, and that step's failure must not skip the rest.
+    try spark.range(1000000).selectExpr("sum(id)").collect()
+    catch { case NonFatal(_) => () }
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    catch { case NonFatal(_) => () }
+    try sweep.headOption.foreach { case (_, fn) => runOnce(fn) }
+    catch { case NonFatal(_) => () }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -92,11 +108,8 @@ object Bench {
     val jsonlPath = java.nio.file.Paths.get("bench_last.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = sweep
       .map { case (name, fn) =>
       def timeOnce(): Double = {
         val t0 = System.nanoTime()

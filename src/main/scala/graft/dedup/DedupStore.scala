@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
+  /** The buckets-table derivation from a shingle-sets frame — ONE
+    * definition shared by every producer (initial build, ingest staging,
+    * fsck recompute, repair), so the geometry/derivation can never
+    * diverge between the store's writers and its checker. */
+  private def deriveBuckets(sets: DataFrame,
+                            numHashes: Int, bands: Int): DataFrame =
+    Dedup.lshBuckets(Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
+
   /** Build the signature store for an initial corpus. Shingle sets are
     * persisted FIRST and the signatures/buckets derive from the persisted
     * copy — computing both from the original lineage would run the whole
@@ -39,7 +47,7 @@ object DedupStore {
     val sets = Dedup.shingleSets(Dedup.shingles(corpus, idCol, textCol, shingleN))
     sets.write.mode("overwrite").parquet(s"$path/sets")
     val stored = corpus.sparkSession.read.parquet(s"$path/sets")
-    Dedup.lshBuckets(Dedup.withMinhashSignature(stored, numHashes), numHashes, bands)
+    deriveBuckets(stored, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets")
   }
 
@@ -67,7 +75,7 @@ object DedupStore {
     Dedup.shingleSets(Dedup.shingles(newBatch, idCol, textCol, shingleN))
       .write.mode("overwrite").parquet(s"$staged/sets")
     val newSets = spark.read.parquet(s"$staged/sets")
-    Dedup.lshBuckets(Dedup.withMinhashSignature(newSets, numHashes), numHashes, bands)
+    deriveBuckets(newSets, numHashes, bands)
       .write.mode("overwrite").parquet(s"$staged/buckets")
     val newBuckets = spark.read.parquet(s"$staged/buckets")
 
@@ -192,8 +200,7 @@ object DedupStore {
             .otherwise(0L)).as("violations")))
 
     val content = {
-      val recomputed = Dedup.lshBuckets(
-          Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
+      val recomputed = deriveBuckets(sets, numHashes, bands)
         .select(col("doc_id"), col("band"), col("bucket"))
         .withColumn("rec", lit(1))
       val stored = buckets.select("doc_id", "band", "bucket")
@@ -221,7 +228,7 @@ object DedupStore {
   def refreshBuckets(spark: SparkSession, path: String,
                      numHashes: Int = 128, bands: Int = 32): Unit = {
     val sets = spark.read.parquet(s"$path/sets")
-    Dedup.lshBuckets(Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
+    deriveBuckets(sets, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets_tmp")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.FsOps.atomicSwap(fs,

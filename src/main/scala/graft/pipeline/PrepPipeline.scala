@@ -46,8 +46,19 @@ object PrepPipeline {
   type Boundary = (DataFrame, String) => DataFrame
 
   /** Benchmark split: every 50th doc is held out as the eval set the
-    * pool is decontaminated against. */
-  private def isBench = col("doc_id") % 50 === 0
+    * pool is decontaminated against. Public so the pipeline's other
+    * faces (the incremental ingest entry) share the SAME holdout
+    * definition instead of re-deriving it. */
+  def isBench: org.apache.spark.sql.Column = col("doc_id") % 50 === 0
+
+  /** The quality stage's join: `df` restricted to its quality-kept
+    * doc_ids ([[TextAnalysis.qualityFilter]]'s `kept = 1`). Shared by
+    * [[stages]] and the incremental ingest face so the two can never
+    * disagree on what "kept" means. */
+  def qualityKept(df: DataFrame): DataFrame =
+    df.join(
+      TextAnalysis.qualityFilter(df).filter(col("kept") === 1).select("doc_id"),
+      Seq("doc_id"))
 
   /** Build the stage lineage over `docs`. The near-dup step runs INSIDE
     * the pool only (restricting pairwise edges to the pool commutes with
@@ -57,11 +68,7 @@ object PrepPipeline {
              boundary: Boundary = (df, _) => df): Stages = {
     val bench = docs.filter(isBench)
     val pool = docs.filter(!isBench)
-    val quality = boundary(
-      pool.join(
-        TextAnalysis.qualityFilter(pool).filter(col("kept") === 1).select("doc_id"),
-        Seq("doc_id")),
-      "1_quality")
+    val quality = boundary(qualityKept(pool), "1_quality")
     val clusters = Dedup.duplicateClusters(
       Dedup.minhashLshPairs(Dedup.shingles(quality), jaccardThreshold))
     val deduped = boundary(

@@ -683,14 +683,12 @@ object PipelineQueries extends QueryGroup {
     // q_dedup_ingest; within-batch dups follow ingest's documented
     // contract (not flagged — both enter the store).
     "q_prep_ingest" -> ((s, dir) => {
+      import graft.pipeline.PrepPipeline.{isBench, qualityKept}
       val d = docs(s, dir)
-      val bench = d.filter(col("doc_id") % 50 === 0)
-      val pool = d.filter(col("doc_id") % 50 =!= 0)
-      def kept(df: DataFrame) = df.join(
-        TextAnalysis.qualityFilter(df).filter(col("kept") === 1).select("doc_id"),
-        Seq("doc_id"))
-      val store = kept(pool.filter(col("doc_id") % 2 === 0))   // yesterday
-      val batch = kept(pool.filter(col("doc_id") % 2 === 1))   // today
+      val bench = d.filter(isBench)
+      val pool = d.filter(!isBench)
+      val store = qualityKept(pool.filter(col("doc_id") % 2 === 0))   // yesterday
+      val batch = qualityKept(pool.filter(col("doc_id") % 2 === 1))   // today
       val path = QueryGroup.scratchDir("graft-prepingest")
       graft.dedup.DedupStore.writeSignatures(store, path)
       val report = graft.dedup.DedupStore.ingest(s, path, batch, JaccardThreshold)
@@ -1061,13 +1059,6 @@ object PipelineQueries extends QueryGroup {
                    WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
          lists AS ($SqlLists)"""
 
-  /** The composed prep pipeline's oracle: each stage's CTE chained on the
-    * previous stage's surviving doc_ids — quality keep (the
-    * q_quality_filter predicate), near-dup components over the KEPT
-    * subset only, shingle decontamination of the survivors against the
-    * raw benchmark set, then the q_token_budget report arithmetic over
-    * the clean population. Shared verbatim by q_prep_pipeline and
-    * q_prep_pipeline_staged (staging must not change answers). */
   /** The split-assignment + token-budget report tail: expects CTEs
     * `clean(doc_id)` and `lists(doc_id, l)` in scope — shared by the
     * batch-pipeline twins and the incremental ingest oracle. */
@@ -1091,6 +1082,13 @@ object PipelineQueries extends QueryGroup {
         FROM assigned GROUP BY 1, 2"""
   }
 
+  /** The composed prep pipeline's oracle: each stage's CTE chained on the
+    * previous stage's surviving doc_ids — quality keep (the
+    * q_quality_filter predicate), near-dup components over the KEPT
+    * subset only, shingle decontamination of the survivors against the
+    * raw benchmark set, then the q_token_budget report arithmetic over
+    * the clean population. Shared verbatim by q_prep_pipeline and
+    * q_prep_pipeline_staged (staging must not change answers). */
   private lazy val prepPipelineOracle: String =
     s"""WITH RECURSIVE $PrepStagesSql,
              $SplitReportTailSql"""
