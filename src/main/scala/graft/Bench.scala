@@ -38,7 +38,10 @@ import scala.util.control.NonFatal
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the sweep
   * to a subset — the local-iteration / scale-spot-run aid (e.g. the
   * documents-only family against a fixture directory that carries no
-  * relational tables). Unset = full gate.
+  * relational tables). Unset = full gate. Subset runs write their
+  * evidence to `bench_subset.json(l)` and stamp the emitted line with an
+  * `"only"` field — a partial sweep must never clobber the committed
+  * full-gate `bench_last.*` files or masquerade as a full-gate total.
   *
   * Evidence is INCREMENTAL: each completed query appends one
   * `{"name":…,"secs":…,"ok":…}` line to `bench_last.jsonl`, so even a
@@ -105,7 +108,9 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val repCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CUTOFF_SECS", "1.0").toDouble
-    val jsonlPath = java.nio.file.Paths.get("bench_last.jsonl")
+    // subset evidence lands beside (never over) the committed full-gate files
+    val evidenceStem = if (only.isDefined) "bench_subset" else "bench_last"
+    val jsonlPath = java.nio.file.Paths.get(s"$evidenceStem.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -144,17 +149,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    val onlyField = only.map(n =>
+      s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$onlyField}"""
     println(line)
     // Also persist to a file: the driver's log-tail capture truncates long
     // output, which cost round 4 its per-query timings (BENCH_r04.json has
     // no totals line). A committed bench_last.json survives truncation.
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_last.json"),
+        java.nio.file.Paths.get(s"$evidenceStem.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(e) =>
-      System.err.println(s"[bench] could not write bench_last.json: $e")
+      System.err.println(s"[bench] could not write $evidenceStem.json: $e")
     }
     spark.stop()
     if (errors.nonEmpty) {

@@ -37,6 +37,50 @@ object DedupStore {
                             numHashes: Int, bands: Int): DataFrame =
     Dedup.lshBuckets(Dedup.withMinhashSignature(sets, numHashes), numHashes, bands)
 
+  // ---- geometry marker: the store records its own (numHashes, bands) so
+  // a later ingest/fsck/repair invoked with different params fails fast
+  // instead of silently mixing geometries (mismatched buckets collide on
+  // the wrong bands and quietly lose recall — and a checker called with
+  // the same wrong params would then report the broken store clean). The
+  // same fail-safe discipline as Indexer's `_nbuckets`.
+
+  private val GeometryMarker = "_geometry"
+
+  private def writeGeometry(spark: SparkSession, path: String,
+                            numHashes: Int, bands: Int): Unit = {
+    val p = new Path(s"$path/$GeometryMarker")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(s"$numHashes,$bands".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The `(numHashes, bands)` geometry a store was built with, if
+    * recorded (stores written before the marker existed have none). */
+  def storedGeometry(spark: SparkSession, path: String): Option[(Int, Int)] = {
+    val p = new Path(s"$path/$GeometryMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      val parts = s.split(",")
+      Some((parts(0).toInt, parts(1).toInt))
+    }
+  }
+
+  /** Fail fast when the caller's geometry contradicts the store's
+    * recorded one (pre-marker stores validate vacuously). */
+  private def requireGeometry(spark: SparkSession, path: String,
+                              numHashes: Int, bands: Int, op: String): Unit =
+    storedGeometry(spark, path).foreach { case (nh, b) =>
+      require(nh == numHashes && b == bands,
+        s"$op: store at $path was built with geometry numHashes=$nh, bands=$b " +
+          s"but was invoked with numHashes=$numHashes, bands=$bands — mixed " +
+          "geometries silently lose recall; pass the stored geometry " +
+          "(DedupStore.storedGeometry) or rebuild the store")
+    }
+
   /** Build the signature store for an initial corpus. Shingle sets are
     * persisted FIRST and the signatures/buckets derive from the persisted
     * copy — computing both from the original lineage would run the whole
@@ -49,6 +93,7 @@ object DedupStore {
     val stored = corpus.sparkSession.read.parquet(s"$path/sets")
     deriveBuckets(stored, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets")
+    writeGeometry(corpus.sparkSession, path, numHashes, bands)
   }
 
   /** Dedup a new batch against the store, then grow the store.
@@ -68,6 +113,7 @@ object DedupStore {
              minJaccard: Double,
              idCol: String = "doc_id", textCol: String = "text",
              shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    requireGeometry(spark, path, numHashes, bands, "ingest")
     // stage the batch's sets/buckets once: they are each consumed by
     // several jobs below (candidate join, verification, survivor append),
     // and every consumer would otherwise re-run the shingle chain
@@ -173,6 +219,7 @@ object DedupStore {
     */
   def checkStore(spark: SparkSession, path: String,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    requireGeometry(spark, path, numHashes, bands, "checkStore")
     import graft.operators.StoreCheck.row
     val sets = spark.read.parquet(s"$path/sets")
     val buckets = spark.read.parquet(s"$path/buckets")
@@ -227,6 +274,7 @@ object DedupStore {
     * scheduled maintenance job, like the index store's refreshDerived. */
   def refreshBuckets(spark: SparkSession, path: String,
                      numHashes: Int = 128, bands: Int = 32): Unit = {
+    requireGeometry(spark, path, numHashes, bands, "refreshBuckets")
     val sets = spark.read.parquet(s"$path/sets")
     deriveBuckets(sets, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets_tmp")

@@ -219,9 +219,13 @@ object IvfStore {
     * operator actually runs. One layout-preserving rewrite that fixes
     * every list-side invariant the checker can flag:
     *
-    *   - duplicate `vec_id` rows drop (first by ascending cid survives —
-    *     deterministic, and for the replayed-ingest shape that is the
-    *     originally-assigned copy);
+    *   - duplicate `vec_id` rows drop under a TOTAL order — ascending
+    *     cid, then batch (when the store is batch-partitioned: the
+    *     earliest-ingested copy survives a replayed micro-batch that tied
+    *     on cid), then a payload hash as the final tiebreak — so the
+    *     survivor is deterministic even for same-cid duplicates with
+    *     divergent payloads (which copy that is carries no special
+    *     meaning in that degenerate case; determinism is the contract);
     *   - raw stores re-assign every vector to its nearest persisted
     *     centroid with the exact write-path assignment (fixing
     *     mis-assignment AND uncovered cids — the repaired rows land back
@@ -241,8 +245,14 @@ object IvfStore {
     val lists = spark.read.parquet(s"$path/lists")
     val quantized = lists.columns.contains("qvec")
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
+    // total order: cid, batch (if present), payload hash — same-cid
+    // duplicates (a replayed micro-batch under batch=/cid= layout) would
+    // otherwise tie and survive nondeterministically
+    val tiebreaks = (if (lists.columns.contains("batch"))
+        Seq(col("batch").asc) else Seq.empty) :+
+      xxhash64(lists.columns.filterNot(_ == "vec_id").sorted.map(col): _*).asc
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cid").asc)
+      .partitionBy(col("vec_id")).orderBy(col("cid").asc +: tiebreaks: _*)
     val deduped = lists.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val repaired =

@@ -163,6 +163,31 @@ class DedupSpec extends SparkSpec {
     assert(report().values.forall(_._2 == 0L), "refreshBuckets must repair the drift")
   }
 
+  test("geometry marker: mismatched numHashes/bands fail fast on every store op") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupgeom").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 4), path,
+      numHashes = 64, bands = 16)
+    assert(DedupStore.storedGeometry(spark, path) === Some((64, 16)))
+    // the DEFAULT geometry (128/32) now contradicts the store's marker —
+    // every op that derives or validates buckets must refuse, not
+    // silently rewrite/check with the wrong geometry
+    val batch = Seq((30L, "m n o p q r s t")).toDF("doc_id", "text")
+    for (op <- Seq(
+      () => DedupStore.ingest(spark, path, batch, 0.5),
+      () => DedupStore.checkStore(spark, path),
+      () => DedupStore.refreshBuckets(spark, path))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+    }
+    // the recorded geometry works end to end
+    val r = DedupStore.ingest(spark, path, batch, 0.5,
+      numHashes = 64, bands = 16)
+    assert(r.count() === 0)
+    assert(DedupStore.checkStore(spark, path, numHashes = 64, bands = 16)
+      .filter($"violations" =!= 0L).count() === 0)
+  }
+
   test("duplicateClusters: transitive components, min-id survivor") {
     // chain 1-2-3 plus isolated pair 5-6; 8 links back to 1 (A≈B≈C shape)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 8L))
