@@ -60,6 +60,20 @@ object PrepPipeline {
       TextAnalysis.qualityFilter(df).filter(col("kept") === 1).select("doc_id"),
       Seq("doc_id"))
 
+  /** In-pool near-dup removal: MinHash+LSH pairs over `pool` only →
+    * connected components → min-id survivor per component; non-survivors
+    * drop. ONE definition shared by the batch pipeline's dedup stage and
+    * the incremental ingest face ([[dedupIngest]]'s within-batch pass),
+    * so "near-dup inside the pool" can never mean two different things
+    * depending on how the corpus arrived. */
+  def dedupInPool(pool: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(Dedup.shingles(pool), jaccardThreshold))
+    pool.join(
+      clusters.filter(col("is_survivor") === 0).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Build the stage lineage over `docs`. The near-dup step runs INSIDE
     * the pool only (restricting pairwise edges to the pool commutes with
     * the pairwise Jaccard predicate); the benchmark side of
@@ -69,17 +83,33 @@ object PrepPipeline {
     val bench = docs.filter(isBench)
     val pool = docs.filter(!isBench)
     val quality = boundary(qualityKept(pool), "1_quality")
-    val clusters = Dedup.duplicateClusters(
-      Dedup.minhashLshPairs(Dedup.shingles(quality), jaccardThreshold))
-    val deduped = boundary(
-      quality.join(
-        clusters.filter(col("is_survivor") === 0).select("doc_id"),
-        Seq("doc_id"), "left_anti"),
-      "2_dedup")
+    val deduped = boundary(dedupInPool(quality, jaccardThreshold), "2_dedup")
     val clean = boundary(
       Contamination.decontaminate(deduped, bench, minShared = 2L),
       "3_decontam")
     Stages(docs, bench, pool, quality, deduped, clean)
+  }
+
+  /** The incremental face's dedup step: the within-batch in-pool pass
+    * ([[dedupInPool]] — the exact pass the batch pipeline runs) composed
+    * IN FRONT of the store-backed dedup ([[graft.dedup.DedupStore
+    * .ingest]]), so the batch and incremental faces give the same answer
+    * for the same corpus however it is sliced into batches. Without the
+    * front pass, two near-identical docs arriving in the SAME batch
+    * both enter the store and both count as clean additions — while the
+    * batch face (and a two-batch slicing) keeps only the min-id
+    * survivor.
+    *
+    * Returns the batch docs that survived BOTH passes — exactly the
+    * docs the store grew by. Scale: the within-batch pass is banded LSH
+    * over the batch alone (∝ batch, like every other per-batch cost
+    * here); the store-side pass stays ∝ batch band-bucket collisions. */
+  def dedupIngest(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                  batch: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val wb = dedupInPool(batch, jaccardThreshold)
+    val report = graft.dedup.DedupStore.ingest(spark, storePath, wb, jaccardThreshold)
+    wb.join(report.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** The materializing [[Boundary]]: write the stage's surviving doc_id

@@ -674,14 +674,18 @@ object PipelineQueries extends QueryGroup {
     // the INCREMENTAL face of the composed pipeline — the shape a
     // continuously-growing corpus build actually runs day to day:
     // yesterday's quality-kept docs live in a persisted signature store;
-    // today's batch is quality-filtered, deduped AGAINST THE STORE
-    // (DedupStore.ingest: near-dups of anything already kept are flagged
-    // and withheld — no recompute of yesterday's corpus), survivors
-    // decontaminated and budgeted. The report is the (split, lang)
-    // token budget of the batch's clean ADDITIONS. Scale: store-side
-    // work ∝ the batch (band-bucket collisions), exactly like
-    // q_dedup_ingest; within-batch dups follow ingest's documented
-    // contract (not flagged — both enter the store).
+    // today's batch is quality-filtered, deduped WITHIN ITSELF (the
+    // same in-pool LSH pass the batch pipeline runs — two near-identical
+    // docs arriving in one batch keep only the min-id survivor), the
+    // survivors deduped AGAINST THE STORE (DedupStore.ingest: near-dups
+    // of anything already kept are flagged and withheld — no recompute
+    // of yesterday's corpus), then decontaminated and budgeted. The
+    // two-pass composition (PrepPipeline.dedupIngest) makes the
+    // incremental face answer exactly like the batch face for the same
+    // corpus however it is sliced into batches (spec-verified one-batch
+    // ≡ two-batch). The report is the (split, lang) token budget of the
+    // batch's clean ADDITIONS. Scale: both passes ∝ the batch — banded
+    // LSH within it, band-bucket collisions against the store.
     "q_prep_ingest" -> ((s, dir) => {
       import graft.pipeline.PrepPipeline.{isBench, qualityKept}
       val d = docs(s, dir)
@@ -691,10 +695,8 @@ object PipelineQueries extends QueryGroup {
       val batch = qualityKept(pool.filter(col("doc_id") % 2 === 1))   // today
       val path = QueryGroup.scratchDir("graft-prepingest")
       graft.dedup.DedupStore.writeSignatures(store, path)
-      val report = graft.dedup.DedupStore.ingest(s, path, batch, JaccardThreshold)
-      val deduped = batch.join(
-        report.select(col("new_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+      val deduped = graft.pipeline.PrepPipeline.dedupIngest(
+        s, path, batch, JaccardThreshold)
       val clean = graft.pipeline.Contamination.decontaminate(
         deduped, bench, minShared = 2L)
       splitBudgetReport(clean)
@@ -1094,22 +1096,50 @@ object PipelineQueries extends QueryGroup {
              $SplitReportTailSql"""
 
   /** The incremental-ingest oracle: kept pool docs split into the stored
-    * half (evens) and today's batch (odds); a batch doc is withheld iff
-    * its exact shingle-set Jaccard against some STORED doc reaches the
-    * threshold (LSH recall at this fixture/threshold is itself
-    * oracle-verified by q_dedup_ingest, whose pair universe contains
-    * these pairs); survivors decontaminate against the raw benchmark
-    * set and ride the shared budget-report tail. */
+    * half (evens) and today's batch (odds). The batch first dedups
+    * WITHIN itself — exact-Jaccard pairs among batch docs → connected
+    * components → min-id survivor (the in-pool pass, same CTE shape as
+    * [[PrepStagesSql]] restricted to the batch) — then a surviving
+    * batch doc is withheld iff its exact shingle-set Jaccard against
+    * some STORED doc reaches the threshold (LSH recall at this
+    * fixture/threshold is itself oracle-verified by q_dedup_ingest,
+    * whose pair universe contains these pairs); survivors decontaminate
+    * against the raw benchmark set and ride the shared budget-report
+    * tail. */
   private lazy val prepIngestOracle: String =
-    s"""WITH kept AS (SELECT doc_id FROM ($QualitySql)
+    s"""WITH RECURSIVE
+             kept AS (SELECT doc_id FROM ($QualitySql)
                       WHERE doc_id % 50 <> 0 AND n_tokens >= 25
                         AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
              sh0 AS ($SqlShingles),
              store_sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
                           JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 0),
-             batch_sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
-                          JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 1),
+             batch_sh0 AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                           JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 1),
              sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+             -- within-batch pass: components over exact-Jaccard pairs
+             -- among batch docs, min-id survivor per component
+             wb_inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+                          FROM batch_sh0 x JOIN batch_sh0 y
+                            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                          GROUP BY 1, 2),
+             wb_pairs AS (SELECT doc_a, doc_b FROM wb_inter
+                          JOIN sz sa ON doc_a = sa.doc_id
+                          JOIN sz sb ON doc_b = sb.doc_id
+                          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+             wb_edges AS (SELECT doc_a AS a, doc_b AS b FROM wb_pairs
+                          UNION SELECT doc_b, doc_a FROM wb_pairs),
+             wb_nodes AS (SELECT DISTINCT a AS id FROM wb_edges),
+             wb_reach(id, lbl) AS (
+               SELECT id, id FROM wb_nodes
+               UNION
+               SELECT e.b, r.lbl FROM wb_reach r JOIN wb_edges e ON e.a = r.id),
+             wb_nonsurv AS (SELECT id FROM
+                              (SELECT id, min(lbl) AS m FROM wb_reach GROUP BY id)
+                            WHERE id <> m),
+             batch_sh AS (SELECT doc_id, shingle FROM batch_sh0
+                          WHERE doc_id NOT IN (SELECT id FROM wb_nonsurv)),
+             -- store pass: surviving batch docs vs the stored half
              inter AS (SELECT b.doc_id AS new_id, a.doc_id AS dup_of, count(*) AS i
                        FROM store_sh a JOIN batch_sh b ON a.shingle = b.shingle
                        GROUP BY 1, 2),
@@ -1118,6 +1148,7 @@ object PipelineQueries extends QueryGroup {
                       JOIN sz sb ON new_id = sb.doc_id
                       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
              dd AS (SELECT doc_id FROM kept WHERE doc_id % 2 = 1
+                    AND doc_id NOT IN (SELECT id FROM wb_nonsurv)
                     AND doc_id NOT IN (SELECT doc_id FROM dups)),
              bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
              tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),

@@ -38,4 +38,37 @@ class PrepPipelineSpec extends SparkSpec {
     // staged frames keep the corpus' full column surface
     assert(staged.clean.columns.sorted.toSeq === d.columns.sorted.toSeq)
   }
+
+  test("dedupIngest: clean additions are slicing-invariant (one batch == two batches)") {
+    import spark.implicits._
+    import graft.dedup.DedupStore
+    // store corpus + a delta containing an INTRA-batch near-dup pair
+    // (20, 21) and a doc (22) near-duplicating stored content
+    val mk = (id: Long, text: String) => (id, text)
+    val storeCorpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"),
+      mk(2L, "completely different content about spark query engines here")).toDF("doc_id", "text")
+    val delta = Seq(
+      mk(20L, "an original essay on distributed joins and shuffles now"),
+      mk(21L, "an original essay on distributed joins and shuffles again"), // ≈ 20
+      mk(22L, "the quick brown fox jumps over the lazy dog tonight"),       // ≈ stored 1
+      mk(23L, "novel unrelated text with entirely fresh vocabulary words")).toDF("doc_id", "text")
+
+    def cleanAdditions(slices: Seq[DataFrame]): Set[Long] = {
+      val path = Files.createTempDirectory("ingestslice").toString
+      DedupStore.writeSignatures(storeCorpus, path)
+      slices.map(b => ids(PrepPipeline.dedupIngest(spark, path, b, 0.5)))
+        .reduce(_ ++ _)
+    }
+
+    val oneBatch = cleanAdditions(Seq(delta))
+    val twoBatches = cleanAdditions(Seq(
+      delta.filter($"doc_id" <= 20L), delta.filter($"doc_id" > 20L)))
+    // 21 must drop HOWEVER it arrives: same-batch as 20 (within-batch
+    // pass) or a batch after 20 entered the store (store pass); 22 drops
+    // against the stored doc 1 in both slicings
+    assert(oneBatch === Set(20L, 23L), s"one-batch clean additions: $oneBatch")
+    assert(twoBatches === oneBatch,
+      s"slicing changed the answer: one=$oneBatch two=$twoBatches")
+  }
 }
