@@ -82,6 +82,40 @@ object PipelineQueries extends QueryGroup {
       graft.dedup.DedupStore.checkStore(s, path)
     }),
 
+    // ...and the full corrupt → DETECT → REPAIR → re-check loop for the
+    // signature store (the dedup twin of q_store_repair). The corruption
+    // is removeDocs' own documented crash window, reproduced exactly:
+    // the sets rewrite committed (the %4 docs gone), the buckets rewrite
+    // never ran — so buckets still carry the removed docs' bands, and
+    // near-dups of removed content keep getting silently blocked.
+    // checkStore flags the surface + content invariants with
+    // oracle-derived counts (one orphan id and `bands` orphan bucket
+    // rows PER removed doc); refreshBuckets re-derives buckets from the
+    // authoritative sets table; the re-check is all-zero. The detect
+    // report materializes BEFORE the repair mutates the store.
+    "q_dedup_repair" -> ((s, dir) => {
+      import graft.dedup.DedupStore
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-dedrepair")
+      DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.read.parquet(s"$path/sets").filter(col("doc_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$path/sets_tmp")
+      graft.FsOps.atomicSwap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/sets"),
+        new org.apache.hadoop.fs.Path(s"$path/sets_tmp"))
+      DedupStore.checkStore(s, path)
+        .select(lit("0_detect").as("phase"), col("invariant"),
+          col("checked"), col("violations"))
+        .write.mode("overwrite").parquet(s"$path/detect_report")
+      DedupStore.refreshBuckets(s, path)
+      s.read.parquet(s"$path/detect_report").unionByName(
+        DedupStore.checkStore(s, path)
+          .select(lit("1_repaired").as("phase"), col("invariant"),
+            col("checked"), col("violations")))
+    }),
+
     // pair list → actionable clusters: connected components over the
     // near-dup graph, min-id survivor per component
     "q_dedup_clusters" -> ((s, dir) =>
@@ -339,6 +373,37 @@ object PipelineQueries extends QueryGroup {
       graft.similarity.IvfStore.deleteVectors(s, path,
         e.filter(col("vec_id") % 4 === 3).select("vec_id"))
       graft.similarity.IvfStore.checkStore(s, path)
+    }),
+
+    // ...and the full corrupt → DETECT → REPAIR → re-check loop for the
+    // IVF store (the vector twin of q_store_repair). The corruption is
+    // the documented replayed-ingest shape: every vec_id % 10 == 0 row
+    // re-appended under the WRONG neighbor centroid ((cid % 16) + 1 —
+    // still a live cid, so centroid cover stays clean), producing
+    // duplicate ids AND broken assignment in one shot. checkStore flags
+    // both with oracle-derived counts (the duplicate set size, the
+    // mis-assigned copies); repairLists dedups under its total order and
+    // re-assigns every vector with the exact write-path assignment; the
+    // re-check is all-zero. Detect report materialized BEFORE repair.
+    "q_ivf_repair" -> ((s, dir) => {
+      import graft.similarity.IvfStore
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivfrepair")
+      IvfStore.writeIndex(e, path, kmeansIters = 0)
+      val lists = s.read.parquet(s"$path/lists")
+      lists.filter(col("vec_id") % 10 === 0)
+        .withColumn("cid", (col("cid") % 16) + 1)
+        .select(lists.columns.map(col).toSeq: _*)
+        .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+      IvfStore.checkStore(s, path)
+        .select(lit("0_detect").as("phase"), col("invariant"),
+          col("checked"), col("violations"))
+        .write.mode("overwrite").parquet(s"$path/detect_report")
+      IvfStore.repairLists(s, path)
+      s.read.parquet(s"$path/detect_report").unionByName(
+        IvfStore.checkStore(s, path)
+          .select(lit("1_repaired").as("phase"), col("invariant"),
+            col("checked"), col("violations")))
     }),
 
     // count-min sketch frequency estimates for every token, with the
@@ -893,6 +958,38 @@ object PipelineQueries extends QueryGroup {
       ttStoreSetup(s, dir, path)
       VersionedStore.checkpoint(s, path, 3L, Seq("doc_id"))
       VersionedStore.checkStore(s, path, Seq("doc_id"))
+    }),
+
+    // ...and the full corrupt → DETECT → REPAIR → re-check loop for the
+    // versioned store (completing the repair story across all four store
+    // families). The corruption is the documented buggy-checkpoint-job
+    // shape: the v3 checkpoint loses every doc_id % 9 == 4 row while the
+    // authoritative LOG is untouched — every later read starting from
+    // that checkpoint silently drops those keys. checkStore's
+    // checkpoint-vs-independent-replay diff flags exactly the lost rows
+    // (oracle-derived count); repairCheckpoint re-derives the snapshot
+    // from the previous checkpoint + log delta and swaps it in; the
+    // re-check is all-zero. Detect report materialized BEFORE repair.
+    "q_vstore_repair" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val path = QueryGroup.scratchDir("graft-ttrepair")
+      ttStoreSetup(s, dir, path)
+      VersionedStore.checkpoint(s, path, 3L, Seq("doc_id"))
+      val ck = new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3")
+      val fs = ck.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bad = new org.apache.hadoop.fs.Path(s"$path/checkpoint/_v=3.bad_tmp")
+      s.read.parquet(ck.toString).filter(col("doc_id") % 9 =!= 4)
+        .write.mode("overwrite").parquet(bad.toString)
+      graft.FsOps.atomicSwap(fs, ck, bad)
+      VersionedStore.checkStore(s, path, Seq("doc_id"))
+        .select(lit("0_detect").as("phase"), col("invariant"),
+          col("checked"), col("violations"))
+        .write.mode("overwrite").parquet(s"$path/detect_report")
+      VersionedStore.repairCheckpoint(s, path, Seq("doc_id"))
+      s.read.parquet(s"$path/detect_report").unionByName(
+        VersionedStore.checkStore(s, path, Seq("doc_id"))
+          .select(lit("1_repaired").as("phase"), col("invariant"),
+            col("checked"), col("violations")))
     }),
   )
 
@@ -1635,6 +1732,36 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'id_surface_match', (SELECT n FROM pop), 0
           UNION ALL SELECT 'ids_unique', (SELECT n FROM pop), 0""",
 
+    // the detect→repair loop for the signature store: in the detect
+    // phase every removed doc (%4 of the shingle-able even half) is one
+    // orphan id on the surface check and `bands` orphan rows on the
+    // content check (its buckets survive, its set is gone); the
+    // cardinality check still audits the FULL bucket population (the
+    // orphans keep their 32 bands). After refreshBuckets both tables
+    // describe the surviving population and every violation is zero.
+    "q_dedup_repair" ->
+      s"""WITH lists AS ($SqlLists),
+               e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lists
+                     WHERE len(l) >= 3 AND doc_id % 2 = 0),
+               r AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lists
+                     WHERE len(l) >= 3 AND doc_id % 4 = 0)
+          SELECT '0_detect' AS phase, 'bucket_cardinality' AS invariant,
+                 (SELECT n FROM e) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT '0_detect', 'buckets_match_signatures',
+                 (SELECT (e.n - r.n) * 32 FROM e, r), (SELECT n * 32 FROM r)
+          UNION ALL SELECT '0_detect', 'id_surface_match',
+                 (SELECT e.n - r.n FROM e, r), (SELECT n FROM r)
+          UNION ALL SELECT '0_detect', 'ids_unique',
+                 (SELECT e.n - r.n FROM e, r), 0
+          UNION ALL SELECT '1_repaired', 'bucket_cardinality',
+                 (SELECT e.n - r.n FROM e, r), 0
+          UNION ALL SELECT '1_repaired', 'buckets_match_signatures',
+                 (SELECT (e.n - r.n) * 32 FROM e, r), 0
+          UNION ALL SELECT '1_repaired', 'id_surface_match',
+                 (SELECT e.n - r.n FROM e, r), 0
+          UNION ALL SELECT '1_repaired', 'ids_unique',
+                 (SELECT e.n - r.n FROM e, r), 0""",
+
     "q_array_funcs" ->
       s"""SELECT doc_id,
                  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
@@ -2060,6 +2187,49 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
+
+    // the detect→repair loop for the IVF store: the corrupted copies
+    // (one per vec_id % 10 = 0, under the wrong neighbor cid) are the
+    // duplicate count on ids_unique AND the mismatch count on
+    // lists_assignment (the recomputed assignment collapses the
+    // duplicate (id, v) pair to one row, so each physical row joins it
+    // exactly once: checked = rows, violations = wrong-cid copies);
+    // cover's checked gains the wrong cids the copies landed under.
+    // After repairLists (dedup + write-path re-assignment + norm
+    // recompute) every count is the clean store's and violations are 0
+    "q_ivf_repair" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+               a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id % 10 = 0),
+               cov0 AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n FROM (
+                          SELECT cid FROM assign
+                          UNION ALL SELECT (cid % 16) + 1 FROM assign
+                          WHERE vec_id % 10 = 0)),
+               cov1 AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n FROM assign)
+          SELECT '0_detect' AS phase, 'centroid_cover' AS invariant,
+                 (SELECT n FROM cov0) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT '0_detect', 'codes_wellformed', 0, 0
+          UNION ALL SELECT '0_detect', 'ids_unique',
+                 (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
+          UNION ALL SELECT '0_detect', 'lists_assignment',
+                 (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
+          UNION ALL SELECT '0_detect', 'norms_consistent',
+                 (SELECT n.n + a.n FROM n, a), 0
+          UNION ALL SELECT '1_repaired', 'centroid_cover', (SELECT n FROM cov1), 0
+          UNION ALL SELECT '1_repaired', 'codes_wellformed', 0, 0
+          UNION ALL SELECT '1_repaired', 'ids_unique', (SELECT n FROM n), 0
+          UNION ALL SELECT '1_repaired', 'lists_assignment', (SELECT n FROM n), 0
+          UNION ALL SELECT '1_repaired', 'norms_consistent', (SELECT n FROM n), 0""",
     // expunge must be invisible in answers — same live-subset truth
     "q_ann_ivf_expunge" -> annIvfOracleFor("vec_id % 4 <> 3"),
     "q_ann_ivf_quant" -> annIvfQuantOracle,
@@ -2366,6 +2536,45 @@ object PipelineQueries extends QueryGroup {
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
          UNION ALL SELECT 'log_contiguous', 3, 0
          UNION ALL SELECT 'op_wellformed',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0""",
+
+    // the detect→repair loop for the versioned store: in the detect
+    // phase the corrupted v3 checkpoint is short exactly the live
+    // doc_id % 9 = 4 rows — each is one replay-only row in the
+    // checkpoint-vs-replay diff (violations) and missing from the
+    // stored side (checked = live - lost); the log-side invariants are
+    // untouched in both phases. After repairCheckpoint the stored
+    // checkpoint equals the replay again
+    "q_vstore_repair" ->
+      """WITH n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE doc_id % 13 <> 3),
+              n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE (doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 3)
+                        OR (doc_id % 7 = 0 AND doc_id % 13 <> 3)),
+              n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE doc_id % 13 = 3
+                        OR (doc_id % 11 = 0 AND doc_id % 13 <> 3)),
+              live AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                       WHERE NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
+                                  AND doc_id % 11 <> 0)),
+              lost AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                       WHERE doc_id % 9 = 4
+                         AND NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
+                                  AND doc_id % 11 <> 0))
+         SELECT '0_detect' AS phase, 'checkpoint_matches_log' AS invariant,
+                (SELECT live.n - lost.n FROM live, lost) AS checked,
+                (SELECT n FROM lost) AS violations
+         UNION ALL SELECT '0_detect', 'commit_key_unique',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
+         UNION ALL SELECT '0_detect', 'log_contiguous', 3, 0
+         UNION ALL SELECT '0_detect', 'op_wellformed',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
+         UNION ALL SELECT '1_repaired', 'checkpoint_matches_log',
+                (SELECT n FROM live), 0
+         UNION ALL SELECT '1_repaired', 'commit_key_unique',
+                (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
+         UNION ALL SELECT '1_repaired', 'log_contiguous', 3, 0
+         UNION ALL SELECT '1_repaired', 'op_wellformed',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0""",
 
     "q_hybrid_rrf" -> hybridOracle,

@@ -207,10 +207,50 @@ object VersionedStore {
       throw new java.io.IOException(s"checkpoint: failed to install $tmp at $live")
   }
 
+  /** Repair the newest checkpoint — the REPAIR step beside
+    * [[checkStore]]'s detect, closing the corrupt → detect → repair →
+    * re-check loop for this store family. The LOG is authoritative; a
+    * checkpoint is derived state (exactly [[checkpoint]]'s derivation),
+    * so repair re-derives it by an independent replay from the previous
+    * checkpoint + log delta — the same replay [[checkStore]] audits
+    * against — and installs it via the crash-safe rename-aside swap
+    * (readers observe the old or the repaired checkpoint, never half).
+    *
+    * Fixes everything `checkpoint_matches_log` can flag: a checkpoint
+    * written by a buggy or crashed job, rows lost or mutated by a
+    * hand-edit. Refuses when a vacuum has dropped the replay basis —
+    * the stored checkpoint is then the only authority and there is
+    * nothing independent to re-derive from ([[checkStore]] reports that
+    * state as unauditable, checked = 0, for the same reason).
+    *
+    * Scale: one snapshot replay (∝ |previous checkpoint| + |delta|) +
+    * one swap — a scheduled maintenance job, never a read-path cost. */
+  def repairCheckpoint(spark: SparkSession, path: String,
+                       keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "repairCheckpoint needs the store's key columns")
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    val c = ckptVs.lastOption.getOrElse(
+      throw new IllegalStateException(s"no checkpoint to repair at $path"))
+    val earlier = ckptVs.filter(_ < c)
+    val base0 = earlier.lastOption.getOrElse(0L)
+    require(((base0 + 1) to c).forall(committed.contains),
+      s"repairCheckpoint: the replay basis for checkpoint v=$c is incomplete " +
+        s"(logs ${committed.mkString(", ")}; earlier checkpoints " +
+        s"${earlier.mkString(", ")}) — a vacuumed store's newest checkpoint " +
+        "is its only authority, there is nothing independent to re-derive from")
+    val live = new Path(s"$path/checkpoint/v=$c")
+    val tmp = new Path(live.getParent, s"_v=$c.ckpt_tmp")
+    snapshotUsing(spark, path, c, keys, earlier, committed)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.FsOps.atomicSwap(fs(spark, live), live, tmp)
+  }
+
   /** Integrity check ("fsck") for a versioned store — the changelog twin
     * of [[graft.index.Indexer.checkStore]]: one report row per
     * invariant, `(invariant, checked, violations)`, all-zero violations
-    * when healthy.
+    * when healthy. The repair half (for checkpoint drift, the one
+    * derived-state invariant) is [[repairCheckpoint]].
     *
     * What can drift: [[checkpoint]] materializes DERIVED state (a
     * snapshot) beside the authoritative log — a checkpoint written by a

@@ -243,6 +243,42 @@ class VersionedStoreSpec extends SparkSpec {
     assert(gap("log_contiguous") === ((3L, 2L)))
   }
 
+  test("repairCheckpoint re-derives the newest checkpoint; refuses a vacuumed basis") {
+    val path = QueryGroup.scratchDir("graft-vstorerepair")
+    VersionedStore.commit(spark, path,
+      ch((1L, "a1", "u"), (2L, "b1", "u"), (3L, "c1", "u")))
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (3L, "c1", "d")))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def violations(): Long =
+      VersionedStore.checkStore(spark, path, Seq("k"))
+        .agg(sum($"violations")).as[Long].collect().head
+
+    // corrupt the newest checkpoint: one key's payload flipped, one lost
+    spark.read.parquet(s"$path/checkpoint/v=2")
+      .filter($"k" =!= 2L)
+      .withColumn("val", when($"k" === 1L, lit("WRONG")).otherwise($"val"))
+      .write.mode("overwrite").parquet(s"$path/checkpoint/_v=2.bad")
+    graft.FsOps.atomicSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=2"),
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/_v=2.bad"))
+    assert(violations() > 0L, "corruption must be detected before repair")
+    VersionedStore.repairCheckpoint(spark, path, Seq("k"))
+    assert(violations() === 0L, "repairCheckpoint must restore the invariant")
+    assert(VersionedStore.snapshotAt(spark, path, 2L, Seq("k"))
+      .as[(Long, String)].collect().toSet === Set((1L, "a1"), (2L, "b2")))
+
+    // after a vacuum at v2 the replay basis (log v1-v2, checkpoint v1)
+    // is gone — the checkpoint is the only authority; repair must refuse
+    // rather than "re-derive" from nothing
+    VersionedStore.vacuum(spark, path, retain = 2L)
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.repairCheckpoint(spark, path, Seq("k")))
+    assert(e.getMessage.contains("replay basis"), e.getMessage)
+  }
+
   test("diff reports added/removed/changed and omits unchanged (nulls equal)") {
     val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
       (3L, None: Option[String], 30L), (4L, Some("gone"), 40L))
