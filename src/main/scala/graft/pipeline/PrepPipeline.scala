@@ -119,10 +119,45 @@ object PrepPipeline {
     * that makes every stage compute exactly once; the reconstitution
     * join is doc_id-keyed and AQE-sized (the id side is the smaller
     * one). Each boundary doubles as a restart/inspection point — the
-    * operational reason real corpus builds stage. */
-  def stageTo(dir: String, corpus: DataFrame): Boundary = (df, name) => {
+    * operational reason real corpus builds stage.
+    *
+    * '''Resume''' (`resume = true`): a boundary whose table already
+    * landed completely (`_SUCCESS` present) AND whose recorded
+    * `_fingerprint` equals the caller's is REUSED — its upstream
+    * computation is skipped entirely and downstream stages read the
+    * existing id table. A crashed build therefore restarts at the first
+    * incomplete boundary instead of from scratch: the restart cost is
+    * the remaining stages only (SCALE.md). The fingerprint is the
+    * guard: pass a string that encodes every input the staged ids
+    * depend on — the dedup threshold, the holdout/quality definitions'
+    * version, and the corpus identity/snapshot — so a changed config or
+    * corpus invalidates the boundary (mismatch → recompute) rather than
+    * silently resuming stale ids. The marker is written AFTER the
+    * table, so a crash between the two leaves a boundary that resume
+    * treats as incomplete (recompute — never a half-trusted table). */
+  def stageTo(dir: String, corpus: DataFrame, resume: Boolean = false,
+              fingerprint: String = ""): Boundary = (df, name) => {
     val p = s"$dir/$name"
-    df.select("doc_id").write.mode("overwrite").parquet(p)
-    corpus.join(df.sparkSession.read.parquet(p), Seq("doc_id"))
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // underscore prefix: ignored by Spark's file listing, like _SUCCESS
+    val marker = new org.apache.hadoop.fs.Path(p, "_fingerprint")
+    def markerMatches: Boolean = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      recorded == fingerprint
+    }
+    val reusable = resume &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) && markerMatches
+    if (!reusable) {
+      df.select("doc_id").write.mode("overwrite").parquet(p)
+      val out = fs.create(marker, true)
+      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    corpus.join(spark.read.parquet(p), Seq("doc_id"))
   }
 }

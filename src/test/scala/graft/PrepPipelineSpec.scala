@@ -39,6 +39,43 @@ class PrepPipelineSpec extends SparkSpec {
     assert(staged.clean.columns.sorted.toSeq === d.columns.sorted.toSeq)
   }
 
+  test("stageTo resume: restart reuses completed boundaries; fingerprint invalidates") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("prepresume").toString
+    val fp = "j=0.5;corpus=sf0001"
+    val freshClean = ids(
+      PrepPipeline.stages(d, 0.5, PrepPipeline.stageTo(dir, d, resume = true, fp)).clean)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(name: String): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$name/_SUCCESS"))
+        .getModificationTime
+
+    // crash after stage 1: the later boundaries never landed
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/2_dedup"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/3_decontam"), true)
+    val t1 = mtime("1_quality")
+    Thread.sleep(1100) // mtime granularity
+    val resumedClean = ids(
+      PrepPipeline.stages(d, 0.5, PrepPipeline.stageTo(dir, d, resume = true, fp)).clean)
+    assert(resumedClean === freshClean,
+      "resumed build must hash-match the fresh build")
+    assert(mtime("1_quality") === t1,
+      "completed boundary must be reused, not recomputed")
+    assert(mtime("2_dedup") > t1, "incomplete boundary must recompute")
+
+    // a changed config fingerprint invalidates even completed boundaries
+    Thread.sleep(1100)
+    PrepPipeline.stages(d, 0.5, PrepPipeline.stageTo(dir, d, resume = true, "j=0.6"))
+    assert(mtime("1_quality") > t1, "fingerprint mismatch must recompute")
+
+    // resume = false (the default) always recomputes, marker or not
+    val t1b = mtime("1_quality")
+    Thread.sleep(1100)
+    PrepPipeline.stages(d, 0.5, PrepPipeline.stageTo(dir, d))
+    assert(mtime("1_quality") > t1b, "non-resume mode must always recompute")
+  }
+
   test("dedupIngest: clean additions are slicing-invariant (one batch == two batches)") {
     import spark.implicits._
     import graft.dedup.DedupStore
