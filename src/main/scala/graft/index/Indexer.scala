@@ -101,12 +101,20 @@ object Indexer {
     * queries. */
   def writePositional(corpus: DataFrame, path: String, nBuckets: Int = 64,
                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = corpus.sparkSession
+    // a positional table co-located with an existing frequency store
+    // joins that store's batch sequence at its current position; a
+    // standalone store starts its own at 0
+    val batch = readLongMarker(spark, path, LastBatchMarker).getOrElse(0L)
     positionalPostings(corpus, idCol, textCol)
+      .withColumn("batch", lit(batch))
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .repartition(nBuckets, col("term_bucket"))
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
+    if (readLongMarker(spark, path, LastBatchMarker).isEmpty)
+      writeLongMarker(spark, path, LastBatchMarker, batch)
     // per-TABLE marker: a positional store co-located with a frequency
     // index at the same path must not overwrite the frequency store's
     // layout record (or vice versa) — that would silently mis-prune the
@@ -163,8 +171,15 @@ object Indexer {
     * exact same function executors used at write time.
     */
   def writeIndex(ix: InvertedIndex, path: String, nBuckets: Int = 64): Unit = {
-    ix.docStats.write.mode("overwrite").parquet(s"$path/doc_stats")
+    // every store row carries the ingest-batch ordinal that wrote it
+    // (constant per parquet file, so min/max statistics let an
+    // incremental audit's `batch > since` filter skip pre-audit files
+    // outright — see [[checkStoreIncremental]]); the initial build is
+    // batch 0, each append bumps the `_lastbatch` marker
+    ix.docStats.withColumn("batch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/doc_stats")
     ix.postings
+      .withColumn("batch", lit(0L))
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       // co-locate each bucket's rows in one task before the partitioned
       // write: without this every task writes a file into every bucket
@@ -185,6 +200,7 @@ object Indexer {
     meta(spark.read.parquet(s"$path/doc_stats"))
       .write.mode("overwrite").parquet(s"$path/meta")
     writeBucketsMarker(spark, path, nBuckets)
+    writeLongMarker(spark, path, LastBatchMarker, 0L)
   }
 
   /** Incrementally add documents to a persisted index store: postings and
@@ -222,9 +238,14 @@ object Indexer {
       s"appendIndex: some doc_ids in the new corpus already exist in the " +
         s"store at $path — appending them would double-count postings. " +
         s"Example: ${overlapping.limit(3).collect().mkString(", ")}")
+    // the batch ordinal this append writes under (None on a pre-marker
+    // legacy store: tagging it would give the store a mixed schema)
+    val batchId = readLongMarker(spark, path, LastBatchMarker).map(_ + 1)
+    def tag(df: DataFrame): DataFrame =
+      batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
     val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
-    delta.docStats.write.mode("append").parquet(s"$path/doc_stats")
-    delta.postings
+    tag(delta.docStats).write.mode("append").parquet(s"$path/doc_stats")
+    tag(delta.postings)
       .withColumn("term_bucket", termBucket(col("term"), nb))
       .repartition(nb, col("term_bucket"))
       .write.mode("append")
@@ -238,7 +259,12 @@ object Indexer {
     val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
     if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
       appendPositional(spark, path, newCorpus, idCol, textCol, nBuckets,
-        checkDuplicates = false)
+        checkDuplicates = false, batchId = batchId)
+    // the marker advances LAST: a crash mid-append leaves the marker at
+    // the old value, so the next incremental audit still covers every
+    // row the interrupted append managed to land (they carry the
+    // not-yet-vouched-for batch ordinal)
+    batchId.foreach(b => writeLongMarker(spark, path, LastBatchMarker, b))
     // derived tables: merged INCREMENTALLY from the delta — work ∝
     // |batch| + |vocab|, never ∝ the stored postings (the r6 full
     // recompute re-aggregated the whole store on every append). Sound
@@ -262,11 +288,15 @@ object Indexer {
     * positional table (doc_id is not the partition key, so the probe
     * cannot prune; a maintenance-path cost, same failure-over-corruption
     * trade as appendIndex's guard). [[appendIndex]] passes false: its
-    * doc_stats guard already vouches for the batch. */
+    * doc_stats guard already vouches for the batch, and it passes the
+    * shared `batchId` so both tables' rows land under the SAME ingest
+    * ordinal; standalone calls derive the next ordinal and advance the
+    * marker themselves. */
   def appendPositional(spark: org.apache.spark.sql.SparkSession, path: String,
                        newCorpus: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", nBuckets: Int = 64,
-                       checkDuplicates: Boolean = true): Unit = {
+                       checkDuplicates: Boolean = true,
+                       batchId: Option[Long] = None): Unit = {
     val nb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
     if (checkDuplicates) {
       val overlapping = newCorpus.select(col(idCol).as("doc_id")).distinct()
@@ -277,12 +307,18 @@ object Indexer {
           s"the positional store at $path — appending them would double-count " +
           s"positions. Example: ${overlapping.limit(3).collect().mkString(", ")}")
     }
-    positionalPostings(newCorpus, idCol, textCol)
+    val standalone = batchId.isEmpty
+    val b = batchId.orElse(readLongMarker(spark, path, LastBatchMarker).map(_ + 1))
+    def tag(df: DataFrame): DataFrame =
+      b.map(x => df.withColumn("batch", lit(x))).getOrElse(df) // legacy: untagged
+    tag(positionalPostings(newCorpus, idCol, textCol))
       .withColumn("term_bucket", termBucket(col("term"), nb))
       .repartition(nb, col("term_bucket"))
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
+    if (standalone)
+      b.foreach(x => writeLongMarker(spark, path, LastBatchMarker, x))
   }
 
   /** Incremental derived-table maintenance behind [[appendIndex]]: the
@@ -465,6 +501,58 @@ object Indexer {
     val out = fs.create(p, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  // ---- ingest-batch bookkeeping: `_lastbatch` records the highest batch
+  // ordinal ever written (writeIndex → 0, each append → +1); `_last_audit`
+  // records the highest batch an audit has vouched for. Both are one-int
+  // driver-side text files, same discipline as the bucket markers.
+
+  private[graft] val LastBatchMarker = "_lastbatch"
+  private[graft] val LastAuditMarker = "_last_audit"
+
+  private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
+                              path: String, marker: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+                             path: String, marker: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Highest ingest-batch ordinal the store has recorded (None on a
+    * store written before batch tracking existed). */
+  def lastBatch(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    readLongMarker(spark, path, LastBatchMarker)
+
+  /** Highest batch ordinal an audit has vouched for (None = never audited). */
+  def lastAudited(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    readLongMarker(spark, path, LastAuditMarker)
+
+  /** Record that every batch up to `upTo` (default: the store's current
+    * last batch) has been audited — call it after a clean [[checkStore]]
+    * (full) or [[checkStoreIncremental]] report, so the next incremental
+    * audit starts after it. Deliberately NOT advanced by the checkers
+    * themselves: an audit that mutates the store it audits would make a
+    * red report unrepeatable. */
+  def markAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+                  upTo: Option[Long] = None): Unit = {
+    val v = upTo.orElse(lastBatch(spark, path)).getOrElse(
+      throw new IllegalStateException(s"markAudited: no batch marker at $path — " +
+        "a pre-batch-tracking store has nothing to scope an incremental audit to"))
+    writeLongMarker(spark, path, LastAuditMarker, v)
   }
 
   /** The bucket count a store was written with, if recorded. */
@@ -747,6 +835,105 @@ object Indexer {
 
     graft.operators.StoreCheck.report(Seq(metaCheck) ++ positionalChecks ++
       Seq(orphanDocs, postingsLayout, tombstones, vocabCheck))
+  }
+
+  /** Incremental integrity check: audit ONLY the rows appended since the
+    * last vouched-for batch ([[markAudited]]) — the daily-cadence audit
+    * a 100 TB store needs, where [[checkStore]]'s full scan is the
+    * scheduled deep audit. A real store grows by ~daily-batch rows, so
+    * the audit that runs every day must cost ∝ the delta, not the store.
+    *
+    * How the delta stays cheap: every store row carries the ingest-batch
+    * ordinal that wrote it, CONSTANT per parquet file — so the
+    * `batch > since` filter prunes pre-audit files via parquet min/max
+    * statistics before any row IO (footer reads only), and every
+    * downstream exchange carries delta rows alone. The one cross-batch
+    * input is doc_stats (the narrow ∝-documents table), read to check
+    * the delta's ids against the full id surface.
+    *
+    * Invariants (the delta-scoped structural subset of [[checkStore]];
+    * report order = name order):
+    *   - `delta_docs_unique` — each delta doc_id has exactly ONE
+    *     doc_stats row store-wide (catches a double-applied append —
+    *     the corruption appends actually produce).
+    *   - `delta_positional_matches_postings` — the co-located positional
+    *     table's delta describes the same live `(term, doc_id, tf)`
+    *     surface as the frequency delta, positions well-formed
+    *     (checked = 0 when no positional table / no batch column).
+    *   - `delta_postings_bucket_layout` — every delta posting sits in
+    *     the partition the store's recorded bucket function assigns.
+    *   - `delta_postings_docs_in_doc_stats` — every delta posting's doc
+    *     has a doc_stats row.
+    *
+    * The GLOBAL derived-state invariants (vocab/meta vs live, tombstone
+    * validity) are deliberately absent: they are whole-store statements
+    * with no delta decomposition — the scheduled [[checkStore]] deep
+    * audit owns them. Requires a batch-tracked store (writeIndex since
+    * batch tracking; legacy stores: run the full checker). */
+  def checkStoreIncremental(spark: org.apache.spark.sql.SparkSession,
+                            path: String, nBuckets: Int = 64,
+                            sinceBatch: Option[Long] = None): DataFrame = {
+    import graft.operators.StoreCheck.{row, emptyRow}
+    val since = sinceBatch.orElse(lastAudited(spark, path)).getOrElse(-1L)
+    val postings = spark.read.parquet(s"$path/postings")
+    require(postings.columns.contains("batch"),
+      s"checkStoreIncremental: store at $path carries no batch ordinals " +
+        "(written before batch tracking) — run the full checkStore instead")
+    val deltaPost = postings.filter(col("batch") > since)
+    val docStats = spark.read.parquet(s"$path/doc_stats")
+    val deltaDocs = docStats.filter(col("batch") > since)
+    val nb = storedBuckets(spark, path).getOrElse(nBuckets)
+
+    val unique = {
+      val counts = docStats.select("doc_id")
+        .join(deltaDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      row("delta_docs_unique",
+        deltaDocs.agg(count(lit(1)).as("checked")).crossJoin(
+          counts.agg(coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violations"))))
+    }
+
+    val layout = row("delta_postings_bucket_layout",
+      deltaPost.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("term_bucket").cast("long") =!= termBucket(col("term"), nb), 1L)
+          .otherwise(0L)).as("violations")))
+
+    val orphans = {
+      val pd = deltaPost.select("doc_id").distinct()
+      row("delta_postings_docs_in_doc_stats",
+        pd.agg(count(lit(1)).as("checked")).crossJoin(
+          pd.join(docStats.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+    }
+
+    val positionalCheck = {
+      val posPath = new org.apache.hadoop.fs.Path(s"$path/positional")
+      val present = posPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(posPath)
+      lazy val pos = spark.read.parquet(s"$path/positional")
+      if (!present || !pos.columns.contains("batch"))
+        emptyRow(spark, "delta_positional_matches_postings")
+      else {
+        val livePos = minusDeletes(spark, path, pos.filter(col("batch") > since))
+          .select(col("term"), col("doc_id"),
+            col("tf").cast("long").as("pos_tf"),
+            when(col("tf") =!= size(col("positions")) ||
+              col("positions") =!= array_sort(array_distinct(col("positions"))), 1L)
+              .otherwise(0L).as("malformed"))
+        val liveFreq = minusDeletes(spark, path, deltaPost)
+          .select(col("term"), col("doc_id"), col("tf").cast("long").as("freq_tf"))
+        row("delta_positional_matches_postings",
+          livePos.join(liveFreq, Seq("term", "doc_id"), "full_outer").agg(
+            sum(when(col("pos_tf").isNotNull, 1L).otherwise(0L)).as("checked"),
+            (sum(when(!(col("pos_tf") <=> col("freq_tf")), 1L).otherwise(0L)) +
+              sum(coalesce(col("malformed"), lit(0L)))).as("violations")))
+      }
+    }
+
+    graft.operators.StoreCheck.report(
+      Seq(unique, positionalCheck, layout, orphans))
   }
 
   /** Load a persisted index store back as an [[InvertedIndex]]. */

@@ -259,6 +259,27 @@ object SearchQueries extends QueryGroup {
       Indexer.checkStore(s, path)
     }),
 
+    // ...and the INCREMENTAL audit a 100 TB store runs daily: the full
+    // fsck above is the scheduled deep audit (one unpruned pass per
+    // invariant); this one audits ONLY the rows appended since the last
+    // vouched-for batch. Store rows carry their ingest-batch ordinal
+    // (constant per parquet file → min/max statistics skip pre-audit
+    // files before any row IO), so cost tracks the delta, not the
+    // store. Here: co-located store built on the even half (batch 0,
+    // vouched by markAudited), the odd half appended (batch 1) — every
+    // checked cardinality the oracle derives is an odd-half population,
+    // proving the audit scoped itself to the delta
+    "q_store_fsck_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-fsckincr")
+      val half1 = d.filter(col("doc_id") % 2 === 0)
+      Indexer.writeIndex(Indexer.buildIndex(half1), path)
+      Indexer.writePositional(half1, path)
+      Indexer.markAudited(s, path)
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1))
+      Indexer.checkStoreIncremental(s, path)
+    }),
+
     // ...and the full corrupt → DETECT → REPAIR → re-check loop an
     // operator actually runs, as one composed entry. The corruption is
     // deleteDocs' own documented crash window, reproduced exactly: the
@@ -378,6 +399,22 @@ object SearchQueries extends QueryGroup {
                  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0
           UNION ALL SELECT 'vocab_matches_live',
                  (SELECT count(DISTINCT term) FROM tok WHERE doc_id % 3 <> 0), 0""",
+
+    // the incremental audit's report: every checked count is an
+    // ODD-half (batch-1 delta) population — the even half was appended
+    // as batch 0 and vouched for, so the audit never touches it
+    "q_store_fsck_incr" ->
+      s"""WITH tok AS ($SqlTok),
+               pairs AS (SELECT DISTINCT term, doc_id FROM tok WHERE doc_id % 2 = 1)
+          SELECT 'delta_docs_unique' AS invariant,
+                 (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS checked,
+                 CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'delta_positional_matches_postings',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT 'delta_postings_bucket_layout',
+                 (SELECT count(*) FROM pairs), 0
+          UNION ALL SELECT 'delta_postings_docs_in_doc_stats',
+                 (SELECT count(DISTINCT doc_id) FROM tok WHERE doc_id % 2 = 1), 0""",
 
     // the detect→repair loop: in the detect phase the stored meta (1 row)
     // drifts, and the drifted vocab terms are EXACTLY the distinct terms

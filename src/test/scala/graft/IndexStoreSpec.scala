@@ -46,11 +46,16 @@ class IndexStoreSpec extends SparkSpec {
     val fullPath = Files.createTempDirectory("ixfull").toString
     Indexer.writeIndex(Indexer.buildIndex(docs), fullPath, nBuckets = 16)
 
-    // every store table identical as a bag of rows
-    for (t <- Seq("doc_stats", "vocab", "meta")) {
-      val inc = spark.read.parquet(s"$incPath/$t").collect().toSeq
+    // every store table identical as a bag of CONTENT rows (`batch` is
+    // ingest bookkeeping and legitimately differs: 0/1 vs all-0)
+    for ((t, cols) <- Seq("doc_stats" -> Seq("doc_id", "length"),
+        "vocab" -> Seq("term", "df"),
+        "meta" -> Seq("total_docs", "avg_dl", "length_sum"))) {
+      val inc = spark.read.parquet(s"$incPath/$t")
+        .select(cols.map(col): _*).collect().toSeq
         .map(_.toSeq).sortBy(_.toString)
-      val full = spark.read.parquet(s"$fullPath/$t").collect().toSeq
+      val full = spark.read.parquet(s"$fullPath/$t")
+        .select(cols.map(col): _*).collect().toSeq
         .map(_.toSeq).sortBy(_.toString)
       assert(inc === full, s"table $t differs after append")
     }
@@ -418,6 +423,51 @@ class IndexStoreSpec extends SparkSpec {
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_nbuckets"), true)
     out.write("4".getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
     assert(report()("postings_bucket_layout")._2 > 0)
+  }
+
+  test("checkStoreIncremental audits the delta only; old-batch corruption is deep-audit scope") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixfsckincr").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Indexer.writeIndex(Indexer.buildIndex(half1), path, nBuckets = 16)
+    Indexer.writePositional(half1, path, nBuckets = 8)
+    assert(Indexer.lastBatch(spark, path) === Some(0L))
+    Indexer.markAudited(spark, path) // the deep audit vouched for batch 0
+    Indexer.appendIndex(spark, path, half2)
+    assert(Indexer.lastBatch(spark, path) === Some(1L))
+    assert(Indexer.lastAudited(spark, path) === Some(0L))
+
+    def report(): Map[String, (Long, Long)] =
+      Indexer.checkStoreIncremental(spark, path, nBuckets = 16)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val clean = report()
+    assert(clean.size === 4)
+    assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
+    // audited exactly the appended population, not the store
+    assert(clean("delta_docs_unique")._1 === half2.count())
+    assert(clean("delta_postings_bucket_layout")._1 > 0)
+    assert(clean("delta_positional_matches_postings")._1 ===
+      clean("delta_postings_bucket_layout")._1)
+
+    // a double-applied delta row is exactly what the incremental audit flags
+    spark.read.parquet(s"$path/doc_stats").filter(col("batch") === 1L).limit(1)
+      .write.mode("append").parquet(s"$path/doc_stats")
+    assert(report()("delta_docs_unique")._2 === 1L)
+
+    // the same corruption in an ALREADY-AUDITED batch stays out of the
+    // incremental scope by design — the scheduled full checkStore owns it
+    spark.read.parquet(s"$path/doc_stats").filter(col("batch") === 0L).limit(1)
+      .write.mode("append").parquet(s"$path/doc_stats")
+    assert(report()("delta_docs_unique") === ((half2.count() + 1, 1L)))
+
+    // once the delta passes (or is repaired), markAudited advances the
+    // watermark and the next incremental audit starts empty
+    Indexer.markAudited(spark, path)
+    val advanced = report()
+    assert(advanced("delta_docs_unique")._1 === 0L)
+    assert(advanced.values.forall(_._2 == 0L))
   }
 
   test("clobbered legacy root marker degrades to an unpruned (correct) read") {
