@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Operator-facing maintenance CLI: one entry point dispatching the
+  * detect/repair/compaction surface every store family already exposes —
+  * the four families share the fsck report shape
+  * ([[graft.operators.StoreCheck]]) and the crash-safe swap discipline,
+  * and this driver gives them one invocation surface:
+  *
+  * {{{
+  *   runMain graft.Maintain <family> <op> <path> [keyCols...]
+  *
+  *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
+  *   ivf    fsck | repair | expunge | compact
+  *   dedup  fsck | repair
+  *   vstore fsck | repair        (both need the store's key columns)
+  * }}}
+  *
+  * `repair` is each family's documented repair primitive beside its
+  * checker: `refreshDerived` (index), `repairLists` (IVF),
+  * `refreshBuckets` (dedup), `repairCheckpoint` (versioned). fsck ops
+  * print the invariant report and exit NONZERO when any violations are
+  * found, so the CLI drops straight into a cron/monitoring loop; repair
+  * ops are silent on success (re-run fsck to confirm), matching the
+  * corrupt → detect → repair → re-check lifecycle the gate entries
+  * verify end to end (q_store_repair, q_ivf_repair, q_dedup_repair,
+  * q_vstore_repair).
+  */
+object Maintain {
+
+  /** Dispatch one maintenance op; returns the report frame for fsck ops
+    * (None for mutations). Separated from [[main]] so the smoke spec
+    * drives it in-process. */
+  def run(spark: SparkSession, family: String, op: String, path: String,
+          extra: Seq[String] = Seq.empty): Option[DataFrame] = {
+    def keys: Seq[String] = {
+      require(extra.nonEmpty,
+        s"$family $op needs the store's key column(s) as trailing args")
+      extra
+    }
+    (family, op) match {
+      case ("index", "fsck")         => Some(index.Indexer.checkStore(spark, path))
+      case ("index", "fsck-incr")    => Some(index.Indexer.checkStoreIncremental(spark, path))
+      case ("index", "mark-audited") => index.Indexer.markAudited(spark, path); None
+      case ("index", "repair")       => index.Indexer.refreshDerived(spark, path); None
+      case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
+      case ("index", "compact") =>
+        // per-table: the bucketed tables leaf by leaf (layout preserved),
+        // the flat tables in place
+        operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings")
+        val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
+        if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+          operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional")
+        operators.Compaction.compact(spark, s"$path/doc_stats")
+        None
+      case ("ivf", "fsck")    => Some(similarity.IvfStore.checkStore(spark, path))
+      case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
+      case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
+      case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None
+      case ("dedup", "fsck")   => Some(dedup.DedupStore.checkStore(spark, path))
+      case ("dedup", "repair") => dedup.DedupStore.refreshBuckets(spark, path); None
+      case ("vstore", "fsck")   => Some(streaming.VersionedStore.checkStore(spark, path, keys))
+      case ("vstore", "repair") => streaming.VersionedStore.repairCheckpoint(spark, path, keys); None
+      case _ => throw new IllegalArgumentException(
+        s"unknown maintenance op: $family $op (see Maintain scaladoc)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Maintain <index|ivf|dedup|vstore> <op> <store-path> [keyCols...]")
+    val Array(family, op, path) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, family, op, path, args.drop(3).toSeq) match {
+      case Some(report) =>
+        val rows = report.collect()
+        rows.foreach(r => println(s"[maintain] ${r.mkString("\t")}"))
+        val bad = rows.map(r => r.getLong(r.fieldIndex("violations"))).sum
+        if (bad > 0) {
+          System.err.println(s"[maintain] $family fsck: $bad violation(s) at $path")
+          spark.stop(); sys.exit(1)
+        }
+      case None => println(s"[maintain] $family $op: done")
+    } finally spark.stop()
+  }
+}

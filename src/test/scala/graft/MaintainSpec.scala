@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryGroup
+
+/** Smoke spec for the maintenance CLI dispatcher ([[Maintain.run]]):
+  * every (family, op) route reaches the store primitive it names —
+  * fsck routes return the family's all-zero report on a healthy store,
+  * repair/compact routes run to completion, unknown routes fail loudly.
+  * The primitives themselves are covered by their own suites and the
+  * four composed repair gate entries. */
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def violations(report: Option[org.apache.spark.sql.DataFrame]): Long =
+    report.get.agg(sum($"violations")).as[Long].collect().head
+
+  test("index family: fsck / fsck-incr / mark-audited / repair / expunge dispatch") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val path = QueryGroup.scratchDir("graft-maint-ix")
+    index.Indexer.writeIndex(index.Indexer.buildIndex(corpus), path, nBuckets = 4)
+    assert(violations(Maintain.run(spark, "index", "fsck", path)) === 0L)
+    assert(Maintain.run(spark, "index", "mark-audited", path).isEmpty)
+    val incr = Maintain.run(spark, "index", "fsck-incr", path)
+    assert(violations(incr) === 0L)
+    assert(Maintain.run(spark, "index", "repair", path).isEmpty)
+    index.Indexer.deleteDocs(spark, path, Seq(2L).toDF("doc_id"))
+    assert(Maintain.run(spark, "index", "expunge", path).isEmpty)
+    assert(violations(Maintain.run(spark, "index", "fsck", path)) === 0L)
+  }
+
+  test("ivf family: fsck / repair / expunge / compact dispatch") {
+    val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val path = QueryGroup.scratchDir("graft-maint-ivf")
+    similarity.IvfStore.writeIndex(e, path, nCentroids = 2, kmeansIters = 0)
+    assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
+    assert(Maintain.run(spark, "ivf", "repair", path).isEmpty)
+    similarity.IvfStore.deleteVectors(spark, path, Seq(3L).toDF("vec_id"))
+    assert(Maintain.run(spark, "ivf", "expunge", path).isEmpty)
+    assert(Maintain.run(spark, "ivf", "compact", path).isEmpty)
+    assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
+  }
+
+  test("dedup family: fsck / repair dispatch") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "u v w x y z")).toDF("doc_id", "text")
+    val path = QueryGroup.scratchDir("graft-maint-dd")
+    dedup.DedupStore.writeSignatures(corpus, path)
+    assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
+    assert(Maintain.run(spark, "dedup", "repair", path).isEmpty)
+    assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
+  }
+
+  test("vstore family: fsck / repair dispatch with key columns") {
+    val path = QueryGroup.scratchDir("graft-maint-vs")
+    streaming.VersionedStore.commit(spark, path,
+      Seq((1L, "a", "u"), (2L, "b", "u")).toDF("k", "v", "_op"))
+    streaming.VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    assert(Maintain.run(spark, "vstore", "repair", path, Seq("k")).isEmpty)
+    assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    // missing keys fail loudly, not with a confusing downstream error
+    val e = intercept[IllegalArgumentException](
+      Maintain.run(spark, "vstore", "fsck", path))
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
+  test("unknown routes fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      Maintain.run(spark, "index", "defrag", "/tmp/nowhere"))
+    assert(e.getMessage.contains("unknown maintenance op"), e.getMessage)
+  }
+}

@@ -165,6 +165,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_store_fsck_incr: the audit watermark reaches the store scans as a pushed filter") {
+    // the incremental audit's scale contract: `batch > since` must land
+    // in PushedFilters so parquet min/max statistics (batch is constant
+    // per file) skip every pre-audit file before row IO — without the
+    // pushdown the "incremental" audit silently re-reads the store
+    val p = plan("q_store_fsck_incr")
+    assert(p.contains("GreaterThan(batch,"),
+      s"batch watermark not pushed to the scan in:\n$p")
+  }
+
   test("q_profile: exact distinct branches plan without an Expand") {
     val p = plan("q_profile")
     assert(!p.contains("Expand"), s"Expand found in exact profile plan:\n$p")

@@ -1,0 +1,76 @@
+#!/usr/bin/env bash
+# Reproducible sf0.1 -> sf1 (10x) scaling evidence for SCALE.md.
+#
+# 1. Regenerates the /tmp/sf1 documents-only fixture if absent
+#    (tools/gen_sf1.scala — /tmp is wiped between sessions; the fixture
+#    is ~10x sf0.1 and deliberately NOT committed).
+# 2. Runs the documents-only scaling subset at sf0.1 and sf1 through
+#    graft.Bench (SPARK_GRAFT_BENCH_ONLY -> bench_subset.json, so the
+#    committed full-gate bench_last.* files are never touched) with
+#    min-of-2 reps.
+# 3. Runs the incremental-audit probe (tools/fsck_incr_probe.scala):
+#    fixed delta appended to the 1x and 10x stores — incremental audit
+#    wall must track the delta, full audit the store.
+# 4. Assembles bench_sf1.json (committed per round): per-query seconds
+#    at both scales, the 10x ratios, and the probe numbers.
+#
+# Run SOLO on an idle box (same discipline as the committed bench).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair"
+
+if [ ! -d /tmp/sf1/documents.parquet ]; then
+  echo "[bench_sf1] generating /tmp/sf1 fixture..."
+  /opt/spark/bin/spark-shell --master 'local[32]' \
+    --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+    -I tools/gen_sf1.scala <<< 'sys.exit(0)' | grep SF1ROWS
+fi
+
+sbt -batch compile >/dev/null
+
+run_subset() { # $1 = sf dir, $2 = output path
+  SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=2 \
+    SPARK_GRAFT_BENCH_ONLY="$SUBSET" \
+    sbt -batch "runMain graft.Bench" >/dev/null
+  mv bench_subset.json "$2"
+  rm -f bench_subset.jsonl
+}
+echo "[bench_sf1] subset at sf0.1..."
+run_subset /root/testdata/sf0.1 /tmp/bench_sf01_subset.json
+echo "[bench_sf1] subset at sf1..."
+run_subset /tmp/sf1 /tmp/bench_sf1_subset.json
+
+echo "[bench_sf1] incremental-audit probe..."
+/opt/spark/bin/spark-shell --master 'local[32]' \
+  --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+  --driver-class-path target/scala-2.13/classes \
+  -I tools/fsck_incr_probe.scala <<< 'sys.exit(0)' \
+  | grep '^PROBE' > /tmp/fsck_probe.txt
+cat /tmp/fsck_probe.txt
+
+python3 - <<'EOF'
+import json, re
+a = json.load(open('/tmp/bench_sf01_subset.json'))
+b = json.load(open('/tmp/bench_sf1_subset.json'))
+probes = {}
+for line in open('/tmp/fsck_probe.txt'):
+    m = re.match(r'PROBE tag=(\S+) store_docs=(\d+) delta_docs=(\d+) '
+                 r'incr=([\d.]+)s full=([\d.]+)s', line.strip())
+    if m:
+        probes[m.group(1)] = {"store_docs": int(m.group(2)),
+                              "delta_docs": int(m.group(3)),
+                              "incr_secs": float(m.group(4)),
+                              "full_secs": float(m.group(5))}
+out = {"reps": "min-of-2", "cpus": 32,
+       "subset": sorted(a["queries"]),
+       "sf0.1": {k: round(v, 2) for k, v in a["queries"].items()},
+       "sf1": {k: round(v, 2) for k, v in b["queries"].items()},
+       "ratio_10x": {k: round(b["queries"][k] / a["queries"][k], 2)
+                     for k in sorted(a["queries"])},
+       "fsck_incr_probe": probes}
+json.dump(out, open('bench_sf1.json', 'w'), indent=1)
+print(json.dumps({"ratio_10x": out["ratio_10x"],
+                  "fsck_incr_probe": probes}, indent=1))
+EOF
+echo "[bench_sf1] wrote bench_sf1.json"

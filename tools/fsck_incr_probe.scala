@@ -1,0 +1,36 @@
+// Incremental-audit scaling probe (run via spark-shell with
+// --driver-class-path target/scala-2.13/classes — see tools/bench_sf1.sh):
+// appends the SAME fixed-size delta batch to a 1x store (sf0.1 docs) and
+// a 10x store (/tmp/sf1 docs), then times Indexer.checkStoreIncremental
+// vs the full Indexer.checkStore on each. The claim under test
+// (SCALE.md): the incremental audit's cost tracks the DELTA (flat across
+// store sizes — pre-audit files are skipped via parquet min/max
+// statistics on the per-file-constant batch ordinal), while the full
+// deep audit's cost tracks the STORE (~10x).
+import org.apache.spark.sql.functions._
+def time[T](f: => T): Double = {
+  val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+}
+def probe(src: String, tag: String): Unit = {
+  val d = spark.read.parquet(src)
+  val maxId = d.agg(max("doc_id")).head.getLong(0)
+  val delta = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    .orderBy("doc_id").limit(2000)
+    .withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+  val path = s"/tmp/fsckprobe_$tag"
+  new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .delete(new org.apache.hadoop.fs.Path(path), true)
+  graft.index.Indexer.writeIndex(graft.index.Indexer.buildIndex(d), path)
+  graft.index.Indexer.markAudited(spark, path)
+  graft.index.Indexer.appendIndex(spark, path, delta)
+  // min-of-2 for both, same discipline as the bench
+  val tIncr = Seq.fill(2)(time(
+    graft.index.Indexer.checkStoreIncremental(spark, path).collect())).min
+  val tFull = Seq.fill(2)(time(
+    graft.index.Indexer.checkStore(spark, path).collect())).min
+  println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
+    f"incr=$tIncr%.2fs full=$tFull%.2fs")
+}
+probe("/root/testdata/sf0.1/documents.parquet", "sf01")
+probe("/tmp/sf1/documents.parquet", "sf1")

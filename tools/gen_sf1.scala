@@ -1,0 +1,21 @@
+// Generate the /tmp/sf1 10x scale fixture from the sf0.1 documents table
+// (run via: /opt/spark/bin/spark-shell -I tools/gen_sf1.scala — see
+// tools/bench_sf1.sh). Replication recipe (SCALE.md "sf1 spot-run"):
+// replica i gets doc_ids offset by (maxId+1)*i and every token prefixed
+// "r{i}", n_chars recomputed — DISJOINT vocabulary per replica, so
+// dedup/LSH/prep queries scale as 10 independent corpora (clean 10x
+// work, no artificial exact-duplicate explosion) while BM25 query-side
+// scoring still hits only replica 0 (store build/audit/append stay 10x).
+import org.apache.spark.sql.functions._
+val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+val maxId = d.agg(max("doc_id")).head.getLong(0)
+val parts = (0 until 10).map { i =>
+  if (i == 0) d
+  else d.withColumn("doc_id", col("doc_id") + lit((maxId + 1L) * i))
+    .withColumn("text", array_join(
+      transform(split(col("text"), " "), t => concat(lit("r" + i), t)), " "))
+    .withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
+}
+parts.reduce(_ unionByName _).repartition(32)
+  .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet")
+println("SF1ROWS=" + spark.read.parquet("/tmp/sf1/documents.parquet").count())
