@@ -103,7 +103,16 @@ object PrepPipeline {
     * Returns the batch docs that survived BOTH passes — exactly the
     * docs the store grew by. Scale: the within-batch pass is banded LSH
     * over the batch alone (∝ batch, like every other per-batch cost
-    * here); the store-side pass stays ∝ batch band-bucket collisions. */
+    * here); the store-side pass stays ∝ batch band-bucket collisions.
+    *
+    * The survivor frame `wb` feeds two consumers (the store ingest and
+    * the final anti-join) WITHOUT a staging boundary, deliberately:
+    * [[Dedup.duplicateClusters]] eagerly localCheckpoints the components
+    * walk, so the expensive in-pool lineage executes once at call time
+    * and re-consumers replay only a cheap batch-side anti-join —
+    * staging the ids through parquet was tried and MEASURED slower at
+    * both sf0.1 and sf1 (the boundary write + reconstitution join buys
+    * back recompute that the checkpoint already prevents). */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, storePath: String,
                   batch: DataFrame, jaccardThreshold: Double): DataFrame = {
     val wb = dedupInPool(batch, jaccardThreshold)
