@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   runMain graft.Maintain <family> <op> <path> [keyCols...]
   *
   *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
-  *   ivf    fsck | repair | expunge | compact
+  *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   dedup  fsck | repair
   *   vstore fsck | repair        (both need the store's key columns)
   * }}}
@@ -54,7 +54,9 @@ object Maintain {
           operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional")
         operators.Compaction.compact(spark, s"$path/doc_stats")
         None
-      case ("ivf", "fsck")    => Some(similarity.IvfStore.checkStore(spark, path))
+      case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
+      case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))
+      case ("ivf", "mark-audited") => similarity.IvfStore.markAudited(spark, path); None
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
       case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
       case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None

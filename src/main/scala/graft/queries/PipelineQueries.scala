@@ -385,6 +385,23 @@ object PipelineQueries extends QueryGroup {
     // mis-assigned copies); repairLists dedups under its total order and
     // re-assigns every vector with the exact write-path assignment; the
     // re-check is all-zero. Detect report materialized BEFORE repair.
+    // ...and the INCREMENTAL audit for a streaming-ingested IVF store
+    // (the vector face of q_store_fsck_incr's daily/deep split): lists
+    // live under batch=/cid= partitions, so the batch > since watermark
+    // prunes pre-audit directories outright. Even half ingested as
+    // batch 0 and vouched for (markAudited), odd half as batch 1 —
+    // every oracle-derived checked count is an odd-half population
+    "q_ivf_fsck_incr" -> ((s, dir) => {
+      import graft.similarity.IvfStore
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivffsckincr")
+      IvfStore.writeCentroids(e, path, kmeansIters = 0)
+      IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 0), 0L)
+      IvfStore.markAudited(s, path)
+      IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 1), 1L)
+      IvfStore.checkStoreIncremental(s, path)
+    }),
+
     "q_ivf_repair" -> ((s, dir) => {
       import graft.similarity.IvfStore
       val e = emb(s, dir)
@@ -2187,6 +2204,33 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
+
+    // the incremental IVF audit: every checked count is an ODD-half
+    // (batch-1 delta) population; the even half was vouched for as
+    // batch 0 and never re-audited. Centroids are the full corpus'
+    // deterministic seeds, so the delta's assigned-cid set derives
+    // from the same assignment CTEs as the full fsck oracle
+    "q_ivf_fsck_incr" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               odd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id % 2 = 1),
+               oddcids AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n
+                           FROM assign WHERE vec_id % 2 = 1)
+          SELECT 'delta_centroid_cover' AS invariant,
+                 (SELECT n FROM oddcids) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'delta_codes_wellformed', 0, 0
+          UNION ALL SELECT 'delta_ids_unique', (SELECT n FROM odd), 0
+          UNION ALL SELECT 'delta_lists_assignment', (SELECT n FROM odd), 0
+          UNION ALL SELECT 'delta_norms_consistent', (SELECT n FROM odd), 0""",
 
     // the detect→repair loop for the IVF store: the corrupted copies
     // (one per vec_id % 10 = 0, under the wrong neighbor cid) are the

@@ -369,6 +369,136 @@ object IvfStore {
     graft.operators.StoreCheck.report(Seq(cover, codes, unique, assignment, norms))
   }
 
+  // ---- incremental audit: the IVF face of the daily/deep audit split
+  // ([[graft.index.Indexer.checkStoreIncremental]]). A streaming-ingested
+  // store's lists live under batch=<id>/cid=<c> partitions, so the
+  // `batch > since` watermark prunes pre-audit DIRECTORIES before any
+  // IO; `_last_audit` records the highest batch an audit vouched for.
+
+  private val LastAuditMarker = "_last_audit"
+
+  /** Highest batch an audit has vouched for (None = never audited). */
+  def lastAudited(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Batch partition ids physically present under lists — one driver-side
+    * directory listing (bounded metadata), the IVF store's batch record
+    * (the `batch=` layout IS the marker; no side file needed). */
+  def listBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+  }
+
+  /** Record that every batch up to `upTo` (default: the newest present)
+    * has been audited. Deliberately not advanced by the checkers — an
+    * audit that mutates the store it audits would make a red report
+    * unrepeatable (same contract as the index store's markAudited). */
+  def markAudited(spark: SparkSession, path: String,
+                  upTo: Option[Long] = None): Unit = {
+    val v = upTo.orElse(listBatches(spark, path).lastOption).getOrElse(
+      throw new IllegalStateException(s"markAudited: no batch= partitions at " +
+        s"$path/lists — only streaming-ingested stores carry batch layout"))
+    val p = new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Incremental integrity check: audit ONLY the list rows ingested
+    * since the last vouched-for batch — the daily-cadence audit; the
+    * full [[checkStore]] is the scheduled deep audit. Requires the
+    * streaming-ingest `batch=` layout ([[appendBatch]]).
+    *
+    * Delta-scoped invariants (same semantics as the full checker,
+    * `delta_`-prefixed): per-row assignment recompute against the
+    * broadcast centroids (raw stores; quantized report checked = 0),
+    * norm consistency, code well-formedness (quantized), centroid
+    * cover of the delta's cids — all ∝ delta via partition pruning.
+    * `delta_ids_unique` checks the delta's vec_ids against the WHOLE
+    * id surface (a replayed batch that bypassed the partition
+    * overwrite duplicates across batches — exactly the corruption the
+    * audit exists for); that one check scans the store's vec_id column
+    * only (column-pruned, no payload vectors move). */
+  def checkStoreIncremental(spark: SparkSession, path: String,
+                            sinceBatch: Option[Long] = None): DataFrame = {
+    import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
+    def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
+    val lists = spark.read.parquet(s"$path/lists")
+    require(lists.columns.contains("batch"),
+      s"checkStoreIncremental: store at $path has no batch= layout " +
+        "(batch build) — run the full checkStore instead")
+    val since = sinceBatch.orElse(lastAudited(spark, path)).getOrElse(-1L)
+    val delta = lists.filter(col("batch") > since)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val quantized = lists.columns.contains("qvec")
+
+    val unique = {
+      val counts = lists.select("vec_id")
+        .join(delta.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+        .groupBy("vec_id").agg(count(lit(1)).as("c"))
+      row("delta_ids_unique",
+        delta.agg(count(lit(1)).as("checked")).crossJoin(
+          counts.agg(coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violations"))))
+    }
+
+    val cover = {
+      val cids = delta.select("cid").distinct()
+      row("delta_centroid_cover",
+        cids.agg(count(lit(1)).as("checked")).crossJoin(
+          cids.join(cents.select("cid"), Seq("cid"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+    }
+
+    val assignment =
+      if (quantized) emptyRow("delta_lists_assignment")
+      else {
+        val recomputed = Similarity.assignToCentroids(
+            delta.select(col("vec_id"), col("v")), cents, "vec_id", "v", keep = 1)
+          .select(col("vec_id"), col("cid").as("rcid"))
+        row("delta_lists_assignment",
+          delta.select("vec_id", "cid").join(recomputed, Seq("vec_id"))
+            .agg(count(lit(1)).as("checked"),
+              sum(when(col("cid") =!= col("rcid"), 1L).otherwise(0L))
+                .as("violations")))
+      }
+
+    val norms = {
+      val withRef =
+        if (quantized)
+          delta.withColumn("ref_v", transform(col("qvec"),
+            x => round(x.cast("double") * col("scale"), 6)))
+        else delta.withColumn("ref_v", col("v"))
+      row("delta_norms_consistent",
+        withRef.agg(count(lit(1)).as("checked"),
+          sum(when(!(col("nv") <=>
+              sqrt(Similarity.dot(col("ref_v"), col("ref_v")))), 1L)
+            .otherwise(0L)).as("violations")))
+    }
+
+    val codes =
+      if (!quantized) emptyRow("delta_codes_wellformed")
+      else row("delta_codes_wellformed",
+        delta.agg(count(lit(1)).as("checked"),
+          sum(when(col("scale") < 0 ||
+              exists(col("qvec"), x => x < -127 || x > 127), 1L)
+            .otherwise(0L)).as("violations")))
+
+    graft.operators.StoreCheck.report(
+      Seq(cover, codes, unique, assignment, norms))
+  }
+
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)

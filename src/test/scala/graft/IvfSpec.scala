@@ -184,6 +184,54 @@ class IvfSpec extends SparkSpec {
       s"int8 lists must be substantially smaller: ${bytes(quant)} vs ${bytes(raw)}")
   }
 
+  test("checkStoreIncremental audits the ingest delta only; replay duplicates flagged") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivffsckincr").toString
+    IvfStore.writeCentroids(e, path, kmeansIters = 0)
+    IvfStore.appendBatch(spark, path, e.filter($"vec_id" % 2 === 0), 0L)
+    assert(IvfStore.listBatches(spark, path) === Seq(0L))
+    IvfStore.markAudited(spark, path) // the deep audit vouched for batch 0
+    IvfStore.appendBatch(spark, path, e.filter($"vec_id" % 2 === 1), 1L)
+
+    def report(): Map[String, (Long, Long)] =
+      IvfStore.checkStoreIncremental(spark, path)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val odds = e.filter($"vec_id" % 2 === 1).count()
+    val clean = report()
+    assert(clean.size === 5)
+    assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
+    assert(clean("delta_ids_unique")._1 === odds)
+    assert(clean("delta_lists_assignment")._1 === odds)
+    assert(clean("delta_norms_consistent")._1 === odds)
+    assert(clean("delta_codes_wellformed")._1 === 0L) // raw store
+
+    // a replayed delta row that bypassed the batch-partition overwrite
+    // (landed under a DIFFERENT batch): cross-batch duplicate — flagged
+    val lists = spark.read.parquet(s"$path/lists")
+    lists.filter($"batch" === 1L).limit(1).withColumn("batch", lit(2L))
+      .select(lists.columns.map(col).toSeq: _*)
+      .write.mode("append").partitionBy("batch", "cid").parquet(s"$path/lists")
+    assert(report()("delta_ids_unique")._2 === 1L,
+      "the replayed id is a store-wide duplicate (counted once per id)")
+
+    // the same corruption inside the ALREADY-AUDITED batch 0 stays out
+    // of the incremental scope (deep-audit territory)
+    lists.filter($"batch" === 0L).limit(1)
+      .select(lists.columns.map(col).toSeq: _*)
+      .write.mode("append").partitionBy("batch", "cid").parquet(s"$path/lists")
+    assert(report()("delta_ids_unique")._2 === 1L)
+
+    // after repair (dedup under the total order) + markAudited, the next
+    // incremental audit starts empty
+    IvfStore.repairLists(spark, path)
+    IvfStore.markAudited(spark, path)
+    val advanced = report()
+    assert(advanced("delta_ids_unique")._1 === 0L)
+    assert(advanced.values.forall(_._2 == 0L))
+  }
+
   test("checkStore: healthy raw and quantized stores pass; corruption detected") {
     import graft.similarity.IvfStore
     val e = Tables.load(spark, sf0001, "embeddings")
