@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
-  *   dedup  fsck | repair
+  *   dedup  fsck | fsck-incr | mark-audited | repair
   *   vstore fsck | repair        (both need the store's key columns)
   * }}}
   *
@@ -60,7 +60,9 @@ object Maintain {
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
       case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
       case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None
-      case ("dedup", "fsck")   => Some(dedup.DedupStore.checkStore(spark, path))
+      case ("dedup", "fsck")         => Some(dedup.DedupStore.checkStore(spark, path))
+      case ("dedup", "fsck-incr")    => Some(dedup.DedupStore.checkStoreIncremental(spark, path))
+      case ("dedup", "mark-audited") => dedup.DedupStore.markAudited(spark, path); None
       case ("dedup", "repair") => dedup.DedupStore.refreshBuckets(spark, path); None
       case ("vstore", "fsck")   => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "repair") => streaming.VersionedStore.repairCheckpoint(spark, path, keys); None

@@ -81,6 +81,56 @@ object DedupStore {
           "(DedupStore.storedGeometry) or rebuild the store")
     }
 
+  // ---- ingest-batch bookkeeping (the dedup face of the index store's
+  // `_lastbatch`/`_last_audit` discipline): every sets/buckets row
+  // carries the ingest-batch ordinal that wrote it (constant per parquet
+  // file — an incremental audit's `batch > since` filter skips pre-audit
+  // files via min/max statistics), `_lastbatch` tracks the highest
+  // ordinal written, `_last_audit` the highest one an audit vouched for.
+
+  private val LastBatchMarker = "_lastbatch"
+  private val LastAuditMarker = "_last_audit"
+
+  private def writeLongMarker(spark: SparkSession, path: String,
+                              marker: String, v: Long): Unit = {
+    val p = new Path(s"$path/$marker")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLongMarker(spark: SparkSession, path: String,
+                             marker: String): Option[Long] = {
+    val p = new Path(s"$path/$marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Highest ingest-batch ordinal recorded (None = pre-tracking store). */
+  def lastBatch(spark: SparkSession, path: String): Option[Long] =
+    readLongMarker(spark, path, LastBatchMarker)
+
+  /** Highest batch an audit has vouched for (None = never audited). */
+  def lastAudited(spark: SparkSession, path: String): Option[Long] =
+    readLongMarker(spark, path, LastAuditMarker)
+
+  /** Record that every batch up to `upTo` (default: the current last)
+    * has been audited. Not advanced by the checkers themselves — an
+    * audit that mutates the store it audits would make a red report
+    * unrepeatable (same contract as the other stores'). */
+  def markAudited(spark: SparkSession, path: String,
+                  upTo: Option[Long] = None): Unit = {
+    val v = upTo.orElse(lastBatch(spark, path)).getOrElse(
+      throw new IllegalStateException(s"markAudited: no batch marker at $path — " +
+        "a pre-batch-tracking store has nothing to scope an incremental audit to"))
+    writeLongMarker(spark, path, LastAuditMarker, v)
+  }
+
   /** Build the signature store for an initial corpus. Shingle sets are
     * persisted FIRST and the signatures/buckets derive from the persisted
     * copy — computing both from the original lineage would run the whole
@@ -89,11 +139,14 @@ object DedupStore {
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
     val sets = Dedup.shingleSets(Dedup.shingles(corpus, idCol, textCol, shingleN))
-    sets.write.mode("overwrite").parquet(s"$path/sets")
+    sets.withColumn("batch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/sets")
     val stored = corpus.sparkSession.read.parquet(s"$path/sets")
     deriveBuckets(stored, numHashes, bands)
+      .withColumn("batch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/buckets")
     writeGeometry(corpus.sparkSession, path, numHashes, bands)
+    writeLongMarker(corpus.sparkSession, path, LastBatchMarker, 0L)
   }
 
   /** Dedup a new batch against the store, then grow the store.
@@ -149,10 +202,18 @@ object DedupStore {
     val report = spark.read.parquet(s"$path/_last_ingest")
 
     val dupIds = report.select(col("new_id").as("doc_id")).distinct()
-    newSets.join(dupIds, Seq("doc_id"), "left_anti")
+    // survivors land under the next ingest-batch ordinal (legacy stores
+    // without the marker stay untagged — no mixed schemas); the marker
+    // advances LAST, so a crash mid-append leaves the landed rows under
+    // a not-yet-vouched-for ordinal the next incremental audit covers
+    val batchId = lastBatch(spark, path).map(_ + 1)
+    def tag(df: DataFrame): DataFrame =
+      batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
+    tag(newSets.join(dupIds, Seq("doc_id"), "left_anti"))
       .write.mode("append").parquet(s"$path/sets")
-    newBuckets.join(dupIds, Seq("doc_id"), "left_anti")
+    tag(newBuckets.join(dupIds, Seq("doc_id"), "left_anti"))
       .write.mode("append").parquet(s"$path/buckets")
+    batchId.foreach(b => writeLongMarker(spark, path, LastBatchMarker, b))
     new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staged), true)
     report
@@ -276,11 +337,92 @@ object DedupStore {
                      numHashes: Int = 128, bands: Int = 32): Unit = {
     requireGeometry(spark, path, numHashes, bands, "refreshBuckets")
     val sets = spark.read.parquet(s"$path/sets")
-    deriveBuckets(sets, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
+    val derived = deriveBuckets(sets, numHashes, bands)
+    // a batch-tracked store's repaired buckets re-inherit each doc's
+    // ingest ordinal from its (authoritative) sets row, so incremental
+    // audits keep working after a repair
+    val withBatch =
+      if (sets.columns.contains("batch"))
+        derived.join(sets.select("doc_id", "batch"), "doc_id")
+      else derived
+    withBatch.write.mode("overwrite").parquet(s"$path/buckets_tmp")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.FsOps.atomicSwap(fs,
       new Path(s"$path/buckets"), new Path(s"$path/buckets_tmp"))
+  }
+
+  /** Incremental integrity check: audit ONLY the rows ingested since
+    * the last vouched-for batch ([[markAudited]]) — the daily-cadence
+    * audit; the full [[checkStore]] stays the scheduled deep audit
+    * (its content invariant recomputes minhash over the WHOLE sets
+    * table, the one ∝-store cost here). Requires a batch-tracked store
+    * (writeSignatures since batch tracking).
+    *
+    * Delta-scoped invariants (`delta_`-prefixed twins of the full
+    * checker's): per-doc band cardinality, buckets-vs-recompute content
+    * equality (minhash recomputed from DELTA sets only — ∝ delta), and
+    * sets⟷buckets id-surface match WITHIN the delta — which is exactly
+    * where [[ingest]]'s crash window lands (sets append committed,
+    * buckets append lost: the drifted docs are delta docs by
+    * construction). `delta_ids_unique` checks delta ids against the
+    * WHOLE id surface (one column-pruned doc_id scan — no shingle sets
+    * move; a re-sent id would otherwise shadow its stored twin). */
+  def checkStoreIncremental(spark: SparkSession, path: String,
+                            numHashes: Int = 128, bands: Int = 32,
+                            sinceBatch: Option[Long] = None): DataFrame = {
+    requireGeometry(spark, path, numHashes, bands, "checkStoreIncremental")
+    import graft.operators.StoreCheck.row
+    val sets = spark.read.parquet(s"$path/sets")
+    val buckets = spark.read.parquet(s"$path/buckets")
+    require(sets.columns.contains("batch") && buckets.columns.contains("batch"),
+      s"checkStoreIncremental: store at $path carries no batch ordinals " +
+        "(written before batch tracking) — run the full checkStore instead")
+    val since = sinceBatch.orElse(lastAudited(spark, path)).getOrElse(-1L)
+    val dSets = sets.filter(col("batch") > since)
+    val dBuckets = buckets.filter(col("batch") > since)
+
+    val unique = {
+      val counts = sets.select("doc_id")
+        .join(dSets.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      row("delta_ids_unique",
+        dSets.agg(count(lit(1)).as("checked")).crossJoin(
+          counts.agg(coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violations"))))
+    }
+
+    val surface = {
+      val a = dSets.select("doc_id").distinct().withColumn("in_sets", lit(1))
+      val b = dBuckets.select("doc_id").distinct().withColumn("in_buckets", lit(1))
+      row("delta_id_surface_match",
+        a.join(b, Seq("doc_id"), "full_outer").agg(
+          sum(when(col("in_sets").isNotNull, 1L).otherwise(0L)).as("checked"),
+          sum(when(col("in_sets").isNull || col("in_buckets").isNull, 1L)
+            .otherwise(0L)).as("violations")))
+    }
+
+    val cardinality = row("delta_bucket_cardinality",
+      dBuckets.groupBy("doc_id")
+        .agg(count(lit(1)).as("rows"), countDistinct(col("band")).as("dbands"))
+        .agg(count(lit(1)).as("checked"),
+          sum(when(col("rows") =!= bands.toLong || col("dbands") =!= bands.toLong, 1L)
+            .otherwise(0L)).as("violations")))
+
+    val content = {
+      val recomputed = deriveBuckets(dSets, numHashes, bands)
+        .select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("rec", lit(1))
+      val stored = dBuckets.select("doc_id", "band", "bucket")
+        .withColumn("sto", lit(1))
+      row("delta_buckets_match_signatures",
+        stored.join(recomputed, Seq("doc_id", "band", "bucket"), "full_outer").agg(
+          sum(when(col("rec").isNotNull, 1L).otherwise(0L)).as("checked"),
+          sum(when(col("rec").isNull || col("sto").isNull, 1L).otherwise(0L))
+            .as("violations")))
+    }
+
+    graft.operators.StoreCheck.report(
+      Seq(cardinality, content, surface, unique))
   }
 
   /** Streaming dedup-on-ingest: every micro-batch of a document stream is

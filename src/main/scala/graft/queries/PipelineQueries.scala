@@ -116,6 +116,23 @@ object PipelineQueries extends QueryGroup {
             col("checked"), col("violations")))
     }),
 
+    // ...and the INCREMENTAL audit for the signature store (the dedup
+    // face of q_store_fsck_incr's daily/deep split): the even half
+    // builds the store (batch 0, vouched by markAudited), the odd half
+    // ingests as batch 1 — the delta the audit scopes to is exactly
+    // the odd docs that SURVIVED the cross-half dedup (withheld
+    // near-dups never entered the store), which the oracle re-derives
+    // via the same exact-Jaccard CTEs as q_dedup_ingest
+    "q_dedup_fsck_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-dedupfsckincr")
+      graft.dedup.DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
+      graft.dedup.DedupStore.markAudited(s, path)
+      graft.dedup.DedupStore.ingest(s, path, d.filter(col("doc_id") % 2 === 1),
+        JaccardThreshold)
+      graft.dedup.DedupStore.checkStoreIncremental(s, path)
+    }),
+
     // pair list → actionable clusters: connected components over the
     // near-dup graph, min-id survivor per component
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1748,6 +1765,32 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'buckets_match_signatures', (SELECT n * 32 FROM pop), 0
           UNION ALL SELECT 'id_surface_match', (SELECT n FROM pop), 0
           UNION ALL SELECT 'ids_unique', (SELECT n FROM pop), 0""",
+
+    // the incremental signature-store audit: the delta population is
+    // the shingle-able odd half MINUS the odds withheld by the
+    // cross-half dedup (exact Jaccard vs the even half at the store's
+    // threshold — the same truth q_dedup_ingest verifies pairwise)
+    "q_dedup_fsck_incr" ->
+      s"""WITH lists AS ($SqlLists),
+               sh AS ($SqlShingles),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT y.doc_id AS new_id, x.doc_id AS dup_of, count(*) AS i
+                         FROM sh x JOIN sh y ON x.shingle = y.shingle
+                          AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+                         GROUP BY 1, 2),
+               dups AS (SELECT DISTINCT new_id FROM inter
+                        JOIN sz sa ON dup_of = sa.doc_id
+                        JOIN sz sb ON new_id = sb.doc_id
+                        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+               surv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lists
+                        WHERE len(l) >= 3 AND doc_id % 2 = 1
+                          AND doc_id NOT IN (SELECT new_id FROM dups))
+          SELECT 'delta_bucket_cardinality' AS invariant,
+                 (SELECT n FROM surv) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'delta_buckets_match_signatures',
+                 (SELECT n * 32 FROM surv), 0
+          UNION ALL SELECT 'delta_id_surface_match', (SELECT n FROM surv), 0
+          UNION ALL SELECT 'delta_ids_unique', (SELECT n FROM surv), 0""",
 
     // the detect→repair loop for the signature store: in the detect
     // phase every removed doc (%4 of the shingle-able even half) is one

@@ -163,6 +163,56 @@ class DedupSpec extends SparkSpec {
     assert(report().values.forall(_._2 == 0L), "refreshBuckets must repair the drift")
   }
 
+  test("checkStoreIncremental audits the ingest delta only; crash drift flagged") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupincr").toString
+    DedupStore.writeSignatures(
+      Seq((1L, "a b c d e f g h"), (2L, "q r s t u v w x")).toDF("doc_id", "text"), path)
+    assert(DedupStore.lastBatch(spark, path) === Some(0L))
+    DedupStore.markAudited(spark, path) // deep audit vouched for batch 0
+    // batch 1: 10 near-duplicates stored doc 1 (withheld), 11 is novel
+    val r = DedupStore.ingest(spark, path,
+      Seq((10L, "a b c d e f g z"), (11L, "m n o p h i j k")).toDF("doc_id", "text"), 0.5)
+    assert(r.select("new_id").as[Long].collect().toSet === Set(10L))
+    assert(DedupStore.lastBatch(spark, path) === Some(1L))
+
+    def report(): Map[String, (Long, Long)] =
+      DedupStore.checkStoreIncremental(spark, path)
+        .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+
+    val clean = report()
+    assert(clean.size === 4)
+    assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
+    // the delta is exactly the one SURVIVING ingested doc
+    assert(clean("delta_ids_unique") === ((1L, 0L)))
+    assert(clean("delta_buckets_match_signatures") === ((32L, 0L)))
+
+    // ingest's crash window INSIDE the delta: a sets append that
+    // committed while the buckets append was lost (simulated at batch 2)
+    spark.read.parquet(s"$path/sets").limit(1)
+      .withColumn("doc_id", lit(12L)).withColumn("batch", lit(2L))
+      .write.mode("append").parquet(s"$path/sets")
+    val drifted = report()
+    assert(drifted("delta_id_surface_match")._2 === 1L)
+    assert(drifted("delta_buckets_match_signatures")._2 === 32L)
+
+    // the SAME drift in the vouched-for batch 0 is deep-audit scope
+    // (full checkStore flags it; the incremental report must not change)
+    spark.read.parquet(s"$path/sets").filter($"doc_id" === 1L)
+      .write.mode("append").parquet(s"$path/sets")
+    assert(report()("delta_ids_unique")._2 === 0L,
+      "batch-0 corruption must stay out of the incremental scope")
+
+    // repair re-derives buckets from sets (batch re-attached), the
+    // batch-0 duplicate is removed, and the advanced watermark empties
+    // the next incremental audit
+    DedupStore.removeDocs(spark, path, Seq(1L).toDF("doc_id"))
+    DedupStore.refreshBuckets(spark, path)
+    assert(report().values.forall(_._2 == 0L), "repair must restore the delta invariants")
+    DedupStore.markAudited(spark, path, upTo = Some(2L))
+    assert(report()("delta_ids_unique")._1 === 0L)
+  }
+
   test("geometry marker: mismatched numHashes/bands fail fast on every store op") {
     import graft.dedup.DedupStore
     val path = java.nio.file.Files.createTempDirectory("dedupgeom").toString
