@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   dedup  fsck | fsck-incr | mark-audited | repair
-  *   vstore fsck | repair        (both need the store's key columns)
+  *   vstore fsck | fsck-incr | mark-audited | repair
+  *          (fsck/fsck-incr/repair need the store's key columns)
   * }}}
   *
   * `repair` is each family's documented repair primitive beside its
@@ -64,7 +65,9 @@ object Maintain {
       case ("dedup", "fsck-incr")    => Some(dedup.DedupStore.checkStoreIncremental(spark, path))
       case ("dedup", "mark-audited") => dedup.DedupStore.markAudited(spark, path); None
       case ("dedup", "repair") => dedup.DedupStore.refreshBuckets(spark, path); None
-      case ("vstore", "fsck")   => Some(streaming.VersionedStore.checkStore(spark, path, keys))
+      case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
+      case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))
+      case ("vstore", "mark-audited") => streaming.VersionedStore.markAudited(spark, path); None
       case ("vstore", "repair") => streaming.VersionedStore.repairCheckpoint(spark, path, keys); None
       case _ => throw new IllegalArgumentException(
         s"unknown maintenance op: $family $op (see Maintain scaladoc)")

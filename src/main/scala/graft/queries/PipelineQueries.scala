@@ -801,6 +801,37 @@ object PipelineQueries extends QueryGroup {
       splitBudgetReport(clean)
     }),
 
+    // ...and the same incremental face driven by the REAL streaming
+    // runtime — the continuous-crawl shape of the corpus build: today's
+    // batch arrives as TWO file drops, each its own micro-batch
+    // (maxFilesPerTrigger=1, oldest-first), each within-batch deduped
+    // then deduped against the signature store AS GROWN BY THE EARLIER
+    // TRIGGER before its survivors ingest. The oracle re-derives the
+    // sequential semantics exactly (slice A vs the stored half, slice B
+    // vs stored + A's survivors) via the same exact-Jaccard CTEs as
+    // q_prep_ingest — order-dependence is the CONTRACT here, and the
+    // oracle models it rather than assuming slicing invariance
+    "q_stream_prep_ingest" -> ((s, dir) => {
+      import graft.pipeline.PrepPipeline.{isBench, qualityKept}
+      import graft.streaming.StreamRuntime
+      val d = docs(s, dir)
+      val bench = d.filter(isBench)
+      val pool = d.filter(!isBench)
+      val store = qualityKept(pool.filter(col("doc_id") % 2 === 0))   // history
+      val today = qualityKept(pool.filter(col("doc_id") % 2 === 1))
+      val path = QueryGroup.scratchDir("graft-streamprepingest")
+      graft.dedup.DedupStore.writeSignatures(store, path)
+      val src = QueryGroup.scratchDir("graft-streamprepingest-src")
+      StreamRuntime.orderedDrops(s, Seq(
+        today.filter(col("doc_id") % 4 === 1),                        // this morning
+        today.filter(col("doc_id") % 4 === 3)), src)                  // this evening
+      val ids = StreamRuntime.runPrepIngest(s, src, path, JaccardThreshold,
+        QueryGroup.scratchDir("graft-streamprepingest-out"))
+      val clean = graft.pipeline.Contamination.decontaminate(
+        d.join(ids, Seq("doc_id")), bench, minShared = 2L)
+      splitBudgetReport(clean)
+    }),
+
     // temperature mixing at α = 0.5: per-language replication factors
     // DERIVED from the data (p ∝ √n flattening), realized as
     // deterministic per-row copy counts — every copy oracle-recomputed
@@ -1024,6 +1055,23 @@ object PipelineQueries extends QueryGroup {
         VersionedStore.checkStore(s, path, Seq("doc_id"))
           .select(lit("1_repaired").as("phase"), col("invariant"),
             col("checked"), col("violations")))
+    }),
+
+    // ...and the INCREMENTAL audit for the versioned store, completing
+    // the daily/deep audit split across all four store families: waves
+    // 1–2 commit and checkpoint at v2, a full audit vouches for them
+    // (markAudited), then wave 3 commits and checkpoints at v3 — the
+    // daily audit scopes to the delta alone: log v3's row invariants
+    // (the wave-3 population), one replay-range check, and the one NEW
+    // checkpoint (v3) against an independent replay from the vouched v2
+    // basis. Cost ∝ delta + the new checkpoint, never the v1–v2 history
+    "q_vstore_fsck_incr" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val path = QueryGroup.scratchDir("graft-ttfsckincr")
+      ttStoreSetup(s, dir, path)
+      VersionedStore.markAudited(s, path, upTo = Some(2L))
+      VersionedStore.checkpoint(s, path, 3L, Seq("doc_id"))
+      VersionedStore.checkStoreIncremental(s, path, Seq("doc_id"))
     }),
   )
 
@@ -1281,6 +1329,80 @@ object PipelineQueries extends QueryGroup {
              dd AS (SELECT doc_id FROM kept WHERE doc_id % 2 = 1
                     AND doc_id NOT IN (SELECT id FROM wb_nonsurv)
                     AND doc_id NOT IN (SELECT doc_id FROM dups)),
+             bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
+             tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
+             contam AS (SELECT DISTINCT doc_id FROM (
+                          SELECT t.doc_id, b.bench_id
+                          FROM tsh t JOIN bsh b USING (shingle)
+                          GROUP BY 1, 2 HAVING count(*) >= 2)),
+             clean AS (SELECT doc_id FROM dd
+                       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             lists AS ($SqlLists),
+             $SplitReportTailSql"""
+
+  /** One streamed slice's CTE chain for the sequential ingest oracle:
+    * within-slice components over exact-Jaccard pairs (min-id survivor
+    * per component), then the store pass against `storeRel` — emits
+    * `<p>_add`, the slice's surviving doc_ids. `sliceRel` must hold the
+    * slice's (doc_id, shingle) rows; `residue` is the slice's
+    * doc_id % 4 class (shingle-less kept docs survive by definition,
+    * same as prepIngestOracle's dd). */
+  private def sliceIngestSql(p: String, residue: Int, sliceRel: String,
+                             storeRel: String): String =
+    s"""${p}_inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+                       FROM $sliceRel x JOIN $sliceRel y
+                         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2),
+        ${p}_pairs AS (SELECT doc_a, doc_b FROM ${p}_inter
+                       JOIN sz sa ON doc_a = sa.doc_id
+                       JOIN sz sb ON doc_b = sb.doc_id
+                       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+        ${p}_edges AS (SELECT doc_a AS a, doc_b AS b FROM ${p}_pairs
+                       UNION SELECT doc_b, doc_a FROM ${p}_pairs),
+        ${p}_nodes AS (SELECT DISTINCT a AS id FROM ${p}_edges),
+        ${p}_reach(id, lbl) AS (
+          SELECT id, id FROM ${p}_nodes
+          UNION
+          SELECT e.b, r.lbl FROM ${p}_reach r JOIN ${p}_edges e ON e.a = r.id),
+        ${p}_nonsurv AS (SELECT id FROM
+                           (SELECT id, min(lbl) AS m FROM ${p}_reach GROUP BY id)
+                         WHERE id <> m),
+        ${p}_wb AS (SELECT doc_id, shingle FROM $sliceRel
+                    WHERE doc_id NOT IN (SELECT id FROM ${p}_nonsurv)),
+        ${p}_sinter AS (SELECT b.doc_id AS new_id, a.doc_id AS dup_of, count(*) AS i
+                        FROM $storeRel a JOIN ${p}_wb b ON a.shingle = b.shingle
+                        GROUP BY 1, 2),
+        ${p}_dups AS (SELECT DISTINCT new_id AS doc_id FROM ${p}_sinter
+                      JOIN sz sa ON dup_of = sa.doc_id
+                      JOIN sz sb ON new_id = sb.doc_id
+                      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+        ${p}_add AS (SELECT doc_id FROM kept WHERE doc_id % 4 = $residue
+                     AND doc_id NOT IN (SELECT id FROM ${p}_nonsurv)
+                     AND doc_id NOT IN (SELECT doc_id FROM ${p}_dups))"""
+
+  /** The streaming ingest face's oracle: the SEQUENTIAL semantics of two
+    * micro-batches — slice A (doc_id % 4 = 1) ingests against the
+    * stored half, slice B (doc_id % 4 = 3) against the store GROWN BY
+    * A's survivors — then the shared decontamination + budget tail. */
+  private lazy val streamPrepIngestOracle: String =
+    s"""WITH RECURSIVE
+             kept AS (SELECT doc_id FROM ($QualitySql)
+                      WHERE doc_id % 50 <> 0 AND n_tokens >= 25
+                        AND avg_token_len <= 4.7 AND stopword_ratio >= 0.05),
+             sh0 AS ($SqlShingles),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+             store_sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                          JOIN kept USING (doc_id) WHERE s.doc_id % 2 = 0),
+             a0 AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                    JOIN kept USING (doc_id) WHERE s.doc_id % 4 = 1),
+             b0 AS (SELECT s.doc_id, s.shingle FROM sh0 s
+                    JOIN kept USING (doc_id) WHERE s.doc_id % 4 = 3),
+             ${sliceIngestSql("a", 1, "a0", "store_sh")},
+             store1 AS (SELECT doc_id, shingle FROM store_sh
+                        UNION ALL
+                        SELECT s.doc_id, s.shingle FROM sh0 s JOIN a_add USING (doc_id)),
+             ${sliceIngestSql("b", 3, "b0", "store1")},
+             dd AS (SELECT doc_id FROM a_add UNION ALL SELECT doc_id FROM b_add),
              bsh AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 50 = 0),
              tsh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dd USING (doc_id)),
              contam AS (SELECT DISTINCT doc_id FROM (
@@ -1910,6 +2032,7 @@ object PipelineQueries extends QueryGroup {
     "q_prep_pipeline_staged" -> prepPipelineOracle,
     // the incremental face: store-backed dedup against yesterday's kept docs
     "q_prep_ingest" -> prepIngestOracle,
+    "q_stream_prep_ingest" -> streamPrepIngestOracle,
     // BM25 over the prep oracle's own clean population: index-time stats
     // (df, N, avg_dl) must reflect the cleaned corpus exactly
     "q_prep_index" -> SearchQueries.bm25OracleFor(
@@ -2663,6 +2786,24 @@ object PipelineQueries extends QueryGroup {
          UNION ALL SELECT '1_repaired', 'log_contiguous', 3, 0
          UNION ALL SELECT '1_repaired', 'op_wellformed',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0""",
+
+    // the incremental audit scopes to the post-vouch delta: log v3's
+    // row invariants check the wave-3 population only, one delta
+    // version's replay range, and the v3 checkpoint (the one written
+    // since the audit) against replay — checked = the v3 LIVE set
+    "q_vstore_fsck_incr" ->
+      """WITH n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                     WHERE doc_id % 13 = 3
+                        OR (doc_id % 11 = 0 AND doc_id % 13 <> 3)),
+              live AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                       WHERE NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
+                                  AND doc_id % 11 <> 0))
+         SELECT 'delta_checkpoint_matches_log' AS invariant,
+                (SELECT n FROM live) AS checked,
+                CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'delta_commit_key_unique', (SELECT n FROM n3), 0
+         UNION ALL SELECT 'delta_log_contiguous', 1, 0
+         UNION ALL SELECT 'delta_op_wellformed', (SELECT n FROM n3), 0""",
 
     "q_hybrid_rrf" -> hybridOracle,
 

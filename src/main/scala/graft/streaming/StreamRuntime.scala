@@ -112,6 +112,65 @@ object StreamRuntime {
     spark.read.parquet(out)
   }
 
+  /** Drop each frame into `srcDir` as ONE single-file batch, with
+    * strictly increasing modification times in sequence order — the
+    * arrives-over-time fixture for the file stream source: with
+    * `maxFilesPerTrigger=1` (oldest-first) each frame becomes its own
+    * micro-batch, in exactly this order. */
+  def orderedDrops(spark: SparkSession, frames: Seq[DataFrame], srcDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$srcDir/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"drop_$i%03d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, 1000L * (i + 1), -1)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
+  /** Stream a directory of corpus-batch files through the INCREMENTAL
+    * prep-ingest face ([[graft.pipeline.PrepPipeline.dedupIngest]]):
+    * one micro-batch per source file (oldest-first), each batch
+    * within-batch deduped, deduped against the signature store AS GROWN
+    * BY EVERY EARLIER BATCH, and its survivors ingested — the
+    * continuous-crawl execution shape of the corpus build, where
+    * today's accepted docs are tomorrow's dedup reference. Surviving
+    * doc_ids land in `outDir/batch=<id>` (executor-side parquet, no
+    * driver collect), each trigger OVERWRITING its own batch directory —
+    * so a crash-replayed batch rewrites its own output instead of
+    * appending duplicates (the same replay discipline as [[runCommits]];
+    * the store side is naturally replay-stable because a re-ingested
+    * doc matches its own stored signature and drops). Per-trigger work
+    * stays ∝ that batch, exactly the batch face's cost model. Returns
+    * the accumulated survivor ids. */
+  def runPrepIngest(spark: SparkSession, srcDir: String, storePath: String,
+                    jaccardThreshold: Double, outDir: String): DataFrame = {
+    val scratch = graft.queries.QueryGroup.scratchDir("graft-prepingest-run")
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.pipeline.PrepPipeline
+          .dedupIngest(batch.sparkSession, storePath, batch, jaccardThreshold)
+          .select("doc_id")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
+  }
+
   /** Drop `df` into `srcDir` as `n` identical single-file batches with
     * strictly increasing modification times — a replayed-ingest fixture
     * for the file stream source (oldest-first, one batch per file). */

@@ -333,4 +333,126 @@ object VersionedStore {
 
     report(Seq(ckptCheck) ++ logChecks :+ contiguous)
   }
+
+  // ---- audit bookkeeping: `_last_audit` records the highest log version
+  // an audit has vouched for — the versioned-store face of the same
+  // daily/deep audit split the other three families carry. One-long
+  // driver-side text file, same discipline as the index store's markers
+  // (graft.index.Indexer.LastAuditMarker); no separate `_lastbatch` twin
+  // is needed here because the log's `v=` directories ARE the store's
+  // native batch ordinals.
+
+  private val LastAuditMarker = "_last_audit"
+
+  /** Highest log version an audit has vouched for (None = never audited). */
+  def lastAudited(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(s"$path/$LastAuditMarker")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Record that every commit up to version `upTo` (default: the newest
+    * committed version) has been audited, so the next
+    * [[checkStoreIncremental]] scopes to commits after it. Deliberately
+    * NOT advanced by the checkers themselves: an audit that mutates the
+    * store it audits would make a red report unrepeatable (same contract
+    * as the other three families' markAudited). */
+  def markAudited(spark: SparkSession, path: String,
+                  upTo: Option[Long] = None): Unit = {
+    val v = upTo.orElse(versions(spark, path).lastOption).getOrElse(
+      throw new IllegalStateException(s"markAudited: no commits at $path — " +
+        "an empty store has nothing to vouch for"))
+    val p = new Path(s"$path/$LastAuditMarker")
+    val out = fs(spark, p).create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Incremental integrity check: [[checkStore]]'s invariants scoped to
+    * the commits AFTER the last vouched-for version ([[markAudited]]) —
+    * the daily-cadence audit whose cost tracks the delta, with the full
+    * [[checkStore]] kept for scheduled deep audits (the same daily/deep
+    * split as the index, IVF, and dedup stores). A never-audited store
+    * (no marker, no `sinceVersion`) audits everything — incremental
+    * against an empty vouched set IS the deep audit.
+    *
+    *   - `delta_commit_key_unique` / `delta_op_wellformed` — the log-row
+    *     invariants over delta commits only.
+    *   - `delta_log_contiguous` — replay-range completeness for each
+    *     delta version (version lists are driver-side metadata, so the
+    *     full committed list is free to consult).
+    *   - `delta_checkpoint_matches_log` — audited only when a checkpoint
+    *     NEWER than the vouched version exists (a checkpoint written
+    *     since the last audit is new derived state; one vouched by a
+    *     prior audit is not re-derived daily). `checked = 0` when there
+    *     is no new checkpoint, or when a vacuum dropped its replay basis
+    *     (same unauditable-state convention as [[checkStore]]).
+    *
+    * Scale: one pass over delta log partitions + at most one
+    * checkpoint-vs-replay diff — work ∝ |delta| (+ |checkpoint| only
+    * when a new checkpoint exists to vouch for), never ∝ history. */
+  def checkStoreIncremental(spark: SparkSession, path: String,
+                            keys: Seq[String],
+                            sinceVersion: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "checkStoreIncremental needs the store's key columns")
+    import graft.operators.StoreCheck.{report, row, emptyRow}
+    val since = sinceVersion.orElse(lastAudited(spark, path)).getOrElse(0L)
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    val deltaVs = committed.filter(_ > since)
+
+    val brokenReplays = deltaVs.count { v =>
+      val base = ckptVs.filter(_ <= v).lastOption.getOrElse(0L)
+      !((base + 1) to v).forall(committed.contains)
+    }
+    val contiguous = spark.range(1).select(
+      lit("delta_log_contiguous").as("invariant"),
+      lit(deltaVs.size.toLong).as("checked"),
+      lit(brokenReplays.toLong).as("violations"))
+
+    val logChecks =
+      if (deltaVs.isEmpty)
+        Seq(emptyRow(spark, "delta_commit_key_unique"),
+          emptyRow(spark, "delta_op_wellformed"))
+      else {
+        val log = spark.read.option("basePath", s"$path/log")
+          .parquet(deltaVs.map(v => s"$path/log/v=$v"): _*)
+          .withColumn("__v", col("v").cast("long")).drop("v")
+        Seq(
+          row("delta_commit_key_unique",
+            log.groupBy(col("__v") +: keys.map(col): _*)
+              .agg(count(lit(1)).as("c"))
+              .agg(count(lit(1)).as("checked"),
+                sum(when(col("c") > 1, 1L).otherwise(0L)).as("violations"))),
+          row("delta_op_wellformed",
+            log.agg(count(lit(1)).as("checked"),
+              sum(when(!col(OpCol).isin("u", DeleteOp), 1L).otherwise(0L))
+                .as("violations"))))
+      }
+
+    val ckptCheck = ckptVs.filter(_ > since).lastOption match {
+      case Some(c) =>
+        val earlier = ckptVs.filter(_ < c)
+        val base0 = earlier.lastOption.getOrElse(0L)
+        if (!((base0 + 1) to c).forall(committed.contains))
+          emptyRow(spark, "delta_checkpoint_matches_log")
+        else {
+          val stored = spark.read.parquet(s"$path/checkpoint/v=$c")
+          val replay = snapshotUsing(spark, path, c, keys, earlier, committed)
+          row("delta_checkpoint_matches_log",
+            stored.agg(count(lit(1)).as("checked")).crossJoin(
+              diffFrames(stored, replay.select(stored.columns.map(col).toSeq: _*), keys)
+                .agg(count(lit(1)).as("violations"))))
+        }
+      case None =>
+        emptyRow(spark, "delta_checkpoint_matches_log")
+    }
+
+    report(Seq(ckptCheck) ++ logChecks :+ contiguous)
+  }
 }

@@ -53,12 +53,15 @@ class MaintainSpec extends SparkSpec {
     assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
   }
 
-  test("vstore family: fsck / repair dispatch with key columns") {
+  test("vstore family: fsck / fsck-incr / mark-audited / repair dispatch with key columns") {
     val path = QueryGroup.scratchDir("graft-maint-vs")
     streaming.VersionedStore.commit(spark, path,
       Seq((1L, "a", "u"), (2L, "b", "u")).toDF("k", "v", "_op"))
     streaming.VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
     assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    assert(violations(Maintain.run(spark, "vstore", "fsck-incr", path, Seq("k"))) === 0L)
+    assert(Maintain.run(spark, "vstore", "mark-audited", path).isEmpty)
+    assert(streaming.VersionedStore.lastAudited(spark, path) === Some(1L))
     assert(Maintain.run(spark, "vstore", "repair", path, Seq("k")).isEmpty)
     assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
     // missing keys fail loudly, not with a confusing downstream error

@@ -108,4 +108,47 @@ class PrepPipelineSpec extends SparkSpec {
     assert(twoBatches === oneBatch,
       s"slicing changed the answer: one=$oneBatch two=$twoBatches")
   }
+
+  test("runPrepIngest: streamed file drops ≡ direct sequential dedupIngest calls") {
+    import spark.implicits._
+    import graft.dedup.DedupStore
+    import graft.streaming.StreamRuntime
+    val storeCorpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark query engines here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, "an original essay on distributed joins and shuffles now"),
+      (21L, "an original essay on distributed joins and shuffles again"), // ≈ 20
+      (22L, "the quick brown fox jumps over the lazy dog tonight"),       // ≈ stored 1
+      (23L, "novel unrelated text with entirely fresh vocabulary words"))
+      .toDF("doc_id", "text")
+    val slices = Seq(delta.filter($"doc_id" <= 21L), delta.filter($"doc_id" > 21L))
+
+    // direct sequential calls — the batch-at-a-time face
+    val directPath = Files.createTempDirectory("ingeststream-direct").toString
+    DedupStore.writeSignatures(storeCorpus, directPath)
+    val direct = slices.map(b =>
+      ids(PrepPipeline.dedupIngest(spark, directPath, b, 0.5))).reduce(_ ++ _)
+
+    // the same slices as ordered file drops through the streaming runtime:
+    // trigger 2 must dedup against the store AS GROWN by trigger 1
+    val streamPath = Files.createTempDirectory("ingeststream-store").toString
+    DedupStore.writeSignatures(storeCorpus, streamPath)
+    val src = Files.createTempDirectory("ingeststream-src").toString
+    StreamRuntime.orderedDrops(spark, slices, src)
+    val streamed = ids(StreamRuntime.runPrepIngest(spark, src, streamPath, 0.5,
+      Files.createTempDirectory("ingeststream-out").toString))
+
+    // 21 drops within trigger 1 (near-dup of 20); 22 drops against the
+    // stored doc 1 in trigger 2; 20 and 23 survive
+    assert(streamed === Set(20L, 23L), s"streamed clean additions: $streamed")
+    assert(streamed === direct,
+      s"streaming changed the answer: direct=$direct streamed=$streamed")
+    // ...and the store itself converged identically under both runtimes
+    val directSigs = ids(spark.read.parquet(s"$directPath/sets"))
+    val streamSigs = ids(spark.read.parquet(s"$streamPath/sets"))
+    assert(streamSigs === directSigs,
+      s"store drift: direct=$directSigs streamed=$streamSigs")
+  }
 }

@@ -305,4 +305,85 @@ class VersionedStoreSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(d23 === Map(1L -> "changed", 2L -> "added"))
   }
+
+  test("checkStoreIncremental audits post-vouch commits only; new checkpoints are in scope") {
+    val path = QueryGroup.scratchDir("graft-vstorefsckincr")
+    VersionedStore.commit(spark, path,
+      ch((1L, "a1", "u"), (2L, "b1", "u"), (3L, "c1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (3L, "c1", "d")))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    VersionedStore.markAudited(spark, path) // deep audit vouched v1–v2
+    assert(VersionedStore.lastAudited(spark, path) === Some(2L))
+    VersionedStore.commit(spark, path, ch((3L, "c3", "u"), (4L, "d3", "u")))
+    VersionedStore.checkpoint(spark, path, 3L, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def report(): Map[String, (Long, Long)] =
+      VersionedStore.checkStoreIncremental(spark, path, Seq("k"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val clean = report()
+    assert(clean.size === 4)
+    assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
+    // audited exactly the post-vouch population: log v3's two rows, one
+    // delta version's replay range, and the NEW v3 checkpoint (its live
+    // set: keys 1,2 from the basis + 3 revived + 4 inserted)
+    assert(clean("delta_commit_key_unique")._1 === 2L)
+    assert(clean("delta_op_wellformed")._1 === 2L)
+    assert(clean("delta_log_contiguous")._1 === 1L)
+    assert(clean("delta_checkpoint_matches_log")._1 === 4L)
+
+    // a double-applied row in the DELTA commit is flagged...
+    spark.read.option("basePath", s"$path/log").parquet(s"$path/log/v=3")
+      .drop("v").limit(1).write.mode("append").parquet(s"$path/log/v=3")
+    assert(report()("delta_commit_key_unique")._2 === 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/log/v=3"), true)
+    VersionedStore.commitAt(spark, path, ch((3L, "c3", "u"), (4L, "d3", "u")), 3L)
+
+    // ...while the same corruption in a VOUCHED commit stays out of the
+    // incremental scope by design — the scheduled deep checkStore owns it
+    spark.read.option("basePath", s"$path/log").parquet(s"$path/log/v=1")
+      .drop("v").limit(1).write.mode("append").parquet(s"$path/log/v=1")
+    val vouched = report()
+    assert(vouched("delta_commit_key_unique")._2 === 0L)
+    assert(VersionedStore.checkStore(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect()
+      .find(_._1 == "commit_key_unique").get._3 === 1L)
+
+    // drift in the new checkpoint is delta scope: one payload flipped
+    spark.read.parquet(s"$path/checkpoint/v=3")
+      .withColumn("val", when(col("k") === 2L, lit("WRONG")).otherwise(col("val")))
+      .write.mode("overwrite").parquet(s"$path/checkpoint/v=3_bad")
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3"),
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=3_bad"))
+    assert(report()("delta_checkpoint_matches_log")._2 === 1L)
+    VersionedStore.repairCheckpoint(spark, path, Seq("k"))
+    assert(report()("delta_checkpoint_matches_log") === ((4L, 0L)))
+
+    // once the delta passes, markAudited (default: newest commit)
+    // advances the watermark and the next daily audit starts empty —
+    // including the v3 checkpoint, now vouched and not re-derived
+    VersionedStore.markAudited(spark, path)
+    assert(VersionedStore.lastAudited(spark, path) === Some(3L))
+    val advanced = report()
+    assert(advanced.values.forall(v => v._1 == 0L && v._2 == 0L),
+      s"post-vouch audit should be empty: $advanced")
+  }
+
+  test("checkStoreIncremental on a never-audited store IS the deep audit; markAudited refuses empty stores") {
+    val path = QueryGroup.scratchDir("graft-vstoreincrfull")
+    intercept[IllegalStateException] {
+      VersionedStore.markAudited(spark, path)
+    }
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (1L, "a1", "d")))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    val rep = VersionedStore.checkStoreIncremental(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep("delta_commit_key_unique")._1 === 4L) // every commit in scope
+    assert(rep("delta_log_contiguous")._1 === 2L)
+    assert(rep("delta_checkpoint_matches_log")._1 === 1L) // v2 live: key 2
+    assert(rep.values.forall(_._2 == 0L))
+  }
 }
