@@ -770,6 +770,27 @@ object PipelineQueries extends QueryGroup {
           col("title"), round(col("score"), 4).as("score"))
     }),
 
+    // ...and the DENSE twin of q_prep_index: prep-cleaned corpus → IVF
+    // store over its embeddings → pruned ANN search. The store's seed
+    // centroids, list assignment and candidate universe all derive from
+    // the CLEAN population (the oracle recomputes them over its own
+    // clean set); the query vectors come from the full embeddings table
+    // — a query need not be a store member (doc 0 is bench-held-out),
+    // exactly searchStore's assign-any-vector contract
+    "q_prep_ann" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = graft.pipeline.PrepPipeline.stages(d, JaccardThreshold,
+        graft.pipeline.PrepPipeline.stageTo(
+          QueryGroup.scratchDir("graft-prepann"), d))
+      val cleanVecs = emb(s, dir).join(
+        st.clean.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      val path = QueryGroup.scratchDir("graft-prepannstore")
+      graft.similarity.IvfStore.writeIndex(cleanVecs, path, kmeansIters = 0)
+      graft.similarity.IvfStore.searchStore(s, path,
+          emb(s, dir).filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // the INCREMENTAL face of the composed pipeline — the shape a
     // continuously-growing corpus build actually runs day to day:
     // yesterday's quality-kept docs live in a persisted signature store;
@@ -1566,34 +1587,63 @@ object PipelineQueries extends QueryGroup {
     * `livePred` over vec_id — centroids and query assignment stay on the
     * FULL corpus (frozen-centroid store semantics); shared by the
     * build/store/stream oracles (TRUE) and the delete oracle. */
-  private def annIvfOracleFor(livePred: String): String = {
+  private def annIvfOracleFor(livePred: String): String =
+    annIvfProbeSql("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      livePred)
+
+  /** The IVF probe CTE chain with the STORE CORPUS an explicit relation
+    * (`(vec_id, v DOUBLE[])` rows): centroids are the store's
+    * deterministic seeds (the 16 lowest-vec_id corpus members), corpus
+    * assignment is rn=1 over the corpus, QUERY vectors come from the
+    * full embeddings table (queries need not be store members — exactly
+    * [[graft.similarity.IvfStore.searchStore]]'s contract, which
+    * assigns any query vector against the persisted centroids). */
+  private def annIvfProbeSql(corpusSql: String, livePred: String): String =
+    s"""WITH ${annIvfProbeChainSql(corpusSql, livePred)}
+        $AnnIvfProbeTailSql"""
+
+  /** The probe chain as bare CTEs + final select, so composed oracles
+    * (q_prep_ann) can splice it into their own WITH RECURSIVE chain —
+    * every CTE is `iv_`-prefixed to stay collision-free beside
+    * [[PrepStagesSql]]'s names. */
+  private val AnnIvfProbeTailSql =
+    "SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM iv_r WHERE rank <= 10"
+
+  private def annIvfProbeChainSql(corpusSql: String, livePred: String): String = {
       val ids = AnnQueryIds.mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
-                         FROM e ORDER BY vec_id ASC LIMIT 16),
-               pairs AS (SELECT e.vec_id, c.cid,
-                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
-                         FROM e CROSS JOIN cents c),
-               ranked AS (SELECT vec_id, cid,
-                                 row_number() OVER (PARTITION BY vec_id
-                                                    ORDER BY cdist ASC, cid ASC) AS rn
-                          FROM pairs),
-               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1 AND ($livePred)),
-               qassign AS (SELECT vec_id AS query_id, cid FROM ranked
-                           WHERE rn <= 4 AND vec_id IN ($ids)),
-               cand AS (SELECT DISTINCT q.query_id, a.vec_id
-                        FROM qassign q JOIN assign a USING (cid)
-                        WHERE a.vec_id <> q.query_id),
-               scored AS (SELECT cand.query_id, cand.vec_id,
-                                 list_cosine_similarity(eq.v, ec.v) AS cos
-                          FROM cand
-                          JOIN e eq ON cand.query_id = eq.vec_id
-                          JOIN e ec ON cand.vec_id = ec.vec_id),
-               r AS (SELECT query_id, vec_id, cos,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, vec_id ASC) AS rank
-                     FROM scored)
-          SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+      s"""iv_e AS ($corpusSql),
+               iv_qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                         WHERE vec_id IN ($ids)),
+               iv_cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                            FROM iv_e ORDER BY vec_id ASC LIMIT 16),
+               iv_pairs AS (SELECT e.vec_id, c.cid,
+                                   1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                            FROM iv_e e CROSS JOIN iv_cents c),
+               iv_ranked AS (SELECT vec_id, cid,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY cdist ASC, cid ASC) AS rn
+                             FROM iv_pairs),
+               iv_assign AS (SELECT vec_id, cid FROM iv_ranked WHERE rn = 1 AND ($livePred)),
+               iv_qpairs AS (SELECT qe.vec_id, c.cid,
+                                    1 - list_cosine_similarity(qe.v, c.cvec) AS cdist
+                             FROM iv_qe qe CROSS JOIN iv_cents c),
+               iv_qranked AS (SELECT vec_id, cid,
+                                     row_number() OVER (PARTITION BY vec_id
+                                                        ORDER BY cdist ASC, cid ASC) AS rn
+                              FROM iv_qpairs),
+               iv_qassign AS (SELECT vec_id AS query_id, cid FROM iv_qranked WHERE rn <= 4),
+               iv_cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                           FROM iv_qassign q JOIN iv_assign a USING (cid)
+                           WHERE a.vec_id <> q.query_id),
+               iv_scored AS (SELECT iv_cand.query_id, iv_cand.vec_id,
+                                    list_cosine_similarity(eq.v, ec.v) AS cos
+                             FROM iv_cand
+                             JOIN iv_qe eq ON iv_cand.query_id = eq.vec_id
+                             JOIN iv_e ec ON iv_cand.vec_id = ec.vec_id),
+               iv_r AS (SELECT query_id, vec_id, cos,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY cos DESC, vec_id ASC) AS rank
+                        FROM iv_scored)"""
     }
 
   /** Quantized-IVF probe: assignment/candidates from the RAW vectors
@@ -2039,6 +2089,15 @@ object PipelineQueries extends QueryGroup {
       s"""WITH RECURSIVE $PrepStagesSql
           SELECT d.doc_id, $SqlNorm AS t
           FROM documents d JOIN clean USING (doc_id)"""),
+
+    // the dense twin rides the same stage chain: the IVF probe's
+    // corpus relation is the clean population's embeddings
+    "q_prep_ann" ->
+      s"""WITH RECURSIVE $PrepStagesSql,
+              ${annIvfProbeChainSql(
+                """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   JOIN clean ON vec_id = doc_id""", "TRUE")}
+          $AnnIvfProbeTailSql""",
 
     // the funnel rides the same stage chain; per-stage counts join each
     // surviving-id set back onto the token lists
