@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
-  *   dedup  fsck | fsck-incr | mark-audited | repair
+  *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   vstore fsck | fsck-incr | mark-audited | repair
+  *        | checkpoint <version> <keys...> | vacuum <retain>
   *          (fsck/fsck-incr/repair need the store's key columns)
   * }}}
   *
@@ -65,10 +66,30 @@ object Maintain {
       case ("dedup", "fsck-incr")    => Some(dedup.DedupStore.checkStoreIncremental(spark, path))
       case ("dedup", "mark-audited") => dedup.DedupStore.markAudited(spark, path); None
       case ("dedup", "repair") => dedup.DedupStore.refreshBuckets(spark, path); None
+      case ("dedup", "compact") =>
+        // both flat tables; merging files ACROSS ingest batches keeps the
+        // batch column (audit filters stay correct) but trades away the
+        // constant-batch-per-file min/max skipping — run after deep
+        // audits, not between an append and its incremental audit
+        operators.Compaction.compact(spark, s"$path/sets")
+        operators.Compaction.compact(spark, s"$path/buckets")
+        None
       case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))
       case ("vstore", "mark-audited") => streaming.VersionedStore.markAudited(spark, path); None
       case ("vstore", "repair") => streaming.VersionedStore.repairCheckpoint(spark, path, keys); None
+      case ("vstore", "checkpoint") =>
+        // args: <version> <keyCols...> — materialize the snapshot so
+        // later reads replay only the delta after it
+        require(extra.length >= 2,
+          "vstore checkpoint needs <version> then the store's key column(s)")
+        streaming.VersionedStore.checkpoint(spark, path, extra.head.toLong, extra.tail)
+        None
+      case ("vstore", "vacuum") =>
+        // args: <retain> — drop history not needed at versions >= retain
+        require(extra.nonEmpty, "vstore vacuum needs <retainVersion>")
+        streaming.VersionedStore.vacuum(spark, path, extra.head.toLong)
+        None
       case _ => throw new IllegalArgumentException(
         s"unknown maintenance op: $family $op (see Maintain scaladoc)")
     }

@@ -100,6 +100,31 @@ class DedupSpec extends SparkSpec {
       s"doc 21 should match original store docs only (10 was withheld): $r2")
   }
 
+  test("ingest replay is store-stable: a re-ingested batch matches its own signatures and adds nothing") {
+    import graft.dedup.DedupStore
+    val path = java.nio.file.Files.createTempDirectory("dedupreplay").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 2), path)
+    val batch = Seq(
+      (10L, "m n o p q r s t"),
+      (11L, "u v w x y z aa bb")).toDF("doc_id", "text")
+    DedupStore.ingest(spark, path, batch, 0.5)
+    val setsAfterFirst = spark.read.parquet(s"$path/sets")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a crash-replayed ingest of the SAME batch: every doc collides with
+    // its own stored signature (jaccard 1.0), so nothing re-appends —
+    // the property the streaming prep-ingest runtime's replay
+    // discipline relies on
+    val replay = DedupStore.ingest(spark, path, batch, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replay.map(_._1) === Set(10L, 11L), s"replay not fully flagged: $replay")
+    assert(replay.contains((10L, 10L, 1.0)) && replay.contains((11L, 11L, 1.0)),
+      s"self-matches missing: $replay")
+    val setsAfterReplay = spark.read.parquet(s"$path/sets")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(setsAfterReplay === setsAfterFirst,
+      s"replay mutated the store: $setsAfterFirst -> $setsAfterReplay")
+  }
+
   test("removeDocs purges a doc from the store so its near-dups are re-admitted") {
     import graft.dedup.DedupStore
     val path = java.nio.file.Files.createTempDirectory("dedupremove").toString

@@ -44,12 +44,17 @@ class MaintainSpec extends SparkSpec {
     assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
   }
 
-  test("dedup family: fsck / repair dispatch") {
+  test("dedup family: fsck / repair / compact dispatch") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "u v w x y z")).toDF("doc_id", "text")
     val path = QueryGroup.scratchDir("graft-maint-dd")
     dedup.DedupStore.writeSignatures(corpus, path)
+    dedup.DedupStore.ingest(spark, path,
+      Seq((3L, "h i j k l m")).toDF("doc_id", "text"), 0.5)
     assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
     assert(Maintain.run(spark, "dedup", "repair", path).isEmpty)
+    val before = spark.read.parquet(s"$path/sets").count()
+    assert(Maintain.run(spark, "dedup", "compact", path).isEmpty)
+    assert(spark.read.parquet(s"$path/sets").count() === before)
     assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
   }
 
@@ -64,10 +69,21 @@ class MaintainSpec extends SparkSpec {
     assert(streaming.VersionedStore.lastAudited(spark, path) === Some(1L))
     assert(Maintain.run(spark, "vstore", "repair", path, Seq("k")).isEmpty)
     assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    // lifecycle verbs: checkpoint <version> <keys...>, vacuum <retain>
+    streaming.VersionedStore.commit(spark, path,
+      Seq((1L, "a2", "u")).toDF("k", "v", "_op"))
+    assert(Maintain.run(spark, "vstore", "checkpoint", path, Seq("2", "k")).isEmpty)
+    assert(Maintain.run(spark, "vstore", "vacuum", path, Seq("2")).isEmpty)
+    assert(streaming.VersionedStore.snapshotAt(spark, path, 2L, Seq("k"))
+      .count() === 2L)
+    assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
     // missing keys fail loudly, not with a confusing downstream error
     val e = intercept[IllegalArgumentException](
       Maintain.run(spark, "vstore", "fsck", path))
     assert(e.getMessage.contains("key column"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Maintain.run(spark, "vstore", "checkpoint", path, Seq("2")))
+    assert(e2.getMessage.contains("checkpoint"), e2.getMessage)
   }
 
   test("unknown routes fail loudly") {
