@@ -157,12 +157,31 @@ class PlanSpec extends SparkSpec {
   test("staged + incremental prep entries: equi-joins only, no nested loop") {
     // the staged twin's final plan is the reconstitution join + report
     // (boundaries already materialized by construction); the ingest
-    // face's is the survivor anti-join + decontam broadcast + report
-    for (n <- Seq("q_prep_pipeline_staged", "q_prep_ingest")) {
+    // faces' (batch and streamed) are the survivor join + decontam
+    // broadcast + report
+    for (n <- Seq("q_prep_pipeline_staged", "q_prep_ingest",
+        "q_stream_prep_ingest")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"nested-loop join found in $n:\n$p")
     }
+  }
+
+  test("q_prep_ann: probe-side nested loops are only the bounded centroid broadcasts") {
+    // the dense prep twin's final plan is the pruned IVF probe; the only
+    // cross shapes allowed are vectors × broadcast(≤16 centroids) — one
+    // for the query assignment, one for candidate scoring's stored-side
+    // reread — never a corpus × corpus pair
+    val p = plan("q_prep_ann")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    // tree lines carry the join type; the (n) detail headers do not
+    val treeLines = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("Build"))
+      .toSeq
+    assert(treeLines.size <= 2,
+      s"more nested loops than the centroid attaches in:\n$p")
+    assert(treeLines.forall(_.contains("Cross BuildRight")),
+      s"non-broadcast-bounded nested loop in:\n$p")
   }
 
   test("q_store_fsck_incr: the audit watermark reaches the store scans as a pushed filter") {
