@@ -1,10 +1,10 @@
 #!/usr/bin/env bash
 # Reproducible sf0.1 -> sf1 (10x) scaling evidence for SCALE.md.
 #
-# 1. Regenerates the /tmp/sf1 documents-only fixture if absent
+# 1. Regenerates the /tmp/sf1 documents+embeddings fixture if absent
 #    (tools/gen_sf1.scala — /tmp is wiped between sessions; the fixture
 #    is ~10x sf0.1 and deliberately NOT committed).
-# 2. Runs the documents-only scaling subset at sf0.1 and sf1 through
+# 2. Runs the docs+ANN scaling subset at sf0.1 and sf1 through
 #    graft.Bench (SPARK_GRAFT_BENCH_ONLY -> bench_subset.json, so the
 #    committed full-gate bench_last.* files are never touched) with
 #    min-of-2 reps.
@@ -18,9 +18,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair"
+SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr"
 
-if [ ! -d /tmp/sf1/documents.parquet ]; then
+if [ ! -d /tmp/sf1/documents.parquet ] || [ ! -d /tmp/sf1/embeddings.parquet ]; then
   echo "[bench_sf1] generating /tmp/sf1 fixture..."
   /opt/spark/bin/spark-shell --master 'local[32]' \
     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \

@@ -34,3 +34,38 @@ def probe(src: String, tag: String): Unit = {
 }
 probe("/root/testdata/sf0.1/documents.parquet", "sf01")
 probe("/tmp/sf1/documents.parquet", "sf1")
+
+// Versioned-store twin of the same claim: a fixed one-commit delta after
+// the vouched watermark — the incremental audit reads log v5 alone (no
+// checkpoint written since the audit, so nothing derived to re-derive),
+// while the full audit replays the newest checkpoint and scans the whole
+// log. incr must stay flat across store sizes; full tracks the store.
+def vprobe(src: String, tag: String): Unit = {
+  import graft.streaming.VersionedStore
+  val d = spark.read.parquet(src)
+    .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  val maxId = d.agg(max("doc_id")).head.getLong(0)
+  val path = s"/tmp/vfsckprobe_$tag"
+  new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .delete(new org.apache.hadoop.fs.Path(path), true)
+  for (i <- 0 until 4)
+    VersionedStore.commit(spark, path,
+      d.filter(col("doc_id") % 4 === i).withColumn("_op", lit("u")))
+  VersionedStore.checkpoint(spark, path, 4L, Seq("doc_id"))
+  VersionedStore.markAudited(spark, path)
+  val delta = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    .orderBy("doc_id").limit(2000)
+    .withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+    .withColumn("_op", lit("u"))
+  VersionedStore.commit(spark, path, delta)
+  val tIncr = Seq.fill(2)(time(
+    VersionedStore.checkStoreIncremental(spark, path, Seq("doc_id")).collect())).min
+  val tFull = Seq.fill(2)(time(
+    VersionedStore.checkStore(spark, path, Seq("doc_id")).collect())).min
+  println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
+    f"incr=$tIncr%.2fs full=$tFull%.2fs")
+}
+vprobe("/root/testdata/sf0.1/documents.parquet", "vs_sf01")
+vprobe("/tmp/sf1/documents.parquet", "vs_sf1")

@@ -18,4 +18,18 @@ val parts = (0 until 10).map { i =>
 }
 parts.reduce(_ unionByName _).repartition(32)
   .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet")
-println("SF1ROWS=" + spark.read.parquet("/tmp/sf1/documents.parquet").count())
+// embeddings scale the same way: replica i offsets vec_id by
+// (maxVid+1)*i with the vector payload unchanged — IVF/ANN cost is a
+// function of row count and list sizes, not vector values, and
+// identical replicas keep the probe's answers deterministic (rank
+// ties break by vec_id). Gives the ANN store family a measured 10×
+// column alongside the documents families.
+val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+val maxVid = e.agg(max("vec_id")).head.getLong(0)
+val eParts = (0 until 10).map { i =>
+  if (i == 0) e else e.withColumn("vec_id", col("vec_id") + lit((maxVid + 1L) * i))
+}
+eParts.reduce(_ unionByName _).repartition(32)
+  .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet")
+println("SF1ROWS=" + spark.read.parquet("/tmp/sf1/documents.parquet").count()
+  + "," + spark.read.parquet("/tmp/sf1/embeddings.parquet").count())
