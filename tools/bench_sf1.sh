@@ -46,7 +46,8 @@ echo "[bench_sf1] incremental-audit probe..."
   --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
   --driver-class-path target/scala-2.13/classes \
   -I tools/fsck_incr_probe.scala <<< 'sys.exit(0)' \
-  | grep '^PROBE' > /tmp/fsck_probe.txt
+  | grep -o 'PROBE tag=[^ ]* store_docs=[0-9]* delta_docs=[0-9]* incr=[0-9.]*s full=[0-9.]*s' \
+  > /tmp/fsck_probe.txt   # -o: progress-bar \r can glue onto the line start
 cat /tmp/fsck_probe.txt
 
 python3 - <<'EOF'

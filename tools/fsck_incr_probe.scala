@@ -69,3 +69,63 @@ def vprobe(src: String, tag: String): Unit = {
 }
 vprobe("/root/testdata/sf0.1/documents.parquet", "vs_sf01")
 vprobe("/tmp/sf1/documents.parquet", "vs_sf1")
+
+// Dedup signature store: same fixed delta discipline. The delta's
+// tokens get a "zz" prefix so its content is NOVEL against both store
+// sizes (otherwise the store-side dedup withholds it and there is no
+// delta to audit). incr recomputes minhash over delta sets only; full
+// recomputes over the whole store.
+def dprobe(src: String, tag: String): Unit = {
+  import graft.dedup.DedupStore
+  val d = spark.read.parquet(src).select("doc_id", "text")
+  val maxId = d.agg(max("doc_id")).head.getLong(0)
+  val path = s"/tmp/dfsckprobe_$tag"
+  new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .delete(new org.apache.hadoop.fs.Path(path), true)
+  DedupStore.writeSignatures(d, path)
+  DedupStore.markAudited(spark, path)
+  val delta = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    .select("doc_id", "text").orderBy("doc_id").limit(2000)
+    .withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+    .withColumn("text", array_join(
+      transform(split(col("text"), " "), t => concat(lit("zz"), t)), " "))
+  DedupStore.ingest(spark, path, delta, 0.5)
+  val tIncr = Seq.fill(2)(time(
+    DedupStore.checkStoreIncremental(spark, path).collect())).min
+  val tFull = Seq.fill(2)(time(
+    DedupStore.checkStore(spark, path).collect())).min
+  println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
+    f"incr=$tIncr%.2fs full=$tFull%.2fs")
+}
+dprobe("/root/testdata/sf0.1/documents.parquet", "dd_sf01")
+dprobe("/tmp/sf1/documents.parquet", "dd_sf1")
+
+// IVF store: centroid bootstrap + batch-0 append from the source vecs
+// (vouched), then a fixed 500-vector delta as batch 1. incr prunes
+// pre-audit batch= directories before touching a data file; full
+// re-derives assignment over every list row.
+def iprobe(src: String, tag: String): Unit = {
+  import graft.similarity.IvfStore
+  val e = spark.read.parquet(src)
+  val maxVid = e.agg(max("vec_id")).head.getLong(0)
+  val path = s"/tmp/ifsckprobe_$tag"
+  new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .delete(new org.apache.hadoop.fs.Path(path), true)
+  IvfStore.writeCentroids(e, path, kmeansIters = 0)
+  IvfStore.appendBatch(spark, path, e, 0L)
+  IvfStore.markAudited(spark, path)
+  val delta = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    .orderBy("vec_id").limit(500)
+    .withColumn("vec_id", col("vec_id") + lit(maxVid + 1L))
+  IvfStore.appendBatch(spark, path, delta, 1L)
+  val tIncr = Seq.fill(2)(time(
+    IvfStore.checkStoreIncremental(spark, path).collect())).min
+  val tFull = Seq.fill(2)(time(
+    IvfStore.checkStore(spark, path).collect())).min
+  println(f"PROBE tag=$tag%s store_docs=${e.count()}%d delta_docs=500 " +
+    f"incr=$tIncr%.2fs full=$tFull%.2fs")
+}
+iprobe("/root/testdata/sf0.1/embeddings.parquet", "iv_sf01")
+iprobe("/tmp/sf1/embeddings.parquet", "iv_sf1")
