@@ -117,7 +117,17 @@ object PrepPipeline {
                   batch: DataFrame, jaccardThreshold: Double): DataFrame = {
     val wb = dedupInPool(batch, jaccardThreshold)
     val report = graft.dedup.DedupStore.ingest(spark, storePath, wb, jaccardThreshold)
-    wb.join(report.select(col("new_id").as("doc_id")).distinct(),
+    // `new_id === dup_of` is a SELF-match: this doc's own signature is
+    // already stored, i.e. a previous attempt of THIS batch appended it
+    // (doc_ids are unique store-wide, the fsck invariant). The store
+    // side correctly declines to re-append it, but for the SURVIVOR set
+    // it is a clean addition, not a withheld near-dup — without this
+    // filter a crash-replayed batch would report zero survivors and a
+    // foreachBatch runtime would overwrite its output with an empty
+    // batch. In a first attempt batch ids are disjoint from the store,
+    // so the filter never fires (gate oracles unchanged).
+    wb.join(report.filter(col("new_id") =!= col("dup_of"))
+        .select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
   }
 

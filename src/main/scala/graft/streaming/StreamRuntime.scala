@@ -145,11 +145,13 @@ object StreamRuntime {
     * doc_ids land in `outDir/batch=<id>` (executor-side parquet, no
     * driver collect), each trigger OVERWRITING its own batch directory —
     * so a crash-replayed batch rewrites its own output instead of
-    * appending duplicates (the same replay discipline as [[runCommits]];
-    * the store side is naturally replay-stable because a re-ingested
-    * doc matches its own stored signature and drops). Per-trigger work
-    * stays ∝ that batch, exactly the batch face's cost model. Returns
-    * the accumulated survivor ids. */
+    * appending duplicates (the same replay discipline as [[runCommits]]).
+    * The replayed content is IDENTICAL, not empty: the store declines to
+    * re-append a doc that matches its own stored signature, and
+    * [[graft.pipeline.PrepPipeline.dedupIngest]] counts exactly those
+    * self-matches back into the survivor set (spec-pinned end to end).
+    * Per-trigger work stays ∝ that batch, exactly the batch face's cost
+    * model. Returns the accumulated survivor ids. */
   def runPrepIngest(spark: SparkSession, srcDir: String, storePath: String,
                     jaccardThreshold: Double, outDir: String): DataFrame = {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-prepingest-run")

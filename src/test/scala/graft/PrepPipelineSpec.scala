@@ -150,5 +150,17 @@ class PrepPipelineSpec extends SparkSpec {
     val streamSigs = ids(spark.read.parquet(s"$streamPath/sets"))
     assert(streamSigs === directSigs,
       s"store drift: direct=$directSigs streamed=$streamSigs")
+
+    // crash-replay e2e: re-run the WHOLE stream with a fresh streaming
+    // checkpoint (every batch re-fires with the same ids) against the
+    // already-ingested store and the same out dir — the per-batch
+    // output overwrite plus store self-match stability must reproduce
+    // the identical answer, not double it
+    val replayed = ids(StreamRuntime.runPrepIngest(spark, src, streamPath, 0.5,
+      Files.createTempDirectory("ingeststream-out").toString))
+    assert(replayed === streamed,
+      s"replayed stream changed the answer: first=$streamed replay=$replayed")
+    assert(ids(spark.read.parquet(s"$streamPath/sets")) === streamSigs,
+      "replayed stream mutated the store")
   }
 }
