@@ -138,7 +138,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       catch { case NonFatal(e) =>
-        System.err.println(s"[bench] could not append bench_last.jsonl: $e")
+        System.err.println(s"[bench] could not append $jsonlPath: $e")
       }
       name -> best
     }

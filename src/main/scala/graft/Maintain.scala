@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   vstore fsck | fsck-incr | mark-audited | repair
+  *        | repair-at <version> <keys...>
   *        | checkpoint <version> <keys...> | vacuum <retain>
   *          (fsck/fsck-incr/repair need the store's key columns)
   * }}}
@@ -34,6 +35,14 @@ object Maintain {
   /** Dispatch one maintenance op; returns the report frame for fsck ops
     * (None for mutations). Separated from [[main]] so the smoke spec
     * drives it in-process. */
+  // the store records its own (numHashes, bands); the CLI reads it back
+  // instead of forcing defaults — a non-default store would otherwise
+  // hard-fail every dedup route on the geometry guard (pre-marker
+  // stores fall back to the build defaults, which the guard accepts
+  // vacuously)
+  private def dedupGeometry(spark: SparkSession, path: String): (Int, Int) =
+    dedup.DedupStore.storedGeometry(spark, path).getOrElse((128, 32))
+
   def run(spark: SparkSession, family: String, op: String, path: String,
           extra: Seq[String] = Seq.empty): Option[DataFrame] = {
     def keys: Seq[String] = {
@@ -62,10 +71,16 @@ object Maintain {
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
       case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
       case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None
-      case ("dedup", "fsck")         => Some(dedup.DedupStore.checkStore(spark, path))
-      case ("dedup", "fsck-incr")    => Some(dedup.DedupStore.checkStoreIncremental(spark, path))
+      case ("dedup", "fsck") =>
+        val (nh, b) = dedupGeometry(spark, path)
+        Some(dedup.DedupStore.checkStore(spark, path, numHashes = nh, bands = b))
+      case ("dedup", "fsck-incr") =>
+        val (nh, b) = dedupGeometry(spark, path)
+        Some(dedup.DedupStore.checkStoreIncremental(spark, path, numHashes = nh, bands = b))
       case ("dedup", "mark-audited") => dedup.DedupStore.markAudited(spark, path); None
-      case ("dedup", "repair") => dedup.DedupStore.refreshBuckets(spark, path); None
+      case ("dedup", "repair") =>
+        val (nh, b) = dedupGeometry(spark, path)
+        dedup.DedupStore.refreshBuckets(spark, path, numHashes = nh, bands = b); None
       case ("dedup", "compact") =>
         // both flat tables; merging files ACROSS ingest batches keeps the
         // batch column (audit filters stay correct) but trades away the
@@ -78,6 +93,14 @@ object Maintain {
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))
       case ("vstore", "mark-audited") => streaming.VersionedStore.markAudited(spark, path); None
       case ("vstore", "repair") => streaming.VersionedStore.repairCheckpoint(spark, path, keys); None
+      case ("vstore", "repair-at") =>
+        // args: <version> <keyCols...> — repair a specific (possibly
+        // intermediate) checkpoint; run oldest-flagged-first
+        require(extra.length >= 2,
+          "vstore repair-at needs <version> then the store's key column(s)")
+        streaming.VersionedStore.repairCheckpoint(spark, path, extra.tail,
+          version = Some(extra.head.toLong))
+        None
       case ("vstore", "checkpoint") =>
         // args: <version> <keyCols...> — materialize the snapshot so
         // later reads replay only the delta after it

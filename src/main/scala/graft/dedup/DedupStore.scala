@@ -92,24 +92,12 @@ object DedupStore {
   private val LastAuditMarker = "_last_audit"
 
   private def writeLongMarker(spark: SparkSession, path: String,
-                              marker: String, v: Long): Unit = {
-    val p = new Path(s"$path/$marker")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                              marker: String, v: Long): Unit =
+    graft.FsOps.writeLongMarker(spark, path, marker, v)
 
   private def readLongMarker(spark: SparkSession, path: String,
-                             marker: String): Option[Long] = {
-    val p = new Path(s"$path/$marker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+                             marker: String): Option[Long] =
+    graft.FsOps.readLongMarker(spark, path, marker)
 
   /** Highest ingest-batch ordinal recorded (None = pre-tracking store). */
   def lastBatch(spark: SparkSession, path: String): Option[Long] =

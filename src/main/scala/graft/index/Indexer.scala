@@ -103,11 +103,27 @@ object Indexer {
                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = corpus.sparkSession
     // a positional table co-located with an existing frequency store
-    // joins that store's batch sequence at its current position; a
-    // standalone store starts its own at 0
+    // joins that store's batch SEQUENCE — each row inherits ITS DOC'S
+    // ingest ordinal from doc_stats (the authoritative per-doc record,
+    // same discipline as DedupStore.refreshBuckets), NOT the store's
+    // newest ordinal: a flat newest-ordinal tag on a multi-batch store
+    // would put pre-audit docs inside the next incremental audit's
+    // delta and fail its positional⟷postings join. A standalone
+    // positional store starts its own sequence at 0.
     val batch = readLongMarker(spark, path, LastBatchMarker).getOrElse(0L)
-    positionalPostings(corpus, idCol, textCol)
-      .withColumn("batch", lit(batch))
+    val pos = positionalPostings(corpus, idCol, textCol)
+    val dsPath = new org.apache.hadoop.fs.Path(s"$path/doc_stats")
+    val dsExists = dsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(dsPath)
+    lazy val ds = spark.read.parquet(s"$path/doc_stats")
+    val tagged =
+      if (dsExists && ds.columns.contains("batch"))
+        pos.join(ds.select(col("doc_id"), col("batch").as("__dsb")),
+            Seq("doc_id"), "left")
+          .withColumn("batch", coalesce(col("__dsb"), lit(batch)))
+          .drop("__dsb")
+      else pos.withColumn("batch", lit(batch))
+    tagged
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .repartition(nBuckets, col("term_bucket"))
       .write.mode("overwrite")
@@ -512,25 +528,12 @@ object Indexer {
   private[graft] val LastAuditMarker = "_last_audit"
 
   private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
-                              path: String, marker: String, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                              path: String, marker: String, v: Long): Unit =
+    graft.FsOps.writeLongMarker(spark, path, marker, v)
 
   private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
-                             path: String, marker: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+                             path: String, marker: String): Option[Long] =
+    graft.FsOps.readLongMarker(spark, path, marker)
 
   /** Highest ingest-batch ordinal the store has recorded (None on a
     * store written before batch tracking existed). */

@@ -125,7 +125,11 @@ object PrepPipeline {
     // filter a crash-replayed batch would report zero survivors and a
     // foreachBatch runtime would overwrite its output with an empty
     // batch. In a first attempt batch ids are disjoint from the store,
-    // so the filter never fires (gate oracles unchanged).
+    // so the filter never fires (gate oracles unchanged). Scope: the
+    // rescue assumes the prior attempt's ingest fully landed; a crash
+    // INSIDE the store append (sets without buckets) is the store's
+    // documented crash window, caught by its incremental audit, not
+    // absorbed here (see StreamRuntime.runPrepIngest).
     wb.join(report.filter(col("new_id") =!= col("dup_of"))
         .select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")

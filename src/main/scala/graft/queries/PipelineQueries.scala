@@ -2781,11 +2781,12 @@ object PipelineQueries extends QueryGroup {
     "q_store_lifecycle" -> timeTravelOracle,
 
     // fsck over the three-wave store (checkpoints at v2 and v3, no
-    // vacuum): checkpoint_matches_log audits the v3 checkpoint — its
-    // checked count is the v3 LIVE population (everything except docs
-    // tombstoned at v2 and never revived at v3); the log-wide checks
-    // audit one row per (version, key), which the disjoint wave
-    // predicates make exactly the wave-population sum
+    // vacuum): checkpoint_matches_log audits EVERY checkpoint against
+    // its predecessor-basis replay — checked is the v2 live population
+    // (wave 1 minus wave 2's tombstones) PLUS the v3 live population
+    // (everything except docs tombstoned at v2 and never revived at
+    // v3); the log-wide checks audit one row per (version, key), which
+    // the disjoint wave predicates make exactly the wave-population sum
     "q_vstore_fsck" ->
       """WITH n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                      WHERE doc_id % 13 <> 3),
@@ -2795,11 +2796,13 @@ object PipelineQueries extends QueryGroup {
               n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                      WHERE doc_id % 13 = 3
                         OR (doc_id % 11 = 0 AND doc_id % 13 <> 3)),
+              live2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                        WHERE doc_id % 13 <> 3 AND doc_id % 7 <> 0),
               live AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                        WHERE NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
                                   AND doc_id % 11 <> 0))
          SELECT 'checkpoint_matches_log' AS invariant,
-                (SELECT n FROM live) AS checked,
+                (SELECT live2.n + live.n FROM live2, live) AS checked,
                 CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT 'commit_key_unique',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
@@ -2811,9 +2814,10 @@ object PipelineQueries extends QueryGroup {
     // phase the corrupted v3 checkpoint is short exactly the live
     // doc_id % 9 = 4 rows — each is one replay-only row in the
     // checkpoint-vs-replay diff (violations) and missing from the
-    // stored side (checked = live - lost); the log-side invariants are
-    // untouched in both phases. After repairCheckpoint the stored
-    // checkpoint equals the replay again
+    // stored side; the intact v2 checkpoint contributes its clean live
+    // population to checked in both phases (every checkpoint is
+    // audited); the log-side invariants are untouched throughout.
+    // After repairCheckpoint the stored v3 equals the replay again
     "q_vstore_repair" ->
       """WITH n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                      WHERE doc_id % 13 <> 3),
@@ -2823,6 +2827,8 @@ object PipelineQueries extends QueryGroup {
               n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                      WHERE doc_id % 13 = 3
                         OR (doc_id % 11 = 0 AND doc_id % 13 <> 3)),
+              live2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                        WHERE doc_id % 13 <> 3 AND doc_id % 7 <> 0),
               live AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                        WHERE NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
                                   AND doc_id % 11 <> 0)),
@@ -2831,7 +2837,7 @@ object PipelineQueries extends QueryGroup {
                          AND NOT (doc_id % 7 = 0 AND doc_id % 13 <> 3
                                   AND doc_id % 11 <> 0))
          SELECT '0_detect' AS phase, 'checkpoint_matches_log' AS invariant,
-                (SELECT live.n - lost.n FROM live, lost) AS checked,
+                (SELECT live2.n + live.n - lost.n FROM live2, live, lost) AS checked,
                 (SELECT n FROM lost) AS violations
          UNION ALL SELECT '0_detect', 'commit_key_unique',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
@@ -2839,7 +2845,7 @@ object PipelineQueries extends QueryGroup {
          UNION ALL SELECT '0_detect', 'op_wellformed',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
          UNION ALL SELECT '1_repaired', 'checkpoint_matches_log',
-                (SELECT n FROM live), 0
+                (SELECT live2.n + live.n FROM live2, live), 0
          UNION ALL SELECT '1_repaired', 'commit_key_unique',
                 (SELECT n FROM n1) + (SELECT n FROM n2) + (SELECT n FROM n3), 0
          UNION ALL SELECT '1_repaired', 'log_contiguous', 3, 0

@@ -378,16 +378,8 @@ object IvfStore {
   private val LastAuditMarker = "_last_audit"
 
   /** Highest batch an audit has vouched for (None = never audited). */
-  def lastAudited(spark: SparkSession, path: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def lastAudited(spark: SparkSession, path: String): Option[Long] =
+    graft.FsOps.readLongMarker(spark, path, LastAuditMarker)
 
   /** Batch partition ids physically present under lists — one driver-side
     * directory listing (bounded metadata), the IVF store's batch record
@@ -409,10 +401,7 @@ object IvfStore {
     val v = upTo.orElse(listBatches(spark, path).lastOption).getOrElse(
       throw new IllegalStateException(s"markAudited: no batch= partitions at " +
         s"$path/lists — only streaming-ingested stores carry batch layout"))
-    val p = new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.FsOps.writeLongMarker(spark, path, LastAuditMarker, v)
   }
 
   /** Incremental integrity check: audit ONLY the list rows ingested

@@ -146,12 +146,19 @@ object StreamRuntime {
     * driver collect), each trigger OVERWRITING its own batch directory —
     * so a crash-replayed batch rewrites its own output instead of
     * appending duplicates (the same replay discipline as [[runCommits]]).
-    * The replayed content is IDENTICAL, not empty: the store declines to
-    * re-append a doc that matches its own stored signature, and
-    * [[graft.pipeline.PrepPipeline.dedupIngest]] counts exactly those
-    * self-matches back into the survivor set (spec-pinned end to end).
-    * Per-trigger work stays ∝ that batch, exactly the batch face's cost
-    * model. Returns the accumulated survivor ids. */
+    * When the crashed attempt's store ingest fully landed (both
+    * signature tables), the replayed content is IDENTICAL, not empty:
+    * the store declines to re-append a doc that matches its own stored
+    * signature, and [[graft.pipeline.PrepPipeline.dedupIngest]] counts
+    * exactly those self-matches back into the survivor set (spec-pinned
+    * end to end). A crash INSIDE the store append itself (sets landed,
+    * buckets lost) is the store's own documented crash window — the
+    * self-match has no bucket row to collide on, so the replay
+    * re-appends and the duplicate is exactly what the daily
+    * `DedupStore.checkStoreIncremental` audit flags (`delta_ids_unique`)
+    * and `refreshBuckets` + `removeDocs` repair; it is not silently
+    * absorbed here. Per-trigger work stays ∝ that batch, exactly the
+    * batch face's cost model. Returns the accumulated survivor ids. */
   def runPrepIngest(spark: SparkSession, srcDir: String, storePath: String,
                     jaccardThreshold: Double, outDir: String): DataFrame = {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-prepingest-run")

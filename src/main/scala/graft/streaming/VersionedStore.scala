@@ -207,7 +207,7 @@ object VersionedStore {
       throw new java.io.IOException(s"checkpoint: failed to install $tmp at $live")
   }
 
-  /** Repair the newest checkpoint — the REPAIR step beside
+  /** Repair a checkpoint (default: the newest) — the REPAIR step beside
     * [[checkStore]]'s detect, closing the corrupt → detect → repair →
     * re-check loop for this store family. The LOG is authoritative; a
     * checkpoint is derived state (exactly [[checkpoint]]'s derivation),
@@ -226,12 +226,19 @@ object VersionedStore {
     * Scale: one snapshot replay (∝ |previous checkpoint| + |delta|) +
     * one swap — a scheduled maintenance job, never a read-path cost. */
   def repairCheckpoint(spark: SparkSession, path: String,
-                       keys: Seq[String]): Unit = {
+                       keys: Seq[String],
+                       version: Option[Long] = None): Unit = {
     require(keys.nonEmpty, "repairCheckpoint needs the store's key columns")
     val committed = versions(spark, path)
     val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
-    val c = ckptVs.lastOption.getOrElse(
-      throw new IllegalStateException(s"no checkpoint to repair at $path"))
+    // default: the newest. For a flagged INTERMEDIATE checkpoint pass
+    // its version explicitly and repair oldest-first — later checkpoints
+    // derived from the corrupt one re-flag against the repaired basis on
+    // the next check and are repaired in turn.
+    val c = version.getOrElse(ckptVs.lastOption.getOrElse(
+      throw new IllegalStateException(s"no checkpoint to repair at $path")))
+    require(ckptVs.contains(c),
+      s"repairCheckpoint: no checkpoint v=$c at $path (have ${ckptVs.mkString(", ")})")
     val earlier = ckptVs.filter(_ < c)
     val base0 = earlier.lastOption.getOrElse(0L)
     require(((base0 + 1) to c).forall(committed.contains),
@@ -258,11 +265,15 @@ object VersionedStore {
     * hand-vacuum, silently corrupts every later read that starts from
     * it. The invariants:
     *
-    *   - `checkpoint_matches_log` — the newest checkpoint equals an
-    *     independent replay of the same version from the PREVIOUS
-    *     checkpoint + log delta (reported `checked = 0` when a vacuum
-    *     has legitimately dropped that replay basis: authority is then
-    *     the checkpoint itself, there is nothing to audit against).
+    *   - `checkpoint_matches_log` — EVERY checkpoint equals an
+    *     independent replay of its version from its PREVIOUS
+    *     checkpoint + log delta. Per-link, not newest-only: a corrupt
+    *     intermediate checkpoint would hide behind a later one derived
+    *     from it (the corruption cancels out of the newest diff) while
+    *     reads between the two keep serving the damage. A checkpoint
+    *     whose replay basis a vacuum legitimately dropped contributes
+    *     `checked = 0` (authority is then the checkpoint itself;
+    *     nothing independent to audit against).
     *   - `commit_key_unique` — one row per key per commit, the contract
     *     [[commit]] documents (violated upstream by an uncompacted CDC
     *     batch; version resolution inside a commit is undefined).
@@ -313,25 +324,46 @@ object VersionedStore {
                 .as("violations"))))
       }
 
-    val ckptCheck = ckptVs.lastOption match {
-      case Some(c) =>
-        val earlier = ckptVs.filter(_ < c)
-        val base0 = earlier.lastOption.getOrElse(0L)
-        if (!((base0 + 1) to c).forall(committed.contains))
-          graft.operators.StoreCheck.emptyRow(spark, "checkpoint_matches_log")
-        else {
-          val stored = spark.read.parquet(s"$path/checkpoint/v=$c")
-          val replay = snapshotUsing(spark, path, c, keys, earlier, committed)
-          row("checkpoint_matches_log",
-            stored.agg(count(lit(1)).as("checked")).crossJoin(
-              diffFrames(stored, replay.select(stored.columns.map(col).toSeq: _*), keys)
-                .agg(count(lit(1)).as("violations"))))
-        }
-      case None =>
-        graft.operators.StoreCheck.emptyRow(spark, "checkpoint_matches_log")
-    }
+    val ckptCheck = checkpointsVsReplay(spark, path, keys,
+      "checkpoint_matches_log", ckptVs, ckptVs, committed)
 
     report(Seq(ckptCheck) ++ logChecks :+ contiguous)
+  }
+
+  /** One report row auditing EVERY checkpoint in `audit`, each against
+    * an independent replay from its own PREDECESSOR basis (`allCkpts`
+    * supplies the bases) — auditing only the newest would let a corrupt
+    * INTERMEDIATE checkpoint hide: a later checkpoint derived from it
+    * replays identically (the corruption cancels out of the diff) while
+    * reads in between keep serving the damage. Per-link auditing always
+    * catches the corrupt link itself; repair flagged checkpoints
+    * OLDEST-FIRST ([[repairCheckpoint]] takes the version), then
+    * re-check — a later checkpoint derived from a repaired one now
+    * diffs against the fixed basis and is flagged in turn. A checkpoint
+    * whose replay basis was vacuumed contributes `checked = 0`
+    * (unauditable: it is then its own only authority). */
+  private def checkpointsVsReplay(spark: SparkSession, path: String,
+                                  keys: Seq[String], name: String,
+                                  audit: Seq[Long], allCkpts: Seq[Long],
+                                  committed: Seq[Long]): DataFrame = {
+    import graft.operators.StoreCheck.{row, emptyRow}
+    val perCkpt = audit.flatMap { c =>
+      val earlier = allCkpts.filter(_ < c)
+      val base0 = earlier.lastOption.getOrElse(0L)
+      if (!((base0 + 1) to c).forall(committed.contains)) None
+      else {
+        val stored = spark.read.parquet(s"$path/checkpoint/v=$c")
+        val replay = snapshotUsing(spark, path, c, keys, earlier, committed)
+        Some(stored.agg(count(lit(1)).as("checked")).crossJoin(
+          diffFrames(stored, replay.select(stored.columns.map(col).toSeq: _*), keys)
+            .agg(count(lit(1)).as("violations"))))
+      }
+    }
+    if (perCkpt.isEmpty) emptyRow(spark, name)
+    else row(name,
+      perCkpt.reduce(_ unionByName _)
+        .agg(sum(col("checked")).as("checked"),
+          sum(col("violations")).as("violations")))
   }
 
   // ---- audit bookkeeping: `_last_audit` records the highest log version
@@ -345,16 +377,8 @@ object VersionedStore {
   private val LastAuditMarker = "_last_audit"
 
   /** Highest log version an audit has vouched for (None = never audited). */
-  def lastAudited(spark: SparkSession, path: String): Option[Long] = {
-    val p = new Path(s"$path/$LastAuditMarker")
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def lastAudited(spark: SparkSession, path: String): Option[Long] =
+    graft.FsOps.readLongMarker(spark, path, LastAuditMarker)
 
   /** Record that every commit up to version `upTo` (default: the newest
     * committed version) has been audited, so the next
@@ -367,10 +391,7 @@ object VersionedStore {
     val v = upTo.orElse(versions(spark, path).lastOption).getOrElse(
       throw new IllegalStateException(s"markAudited: no commits at $path — " +
         "an empty store has nothing to vouch for"))
-    val p = new Path(s"$path/$LastAuditMarker")
-    val out = fs(spark, p).create(p, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.FsOps.writeLongMarker(spark, path, LastAuditMarker, v)
   }
 
   /** Incremental integrity check: [[checkStore]]'s invariants scoped to
@@ -386,16 +407,18 @@ object VersionedStore {
     *   - `delta_log_contiguous` — replay-range completeness for each
     *     delta version (version lists are driver-side metadata, so the
     *     full committed list is free to consult).
-    *   - `delta_checkpoint_matches_log` — audited only when a checkpoint
-    *     NEWER than the vouched version exists (a checkpoint written
-    *     since the last audit is new derived state; one vouched by a
-    *     prior audit is not re-derived daily). `checked = 0` when there
-    *     is no new checkpoint, or when a vacuum dropped its replay basis
-    *     (same unauditable-state convention as [[checkStore]]).
+    *   - `delta_checkpoint_matches_log` — EVERY checkpoint newer than
+    *     the vouched version is audited against its own
+    *     predecessor-basis replay (a checkpoint written since the last
+    *     audit is new derived state; one vouched by a prior audit is
+    *     not re-derived daily). `checked = 0` when there is no new
+    *     checkpoint, or when a vacuum dropped a replay basis (same
+    *     unauditable-state convention as [[checkStore]]).
     *
-    * Scale: one pass over delta log partitions + at most one
-    * checkpoint-vs-replay diff — work ∝ |delta| (+ |checkpoint| only
-    * when a new checkpoint exists to vouch for), never ∝ history. */
+    * Scale: one pass over delta log partitions + one
+    * checkpoint-vs-replay diff per SINCE-AUDIT checkpoint (normally 0
+    * or 1 at daily cadence) — work ∝ |delta| (+ new checkpoints),
+    * never ∝ history. */
   def checkStoreIncremental(spark: SparkSession, path: String,
                             keys: Seq[String],
                             sinceVersion: Option[Long] = None): DataFrame = {
@@ -435,23 +458,11 @@ object VersionedStore {
                 .as("violations"))))
       }
 
-    val ckptCheck = ckptVs.filter(_ > since).lastOption match {
-      case Some(c) =>
-        val earlier = ckptVs.filter(_ < c)
-        val base0 = earlier.lastOption.getOrElse(0L)
-        if (!((base0 + 1) to c).forall(committed.contains))
-          emptyRow(spark, "delta_checkpoint_matches_log")
-        else {
-          val stored = spark.read.parquet(s"$path/checkpoint/v=$c")
-          val replay = snapshotUsing(spark, path, c, keys, earlier, committed)
-          row("delta_checkpoint_matches_log",
-            stored.agg(count(lit(1)).as("checked")).crossJoin(
-              diffFrames(stored, replay.select(stored.columns.map(col).toSeq: _*), keys)
-                .agg(count(lit(1)).as("violations"))))
-        }
-      case None =>
-        emptyRow(spark, "delta_checkpoint_matches_log")
-    }
+    // EVERY checkpoint written since the vouched version is new derived
+    // state — audit each (not just the newest: an intermediate one could
+    // otherwise hide behind a later checkpoint derived from it)
+    val ckptCheck = checkpointsVsReplay(spark, path, keys,
+      "delta_checkpoint_matches_log", ckptVs.filter(_ > since), ckptVs, committed)
 
     report(Seq(ckptCheck) ++ logChecks :+ contiguous)
   }

@@ -425,6 +425,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(report()("postings_bucket_layout")._2 > 0)
   }
 
+  test("writePositional retrofitted onto a multi-batch store inherits per-doc batch ordinals") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixposretro").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Indexer.writeIndex(Indexer.buildIndex(half1), path, nBuckets = 16)
+    Indexer.markAudited(spark, path) // deep audit vouched for batch 0
+    Indexer.appendIndex(spark, path, half2) // batch 1
+    // the positional table arrives LATE, over the full corpus: each row
+    // must join the store's batch sequence at ITS DOC'S ordinal (evens
+    // 0, odds 1) — a flat newest-ordinal tag would drag the vouched
+    // half into the next incremental audit's delta and fail its
+    // positional⟷postings join
+    Indexer.writePositional(docs, path, nBuckets = 8)
+    val posBatches = spark.read.parquet(s"$path/positional")
+      .select((col("doc_id") % 2).cast("long").as("par"), col("batch").cast("long"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(posBatches === Set((0L, 0L), (1L, 1L)),
+      s"positional rows must inherit per-doc ordinals: $posBatches")
+    val incr = Indexer.checkStoreIncremental(spark, path, nBuckets = 16)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(incr.values.forall(_._2 == 0L),
+      s"retrofitted positional store must audit clean: $incr")
+    // the delta's positional surface is the odd half only
+    assert(incr("delta_positional_matches_postings")._1 > 0)
+  }
+
   test("checkStoreIncremental audits the delta only; old-batch corruption is deep-audit scope") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixfsckincr").toString

@@ -204,7 +204,8 @@ class VersionedStoreSpec extends SparkSpec {
     val healthy = report()
     assert(healthy.size === 4)
     assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
-    assert(healthy("checkpoint_matches_log")._1 === 4L) // v3 live: keys 1,2,3,4
+    // EVERY checkpoint audits: v1 live (keys 1,2,3) + v3 live (1,2,3,4)
+    assert(healthy("checkpoint_matches_log")._1 === 7L)
     assert(healthy("commit_key_unique")._1 === 7L)      // 3 + 2 + 2 (v, key) groups
     assert(healthy("log_contiguous")._1 === 3L)
     assert(healthy("op_wellformed")._1 === 7L)
@@ -304,6 +305,48 @@ class VersionedStoreSpec extends SparkSpec {
     val d23 = VersionedStore.diff(spark, root, 2L, 3L, Seq("k")).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(d23 === Map(1L -> "changed", 2L -> "added"))
+  }
+
+  test("a corrupt INTERMEDIATE checkpoint cannot hide behind a later one derived from it") {
+    val path = QueryGroup.scratchDir("graft-vstoremidckpt")
+    VersionedStore.commit(spark, path,
+      ch((1L, "a1", "u"), (2L, "b1", "u"), (3L, "c1", "u")))
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u")))
+    // a buggy checkpoint job corrupts v2's snapshot...
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/checkpoint/v=2").filter($"k" =!= 3L)
+      .write.mode("overwrite").parquet(s"$path/checkpoint/v=2_bad")
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=2"),
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=2_bad"))
+    // ...and a LATER checkpoint is derived FROM the corrupt one: its own
+    // replay (same basis) matches it exactly, so a newest-only audit
+    // would pass while reads at v2/v3 silently drop key 3
+    VersionedStore.commit(spark, path, ch((4L, "d3", "u")))
+    VersionedStore.checkpoint(spark, path, 3L, Seq("k"))
+    assert(VersionedStore.snapshotAt(spark, path, 3L, Seq("k")).count() === 3L,
+      "corruption should propagate into v3 reads (the hazard under test)")
+
+    def ckptRow(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      df.as[(String, Long, Long)].collect()
+        .find(_._1.endsWith("checkpoint_matches_log")).map(r => (r._2, r._3)).get
+
+    // per-link audit flags exactly the corrupt link (v2 vs its v1 basis)
+    val (checked, violations) = ckptRow(VersionedStore.checkStore(spark, path, Seq("k")))
+    assert(violations === 1L, s"corrupt middle checkpoint not flagged: $violations")
+    assert(checked === 3L + 2L + 3L) // v1 live + corrupt v2 (2 rows) + v3 live
+
+    // repair oldest-first: fix v2 explicitly, then v3 re-flags against
+    // the repaired basis and is repaired in turn
+    VersionedStore.repairCheckpoint(spark, path, Seq("k"), version = Some(2L))
+    val after2 = ckptRow(VersionedStore.checkStore(spark, path, Seq("k")))
+    assert(after2._2 === 1L, s"v3 (derived from corrupt v2) should now flag: $after2")
+    VersionedStore.repairCheckpoint(spark, path, Seq("k"), version = Some(3L))
+    assert(ckptRow(VersionedStore.checkStore(spark, path, Seq("k")))._2 === 0L)
+    assert(VersionedStore.snapshotAt(spark, path, 3L, Seq("k")).count() === 4L,
+      "repaired chain must serve the full live set again")
   }
 
   test("checkStoreIncremental audits post-vouch commits only; new checkpoints are in scope") {
