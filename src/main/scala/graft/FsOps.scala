@@ -13,31 +13,55 @@ object FsOps {
     * the only remaining copy — every rename's return value is checked,
     * and the aside copy is only dropped after the install succeeded.
     */
-  /** Write a one-long driver-side text marker at `<path>/<marker>` —
-    * the shared bookkeeping primitive behind every store's `_lastbatch`
-    * / `_last_audit` discipline (index, dedup, IVF, versioned). One
-    * implementation so a future change (e.g. crash-atomic tmp+rename)
-    * lands in every family at once. */
-  def writeLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
-                      marker: String, v: Long): Unit = {
+  /** Write a small driver-side text marker at `<path>/<marker>` — the
+    * shared bookkeeping primitive behind every store's `_lastbatch` /
+    * `_last_audit` / `_geometry` / `_fingerprint` discipline. Written
+    * tmp-first and installed via [[atomicSwap]]: a crash mid-write can
+    * never leave a TRUNCATED marker behind (a direct create() truncates
+    * the old value before the new bytes land, and an empty `_lastbatch`
+    * wedges every later op on the store); the residual crash window
+    * leaves the marker absent, which every reader already treats as
+    * "never recorded". */
+  def writeMarker(spark: org.apache.spark.sql.SparkSession, path: String,
+                  marker: String, value: String): Unit = {
     val p = new Path(s"$path/$marker")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/_$marker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    atomicSwap(fs, p, tmp)
   }
 
-  /** Read a one-long marker back (None when absent). */
-  def readLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
-                     marker: String): Option[Long] = {
+  /** Read a marker back (None when absent). */
+  def readMarker(spark: org.apache.spark.sql.SparkSession, path: String,
+                 marker: String): Option[String] = {
     val p = new Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
     }
   }
+
+  /** One-long marker face of [[writeMarker]]/[[readMarker]]. */
+  def writeLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
+                      marker: String, v: Long): Unit =
+    writeMarker(spark, path, marker, v.toString)
+
+  def readLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
+                     marker: String): Option[Long] =
+    readMarker(spark, path, marker).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalStateException(
+          s"corrupt marker $path/$marker: '${s.trim}' is not a number — " +
+            "delete the file to reset it (readers treat a missing marker " +
+            "as never-recorded)")
+      }
+    }
 
   def atomicSwap(fs: FileSystem, live: Path, tmp: Path): Unit = {
     // leading underscore: ignored by Spark's file listing, so an aside

@@ -47,27 +47,21 @@ object DedupStore {
   private val GeometryMarker = "_geometry"
 
   private def writeGeometry(spark: SparkSession, path: String,
-                            numHashes: Int, bands: Int): Unit = {
-    val p = new Path(s"$path/$GeometryMarker")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(s"$numHashes,$bands".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                            numHashes: Int, bands: Int): Unit =
+    graft.FsOps.writeMarker(spark, path, GeometryMarker, s"$numHashes,$bands")
 
   /** The `(numHashes, bands)` geometry a store was built with, if
     * recorded (stores written before the marker existed have none). */
-  def storedGeometry(spark: SparkSession, path: String): Option[(Int, Int)] = {
-    val p = new Path(s"$path/$GeometryMarker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      val parts = s.split(",")
-      Some((parts(0).toInt, parts(1).toInt))
+  def storedGeometry(spark: SparkSession, path: String): Option[(Int, Int)] =
+    graft.FsOps.readMarker(spark, path, GeometryMarker).map { s =>
+      val parts = s.trim.split(",")
+      try (parts(0).toInt, parts(1).toInt)
+      catch { case _: RuntimeException =>
+        throw new IllegalStateException(
+          s"corrupt marker $path/$GeometryMarker: '${s.trim}' is not " +
+            "'<numHashes>,<bands>' — delete the file to reset it")
+      }
     }
-  }
 
   /** Fail fast when the caller's geometry contradicts the store's
     * recorded one (pre-marker stores validate vacuously). */

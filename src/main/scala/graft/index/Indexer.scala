@@ -84,6 +84,26 @@ object Indexer {
     * occurrence count of that term in that one document (bounded by
     * document length, not corpus size).
     */
+  /** Tag positional rows with each doc's OWN ingest ordinal from the
+    * co-located batch-tracked doc_stats — and refuse docs absent from
+    * it: an orphan tagged with any existing ordinal would either dodge
+    * the incremental audit forever (vouched ordinal) or falsely flag a
+    * healthy delta (newest ordinal), so corpus drift must be resolved
+    * by indexing the docs first, not papered over with a tag. */
+  private def inheritDocBatch(spark: org.apache.spark.sql.SparkSession,
+                              path: String, pos: DataFrame): DataFrame = {
+    val ds = spark.read.parquet(s"$path/doc_stats")
+    val orphans = pos.select("doc_id").distinct()
+      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti")
+    val n = orphans.count()
+    require(n == 0,
+      s"positional corpus has $n doc(s) absent from doc_stats at $path " +
+        s"(e.g. ${orphans.limit(3).collect().mkString(", ")}) — a positional " +
+        "row without a frequency twin cannot be batch-tagged consistently; " +
+        "appendIndex the docs first")
+    pos.join(ds.select("doc_id", "batch"), Seq("doc_id"))
+  }
+
   def positionalPostings(corpus: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
     corpus
@@ -116,12 +136,9 @@ object Indexer {
     val dsExists = dsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(dsPath)
     lazy val ds = spark.read.parquet(s"$path/doc_stats")
+    val coTracked = dsExists && ds.columns.contains("batch")
     val tagged =
-      if (dsExists && ds.columns.contains("batch"))
-        pos.join(ds.select(col("doc_id"), col("batch").as("__dsb")),
-            Seq("doc_id"), "left")
-          .withColumn("batch", coalesce(col("__dsb"), lit(batch)))
-          .drop("__dsb")
+      if (coTracked) inheritDocBatch(spark, path, pos)
       else pos.withColumn("batch", lit(batch))
     tagged
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
@@ -129,7 +146,12 @@ object Indexer {
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
-    if (readLongMarker(spark, path, LastBatchMarker).isEmpty)
+    // start the batch sequence ONLY for a standalone positional store —
+    // writing the marker beside a LEGACY (pre-batch-tracking) frequency
+    // store would make the next appendIndex tag its rows and mix
+    // schemas in the untagged tables (a co-located TRACKED store
+    // already has the marker from writeIndex)
+    if (!dsExists && readLongMarker(spark, path, LastBatchMarker).isEmpty)
       writeLongMarker(spark, path, LastBatchMarker, batch)
     // per-TABLE marker: a positional store co-located with a frequency
     // index at the same path must not overwrite the frequency store's
@@ -324,16 +346,31 @@ object Indexer {
           s"positions. Example: ${overlapping.limit(3).collect().mkString(", ")}")
     }
     val standalone = batchId.isEmpty
+    val pos = positionalPostings(newCorpus, idCol, textCol)
+    val dsPath = new org.apache.hadoop.fs.Path(s"$path/doc_stats")
+    val dsExists = dsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(dsPath)
+    lazy val dsTracked =
+      spark.read.parquet(s"$path/doc_stats").columns.contains("batch")
+    // a standalone append beside a TRACKED frequency store is a
+    // positional BACKFILL of already-indexed docs: rows inherit each
+    // doc's own ordinal (a flat lastBatch+1 tag would put batches the
+    // audit already vouched for back into the next delta and fail its
+    // positional⟷postings join); no new ordinal is created so the
+    // marker does not advance. appendIndex's co-located path passes the
+    // batch explicitly; a true standalone store starts its own sequence.
+    val coTrackedBackfill = standalone && dsExists && dsTracked
     val b = batchId.orElse(readLongMarker(spark, path, LastBatchMarker).map(_ + 1))
-    def tag(df: DataFrame): DataFrame =
-      b.map(x => df.withColumn("batch", lit(x))).getOrElse(df) // legacy: untagged
-    tag(positionalPostings(newCorpus, idCol, textCol))
+    val tagged =
+      if (coTrackedBackfill) inheritDocBatch(spark, path, pos)
+      else b.map(x => pos.withColumn("batch", lit(x))).getOrElse(pos) // legacy: untagged
+    tagged
       .withColumn("term_bucket", termBucket(col("term"), nb))
       .repartition(nb, col("term_bucket"))
       .write.mode("append")
       .partitionBy("term_bucket")
       .parquet(s"$path/positional")
-    if (standalone)
+    if (standalone && !coTrackedBackfill)
       b.foreach(x => writeLongMarker(spark, path, LastBatchMarker, x))
   }
 

@@ -165,21 +165,13 @@ object PrepPipeline {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // underscore prefix: ignored by Spark's file listing, like _SUCCESS
-    val marker = new org.apache.hadoop.fs.Path(p, "_fingerprint")
-    def markerMatches: Boolean = fs.exists(marker) && {
-      val in = fs.open(marker)
-      val recorded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      recorded == fingerprint
-    }
+    def markerMatches: Boolean =
+      graft.FsOps.readMarker(spark, p, "_fingerprint").contains(fingerprint)
     val reusable = resume &&
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) && markerMatches
     if (!reusable) {
       df.select("doc_id").write.mode("overwrite").parquet(p)
-      val out = fs.create(marker, true)
-      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      graft.FsOps.writeMarker(spark, p, "_fingerprint", fingerprint)
     }
     corpus.join(spark.read.parquet(p), Seq("doc_id"))
   }

@@ -375,6 +375,20 @@ object VersionedStore {
   // native batch ordinals.
 
   private val LastAuditMarker = "_last_audit"
+  private val AuditedCkptsMarker = "_audited_ckpts"
+
+  /** The checkpoint versions a past audit has vouched for. Recorded as
+    * an explicit SET (not inferred from version numbers) because a
+    * checkpoint can be materialized at an OLD version after the audit
+    * ([[Maintain]] exposes `checkpoint <version>`): it is new derived
+    * state regardless of its version number, and a `version > since`
+    * heuristic would never audit it. Absent marker (legacy store, or
+    * audited before this record existed) falls back to that heuristic. */
+  private def vouchedCkpts(spark: SparkSession, path: String,
+                           ckptVs: Seq[Long], since: Long): Set[Long] =
+    graft.FsOps.readMarker(spark, path, AuditedCkptsMarker)
+      .map(_.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet)
+      .getOrElse(ckptVs.filter(_ <= since).toSet)
 
   /** Highest log version an audit has vouched for (None = never audited). */
   def lastAudited(spark: SparkSession, path: String): Option[Long] =
@@ -392,6 +406,13 @@ object VersionedStore {
       throw new IllegalStateException(s"markAudited: no commits at $path — " +
         "an empty store has nothing to vouch for"))
     graft.FsOps.writeLongMarker(spark, path, LastAuditMarker, v)
+    // also vouch for the CHECKPOINTS the audit covered: those at
+    // versions ≤ v that exist right now. Recorded as a set so a
+    // checkpoint later materialized at an old version still reads as
+    // new derived state to the next incremental audit.
+    graft.FsOps.writeMarker(spark, path, AuditedCkptsMarker,
+      listVersions(spark, new Path(path, "checkpoint"))
+        .filter(_ <= v).mkString(","))
   }
 
   /** Incremental integrity check: [[checkStore]]'s invariants scoped to
@@ -458,11 +479,16 @@ object VersionedStore {
                 .as("violations"))))
       }
 
-    // EVERY checkpoint written since the vouched version is new derived
+    // EVERY checkpoint the last audit did not vouch for is new derived
     // state — audit each (not just the newest: an intermediate one could
-    // otherwise hide behind a later checkpoint derived from it)
+    // otherwise hide behind a later checkpoint derived from it; and not
+    // by version number: a checkpoint materialized at an OLD version
+    // after the audit is just as new — see [[vouchedCkpts]])
+    val vouched =
+      if (sinceVersion.isDefined) ckptVs.filter(_ <= since).toSet
+      else vouchedCkpts(spark, path, ckptVs, since)
     val ckptCheck = checkpointsVsReplay(spark, path, keys,
-      "delta_checkpoint_matches_log", ckptVs.filter(_ > since), ckptVs, committed)
+      "delta_checkpoint_matches_log", ckptVs.filterNot(vouched), ckptVs, committed)
 
     report(Seq(ckptCheck) ++ logChecks :+ contiguous)
   }

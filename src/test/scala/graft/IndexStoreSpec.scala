@@ -425,6 +425,42 @@ class IndexStoreSpec extends SparkSpec {
     assert(report()("postings_bucket_layout")._2 > 0)
   }
 
+  test("standalone positional backfill inherits doc ordinals; legacy stores never gain a marker") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    // co-located TRACKED store: a standalone appendPositional backfill
+    // inherits each doc's ordinal and creates no new batch
+    val path = Files.createTempDirectory("ixposbackfill").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    assert(Indexer.lastBatch(spark, path) === Some(0L))
+    // bootstrap with one doc so checkDuplicates has a table to read,
+    // then backfill the rest standalone
+    Indexer.writePositional(docs.filter(col("doc_id") === 0L), path, nBuckets = 8)
+    Indexer.appendPositional(spark, path, docs.filter(col("doc_id") =!= 0L),
+      nBuckets = 8)
+    val batches = spark.read.parquet(s"$path/positional")
+      .select(col("batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(batches === Set(0L), s"backfill must inherit doc ordinals: $batches")
+    assert(Indexer.lastBatch(spark, path) === Some(0L),
+      "a backfill creates no new ingest batch")
+    // docs absent from doc_stats cannot be batch-tagged consistently
+    val alien = Seq((999999L, "unindexed doc text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Indexer.appendPositional(spark, path, alien, nBuckets = 8))
+    assert(e.getMessage.contains("absent from doc_stats"), e.getMessage)
+
+    // LEGACY co-located store (untagged tables, no marker): retrofitting
+    // a positional table must NOT start a batch sequence — the next
+    // appendIndex would tag its rows and mix schemas in the old tables
+    val legacy = Files.createTempDirectory("ixlegacy").toString
+    val ix = Indexer.buildIndex(docs.limit(50))
+    ix.docStats.write.parquet(s"$legacy/doc_stats")
+    ix.postings.withColumn("term_bucket", lit(0)).write
+      .partitionBy("term_bucket").parquet(s"$legacy/postings")
+    Indexer.writePositional(docs.limit(50), legacy, nBuckets = 8)
+    assert(Indexer.lastBatch(spark, legacy).isEmpty,
+      "legacy co-located store must stay marker-less")
+  }
+
   test("writePositional retrofitted onto a multi-batch store inherits per-doc batch ordinals") {
     val docs = Tables.load(spark, sf0001, "documents")
     val path = Files.createTempDirectory("ixposretro").toString

@@ -414,6 +414,32 @@ class VersionedStoreSpec extends SparkSpec {
       s"post-vouch audit should be empty: $advanced")
   }
 
+  test("a checkpoint materialized at an OLD version after the audit is still in incremental scope") {
+    val path = QueryGroup.scratchDir("graft-vstoreoldckpt")
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (3L, "c2", "u")))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    VersionedStore.markAudited(spark, path) // vouches v1–v2 and ckpt {2}
+    // an operator later materializes v1 — an OLD version, but NEW
+    // derived state no audit has seen; a version>since heuristic would
+    // skip it forever
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    spark.read.parquet(s"$path/checkpoint/v=1").filter($"k" =!= 2L)
+      .write.mode("overwrite").parquet(s"$path/checkpoint/v=1_bad")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=1"),
+      new org.apache.hadoop.fs.Path(s"$path/checkpoint/v=1_bad"))
+    val rep = VersionedStore.checkStoreIncremental(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep("delta_checkpoint_matches_log")._2 === 1L,
+      s"post-audit old-version checkpoint must be audited: $rep")
+    VersionedStore.repairCheckpoint(spark, path, Seq("k"), version = Some(1L))
+    assert(VersionedStore.checkStoreIncremental(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect()
+      .find(_._1 == "delta_checkpoint_matches_log").get._3 === 0L)
+  }
+
   test("checkStoreIncremental on a never-audited store IS the deep audit; markAudited refuses empty stores") {
     val path = QueryGroup.scratchDir("graft-vstoreincrfull")
     intercept[IllegalStateException] {
