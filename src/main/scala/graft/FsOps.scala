@@ -33,15 +33,27 @@ object FsOps {
     atomicSwap(fs, p, tmp)
   }
 
-  /** Read a marker back (None when absent). */
+  /** Read a marker back (None when absent). A marker missing at its live
+    * path falls back to the `.swap_old` aside [[atomicSwap]] leaves
+    * behind: the swap's residual crash window (old value renamed aside,
+    * new value not yet installed) must not read as "never recorded" —
+    * for `_lastbatch` that absence would silently downgrade a
+    * batch-tracked store to legacy and the next append would write
+    * UNTAGGED rows, mixing schemas. The aside holds the last durable
+    * value, which is exactly what a reader should recover. */
   def readMarker(spark: org.apache.spark.sql.SparkSession, path: String,
                  marker: String): Option[String] = {
     val p = new Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    val target =
+      if (fs.exists(p)) Some(p)
+      else {
+        val aside = new Path(p.getParent, s"_${p.getName}.swap_old")
+        if (fs.exists(aside)) Some(aside) else None
+      }
+    target.map { t =>
+      val in = fs.open(t)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
   }

@@ -387,7 +387,14 @@ object VersionedStore {
   private def vouchedCkpts(spark: SparkSession, path: String,
                            ckptVs: Seq[Long], since: Long): Set[Long] =
     graft.FsOps.readMarker(spark, path, AuditedCkptsMarker)
-      .map(_.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet)
+      .map(_.split(",").filter(_.nonEmpty).map { s =>
+        // same corrupt-marker contract as FsOps.readLongMarker: name the
+        // file and the reset procedure instead of a bare parse exception
+        s.trim.toLongOption.getOrElse(throw new IllegalStateException(
+          s"corrupt marker $path/$AuditedCkptsMarker: '${s.trim}' is not a " +
+            "number — delete the file to reset it (readers fall back to " +
+            "the version-ordinal heuristic when the marker is absent)"))
+      }.toSet)
       .getOrElse(ckptVs.filter(_ <= since).toSet)
 
   /** Highest log version an audit has vouched for (None = never audited). */
