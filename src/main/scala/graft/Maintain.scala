@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   runMain graft.Maintain <family> <op> <path> [keyCols...]
   *
-  *   index  fsck | fsck-incr | mark-audited | repair | expunge | compact
+  *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   vstore fsck | fsck-incr | mark-audited | repair
@@ -50,11 +50,19 @@ object Maintain {
         s"$family $op needs the store's key column(s) as trailing args")
       extra
     }
+    // numeric args fail with the op's usage message, not a bare
+    // NumberFormatException (same contract as the adjacent require guards)
+    def longArg(s: String, usage: String): Long =
+      s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"$usage (got '$s')"))
     (family, op) match {
       case ("index", "fsck")         => Some(index.Indexer.checkStore(spark, path))
       case ("index", "fsck-incr")    => Some(index.Indexer.checkStoreIncremental(spark, path))
       case ("index", "mark-audited") => index.Indexer.markAudited(spark, path); None
       case ("index", "repair")       => index.Indexer.refreshDerived(spark, path); None
+      // drop a crashed append's orphaned rows (the streaming ingest
+      // face's documented halt-loudly repair, StreamRuntime.runIndexIngest)
+      case ("index", "rollback")     => index.Indexer.rollbackPartialAppend(spark, path); None
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
       case ("index", "compact") =>
         // per-table: the bucketed tables leaf by leaf (layout preserved),
@@ -99,19 +107,24 @@ object Maintain {
         require(extra.length >= 2,
           "vstore repair-at needs <version> then the store's key column(s)")
         streaming.VersionedStore.repairCheckpoint(spark, path, extra.tail,
-          version = Some(extra.head.toLong))
+          version = Some(longArg(extra.head,
+            "vstore repair-at needs a numeric <version> then the store's key column(s)")))
         None
       case ("vstore", "checkpoint") =>
         // args: <version> <keyCols...> — materialize the snapshot so
         // later reads replay only the delta after it
         require(extra.length >= 2,
           "vstore checkpoint needs <version> then the store's key column(s)")
-        streaming.VersionedStore.checkpoint(spark, path, extra.head.toLong, extra.tail)
+        streaming.VersionedStore.checkpoint(spark, path,
+          longArg(extra.head,
+            "vstore checkpoint needs a numeric <version> then the store's key column(s)"),
+          extra.tail)
         None
       case ("vstore", "vacuum") =>
         // args: <retain> — drop history not needed at versions >= retain
         require(extra.nonEmpty, "vstore vacuum needs <retainVersion>")
-        streaming.VersionedStore.vacuum(spark, path, extra.head.toLong)
+        streaming.VersionedStore.vacuum(spark, path,
+          longArg(extra.head, "vstore vacuum needs a numeric <retainVersion>"))
         None
       case _ => throw new IllegalArgumentException(
         s"unknown maintenance op: $family $op (see Maintain scaladoc)")

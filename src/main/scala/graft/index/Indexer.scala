@@ -139,7 +139,14 @@ object Indexer {
     val coTracked = dsExists && ds.columns.contains("batch")
     val tagged =
       if (coTracked) inheritDocBatch(spark, path, pos)
-      else pos.withColumn("batch", lit(batch))
+      // co-located with a LEGACY (pre-batch-tracking) frequency store:
+      // write UNTAGGED to match the store's untagged tables — tagging
+      // only the positional table would give the store a mixed schema
+      // the moment a later appendIndex (legacy: no marker, untagged)
+      // grows it, silently nulling/dropping `batch` on combined reads
+      // and breaking the positional audit join
+      else if (dsExists) pos
+      else pos.withColumn("batch", lit(batch)) // true standalone: own sequence
     tagged
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .repartition(nBuckets, col("term_bucket"))
@@ -372,6 +379,57 @@ object Indexer {
       .parquet(s"$path/positional")
     if (standalone && !coTrackedBackfill)
       b.foreach(x => writeLongMarker(spark, path, LastBatchMarker, x))
+  }
+
+  /** Drop the rows a CRASHED [[appendIndex]] managed to land — the repair
+    * primitive behind the streaming ingest face's halt-loudly contract
+    * ([[graft.streaming.StreamRuntime.runIndexIngest]]). The
+    * marker-advances-last discipline makes the partial append exactly
+    * identifiable: its rows carry a batch ordinal the `_lastbatch` marker
+    * never recorded (`batch > marker`), so this rewrites doc_stats /
+    * postings / a co-located positional table keeping `batch <= marker`
+    * rows only, layouts preserved, installed via the crash-safe swap.
+    * vocab/meta need no touch: [[appendIndex]] merges them only after the
+    * marker advances, so in this window they still describe the
+    * pre-append store the rollback restores. No-op on a store with no
+    * orphaned rows; refuses a legacy (untracked) store.
+    *
+    * Scale: one full rewrite of the big tables — a crash-REPAIR job run
+    * once after a failed append (the detect side is [[appendIndex]]'s own
+    * duplicate guard halting the replay), never an ingest-path cost.
+    */
+  def rollbackPartialAppend(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val marker = lastBatch(spark, path).getOrElse(throw new IllegalStateException(
+      s"rollbackPartialAppend: no batch marker at $path — a legacy store's " +
+        "partial append cannot be identified by ordinal; rebuild instead"))
+    val ds = spark.read.parquet(s"$path/doc_stats")
+    require(ds.columns.contains("batch"),
+      s"rollbackPartialAppend: store at $path carries no batch ordinals")
+    if (ds.filter(col("batch") > marker).isEmpty &&
+        spark.read.parquet(s"$path/postings").filter(col("batch") > marker).isEmpty)
+      return // nothing orphaned — the append either completed or never started
+    ds.filter(col("batch") <= marker)
+      .write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
+    val nb = storedBuckets(spark, path).getOrElse(64)
+    spark.read.parquet(s"$path/postings").filter(col("batch") <= marker)
+      .repartition(nb, col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings_tmp")
+    swapTable(spark, path, "doc_stats")
+    swapTable(spark, path, "postings")
+    val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
+    if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos)) {
+      val posDf = spark.read.parquet(s"$path/positional")
+      if (posDf.columns.contains("batch")) {
+        val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
+        posDf.filter(col("batch") <= marker)
+          .repartition(pnb, col("term_bucket"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$path/positional_tmp")
+        swapTable(spark, path, "positional")
+      }
+    }
   }
 
   /** Incremental derived-table maintenance behind [[appendIndex]]: the

@@ -31,6 +31,15 @@ object SearchQueries extends QueryGroup {
   /** Proximity window (tokens) for the sloppy-phrase query. */
   val ProxWindow = 4
 
+  /** The query log for the batch-serving face (q_bm25_batch): the two
+    * standing queries plus one with out-of-vocabulary terms, so the gate
+    * covers per-query partial matching (unknown terms contribute no
+    * postings rows, exactly like the single-query face). */
+  val BatchQueries: Seq[(Long, String)] = Seq(
+    1L -> FlagshipQuery,
+    2L -> PhraseQuery,
+    3L -> "columnar zebra sort")
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   // DuckDB-side analyzer chain, kept textually in sync with Analyzer.normText.
@@ -71,6 +80,17 @@ object SearchQueries extends QueryGroup {
       Indexer.docStats(docs(s, dir)).agg(
         count(lit(1)).as("total_docs"),
         (sum(col("length")).cast("double") / count(lit(1))).as("avg_dl"))),
+
+    // batch query serving: the whole query log ranked in ONE job (query
+    // terms join the postings; per-query top-k on TopKPerKey's bounded
+    // heaps) — vs the reference's one-query-per-spark-submit shape
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
+      BM25.searchMany(ix, BatchQueries.toDF("query_id", "query_text"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("title"), round(col("score"), 4).as("score"))
+    }),
 
     "q_bm25_search" -> ((s, dir) => {
       val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
@@ -309,6 +329,28 @@ object SearchQueries extends QueryGroup {
             col("checked"), col("violations")))
     }),
 
+    // the streaming twin of the append lifecycle, on the REAL runtime:
+    // three corpus drops arrive as files, each becoming one micro-batch —
+    // the first bootstraps the store, the later two append (postings grow
+    // in place, vocab/meta merge incrementally) — then BM25 over the
+    // grown store must answer exactly like an index built on the full
+    // corpus in one shot (oracle shared with q_bm25_search). The
+    // reference's own continuous-crawl shape: `app/index.sh` re-run per
+    // crawl, minus the drop-and-rebuild.
+    "q_stream_index_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = QueryGroup.scratchDir("graft-ixingest-src")
+      val store = QueryGroup.scratchDir("graft-ixingest-store")
+      graft.streaming.StreamRuntime.orderedDrops(s,
+        Seq(0, 1, 2).map(r => d.filter(col("doc_id") % 3 === r)
+          .select("doc_id", "text", "source")), src)
+      graft.streaming.StreamRuntime.runIndexIngest(s, src, store,
+        titleCol = Some("source"))
+      BM25.searchStore(s, store, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     "q_bm25_append" -> ((s, dir) => {
       val d = docs(s, dir)
       val path = QueryGroup.scratchDir("graft-ixapp")
@@ -457,6 +499,9 @@ object SearchQueries extends QueryGroup {
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
     "q_bm25_append" -> bm25Oracle,
+    // the streamed store answers like a one-shot full build
+    "q_stream_index_ingest" -> bm25Oracle,
+    "q_bm25_batch" -> bm25BatchOracle,
     "q_bm25_delete" -> bm25OracleFor(
       s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
     "q_bm25_expunge" -> bm25OracleFor(
@@ -538,6 +583,43 @@ object SearchQueries extends QueryGroup {
         SELECT CAST(row_number() OVER (ORDER BY prox_tf DESC, doc_id ASC) AS BIGINT) AS rank,
                doc_id, prox_tf
         FROM f ORDER BY prox_tf DESC, doc_id ASC LIMIT 10"""
+  }
+
+  /** The batch-serving oracle: the single-query bm25 chain run once per
+    * query id — the query log enters as a `(query_id, term)` VALUES
+    * table (terms derived with the same driver-side analyzer the Spark
+    * face's column twin mirrors), scored/aggregated per (query_id,
+    * doc_id), ranked per query. */
+  private lazy val bm25BatchOracle: String = {
+    val pairs = BatchQueries.flatMap { case (id, q) =>
+      Analyzer.analyzeQuery(q).distinct.map(t => s"($id, '$t')")
+    }.mkString(", ")
+    s"""WITH doc_stats AS ($SqlDocStats),
+             postings AS ($SqlPostings),
+             vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+             meta AS (SELECT count(*) AS n,
+                             CAST(sum(coalesce(t.length, 0)) AS DOUBLE) / count(*) AS avg_dl
+                      FROM ($SqlCorpus) c LEFT JOIN doc_stats t USING (doc_id)),
+             q AS (SELECT * FROM (VALUES $pairs) AS v(query_id, term)),
+             scored AS (
+               SELECT q.query_id, p.doc_id,
+                      ln(1 + (m.n - v.df + 0.5) / (v.df + 0.5))
+                        * (p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.length / m.avg_dl))) AS s
+               FROM postings p
+               JOIN q USING (term)
+               JOIN vocab v USING (term)
+               JOIN doc_stats d USING (doc_id)
+               CROSS JOIN meta m),
+             agg AS (SELECT query_id, doc_id, sum(s) AS score
+                     FROM scored GROUP BY query_id, doc_id),
+             ranked AS (SELECT query_id,
+                               CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                               doc_id, round(score, 4) AS score
+                        FROM agg)
+        SELECT CAST(r.query_id AS BIGINT) AS query_id, r.rank, r.doc_id,
+               d.source AS title, r.score
+        FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 10"""
   }
 
   /** Shared oracle: the store query's answer is definitionally the same as

@@ -85,6 +85,64 @@ object BM25 {
     searchTerms(ix.copy(postings = pruned), terms, params)
   }
 
+  /** Batch query serving: rank EVERY query in a query frame
+    * (`query_id`, `query_text`) against the index in ONE job — the face a
+    * real engine answers a query log with, vs the reference's
+    * one-query-per-spark-submit shape (`app/query.py:15-19`) that
+    * [[search]] mirrors. Same formula, same analyzer chain, same
+    * tie-break; a query whose text normalizes to no tokens (or whose
+    * tokens match no postings) simply contributes no rows.
+    *
+    * Scale shape: the query log's `(query_id, term)` pairs join the
+    * postings on `term` — a shuffle join in general (AQE broadcasts the
+    * query side when the log is small, the common serving case), which
+    * replaces [[search]]'s pushed-down IN-literal: a frame of queries has
+    * no driver-side literal to push. vocab joins on the same `term` key
+    * (|terms| rows, broadcast-eligible), meta broadcasts as 1 row, and
+    * the big join stays postings ⋈ doc_stats on `doc_id`. Per-query
+    * top-k runs on [[org.apache.spark.sql.graft.TopKPerKey]]'s bounded
+    * per-group heaps — state ∝ k per query, never a global sort or an
+    * unbounded window over all scored docs.
+    */
+  def searchMany(ix: InvertedIndex, queries: DataFrame,
+                 params: Params = Params(),
+                 idCol: String = "query_id",
+                 textCol: String = "query_text"): DataFrame = {
+    val hasTitle = ix.docStats.columns.contains("title")
+    // per-query distinct terms; array_distinct BEFORE explode so a
+    // repeated term in one query scores once (analyzeQuery(...).distinct
+    // parity with the single-query face)
+    val qTerms = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(Analyzer.tokens(col(textCol)))).as("term"))
+
+    val scored = ix.postings.select("term", "doc_id", "tf")
+      .join(qTerms, "term")                       // the IN-list, as a join
+      .join(ix.docStats, "doc_id")                // big ⋈ big on doc_id
+      .join(ix.vocab, "term")                     // |terms| rows; AQE broadcasts
+      .crossJoin(broadcast(ix.meta))              // 1 row (N, avg_dl)
+      .withColumn("part_score",
+        scoreExpr(col("tf"), col("df"), col("length"),
+          col("total_docs"), col("avg_dl"), params.k1, params.b))
+
+    val aggs =
+      if (hasTitle) Seq(sum(col("part_score")).as("score"), first(col("title")).as("title"))
+      else Seq(sum(col("part_score")).as("score"))
+    val perQuery = scored.groupBy("query_id", "doc_id").agg(aggs.head, aggs.tail: _*)
+    val top = org.apache.spark.sql.graft.TopKOps.topKPerKey(perQuery,
+      keys = Seq("query_id"), order = Seq("score" -> false, "doc_id" -> true),
+      params.topK)
+    // rank within the ≤ k surviving rows per query — the window runs
+    // AFTER TopKPerKey bounded the frame, so its state is ∝ k, not ∝ docs
+    import org.apache.spark.sql.expressions.Window
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+    if (hasTitle)
+      ranked.select(col("query_id"), col("rank"), col("doc_id"), col("title"), col("score"))
+    else
+      ranked.select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   private def searchTerms(ix: InvertedIndex, terms: Seq[String],
                           params: Params): DataFrame = {
     // When the index was built with a title column (reference doc_stats

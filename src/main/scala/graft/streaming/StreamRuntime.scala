@@ -180,6 +180,101 @@ object StreamRuntime {
     spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
   }
 
+  /** Checkpoint-scoped marker mapping stream batch ids to store ingest
+    * ordinals ([[runIndexIngest]]): `ordinal = base + batchId`, with
+    * `base` fixed at the checkpoint's first start. Lives BESIDE THE
+    * CHECKPOINT, not the store — a fresh checkpoint (new stream over new
+    * files) gets a fresh base from the store's current `_lastbatch`,
+    * while a crash-restart on the same checkpoint keeps the mapping its
+    * replayed batch ids were written under. */
+  private[graft] val StreamBaseMarker = "_stream_base"
+
+  /** The per-micro-batch body of [[runIndexIngest]], public so specs can
+    * drive engine-replay scenarios directly: apply `batch` to the index
+    * store at ingest ordinal `ordinal`, skipping it when the store's own
+    * `_lastbatch` marker already vouches for that ordinal (an engine
+    * replay of a fully-applied batch). Ordinal 0 bootstraps the store
+    * (overwrite — a crashed bootstrap replays clean); every later
+    * ordinal appends, with a fail-fast check that the store's ordinal
+    * sequence still matches the stream's mapping (an out-of-band append
+    * would silently shift every later batch's ordinal — refuse instead).
+    */
+  def indexIngestBatch(spark: SparkSession, storePath: String, batch: DataFrame,
+                       ordinal: Long, titleCol: Option[String] = None,
+                       nBuckets: Int = 64): Unit = {
+    val last = graft.index.Indexer.lastBatch(spark, storePath)
+    if (last.exists(_ >= ordinal)) return // replayed, fully applied
+    if (ordinal == 0L)
+      graft.index.Indexer.writeIndex(
+        graft.index.Indexer.buildIndex(batch, titleCol = titleCol),
+        storePath, nBuckets)
+    else {
+      require(last.contains(ordinal - 1),
+        s"index ingest stream at $storePath: store is at batch $last but the " +
+          s"stream expects to write ordinal $ordinal — the store was appended " +
+          "outside the stream (the stream must own the store's append " +
+          "lifecycle) or its marker was reset; re-bootstrap with a fresh " +
+          "checkpoint")
+      graft.index.Indexer.appendIndex(spark, storePath, batch,
+        titleCol = titleCol, nBuckets = nBuckets)
+    }
+  }
+
+  /** Stream a directory of corpus-batch files into a persisted BM25 index
+    * store: one micro-batch per file drop (oldest-first), the first
+    * bootstrapping the store ([[graft.index.Indexer.writeIndex]]), each
+    * later one appended via [[graft.index.Indexer.appendIndex]] — postings
+    * and doc_stats growing as new row-groups in the store's term-bucket
+    * partitions, vocab/meta merged incrementally, a co-located positional
+    * table growing with the same batch. The continuous-crawl execution
+    * shape of the reference's own lifecycle (`app/index.sh` re-run per
+    * crawl), with per-trigger work ∝ that batch alone.
+    *
+    * Crash-replay contract (the store's batch-ordinal + marker-advances-
+    * last discipline does the work): stream batch ids map to store
+    * ordinals through a checkpoint-scoped base marker, so
+    *   - a replayed batch whose append fully landed (store marker
+    *     advanced) is SKIPPED outright — [[indexIngestBatch]] sees the
+    *     store already vouches for its ordinal;
+    *   - a crash inside the append before the marker advanced leaves
+    *     rows tagged with the never-recorded ordinal; the replay's
+    *     appendIndex REFUSES them (duplicate guard) and the stream halts
+    *     loudly rather than double-count — repair with
+    *     [[graft.index.Indexer.rollbackPartialAppend]] (drops exactly
+    *     the orphaned ordinal's rows) and restart;
+    *   - a crash after the marker advanced but before the derived merge
+    *     is the store's own documented window: the replay skips the
+    *     batch, and the stale vocab/meta are what the scheduled
+    *     [[graft.index.Indexer.checkStore]] flags and
+    *     [[graft.index.Indexer.refreshDerived]] repairs.
+    * The stream must own the store's append lifecycle; `checkpointDir`
+    * (default: fresh scratch) is the restartable identity — reuse it to
+    * resume, never to re-stream different files. */
+  def runIndexIngest(spark: SparkSession, srcDir: String, storePath: String,
+                     titleCol: Option[String] = None, nBuckets: Int = 64,
+                     checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.getOrElse(
+      graft.queries.QueryGroup.scratchDir("graft-ixingest-run") + "/ckpt")
+    val base = graft.FsOps.readLongMarker(spark, ckpt, StreamBaseMarker).getOrElse {
+      val b = graft.index.Indexer.lastBatch(spark, storePath).map(_ + 1).getOrElse(0L)
+      graft.FsOps.writeLongMarker(spark, ckpt, StreamBaseMarker, b)
+      b
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        indexIngestBatch(batch.sparkSession, storePath, batch.toDF(),
+          base + id, titleCol, nBuckets)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drop `df` into `srcDir` as `n` identical single-file batches with
     * strictly increasing modification times — a replayed-ingest fixture
     * for the file stream source (oldest-first, one batch per file). */

@@ -78,4 +78,35 @@ class BM25Spec extends SparkSpec {
     assert(rows.map(_._1).toSeq === (1 to 10))
     assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last - 1e-12))
   }
+
+  test("searchMany answers each query exactly like the single-query face") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val bigIx = Indexer.buildIndex(docs, titleCol = Some("source"))
+    val log = Seq(
+      1L -> "fast hash join scan",
+      2L -> "slow hash batch",
+      3L -> "",                   // normalizes to no tokens → no rows
+      4L -> "zzzznotaterm qqq",   // no postings match → no rows
+      5L -> "fast zzzznotaterm"   // partial match scores the known term only
+    )
+    val many = BM25.searchMany(bigIx, log.toDF("query_id", "query_text"))
+      .as[(Long, Int, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(!many.contains(3L) && !many.contains(4L))
+    log.filter { case (id, _) => many.contains(id) }.foreach { case (id, text) =>
+      val single = BM25.search(bigIx, text)
+        .as[(Int, Long, String, Double)].collect().toSeq
+      val got = many(id)
+      assert(got.map(r => (r._2, r._3, r._4)) ===
+        single.map(r => (r._1, r._2, r._3)), s"query $id ranking diverged")
+      got.zip(single).foreach { case (m, s) =>
+        assert(math.abs(m._5 - s._4) < 1e-9, s"query $id score diverged")
+      }
+    }
+    // per-query top-k bounds each group independently
+    val bounded = BM25.searchMany(bigIx, log.toDF("query_id", "query_text"),
+      BM25.Params(topK = 3))
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(bounded.values.forall(_ <= 3L), bounded.toString)
+  }
 }

@@ -10,6 +10,28 @@ import graft.operators.Skew
 class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  test("marker read recovers the swap-aside value in the swap's crash window") {
+    val path = Files.createTempDirectory("fsopsmarker").toString
+    FsOps.writeLongMarker(spark, path, "_lastbatch", 7L)
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(7L))
+    // simulate atomicSwap's residual crash window: the old value was
+    // renamed aside, the new one never installed — the marker must read
+    // as the last durable value, NOT as "never recorded" (for _lastbatch
+    // absence would downgrade a tracked store to legacy and the next
+    // append would mix schemas)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"),
+      new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")))
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(7L),
+      "missing live marker must fall back to the .swap_old aside")
+    // a truly absent marker still reads as never-recorded
+    assert(FsOps.readLongMarker(spark, path, "_nosuch") === None)
+    // and a completed re-write wins over a stale aside
+    FsOps.writeLongMarker(spark, path, "_lastbatch", 9L)
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L))
+  }
+
   test("index store roundtrip: searchStore == search, with partition pruning") {
     val docs = Tables.load(spark, sf0001, "documents")
     val ix = Indexer.buildIndex(docs)
@@ -459,6 +481,19 @@ class IndexStoreSpec extends SparkSpec {
     Indexer.writePositional(docs.limit(50), legacy, nBuckets = 8)
     assert(Indexer.lastBatch(spark, legacy).isEmpty,
       "legacy co-located store must stay marker-less")
+    // ...and the positional table itself must be UNTAGGED like the rest
+    // of the store: a batch column here plus a later legacy (untagged)
+    // append would give the table a mixed schema that silently nulls
+    // `batch` on combined reads and breaks the positional audit join
+    assert(!spark.read.parquet(s"$legacy/positional").columns.contains("batch"),
+      "retrofitted legacy positional table must match the store's untagged schema")
+    val lateDocs = Seq((999998L, "late crawl batch doc one"),
+      (999999L, "late crawl batch doc two")).toDF("doc_id", "text")
+    Indexer.appendPositional(spark, legacy, lateDocs, nBuckets = 8)
+    val grown = spark.read.parquet(s"$legacy/positional")
+    assert(!grown.columns.contains("batch"),
+      "appending to a retrofitted legacy store must stay untagged")
+    assert(grown.filter(col("doc_id") >= 999998L).select("doc_id").distinct().count() === 2L)
   }
 
   test("writePositional retrofitted onto a multi-batch store inherits per-doc batch ordinals") {

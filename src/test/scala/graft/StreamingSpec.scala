@@ -312,6 +312,75 @@ class StreamingSpec extends SparkSpec {
     assert(res === Set("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
   }
 
+  test("streamed index ingest == sequential appendIndex; replays skip; crashed appends halt, roll back, retry clean") {
+    import graft.index.Indexer
+    import graft.streaming.StreamRuntime
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "source")
+    val slice = (r: Int) => docs.filter(col("doc_id") % 3 === r)
+    val root = graft.queries.QueryGroup.scratchDir("graft-ixingest-spec")
+
+    // streamed: three file drops, one micro-batch each
+    StreamRuntime.orderedDrops(spark, Seq(0, 1, 2).map(slice), s"$root/src")
+    StreamRuntime.runIndexIngest(spark, s"$root/src", s"$root/streamed",
+      titleCol = Some("source"), nBuckets = 16)
+    // sequential: the same three batches through the batch lifecycle
+    Indexer.writeIndex(Indexer.buildIndex(slice(0), titleCol = Some("source")),
+      s"$root/seq", nBuckets = 16)
+    Indexer.appendIndex(spark, s"$root/seq", slice(1), titleCol = Some("source"))
+    Indexer.appendIndex(spark, s"$root/seq", slice(2), titleCol = Some("source"))
+    def surface(path: String) = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("tf").cast("long"), col("batch"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(surface(s"$root/streamed") === surface(s"$root/seq"),
+      "streamed ingest must land the same postings under the same ordinals")
+    assert(Indexer.lastBatch(spark, s"$root/streamed") === Some(2L))
+
+    // an engine replay of a fully-applied batch is a no-op
+    val before = spark.read.parquet(s"$root/streamed/doc_stats").count()
+    StreamRuntime.indexIngestBatch(spark, s"$root/streamed", slice(2), 2L,
+      titleCol = Some("source"), nBuckets = 16)
+    assert(spark.read.parquet(s"$root/streamed/doc_stats").count() === before)
+
+    // crash INSIDE an append: doc_stats rows landed under ordinal 3, the
+    // marker never advanced — the replay must REFUSE (halt loudly), and
+    // rollback must restore the store so the retry applies clean
+    val late = Seq((900001L, "late crawl alpha", "s"),
+      (900002L, "late crawl beta", "s")).toDF("doc_id", "text", "source")
+    Indexer.docStats(late, titleCol = Some("source"))
+      .withColumn("batch", lit(3L))
+      .write.mode("append").parquet(s"$root/streamed/doc_stats")
+    val e = intercept[IllegalArgumentException](
+      StreamRuntime.indexIngestBatch(spark, s"$root/streamed", late, 3L,
+        titleCol = Some("source"), nBuckets = 16))
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    Indexer.rollbackPartialAppend(spark, s"$root/streamed")
+    assert(spark.read.parquet(s"$root/streamed/doc_stats").count() === before,
+      "rollback must drop exactly the orphaned ordinal's rows")
+    StreamRuntime.indexIngestBatch(spark, s"$root/streamed", late, 3L,
+      titleCol = Some("source"), nBuckets = 16)
+    assert(Indexer.lastBatch(spark, s"$root/streamed") === Some(3L))
+    assert(spark.read.parquet(s"$root/streamed/doc_stats").count() === before + 2)
+
+    // out-of-band append desyncs the mapping: the stream refuses rather
+    // than shift every later batch's ordinal
+    val e2 = intercept[IllegalArgumentException](
+      StreamRuntime.indexIngestBatch(spark, s"$root/streamed",
+        Seq((900003L, "gamma", "s")).toDF("doc_id", "text", "source"), 9L,
+        titleCol = Some("source"), nBuckets = 16))
+    assert(e2.getMessage.contains("outside the stream"), e2.getMessage)
+
+    // a stream over a MANUALLY bootstrapped store maps its ids after the
+    // store's existing ordinals (base marker beside the checkpoint)
+    StreamRuntime.orderedDrops(spark, Seq(slice(1), slice(2)), s"$root/src2")
+    Indexer.writeIndex(Indexer.buildIndex(slice(0), titleCol = Some("source")),
+      s"$root/manual", nBuckets = 16)
+    StreamRuntime.runIndexIngest(spark, s"$root/src2", s"$root/manual",
+      titleCol = Some("source"), nBuckets = 16)
+    assert(Indexer.lastBatch(spark, s"$root/manual") === Some(2L))
+    assert(surface(s"$root/manual") === surface(s"$root/seq"))
+  }
+
   test("append-mode runtime dedup: a replayed drop emits each key exactly once") {
     import graft.streaming.StreamRuntime
     val root = graft.queries.QueryGroup.scratchDir("graft-sdedup-spec")
