@@ -264,8 +264,13 @@ object DedupStore {
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     requireGeometry(spark, path, numHashes, bands, "checkStore")
     import graft.operators.StoreCheck.row
-    val sets = spark.read.parquet(s"$path/sets")
-    val buckets = spark.read.parquet(s"$path/buckets")
+    // one shared pass per audited table (sets feeds the uniqueness,
+    // surface AND bucket-recompute checks; buckets feeds three) — the
+    // deep audit is priced per pass over the store, so each table
+    // materializes once and the eager ≤ 4-row report releases the cache
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = spark.read.parquet(s"$path/sets").persist(storage)
+    val buckets = spark.read.parquet(s"$path/buckets").persist(storage)
 
     val unique = row("ids_unique",
       sets.agg(count(lit(1)).as("checked"),
@@ -302,8 +307,10 @@ object DedupStore {
             .as("violations")))
     }
 
-    graft.operators.StoreCheck.report(
-      Seq(cardinality, content, surface, unique))
+    try graft.operators.StoreCheck.materialize(spark,
+      graft.operators.StoreCheck.report(
+        Seq(cardinality, content, surface, unique)))
+    finally { sets.unpersist(); buckets.unpersist() }
   }
 
   /** Re-derive `buckets` from the stored shingle `sets` and install it

@@ -823,11 +823,18 @@ object Indexer {
     *     recompute over the live postings (the exact drift the delete
     *     crash window leaves).
     *
-    * Scale: each check is one scan + aggregate over the table it audits —
-    * deliberately UNPRUNED (a checker must read everything to vouch for
-    * everything; this is a scheduled-maintenance job, not a query-path
-    * cost). The report is ≤ 7 rows; nothing collects to the driver.
-    * Tables absent by design (no `positional`, no `deletes`) report
+    * Scale: the audit is deliberately UNPRUNED (a checker must read
+    * everything to vouch for everything; this is a scheduled-maintenance
+    * job, not a query-path cost) — but it is priced per PASS over the
+    * big tables, so each audited table is scanned ONCE into a cached
+    * projection every invariant shares: postings feed the layout check,
+    * the orphan probe, the positional surface AND the vocab recompute
+    * from one materialization instead of four scans (measured ~2× on
+    * the full lifecycle audit as invariants accrued). The report
+    * returns EAGERLY (≤ 7 rows, bounded driver metadata) so the cache
+    * is released before return and a detect→repair composition can
+    * never re-audit the repaired store through a lazy frame. Tables
+    * absent by design (no `positional`, no `deletes`) report
     * checked = 0 rather than dropping rows, so the report schema is
     * stable for monitoring.
     */
@@ -841,8 +848,14 @@ object Indexer {
     import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
     def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
 
+    // one shared pass per audited table: serialized cache (spills to
+    // disk past executor memory — at audit scale the win is scans
+    // saved, not residency)
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val postings = spark.read.parquet(s"$path/postings")
-    val docIds = spark.read.parquet(s"$path/doc_stats").select("doc_id")
+      .select("term", "doc_id", "tf", "term_bucket").persist(storage)
+    val docIds = spark.read.parquet(s"$path/doc_stats")
+      .select("doc_id", "length").persist(storage)
     val nb = storedBuckets(spark, path).getOrElse(nBuckets)
 
     val postingsLayout = row("postings_bucket_layout",
@@ -859,10 +872,18 @@ object Indexer {
             .agg(count(lit(1)).as("violations"))))
     }
 
-    val tombstones =
-      if (!exists("deletes")) emptyRow("tombstones_valid")
-      else {
-        val del = spark.read.parquet(s"$path/deletes").select("doc_id")
+    val deletes =
+      if (!exists("deletes")) None
+      else Some(spark.read.parquet(s"$path/deletes").select("doc_id")
+        .persist(storage))
+    // live-view filter over the CACHED tables (readIndexLive would
+    // re-scan the store a second time per consumer)
+    def minusDel(df: DataFrame): DataFrame =
+      deletes.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+
+    val tombstones = deletes match {
+      case None => emptyRow("tombstones_valid")
+      case Some(del) =>
         row("tombstones_valid",
           del.agg(count(lit(1)).as("checked"),
               countDistinct(col("doc_id")).as("distinct_ids"))
@@ -870,14 +891,14 @@ object Indexer {
               .agg(count(lit(1)).as("orphans")))
             .select(col("checked"),
               (col("orphans") + col("checked") - col("distinct_ids")).as("violations")))
-      }
+    }
 
-    val live = readIndexLive(spark, path)
+    val livePostings = minusDel(postings)
 
     val vocabCheck = {
       val stored = spark.read.parquet(s"$path/vocab")
         .select(col("term"), col("df").cast("long").as("stored_df"))
-      val fresh = vocab(live.postings.select("term", "doc_id", "tf"))
+      val fresh = vocab(livePostings.select("term", "doc_id", "tf"))
         .select(col("term"), col("df").cast("long").as("live_df"))
       row("vocab_matches_live",
         stored.join(fresh, Seq("term"), "full_outer").agg(
@@ -888,7 +909,7 @@ object Indexer {
 
     val metaCheck = {
       val stored = spark.read.parquet(s"$path/meta")
-      val fresh = meta(live.docStats)
+      val fresh = meta(minusDel(docIds))
       val drift =
         if (stored.columns.contains("length_sum"))
           !(col("s.total_docs").cast("long") <=> col("f.total_docs").cast("long")) ||
@@ -903,25 +924,32 @@ object Indexer {
             when(drift, 1L).otherwise(0L).as("violations")))
     }
 
-    val positionalChecks =
-      if (!exists("positional"))
+    val posCached =
+      if (!exists("positional")) None
+      else Some(spark.read.parquet(s"$path/positional")
+        // the malformed flag is computed IN the caching pass so the
+        // heavy positions arrays never enter the cache — both positional
+        // invariants read this slim projection
+        .select(col("term"), col("doc_id"), col("tf"), col("term_bucket"),
+          when(col("tf") =!= size(col("positions")) ||
+            col("positions") =!= array_sort(array_distinct(col("positions"))), 1L)
+            .otherwise(0L).as("malformed"))
+        .persist(storage))
+    val positionalChecks = posCached match {
+      case None =>
         Seq(emptyRow("positional_bucket_layout"),
           emptyRow("positional_matches_postings"))
-      else {
+      case Some(pos) =>
         val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
-        val pos = spark.read.parquet(s"$path/positional")
         val layout = row("positional_bucket_layout",
           pos.agg(
             count(lit(1)).as("checked"),
             sum(when(col("term_bucket").cast("long") =!= termBucket(col("term"), pnb), 1L)
               .otherwise(0L)).as("violations")))
-        val livePos = minusDeletes(spark, path, pos)
+        val livePos = minusDel(pos)
           .select(col("term"), col("doc_id"),
-            col("tf").cast("long").as("pos_tf"),
-            when(col("tf") =!= size(col("positions")) ||
-              col("positions") =!= array_sort(array_distinct(col("positions"))), 1L)
-              .otherwise(0L).as("malformed"))
-        val liveFreq = live.postings
+            col("tf").cast("long").as("pos_tf"), col("malformed"))
+        val liveFreq = livePostings
           .select(col("term"), col("doc_id"), col("tf").cast("long").as("freq_tf"))
         val surface = row("positional_matches_postings",
           livePos.join(liveFreq, Seq("term", "doc_id"), "full_outer").agg(
@@ -929,10 +957,17 @@ object Indexer {
             (sum(when(!(col("pos_tf") <=> col("freq_tf")), 1L).otherwise(0L)) +
               sum(coalesce(col("malformed"), lit(0L)))).as("violations")))
         Seq(layout, surface)
-      }
+    }
 
-    graft.operators.StoreCheck.report(Seq(metaCheck) ++ positionalChecks ++
-      Seq(orphanDocs, postingsLayout, tombstones, vocabCheck))
+    try graft.operators.StoreCheck.materialize(spark,
+      graft.operators.StoreCheck.report(Seq(metaCheck) ++ positionalChecks ++
+        Seq(orphanDocs, postingsLayout, tombstones, vocabCheck)))
+    finally {
+      postings.unpersist()
+      docIds.unpersist()
+      deletes.foreach(_.unpersist())
+      posCached.foreach(_.unpersist())
+    }
   }
 
   /** Incremental integrity check: audit ONLY the rows appended since the

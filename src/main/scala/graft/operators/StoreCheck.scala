@@ -29,4 +29,19 @@ object StoreCheck {
     * invariant name for deterministic output. */
   def report(rows: Seq[DataFrame]): DataFrame =
     rows.reduce(_.unionByName(_)).orderBy("invariant")
+
+  /** Force the report NOW and return it as a small local frame. The deep
+    * checkers cache their audited tables so every invariant reads ONE
+    * shared materialization instead of re-scanning the store per check
+    * (a deep audit at 100 TB is priced per pass over the big tables);
+    * the cache can only be released once the report rows are computed,
+    * so a lazily-returned report would either leak the cache or re-scan
+    * at every later evaluation. The report is ≤ a dozen rows — bounded
+    * driver metadata by design — and an eager report is also what the
+    * detect→repair compositions want: a lazy frame would silently
+    * re-audit the REPAIRED store when evaluated after the repair. */
+  def materialize(spark: SparkSession, report: DataFrame): DataFrame = {
+    val rows = report.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+  }
 }

@@ -304,15 +304,18 @@ object IvfStore {
     *     the stored vector (raw) or of the `round(code·scale, 6)`
     *     reconstruction (quantized) — a stale norm skews every cosine.
     *
-    * Scale: one unpruned pass over lists per check (scheduled
-    * maintenance, not probe-path cost), centroids broadcast; the report
-    * is 5 rows and nothing collects. Physical rows are audited —
+    * Scale: the audit is unpruned (scheduled maintenance, not
+    * probe-path cost) but priced per PASS over lists — so lists is
+    * scanned ONCE into a cached projection all five invariants share,
+    * centroids broadcast, and the ≤ 5-row report returns eagerly
+    * (releasing the cache before return). Physical rows are audited —
     * tombstoned vectors included, matching what [[expungeDeletes]] will
     * rewrite. Tombstones themselves carry no validity invariant here by
     * design: duplicates and foreign ids are both documented no-ops of
     * [[deleteVectors]]'s anti-join semantics. */
   def checkStore(spark: SparkSession, path: String): DataFrame = {
     val lists = spark.read.parquet(s"$path/lists")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val quantized = lists.columns.contains("qvec")
     import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
@@ -366,7 +369,9 @@ object IvfStore {
               exists(col("qvec"), x => x < -127 || x > 127), 1L)
             .otherwise(0L)).as("violations")))
 
-    graft.operators.StoreCheck.report(Seq(cover, codes, unique, assignment, norms))
+    try graft.operators.StoreCheck.materialize(spark,
+      graft.operators.StoreCheck.report(Seq(cover, codes, unique, assignment, norms)))
+    finally lists.unpersist()
   }
 
   // ---- incremental audit: the IVF face of the daily/deep audit split
