@@ -66,12 +66,20 @@ object Maintain {
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
       case ("index", "compact") =>
         // per-table: the bucketed tables leaf by leaf (layout preserved),
-        // the flat tables in place
-        operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings")
+        // the flat tables in place; batch-tracked tables compact
+        // range-partitioned by batch so the incremental audits keep
+        // their file-level min/max skipping afterwards
+        def batchRange(table: String): Seq[String] =
+          if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
+            Seq("batch") else Seq.empty
+        operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
+          rangeBy = batchRange("postings"))
         val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
         if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
-          operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional")
-        operators.Compaction.compact(spark, s"$path/doc_stats")
+          operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
+            rangeBy = batchRange("positional"))
+        operators.Compaction.compact(spark, s"$path/doc_stats",
+          rangeBy = batchRange("doc_stats"))
         None
       case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
       case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))
@@ -90,12 +98,17 @@ object Maintain {
         val (nh, b) = dedupGeometry(spark, path)
         dedup.DedupStore.refreshBuckets(spark, path, numHashes = nh, bands = b); None
       case ("dedup", "compact") =>
-        // both flat tables; merging files ACROSS ingest batches keeps the
-        // batch column (audit filters stay correct) but trades away the
-        // constant-batch-per-file min/max skipping — run after deep
-        // audits, not between an append and its incremental audit
-        operators.Compaction.compact(spark, s"$path/sets")
-        operators.Compaction.compact(spark, s"$path/buckets")
+        // both flat tables; batch-tracked stores compact range-partitioned
+        // by batch, so each output file stays a contiguous batch range and
+        // the incremental audit's `batch > since` filter keeps skipping
+        // pre-audit files on footer statistics after compaction
+        def dedupRange(table: String): Seq[String] =
+          if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
+            Seq("batch") else Seq.empty
+        operators.Compaction.compact(spark, s"$path/sets",
+          rangeBy = dedupRange("sets"))
+        operators.Compaction.compact(spark, s"$path/buckets",
+          rangeBy = dedupRange("buckets"))
         None
       case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))

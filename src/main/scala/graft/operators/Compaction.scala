@@ -27,9 +27,23 @@ object Compaction {
                                    bytes: Long, targetFiles: Int)
 
   /** Rewrite the parquet directory at `path` into ~`targetBytes` files.
-    * Returns the before/after accounting. */
+    * Returns the before/after accounting.
+    *
+    * `rangeBy` (optional): range-partition + sort the rewrite by these
+    * columns instead of coalescing. For batch-tracked stores
+    * (`rangeBy = Seq("batch")`) this PRESERVES file-level min/max
+    * skipping for the incremental audits: a plain coalesce merges rows
+    * from many ingest batches into each file, so every file's
+    * `batch` min/max spans the audit watermark and a `batch > since`
+    * filter can no longer skip any file — range partitioning keeps each
+    * file a contiguous batch range (at most ONE file straddles the
+    * watermark), so pre-audit files still prune on footer statistics
+    * alone. Costs one exchange where coalesce costs none — the right
+    * trade for a scheduled maintenance job whose output must keep the
+    * daily audit cheap. */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              rangeBy: Seq[String] = Seq.empty): CompactionStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,7 +65,13 @@ object Compaction {
 
     val df = spark.read.parquet(path)
     val sized =
-      if (target < dataFiles.length) df.coalesce(target)
+      if (rangeBy.nonEmpty) {
+        val cols = rangeBy.map(org.apache.spark.sql.functions.col)
+        // sortWithinPartitions tightens per-ROW-GROUP statistics too:
+        // inside a straddling file, pre-watermark row groups still skip
+        df.repartitionByRange(target, cols: _*).sortWithinPartitions(cols: _*)
+      }
+      else if (target < dataFiles.length) df.coalesce(target)
       else if (target > dataFiles.length) df.repartition(target)
       else df
     // underscore prefix: invisible to concurrent readers of a partitioned
@@ -76,11 +96,12 @@ object Compaction {
     * the data rewrites themselves are distributed jobs.
     */
   def compactPartitions(spark: SparkSession, root: String,
-                        targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactionStats] = {
+                        targetBytes: Long = 128L * 1024 * 1024,
+                        rangeBy: Seq[String] = Seq.empty): Map[String, CompactionStats] = {
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitionDirs(fs, dir)
-      .map(p => p.getName -> compact(spark, p.toString, targetBytes))
+      .map(p => p.getName -> compact(spark, p.toString, targetBytes, rangeBy))
       .toMap
   }
 
@@ -94,7 +115,8 @@ object Compaction {
     * new; the walk itself is driver-side metadata.
     */
   def compactPartitionsRecursive(spark: SparkSession, root: String,
-                                 targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactionStats] = {
+                                 targetBytes: Long = 128L * 1024 * 1024,
+                                 rangeBy: Seq[String] = Seq.empty): Map[String, CompactionStats] = {
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: Path): Seq[Path] = {
@@ -104,7 +126,7 @@ object Compaction {
     val rootPrefix = dir.toUri.getPath.stripSuffix("/") + "/"
     partitionDirs(fs, dir).flatMap(leaves)
       .map(p => p.toUri.getPath.stripPrefix(rootPrefix) ->
-        compact(spark, p.toString, targetBytes))
+        compact(spark, p.toString, targetBytes, rangeBy))
       .toMap
   }
 

@@ -56,6 +56,43 @@ class JsonlSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === before.size.toLong)
   }
 
+  test("rangeBy compaction keeps per-file batch ranges disjoint (audit skipping survives)") {
+    import graft.operators.Compaction
+    // a batch-tracked table in its append-heavy natural state: many
+    // small files per ingest batch, each file batch-constant
+    val path = Files.createTempDirectory("compact-batch").toString + "/t"
+    (0L to 4L).foreach { b =>
+      spark.range(2000)
+        .select(col("id"), lit(b).as("batch"),
+          concat(lit("payload-"), col("id")).as("s"))
+        .repartition(8).write.mode("append").parquet(path)
+    }
+    val stats = Compaction.compact(spark, path, targetBytes = 32 * 1024,
+      rangeBy = Seq("batch"))
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+    assert(spark.read.parquet(path).count() === 10000L)
+    // each surviving file must cover a batch range DISJOINT from every
+    // other file's (range partitioning never splits one batch value
+    // across partitions) — the precondition for `batch > since` skipping
+    // pre-audit files on footer min/max statistics alone
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.toString)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("batch")), max(col("batch"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.length > 1, "need multiple files to demonstrate skipping")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(loB > hiA, s"file batch ranges overlap: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // with the audit watermark inside the range, at least one file is
+    // entirely pre-watermark (skippable) and at least one entirely post
+    assert(ranges.exists(_._2 <= 2L) && ranges.exists(_._1 > 2L),
+      ranges.mkString(", "))
+  }
+
   test("compaction refuses a partitioned table root") {
     import graft.operators.Compaction
     val path = Files.createTempDirectory("compact-part").toString + "/t"

@@ -29,8 +29,20 @@ def probe(src: String, tag: String): Unit = {
     graft.index.Indexer.checkStoreIncremental(spark, path).collect())).min
   val tFull = Seq.fill(2)(time(
     graft.index.Indexer.checkStore(spark, path).collect())).min
+  // compact the batch-tracked tables range-partitioned by batch (1 MiB
+  // target so multiple files survive at probe scale, mirroring the
+  // many-files-per-leaf state a 128 MiB target leaves at 100 TB) and
+  // re-time: the incremental audit's file skipping must survive
+  // compaction (post_incr ~ incr, not ~ full)
+  graft.operators.Compaction.compactPartitionsRecursive(
+    spark, s"$path/postings", targetBytes = 1L * 1024 * 1024,
+    rangeBy = Seq("batch"))
+  graft.operators.Compaction.compact(spark, s"$path/doc_stats",
+    targetBytes = 1L * 1024 * 1024, rangeBy = Seq("batch"))
+  val tIncrC = Seq.fill(2)(time(
+    graft.index.Indexer.checkStoreIncremental(spark, path).collect())).min
   println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
-    f"incr=$tIncr%.2fs full=$tFull%.2fs")
+    f"incr=$tIncr%.2fs full=$tFull%.2fs post_compact_incr=$tIncrC%.2fs")
 }
 probe("/root/testdata/sf0.1/documents.parquet", "sf01")
 probe("/tmp/sf1/documents.parquet", "sf1")
