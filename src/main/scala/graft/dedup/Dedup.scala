@@ -325,32 +325,52 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = spanFlags(df, n, minDocs, idCol, textCol)
-    spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("dup")).as("dup_spans"))
+    // n_spans is derivable per row (L - n + 1) — only the DUPLICATED
+    // starts need any shuffle at all
+    val starts = dupSpanStarts(df, n, minDocs, idCol, textCol)
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    df.select(col(idCol).as("doc_id"), Analyzer.tokenCount(col(textCol)).as("len"))
+      .filter(col("len") >= n)
+      .select(col("doc_id"), (col("len") - lit(n - 1)).cast("long").as("n_spans"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
       .withColumn("dup_frac",
         round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
   }
 
-  /** `(doc_id, pos, dup)` for every n-token span start (1-based `pos`);
-    * `dup` = 1 when the span's hash occurs in ≥ `minDocs` distinct docs.
-    * Shared by the [[duplicateSpans]] diagnostic and the [[spanClean]]
-    * transform. */
-  private def spanFlags(df: DataFrame, n: Int, minDocs: Int,
-                        idCol: String, textCol: String): DataFrame = {
+  /** The slim `(doc_id, pos, h)` span-hash stream: one row per n-token
+    * window start (1-based `pos`), gram text existing only transiently
+    * inside the projection. */
+  private def spanHashes(df: DataFrame, n: Int,
+                         idCol: String, textCol: String): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     import graft.pipeline.Sampling
-    val spans = df
-      .select(col(idCol).as("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .withColumn("pos", explode(sequence(lit(1), size(col("toks")) - lit(n - 1))))
       .select(col("doc_id"), col("pos"), Sampling.saltedHash("span",
         array_join(slice(col("toks"), col("pos"), lit(n)), " ")).as("h"))
-    val stats = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
-    spans.join(stats, "h")
-      .select(col("doc_id"), col("pos"),
-        when(col("n_docs") >= minDocs, 1L).otherwise(0L).as("dup"))
+  }
+
+  /** `(doc_id, pos)` of every span start whose hash occurs in ≥
+    * `minDocs` distinct docs — shared by [[duplicateSpans]] and
+    * [[spanClean]]. The only big exchange is the skew-safe
+    * `groupBy(h).countDistinct(doc_id)` over the slim hash stream
+    * (partial aggs dedupe a boilerplate span's million holders map-side;
+    * a window-over-h formulation would buffer them in one state). The
+    * duplicated-hash set is typically tiny, so the flag-back semi join
+    * broadcasts under AQE — the span stream is hashed twice (a narrow
+    * CPU re-run) but never shuffled twice. */
+  private def dupSpanStarts(df: DataFrame, n: Int, minDocs: Int,
+                            idCol: String, textCol: String): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val spans = spanHashes(df, n, idCol, textCol)
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("h")
+    spans.join(dupHashes, Seq("h"), "left_semi").select("doc_id", "pos")
   }
 
   /** Exact-substring dedup APPLIED (the cut-list transform paired with
@@ -362,27 +382,54 @@ object Dedup {
     * survivors rejoined in order (docs shorter than `n` tokens pass
     * through verbatim; fully-duplicated docs come back empty).
     *
-    * Scale: span flags as in [[duplicateSpans]]; coverage is a
-    * left join of the token stream with span starts on (doc, pos) plus
-    * ONE bounded rows-window (`n-1 PRECEDING`) over the doc-keyed
-    * order — everything shuffles by doc id, window state is n rows.
+    * Scale: only the slim span-hash stream shuffles
+    * ([[dupSpanStarts]] — one skew-safe exchange); the token stream
+    * itself NEVER leaves its row. Duplicated starts roll up per doc
+    * (duplicated positions only) and merge into covered INTERVALS —
+    * consecutive starts always merge, so a fully-duplicated doc is ONE
+    * interval and the per-token coverage probe is ∝ duplication
+    * episodes, not duplicated positions. Coverage, the removed count
+    * and the survivor rejoin are then pure array expressions over each
+    * doc's own token array — no (doc, pos) exploded join, no window
+    * exchange, no corpus-wide sorted re-collect. (The r10 formulation
+    * shuffled the exploded token stream three times — join key, window
+    * sort, rollup — and was the one >4x-at-10x outlier in
+    * bench_sf1.json; this shape's big exchange is the same one
+    * duplicateSpans already pays, plus a doc-keyed join of interval
+    * lists AQE broadcasts when duplication is sparse.)
     */
   def spanClean(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(n - 1), 0)
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(Analyzer.tokens(col(textCol))).as(Seq("pos0", "term")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
-    toks
-      .join(spanFlags(df, n, minDocs, idCol, textCol), Seq("doc_id", "pos"), "left")
-      .withColumn("covered", max(coalesce(col("dup"), lit(0L))).over(w))
+    val emptyIv = array().cast("array<struct<s:int,e:int>>")
+    // merged covered intervals per doc: a dup start at p covers
+    // [p, p+n-1]; [s,e] absorbs p when p <= e+1 (coverage contiguity)
+    val intervals = dupSpanStarts(df, n, minDocs, idCol, textCol)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("covered")).as("removed_tokens"),
-        array_join(transform(array_sort(collect_list(
-            when(col("covered") === 0L, struct(col("pos"), col("term"))))),
-          e => e.getField("term")), " ").as("clean_text"))
+      .agg(sort_array(collect_list(col("pos"))).as("dp"))
+      .select(col("doc_id"), aggregate(col("dp"), emptyIv, (acc, p) => {
+        val lastS = element_at(acc, -1).getField("s")
+        val lastE = element_at(acc, -1).getField("e")
+        when(size(acc) === 0 || p > lastE + lit(1),
+          concat(acc, array(struct(p.as("s"), (p + lit(n - 1)).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(lastS.as("s"),
+              greatest(lastE, p + lit(n - 1)).as("e")))))
+      }).as("iv"))
+    df.select(col(idCol).as("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .join(intervals, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"), emptyIv))
+      .withColumn("covered",
+        transform(sequence(lit(1), size(col("toks"))),
+          i => exists(col("iv"),
+            v => i >= v.getField("s") && i <= v.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("covered"), c => c)).cast("long").as("removed_tokens"),
+        // array_join drops nulls, so covered tokens vanish and a fully-
+        // duplicated doc comes back as ""
+        array_join(zip_with(col("toks"), col("covered"),
+          (t, c) => when(c, lit(null)).otherwise(t)), " ").as("clean_text"))
   }
 
   /** All-pairs reference implementation (O(n²) crossJoin) — the test

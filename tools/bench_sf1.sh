@@ -46,7 +46,7 @@ echo "[bench_sf1] incremental-audit probe..."
   --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
   --driver-class-path target/scala-2.13/classes \
   -I tools/fsck_incr_probe.scala <<< 'sys.exit(0)' \
-  | grep -o 'PROBE tag=[^ ]* store_docs=[0-9]* delta_docs=[0-9]* incr=[0-9.]*s full=[0-9.]*s' \
+  | grep -o 'PROBE tag=[^ ]* store_docs=[0-9]* delta_docs=[0-9]* incr=[0-9.]*s full=[0-9.]*s\( post_compact_incr=[0-9.]*s\)\?' \
   > /tmp/fsck_probe.txt   # -o: progress-bar \r can glue onto the line start
 cat /tmp/fsck_probe.txt
 
@@ -57,12 +57,15 @@ b = json.load(open('/tmp/bench_sf1_subset.json'))
 probes = {}
 for line in open('/tmp/fsck_probe.txt'):
     m = re.match(r'PROBE tag=(\S+) store_docs=(\d+) delta_docs=(\d+) '
-                 r'incr=([\d.]+)s full=([\d.]+)s', line.strip())
+                 r'incr=([\d.]+)s full=([\d.]+)s'
+                 r'(?: post_compact_incr=([\d.]+)s)?', line.strip())
     if m:
         probes[m.group(1)] = {"store_docs": int(m.group(2)),
                               "delta_docs": int(m.group(3)),
                               "incr_secs": float(m.group(4)),
                               "full_secs": float(m.group(5))}
+        if m.group(6):  # the index probe re-times after rangeBy compaction
+            probes[m.group(1)]["post_compact_incr_secs"] = float(m.group(6))
 out = {"reps": "min-of-2", "cpus": 32,
        "subset": sorted(a["queries"]),
        "sf0.1": {k: round(v, 2) for k, v in a["queries"].items()},
