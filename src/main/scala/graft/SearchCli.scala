@@ -21,6 +21,24 @@ import graft.sources.WikiCorpus
   * (defaults to the sf0.001 fixture).
   */
 object SearchCli {
+
+  /** Build, rank and format — the testable core of [[main]] (the golden
+    * spec drives it in-process against the reference corpus, the same
+    * separation as [[Maintain.run]]): returns exactly the lines main
+    * prints, `rank\tdoc_id\ttitle\tscore` (`search.sh:20-22`'s shape). */
+  def run(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+          query: String): Seq[String] = {
+    // title flows through the index's doc_stats (reference layout,
+    // query.py:86 first(title)) — no corpus re-join at query time
+    BM25.search(Indexer.buildIndex(docs, titleCol = Some("title")), query)
+      .orderBy("rank")
+      .select(col("rank"), col("doc_id"), coalesce(col("title"), lit("")).as("title"),
+        col("score"))
+      .collect()
+      .map(r => s"${r.getInt(0)}\t${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}")
+      .toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val query =
       if (args.nonEmpty) args.mkString(" ")
@@ -49,16 +67,7 @@ object SearchCli {
           .select(col("doc_id"), coalesce(col("source"), lit("")).as("title"), col("text"))
       else WikiCorpus.read(spark, corpus)
 
-    // title flows through the index's doc_stats (reference layout,
-    // query.py:86 first(title)) — no corpus re-join at query time
-    val ranked = BM25.search(Indexer.buildIndex(docs, titleCol = Some("title")), query)
-      .orderBy("rank")
-      .select(col("rank"), col("doc_id"), coalesce(col("title"), lit("")).as("title"),
-        col("score"))
-
-    ranked.collect().foreach { r =>
-      println(s"${r.getInt(0)}\t${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}")
-    }
+    run(spark, docs, query).foreach(println)
     spark.stop()
   }
 }

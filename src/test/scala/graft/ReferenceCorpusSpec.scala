@@ -50,6 +50,28 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("SearchCli golden smoke: tab-separated rank/doc_id/title/score, stable top-10") {
+    // the CLI's testable core against the reference corpus — the same
+    // lines `sbt runMain graft.SearchCli <q>` prints under
+    // SPARK_GRAFT_CORPUS=/root/reference/app/data
+    val cliDocs = corpus.select(col("doc_id"), col("title"), col("text"))
+    for (q <- Seq("big data analytics", "machine learning model",
+        "distributed database")) {
+      val lines = SearchCli.run(spark, cliDocs, q)
+      assert(lines.length === 10, s"'$q' printed ${lines.length} lines")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        val parts = l.split("\t", -1)
+        assert(parts.length === 4, s"'$q' line not 4 tab-separated fields: $l")
+        assert(parts(0).toInt === i + 1, s"'$q' rank order broken: $l")
+        parts(1).toLong // doc_id parses
+        assert(parts(2).nonEmpty, s"'$q' missing title: $l")
+        parts(3).toDouble // score parses
+      }
+      // golden stability: a re-run prints the identical ten lines
+      assert(SearchCli.run(spark, cliDocs, q) === lines, s"'$q' not stable")
+    }
+  }
+
   test("top result for 'distributed database' actually contains the terms") {
     val top = BM25.search(ix, "distributed database").as[(Int, Long, Double)]
       .collect().head._2

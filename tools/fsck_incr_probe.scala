@@ -2,7 +2,8 @@
 // --driver-class-path target/scala-2.13/classes — see tools/bench_sf1.sh):
 // appends the SAME fixed-size delta batch to a 1x store (sf0.1 docs) and
 // a 10x store (/tmp/sf1 docs), then times Indexer.checkStoreIncremental
-// vs the full Indexer.checkStore on each. The claim under test
+// vs the full Indexer.checkStore on each, DISPATCHED THROUGH graft.Maintain
+// (the ops CLI path is what gets measured). The claim under test
 // (SCALE.md): the incremental audit's cost tracks the DELTA (flat across
 // store sizes — pre-audit files are skipped via parquet min/max
 // statistics on the per-file-constant batch ordinal), while the full
@@ -25,10 +26,12 @@ def probe(src: String, tag: String): Unit = {
   graft.index.Indexer.markAudited(spark, path)
   graft.index.Indexer.appendIndex(spark, path, delta)
   // min-of-2 for both, same discipline as the bench
+  // timed through the Maintain CLI dispatch - the probe measures the
+  // same entry point an operator's cron job runs
   val tIncr = Seq.fill(2)(time(
-    graft.index.Indexer.checkStoreIncremental(spark, path).collect())).min
+    graft.Maintain.run(spark, "index", "fsck-incr", path).get.collect())).min
   val tFull = Seq.fill(2)(time(
-    graft.index.Indexer.checkStore(spark, path).collect())).min
+    graft.Maintain.run(spark, "index", "fsck", path).get.collect())).min
   // compact the batch-tracked tables range-partitioned by batch (1 MiB
   // target so multiple files survive at probe scale, mirroring the
   // many-files-per-leaf state a 128 MiB target leaves at 100 TB) and
@@ -40,7 +43,7 @@ def probe(src: String, tag: String): Unit = {
   graft.operators.Compaction.compact(spark, s"$path/doc_stats",
     targetBytes = 1L * 1024 * 1024, rangeBy = Seq("batch"))
   val tIncrC = Seq.fill(2)(time(
-    graft.index.Indexer.checkStoreIncremental(spark, path).collect())).min
+    graft.Maintain.run(spark, "index", "fsck-incr", path).get.collect())).min
   println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
     f"incr=$tIncr%.2fs full=$tFull%.2fs post_compact_incr=$tIncrC%.2fs")
 }
@@ -73,9 +76,9 @@ def vprobe(src: String, tag: String): Unit = {
     .withColumn("_op", lit("u"))
   VersionedStore.commit(spark, path, delta)
   val tIncr = Seq.fill(2)(time(
-    VersionedStore.checkStoreIncremental(spark, path, Seq("doc_id")).collect())).min
+    graft.Maintain.run(spark, "vstore", "fsck-incr", path, Seq("doc_id")).get.collect())).min
   val tFull = Seq.fill(2)(time(
-    VersionedStore.checkStore(spark, path, Seq("doc_id")).collect())).min
+    graft.Maintain.run(spark, "vstore", "fsck", path, Seq("doc_id")).get.collect())).min
   println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
     f"incr=$tIncr%.2fs full=$tFull%.2fs")
 }
@@ -104,9 +107,9 @@ def dprobe(src: String, tag: String): Unit = {
       transform(split(col("text"), " "), t => concat(lit("zz"), t)), " "))
   DedupStore.ingest(spark, path, delta, 0.5)
   val tIncr = Seq.fill(2)(time(
-    DedupStore.checkStoreIncremental(spark, path).collect())).min
+    graft.Maintain.run(spark, "dedup", "fsck-incr", path).get.collect())).min
   val tFull = Seq.fill(2)(time(
-    DedupStore.checkStore(spark, path).collect())).min
+    graft.Maintain.run(spark, "dedup", "fsck", path).get.collect())).min
   println(f"PROBE tag=$tag%s store_docs=${d.count()}%d delta_docs=2000 " +
     f"incr=$tIncr%.2fs full=$tFull%.2fs")
 }
@@ -133,9 +136,9 @@ def iprobe(src: String, tag: String): Unit = {
     .withColumn("vec_id", col("vec_id") + lit(maxVid + 1L))
   IvfStore.appendBatch(spark, path, delta, 1L)
   val tIncr = Seq.fill(2)(time(
-    IvfStore.checkStoreIncremental(spark, path).collect())).min
+    graft.Maintain.run(spark, "ivf", "fsck-incr", path).get.collect())).min
   val tFull = Seq.fill(2)(time(
-    IvfStore.checkStore(spark, path).collect())).min
+    graft.Maintain.run(spark, "ivf", "fsck", path).get.collect())).min
   println(f"PROBE tag=$tag%s store_docs=${e.count()}%d delta_docs=500 " +
     f"incr=$tIncr%.2fs full=$tFull%.2fs")
 }
