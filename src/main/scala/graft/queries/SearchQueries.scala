@@ -92,6 +92,20 @@ object SearchQueries extends QueryGroup {
           col("doc_id"), col("title"), round(col("score"), 4).as("score"))
     }),
 
+    // ...and the store-backed serving path: same query log against the
+    // persisted bucketed store, the postings scan statically pruned to
+    // the union of the log's term buckets (collected as a <= nBuckets
+    // IN-list — bounded driver metadata even for a huge log)
+    "q_bm25_batch_store" -> ((s, dir) => {
+      import s.implicits._
+      val path = QueryGroup.scratchDir("graft-batchstore")
+      Indexer.writeIndex(
+        Indexer.buildIndex(docs(s, dir), titleCol = Some("source")), path)
+      BM25.searchManyStore(s, path, BatchQueries.toDF("query_id", "query_text"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("title"), round(col("score"), 4).as("score"))
+    }),
+
     "q_bm25_search" -> ((s, dir) => {
       val ix = Indexer.buildIndex(docs(s, dir), titleCol = Some("source"))
       BM25.search(ix, FlagshipQuery)
@@ -502,6 +516,8 @@ object SearchQueries extends QueryGroup {
     // the streamed store answers like a one-shot full build
     "q_stream_index_ingest" -> bm25Oracle,
     "q_bm25_batch" -> bm25BatchOracle,
+    // the store is a lossless persistence of the same four index tables
+    "q_bm25_batch_store" -> bm25BatchOracle,
     "q_bm25_delete" -> bm25OracleFor(
       s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
     "q_bm25_expunge" -> bm25OracleFor(

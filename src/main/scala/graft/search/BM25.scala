@@ -107,14 +107,51 @@ object BM25 {
   def searchMany(ix: InvertedIndex, queries: DataFrame,
                  params: Params = Params(),
                  idCol: String = "query_id",
-                 textCol: String = "query_text"): DataFrame = {
-    val hasTitle = ix.docStats.columns.contains("title")
-    // per-query distinct terms; array_distinct BEFORE explode so a
-    // repeated term in one query scores once (analyzeQuery(...).distinct
-    // parity with the single-query face)
-    val qTerms = queries.select(col(idCol).as("query_id"),
+                 textCol: String = "query_text"): DataFrame =
+    searchManyOn(ix, queryTerms(queries, idCol, textCol), params)
+
+  /** [[searchMany]] against a PERSISTED index store
+    * ([[graft.index.Indexer.writeIndex]]): the batch-serving analog of
+    * [[searchStore]]'s static partition pruning. A query FRAME has no
+    * driver literal to push — but the bucket DOMAIN is ≤ nBuckets, so
+    * one tiny aggregate over the log (distinct `term_bucket` under the
+    * store's recorded bucket function) collects a ≤ nBuckets-value
+    * IN-list: bounded driver METADATA even for a million-query log,
+    * never a data-path collect. The postings scan then statically
+    * prunes to the union of the log's buckets (plan-asserted in
+    * PlanSpec; Spark's dynamic partition pruning was measured NOT to
+    * fire here — the query side carries no selective predicate, so the
+    * planner's heuristic skips insertion). Tombstoned docs excluded via
+    * the live view; a store with an invalidated layout record degrades
+    * to the unpruned (correct) read, same as [[searchStore]]. */
+  def searchManyStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, params: Params = Params(),
+                      idCol: String = "query_id", textCol: String = "query_text",
+                      nBuckets: Int = 64): DataFrame = {
+    val ix = graft.index.Indexer.readIndexLive(spark, path)
+    val qt = queryTerms(queries, idCol, textCol)
+    val pruned = graft.index.Indexer.pruningBuckets(spark, path, "postings",
+        graft.index.Indexer.storedBuckets(spark, path), nBuckets) match {
+      case Some(nb) =>
+        val buckets = qt
+          .select(graft.index.Indexer.termBucket(col("term"), nb).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        ix.postings.filter(col("term_bucket").isin(buckets: _*))
+      case None => ix.postings
+    }
+    searchManyOn(ix.copy(postings = pruned), qt, params)
+  }
+
+  /** Per-query distinct terms; array_distinct BEFORE explode so a
+    * repeated term in one query scores once (analyzeQuery(...).distinct
+    * parity with the single-query face). */
+  private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
       explode(array_distinct(Analyzer.tokens(col(textCol)))).as("term"))
 
+  private def searchManyOn(ix: InvertedIndex, qTerms: DataFrame,
+                           params: Params): DataFrame = {
+    val hasTitle = ix.docStats.columns.contains("title")
     val scored = ix.postings.select("term", "doc_id", "tf")
       .join(qTerms, "term")                       // the IN-list, as a join
       .join(ix.docStats, "doc_id")                // big ⋈ big on doc_id

@@ -108,5 +108,27 @@ class BM25Spec extends SparkSpec {
       BM25.Params(topK = 3))
       .groupBy("query_id").count().as[(Long, Long)].collect().toMap
     assert(bounded.values.forall(_ <= 3L), bounded.toString)
+
+    // the store-backed face answers identically through the pruned scan,
+    // and keeps excluding tombstoned docs
+    val path = java.nio.file.Files.createTempDirectory("bm25batchstore").toString
+    Indexer.writeIndex(bigIx, path, nBuckets = 16)
+    val viaStore = BM25.searchManyStore(spark, path,
+        log.toDF("query_id", "query_text"), nBuckets = 16)
+      .as[(Long, Int, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(viaStore.keySet === many.keySet)
+    many.foreach { case (id, rows) =>
+      assert(viaStore(id).map(r => (r._2, r._3)) === rows.map(r => (r._2, r._3)),
+        s"query $id store ranking diverged")
+    }
+    val deadTop = many(1L).head._3 // tombstone query 1's top doc
+    Indexer.deleteDocs(spark, path,
+      Seq(deadTop).toDF("doc_id"))
+    val afterDelete = BM25.searchManyStore(spark, path,
+        log.toDF("query_id", "query_text"), nBuckets = 16)
+      .as[(Long, Int, Long, String, Double)].collect()
+    assert(!afterDelete.exists(r => r._3 == deadTop),
+      "tombstoned doc must vanish from every query's results")
   }
 }

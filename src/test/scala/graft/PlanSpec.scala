@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
       s"expected term_bucket partition filter in:\n$p")
   }
 
+  test("q_bm25_batch_store: the query log's bucket union prunes store partitions") {
+    // batch serving keeps searchStore's pruning: the <= nBuckets bucket
+    // IN-list (one tiny aggregate over the log, bounded driver metadata)
+    // must reach the postings scan as PartitionFilters
+    val df = SparkEntry.queries("q_bm25_batch_store")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [term_bucket"),
+      s"expected term_bucket partition filter in:\n$p")
+  }
+
   test("q_phrase_store_delete: pruning survives the tombstone anti-join, which broadcasts") {
     // the delete-aware positional read must keep BOTH scale properties:
     // the bucket IN-list still reaches the scan as a PartitionFilter
