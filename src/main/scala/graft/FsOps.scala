@@ -70,8 +70,10 @@ object FsOps {
       catch { case _: NumberFormatException =>
         throw new IllegalStateException(
           s"corrupt marker $path/$marker: '${s.trim}' is not a number — " +
-            "delete the file to reset it (readers treat a missing marker " +
-            "as never-recorded)")
+            s"delete the file AND any $path/_$marker.swap_old aside to " +
+            "reset it (readers recover a missing marker from the aside, " +
+            "so a reset must remove both; with neither present the " +
+            "marker reads as never-recorded)")
       }
     }
 

@@ -55,6 +55,11 @@ object Maintain {
     def longArg(s: String, usage: String): Long =
       s.toLongOption.getOrElse(
         throw new IllegalArgumentException(s"$usage (got '$s')"))
+    // batch-tracked tables compact range-partitioned by their ingest
+    // ordinal so the incremental audits keep file-level min/max skipping
+    def batchRange(table: String): Seq[String] =
+      if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
+        Seq("batch") else Seq.empty
     (family, op) match {
       case ("index", "fsck")         => Some(index.Indexer.checkStore(spark, path))
       case ("index", "fsck-incr")    => Some(index.Indexer.checkStoreIncremental(spark, path))
@@ -66,12 +71,7 @@ object Maintain {
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
       case ("index", "compact") =>
         // per-table: the bucketed tables leaf by leaf (layout preserved),
-        // the flat tables in place; batch-tracked tables compact
-        // range-partitioned by batch so the incremental audits keep
-        // their file-level min/max skipping afterwards
-        def batchRange(table: String): Seq[String] =
-          if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
-            Seq("batch") else Seq.empty
+        // the flat tables in place
         operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
           rangeBy = batchRange("postings"))
         val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
@@ -98,17 +98,10 @@ object Maintain {
         val (nh, b) = dedupGeometry(spark, path)
         dedup.DedupStore.refreshBuckets(spark, path, numHashes = nh, bands = b); None
       case ("dedup", "compact") =>
-        // both flat tables; batch-tracked stores compact range-partitioned
-        // by batch, so each output file stays a contiguous batch range and
-        // the incremental audit's `batch > since` filter keeps skipping
-        // pre-audit files on footer statistics after compaction
-        def dedupRange(table: String): Seq[String] =
-          if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
-            Seq("batch") else Seq.empty
         operators.Compaction.compact(spark, s"$path/sets",
-          rangeBy = dedupRange("sets"))
+          rangeBy = batchRange("sets"))
         operators.Compaction.compact(spark, s"$path/buckets",
-          rangeBy = dedupRange("buckets"))
+          rangeBy = batchRange("buckets"))
         None
       case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))

@@ -406,8 +406,20 @@ object Indexer {
     val ds = spark.read.parquet(s"$path/doc_stats")
     require(ds.columns.contains("batch"),
       s"rollbackPartialAppend: store at $path carries no batch ordinals")
+    val posPath = new org.apache.hadoop.fs.Path(s"$path/positional")
+    val hasPos = posPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(posPath)
+    lazy val posDf = spark.read.parquet(s"$path/positional")
+    // the no-op probe must cover EVERY table this rollback repairs: a
+    // rollback that itself crashed between the doc_stats/postings swaps
+    // and the positional rewrite would otherwise report "nothing
+    // orphaned" on re-run and leave the positional orphans to
+    // double-count under the retried append
+    val posOrphaned = hasPos && posDf.columns.contains("batch") &&
+      !posDf.filter(col("batch") > marker).isEmpty
     if (ds.filter(col("batch") > marker).isEmpty &&
-        spark.read.parquet(s"$path/postings").filter(col("batch") > marker).isEmpty)
+        spark.read.parquet(s"$path/postings").filter(col("batch") > marker).isEmpty &&
+        !posOrphaned)
       return // nothing orphaned — the append either completed or never started
     ds.filter(col("batch") <= marker)
       .write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
@@ -418,17 +430,13 @@ object Indexer {
       .parquet(s"$path/postings_tmp")
     swapTable(spark, path, "doc_stats")
     swapTable(spark, path, "postings")
-    val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-    if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos)) {
-      val posDf = spark.read.parquet(s"$path/positional")
-      if (posDf.columns.contains("batch")) {
-        val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
-        posDf.filter(col("batch") <= marker)
-          .repartition(pnb, col("term_bucket"))
-          .write.mode("overwrite").partitionBy("term_bucket")
-          .parquet(s"$path/positional_tmp")
-        swapTable(spark, path, "positional")
-      }
+    if (hasPos && posDf.columns.contains("batch")) {
+      val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
+      posDf.filter(col("batch") <= marker)
+        .repartition(pnb, col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$path/positional_tmp")
+      swapTable(spark, path, "positional")
     }
   }
 

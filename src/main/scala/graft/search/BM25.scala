@@ -133,6 +133,11 @@ object BM25 {
     val pruned = graft.index.Indexer.pruningBuckets(spark, path, "postings",
         graft.index.Indexer.storedBuckets(spark, path), nBuckets) match {
       case Some(nb) =>
+        // the bucket collect evaluates qt's analyzer chain once and the
+        // scoring join evaluates it again — a narrow CPU re-run over the
+        // (log-sized) query frame, deliberately NOT cached: the result
+        // frame returns lazily, so a cache could not be released here,
+        // and the chain is trivial next to the postings scan it prunes
         val buckets = qt
           .select(graft.index.Indexer.termBucket(col("term"), nb).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq

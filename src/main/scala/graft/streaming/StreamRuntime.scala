@@ -203,7 +203,24 @@ object StreamRuntime {
                        ordinal: Long, titleCol: Option[String] = None,
                        nBuckets: Int = 64): Unit = {
     val last = graft.index.Indexer.lastBatch(spark, storePath)
-    if (last.exists(_ >= ordinal)) return // replayed, fully applied
+    if (last.exists(_ >= ordinal)) {
+      // the store marker at/past this ordinal is EITHER an engine replay
+      // of a fully-applied batch (skip) or an out-of-band append that
+      // shifted the mapping (a skip would silently drop NEW documents) —
+      // indistinguishable by markers alone, so prove the replay by the
+      // batch's own content: a genuinely applied batch's docs are all in
+      // doc_stats. One semi-join probe, on this rare path only.
+      val absent = batch.select("doc_id").distinct()
+        .join(spark.read.parquet(s"$storePath/doc_stats").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      require(absent.isEmpty,
+        s"index ingest stream at $storePath: store batch marker ($last) is " +
+          s"at or past this batch's ordinal $ordinal, but the batch's docs " +
+          "are not all in the store — the store was appended outside the " +
+          "stream (the stream must own the store's append lifecycle); " +
+          "re-bootstrap with a fresh checkpoint")
+      return // replayed, fully applied
+    }
     if (ordinal == 0L)
       graft.index.Indexer.writeIndex(
         graft.index.Indexer.buildIndex(batch, titleCol = titleCol),
@@ -256,7 +273,21 @@ object StreamRuntime {
     val ckpt = checkpointDir.getOrElse(
       graft.queries.QueryGroup.scratchDir("graft-ixingest-run") + "/ckpt")
     val base = graft.FsOps.readLongMarker(spark, ckpt, StreamBaseMarker).getOrElse {
-      val b = graft.index.Indexer.lastBatch(spark, storePath).map(_ + 1).getOrElse(0L)
+      val b = graft.index.Indexer.lastBatch(spark, storePath).map(_ + 1).getOrElse {
+        // no marker: only an EMPTY path may bootstrap — a legacy
+        // (pre-batch-tracking) store here would be silently overwritten
+        // by the ordinal-0 writeIndex, the opposite of every other
+        // legacy-store path's loud refusal. (A crashed bootstrap also
+        // lands here: its partial store is disposable by definition —
+        // delete the store directory and restart.)
+        val ds = new org.apache.hadoop.fs.Path(s"$storePath/doc_stats")
+        require(!ds.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ds),
+          s"runIndexIngest: $storePath holds an index store with no batch " +
+            "marker (legacy, or a crashed bootstrap) — streaming ingest " +
+            "cannot own it; for a crashed bootstrap delete the store " +
+            "directory and restart, for a legacy store rebuild it tracked")
+        0L
+      }
       graft.FsOps.writeLongMarker(spark, ckpt, StreamBaseMarker, b)
       b
     }

@@ -392,8 +392,11 @@ object VersionedStore {
         // file and the reset procedure instead of a bare parse exception
         s.trim.toLongOption.getOrElse(throw new IllegalStateException(
           s"corrupt marker $path/$AuditedCkptsMarker: '${s.trim}' is not a " +
-            "number — delete the file to reset it (readers fall back to " +
-            "the version-ordinal heuristic when the marker is absent)"))
+            s"number — delete the file AND any " +
+            s"$path/_$AuditedCkptsMarker.swap_old aside to reset it " +
+            "(readers recover a missing marker from the aside; with " +
+            "neither present they fall back to the version-ordinal " +
+            "heuristic)"))
       }.toSet)
       .getOrElse(ckptVs.filter(_ <= since).toSet)
 

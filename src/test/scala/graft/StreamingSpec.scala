@@ -370,6 +370,27 @@ class StreamingSpec extends SparkSpec {
         titleCol = Some("source"), nBuckets = 16))
     assert(e2.getMessage.contains("outside the stream"), e2.getMessage)
 
+    // marker at/past the ordinal: a true replay (docs already in the
+    // store) skips — but NEW docs at an aliased ordinal are the
+    // out-of-band desync, refused rather than silently dropped
+    StreamRuntime.indexIngestBatch(spark, s"$root/streamed", late, 3L,
+      titleCol = Some("source"), nBuckets = 16) // replay again: no-op
+    assert(spark.read.parquet(s"$root/streamed/doc_stats").count() === before + 2)
+    val e3 = intercept[IllegalArgumentException](
+      StreamRuntime.indexIngestBatch(spark, s"$root/streamed",
+        Seq((900004L, "delta", "s")).toDF("doc_id", "text", "source"), 3L,
+        titleCol = Some("source"), nBuckets = 16))
+    assert(e3.getMessage.contains("appended outside the stream"), e3.getMessage)
+
+    // a legacy (marker-less) store refuses streaming ingest instead of
+    // being silently overwritten by the ordinal-0 bootstrap
+    val legacyStore = graft.queries.QueryGroup.scratchDir("graft-ixingest-legacy")
+    Indexer.buildIndex(slice(0)).docStats.write.parquet(s"$legacyStore/doc_stats")
+    val e4 = intercept[IllegalArgumentException](
+      StreamRuntime.runIndexIngest(spark, s"$root/src", legacyStore,
+        titleCol = Some("source"), nBuckets = 16))
+    assert(e4.getMessage.contains("no batch marker"), e4.getMessage)
+
     // a stream over a MANUALLY bootstrapped store maps its ids after the
     // store's existing ordinals (base marker beside the checkpoint)
     StreamRuntime.orderedDrops(spark, Seq(slice(1), slice(2)), s"$root/src2")

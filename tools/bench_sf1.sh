@@ -18,7 +18,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann"
+SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store"
 
 if [ ! -d /tmp/sf1/documents.parquet ] || [ ! -d /tmp/sf1/embeddings.parquet ]; then
   echo "[bench_sf1] generating /tmp/sf1 fixture..."
