@@ -89,19 +89,25 @@ object Indexer {
     * it: an orphan tagged with any existing ordinal would either dodge
     * the incremental audit forever (vouched ordinal) or falsely flag a
     * healthy delta (newest ordinal), so corpus drift must be resolved
-    * by indexing the docs first, not papered over with a tag. */
+    * by indexing the docs first, not papered over with a tag.
+    *
+    * The guard is a `raise_error` INSIDE the tagging join (left join;
+    * a null ordinal = orphan ⇒ the write job fails before committing
+    * any file), not a separate count probe: a pre-count would evaluate
+    * the whole positional-build lineage a second time — measured as
+    * the dominant sf1 regression on every co-located store lifecycle
+    * when it briefly shipped that way. */
   private def inheritDocBatch(spark: org.apache.spark.sql.SparkSession,
                               path: String, pos: DataFrame): DataFrame = {
     val ds = spark.read.parquet(s"$path/doc_stats")
-    val orphans = pos.select("doc_id").distinct()
-      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti")
-    val n = orphans.count()
-    require(n == 0,
-      s"positional corpus has $n doc(s) absent from doc_stats at $path " +
-        s"(e.g. ${orphans.limit(3).collect().mkString(", ")}) — a positional " +
-        "row without a frequency twin cannot be batch-tagged consistently; " +
-        "appendIndex the docs first")
-    pos.join(ds.select("doc_id", "batch"), Seq("doc_id"))
+    pos.join(ds.select("doc_id", "batch"), Seq("doc_id"), "left")
+      .withColumn("batch",
+        when(col("batch").isNull, raise_error(concat(
+          lit("positional corpus has doc(s) absent from doc_stats at " +
+            s"$path (e.g. doc_id="), col("doc_id").cast("string"),
+          lit(") — a positional row without a frequency twin cannot be " +
+            "batch-tagged consistently; appendIndex the docs first"))))
+          .otherwise(col("batch")))
   }
 
   def positionalPostings(corpus: DataFrame, idCol: String = "doc_id",

@@ -464,11 +464,15 @@ class IndexStoreSpec extends SparkSpec {
     assert(batches === Set(0L), s"backfill must inherit doc ordinals: $batches")
     assert(Indexer.lastBatch(spark, path) === Some(0L),
       "a backfill creates no new ingest batch")
-    // docs absent from doc_stats cannot be batch-tagged consistently
+    // docs absent from doc_stats cannot be batch-tagged consistently —
+    // the raise_error guard fails the write job before any file commits
     val alien = Seq((999999L, "unindexed doc text here")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Indexer.appendPositional(spark, path, alien, nBuckets = 8))
-    assert(e.getMessage.contains("absent from doc_stats"), e.getMessage)
+    def chain(t: Throwable): String =
+      Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    assert(chain(e).contains("absent from doc_stats"), chain(e))
 
     // LEGACY co-located store (untagged tables, no marker): retrofitting
     // a positional table must NOT start a batch sequence — the next
