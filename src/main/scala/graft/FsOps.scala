@@ -70,10 +70,13 @@ object FsOps {
       catch { case _: NumberFormatException =>
         throw new IllegalStateException(
           s"corrupt marker $path/$marker: '${s.trim}' is not a number — " +
-            s"delete the file AND any $path/_$marker.swap_old aside to " +
-            "reset it (readers recover a missing marker from the aside, " +
-            "so a reset must remove both; with neither present the " +
-            "marker reads as never-recorded)")
+            "REWRITE it to the correct value (FsOps.writeLongMarker; e.g. " +
+            "a store's _lastbatch = max(batch) over its tables — deleting " +
+            "that one would downgrade a tracked store to legacy and the " +
+            "next append would mix schemas). Only for markers whose " +
+            "absence is truly benign, delete the file AND any " +
+            s"$path/_$marker.swap_old aside (readers recover a missing " +
+            "marker from the aside, so a reset must remove both)")
       }
     }
 

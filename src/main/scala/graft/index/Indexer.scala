@@ -91,23 +91,27 @@ object Indexer {
     * healthy delta (newest ordinal), so corpus drift must be resolved
     * by indexing the docs first, not papered over with a tag.
     *
-    * The guard is a `raise_error` INSIDE the tagging join (left join;
-    * a null ordinal = orphan ⇒ the write job fails before committing
-    * any file), not a separate count probe: a pre-count would evaluate
-    * the whole positional-build lineage a second time — measured as
-    * the dominant sf1 regression on every co-located store lifecycle
-    * when it briefly shipped that way. */
+    * The guard probes the CORPUS IDS (one column-pruned scan, a
+    * superset of the positional rows' docs since zero-token docs emit
+    * none), NOT the positional rows: a probe derived from the
+    * positional frame would evaluate the whole positional-build
+    * lineage a second time — measured as the dominant sf1 regression
+    * on every co-located store lifecycle when it briefly shipped that
+    * way. And it runs BEFORE any write: an in-job guard (raise_error)
+    * would fire only after `mode("overwrite")` already deleted an
+    * existing positional table, turning a refusal into data loss. */
   private def inheritDocBatch(spark: org.apache.spark.sql.SparkSession,
-                              path: String, pos: DataFrame): DataFrame = {
+                              path: String, pos: DataFrame,
+                              corpusIds: DataFrame): DataFrame = {
     val ds = spark.read.parquet(s"$path/doc_stats")
-    pos.join(ds.select("doc_id", "batch"), Seq("doc_id"), "left")
-      .withColumn("batch",
-        when(col("batch").isNull, raise_error(concat(
-          lit("positional corpus has doc(s) absent from doc_stats at " +
-            s"$path (e.g. doc_id="), col("doc_id").cast("string"),
-          lit(") — a positional row without a frequency twin cannot be " +
-            "batch-tagged consistently; appendIndex the docs first"))))
-          .otherwise(col("batch")))
+    val orphans = corpusIds.distinct()
+      .join(ds.select("doc_id"), Seq("doc_id"), "left_anti")
+    require(orphans.isEmpty,
+      s"positional corpus has doc(s) absent from doc_stats at $path " +
+        s"(e.g. ${orphans.limit(3).collect().mkString(", ")}) — a positional " +
+        "row without a frequency twin cannot be batch-tagged consistently; " +
+        "appendIndex the docs first")
+    pos.join(ds.select("doc_id", "batch"), Seq("doc_id"))
   }
 
   def positionalPostings(corpus: DataFrame, idCol: String = "doc_id",
@@ -144,7 +148,8 @@ object Indexer {
     lazy val ds = spark.read.parquet(s"$path/doc_stats")
     val coTracked = dsExists && ds.columns.contains("batch")
     val tagged =
-      if (coTracked) inheritDocBatch(spark, path, pos)
+      if (coTracked)
+        inheritDocBatch(spark, path, pos, corpus.select(col(idCol).as("doc_id")))
       // co-located with a LEGACY (pre-batch-tracking) frequency store:
       // write UNTAGGED to match the store's untagged tables — tagging
       // only the positional table would give the store a mixed schema
@@ -375,7 +380,8 @@ object Indexer {
     val coTrackedBackfill = standalone && dsExists && dsTracked
     val b = batchId.orElse(readLongMarker(spark, path, LastBatchMarker).map(_ + 1))
     val tagged =
-      if (coTrackedBackfill) inheritDocBatch(spark, path, pos)
+      if (coTrackedBackfill)
+        inheritDocBatch(spark, path, pos, newCorpus.select(col(idCol).as("doc_id")))
       else b.map(x => pos.withColumn("batch", lit(x))).getOrElse(pos) // legacy: untagged
     tagged
       .withColumn("term_bucket", termBucket(col("term"), nb))
@@ -421,7 +427,7 @@ object Indexer {
     // and the positional rewrite would otherwise report "nothing
     // orphaned" on re-run and leave the positional orphans to
     // double-count under the retried append
-    val posOrphaned = hasPos && posDf.columns.contains("batch") &&
+    lazy val posOrphaned = hasPos && posDf.columns.contains("batch") &&
       !posDf.filter(col("batch") > marker).isEmpty
     if (ds.filter(col("batch") > marker).isEmpty &&
         spark.read.parquet(s"$path/postings").filter(col("batch") > marker).isEmpty &&

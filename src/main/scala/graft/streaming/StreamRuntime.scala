@@ -209,16 +209,30 @@ object StreamRuntime {
       // shifted the mapping (a skip would silently drop NEW documents) —
       // indistinguishable by markers alone, so prove the replay by the
       // batch's own content: a genuinely applied batch's docs are all in
-      // doc_stats. One semi-join probe, on this rare path only.
+      // doc_stats AND its tokened docs all have postings (doc_stats
+      // alone is not proof — appendIndex writes it first, so a crash
+      // between the two writes leaves doc_stats-only rows that would
+      // fake an applied batch). Two probe joins, on this rare path only.
+      val docStats = spark.read.parquet(s"$storePath/doc_stats")
       val absent = batch.select("doc_id").distinct()
-        .join(spark.read.parquet(s"$storePath/doc_stats").select("doc_id"),
+        .join(docStats.select("doc_id"), Seq("doc_id"), "left_anti")
+      val unposted = batch
+        .filter(graft.analyzer.Analyzer.tokenCount(
+          org.apache.spark.sql.functions.col("text")) > 0)
+        .select("doc_id").distinct()
+        .join(spark.read.parquet(s"$storePath/postings").select("doc_id"),
           Seq("doc_id"), "left_anti")
-      require(absent.isEmpty,
+      require(absent.isEmpty && unposted.isEmpty,
         s"index ingest stream at $storePath: store batch marker ($last) is " +
-          s"at or past this batch's ordinal $ordinal, but the batch's docs " +
-          "are not all in the store — the store was appended outside the " +
-          "stream (the stream must own the store's append lifecycle); " +
-          "re-bootstrap with a fresh checkpoint")
+          s"at or past this batch's ordinal $ordinal, but the batch is not " +
+          "fully applied (docs missing from doc_stats, or tokened docs " +
+          "missing postings) — the store was modified outside the stream " +
+          "(an out-of-band append shifting the mapping, or a crashed " +
+          "partial append overlaid by one; run rollbackPartialAppend " +
+          "BEFORE any out-of-band maintenance). A deleteDocs+expunge of " +
+          "this batch's docs between crash and restart also lands here " +
+          "(safe halt): re-bootstrap with a fresh checkpoint over the " +
+          "remaining files")
       return // replayed, fully applied
     }
     if (ordinal == 0L)

@@ -380,7 +380,7 @@ class StreamingSpec extends SparkSpec {
       StreamRuntime.indexIngestBatch(spark, s"$root/streamed",
         Seq((900004L, "delta", "s")).toDF("doc_id", "text", "source"), 3L,
         titleCol = Some("source"), nBuckets = 16))
-    assert(e3.getMessage.contains("appended outside the stream"), e3.getMessage)
+    assert(e3.getMessage.contains("modified outside the stream"), e3.getMessage)
 
     // a legacy (marker-less) store refuses streaming ingest instead of
     // being silently overwritten by the ordinal-0 bootstrap
