@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
       s"expected term_bucket partition filter in:\n$p")
   }
 
+  test("q_bm25_batch: per-query top-k on bounded heaps, no cartesian anywhere") {
+    val df = SparkEntry.queries("q_bm25_batch")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      s"batch serving must rank on the bounded-heap operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in batch serving:\n$p")
+    // the only nested-loop is the bounded 1-row meta broadcast (count in
+    // the FINAL plan section — the AQE string repeats the initial plan)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(bnlj <= 1, s"unexpected nested loops ($bnlj) in:\n$finalPlan")
+  }
+
   test("q_bm25_batch_store: the query log's bucket union prunes store partitions") {
     // batch serving keeps searchStore's pruning: the <= nBuckets bucket
     // IN-list (one tiny aggregate over the log, bounded driver metadata)
