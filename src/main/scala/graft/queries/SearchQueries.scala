@@ -40,6 +40,20 @@ object SearchQueries extends QueryGroup {
     2L -> PhraseQuery,
     3L -> "columnar zebra sort")
 
+  /** Phrase log for the positional batch faces: the standing phrase, a
+    * guaranteed-matching prefix of it, and a no-match phrase. All
+    * distinct-term (the oracle builder's leg naming assumes it). */
+  val BatchPhrases: Seq[(Long, String)] = Seq(
+    1L -> PhraseQuery,
+    2L -> "slow hash",
+    3L -> "zebra stripes qq")
+
+  /** Proximity log: any-order matches within ProxWindow of the anchor. */
+  val BatchProx: Seq[(Long, String)] = Seq(
+    1L -> PhraseQuery,
+    2L -> "batch slow",
+    3L -> "zebra qq")
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   // DuckDB-side analyzer chain, kept textually in sync with Analyzer.normText.
@@ -221,6 +235,37 @@ object SearchQueries extends QueryGroup {
       BM25.searchStore(s, path, FlagshipQuery)
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           col("title"), round(col("score"), 4).as("score"))
+    }),
+
+    // batch phrase serving: a whole phrase log answered in one job
+    // (one postings⋈query-terms join, per-(query,doc) shifted-list
+    // intersection, per-query top-k on bounded heaps) — the positional
+    // twin of q_bm25_batch
+    "q_phrase_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.search.PhraseSearch.searchMany(
+        Indexer.positionalPostings(docs(s, dir)),
+        BatchPhrases.toDF("query_id", "phrase"))
+    }),
+
+    // ...and through the PERSISTED positional store, the scan pruned to
+    // the union of the log's term buckets (bounded driver metadata)
+    "q_phrase_batch_store" -> ((s, dir) => {
+      import s.implicits._
+      val path = QueryGroup.scratchDir("graft-posbatch")
+      Indexer.writePositional(docs(s, dir), path)
+      graft.search.PhraseSearch.searchStoreMany(s, path,
+        BatchPhrases.toDF("query_id", "phrase"))
+    }),
+
+    // the sloppy-phrase batch face over the store: any-order matches
+    // within ProxWindow of each query's anchor term
+    "q_prox_batch_store" -> ((s, dir) => {
+      import s.implicits._
+      val path = QueryGroup.scratchDir("graft-proxbatch")
+      Indexer.writePositional(docs(s, dir), path)
+      graft.search.PhraseSearch.proximityStoreMany(s, path,
+        BatchProx.toDF("query_id", "phrase"), ProxWindow)
     }),
 
     // ...and the sloppy-phrase face of the same store
@@ -418,6 +463,10 @@ object SearchQueries extends QueryGroup {
 
     "q_phrase_search" -> phraseOracle,
     "q_phrase_store" -> phraseOracle,
+    // the batch faces: the single-phrase chain run once per query id
+    "q_phrase_batch" -> phraseBatchOracle,
+    "q_phrase_batch_store" -> phraseBatchOracle,
+    "q_prox_batch_store" -> proxBatchOracle,
     // the incrementally-appended co-located store answers like one built
     // on the full corpus
     "q_phrase_store_append" -> phraseOracle,
@@ -572,6 +621,72 @@ object SearchQueries extends QueryGroup {
         SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank,
                doc_id, phrase_tf
         FROM f ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10"""
+  }
+
+  /** Batch-phrase oracle: the single-phrase intersection chain run once
+    * per query id over a shared token CTE, ranked per query. Leg CTEs
+    * are `q<id>_<term>`-named, so phrases must have distinct terms
+    * (the standing logs do). */
+  private lazy val phraseBatchOracle: String =
+    positionalBatchOracleFor(BatchPhrases, "phrase_tf") { terms =>
+      val contains = terms.zipWithIndex.tail.map { case (t, i) =>
+        s"list_contains(l_$t, x + $i)"
+      }.mkString(" AND ")
+      s"len(list_filter(l_${terms.head}, x -> $contains))"
+    }
+
+  /** Batch-proximity oracle: per query, anchors of the first distinct
+    * term with every other term within ProxWindow. */
+  private lazy val proxBatchOracle: String =
+    positionalBatchOracleFor(BatchProx.map { case (id, q) => (id, q) },
+      "prox_tf", distinctTerms = true) { terms =>
+      val conds = terms.tail.map { t =>
+        s"len(list_filter(l_$t, y -> abs(y - x) <= $ProxWindow)) > 0"
+      }.mkString(" AND ")
+      s"len(list_filter(l_${terms.head}, x -> $conds))"
+    }
+
+  /** Shared builder for the positional batch oracles: one lists/tok CTE,
+    * per-query leg CTEs + a per-query match SELECT (tfExpr builds the
+    * count expression from the query's term sequence), union, then
+    * per-query rank ≤ 10. Queries whose terms all miss the corpus (or
+    * analyze to nothing) contribute no rows, like the Spark faces. */
+  private def positionalBatchOracleFor(log: Seq[(Long, String)], tfName: String,
+                                       distinctTerms: Boolean = false)
+                                      (tfExpr: Seq[String] => String): String = {
+    val perQuery = log.flatMap { case (id, q) =>
+      val analyzed = graft.analyzer.Analyzer.analyzeQuery(q)
+      val terms = if (distinctTerms) analyzed.distinct else analyzed
+      if (terms.isEmpty) None
+      else {
+        val legs = terms.distinct
+        require(legs == terms || distinctTerms,
+          s"batch oracle builder assumes distinct terms per phrase: '$q'")
+        val legCtes = legs.map { t =>
+          s"q${id}_$t AS (SELECT doc_id, list(pos) AS l_$t FROM tok WHERE term = '$t' GROUP BY doc_id)"
+        }
+        val joins = legs.tail.map(t => s"JOIN q${id}_$t USING (doc_id)").mkString(" ")
+        val sel =
+          s"""SELECT $id AS query_id, q${id}_${legs.head}.doc_id,
+                     CAST(${tfExpr(terms)} AS BIGINT) AS $tfName
+              FROM q${id}_${legs.head} $joins"""
+        Some((legCtes, sel))
+      }
+    }
+    val allCtes = perQuery.flatMap(_._1).mkString(",\n             ")
+    val union = perQuery.map(_._2).mkString("\n UNION ALL ")
+    s"""WITH lists AS (SELECT doc_id, string_split(t, ' ') AS l FROM ($SqlCorpus) WHERE t <> ''),
+             tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+                     FROM lists),
+             $allCtes,
+             allm AS ($union)
+        SELECT query_id, rank, doc_id, $tfName FROM (
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY $tfName DESC, doc_id ASC) AS BIGINT) AS rank,
+                 doc_id, $tfName
+          FROM allm WHERE $tfName > 0)
+        WHERE rank <= 10"""
   }
 
   /** Proximity oracle: anchors of term 0 from which every other term has

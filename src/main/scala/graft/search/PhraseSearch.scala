@@ -84,6 +84,152 @@ object PhraseSearch {
     searchPostings(livePositional(spark, path, terms, nBuckets), phrase, k)
   }
 
+  /** Batch phrase serving: rank EVERY phrase in a query frame
+    * (`query_id`, `phrase`) in ONE job — the positional twin of
+    * [[BM25.searchMany]]. The per-query join LEGS of [[searchPostings]]
+    * (one pruned read per term, driver-known leg count) generalize to a
+    * frame as: explode each phrase into ordered `(query_id, ord, term)`
+    * rows, join the positional postings ONCE on `term`, shift each
+    * match's positions by −ord, and roll up per `(query_id, doc_id)` —
+    * a doc matches iff it produced ALL `n` legs, and `phrase_tf` is the
+    * size of the intersection of its shifted lists (order-independent,
+    * so the unordered `collect_list` is safe). A phrase that analyzes
+    * to zero tokens contributes no rows (the frame face's twin of the
+    * single face's `require`).
+    *
+    * Scale: one postings ⋈ query-terms join (AQE broadcasts the log
+    * side in the common serving case) replaces |log| × per-term pruned
+    * reads; the rollup groups ≤ |phrase| position lists per (query,
+    * doc) — state bounded by phrase length × positions, never corpus.
+    * Per-query top-k on [[org.apache.spark.sql.graft.TopKPerKey]]'s
+    * bounded heaps. */
+  def searchMany(positional: DataFrame, queries: DataFrame, k: Int = 10,
+                 idCol: String = "query_id", textCol: String = "phrase"): DataFrame = {
+    val qt = phraseTerms(queries, idCol, textCol)
+    val grouped = positional.select(col("term"), col("doc_id"), col("positions"))
+      .join(qt, "term")
+      .select(col("query_id"), col("n"), col("doc_id"),
+        transform(col("positions"), p => p - col("ord")).as("shifted"))
+      .groupBy("query_id", "doc_id")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("legs"),
+        collect_list(col("shifted")).as("ls"))
+      .filter(col("legs") === col("n")) // every phrase term present
+    val starts = aggregate(
+      slice(col("ls"), lit(2), size(col("ls")) - 1),
+      element_at(col("ls"), 1),
+      (acc, l) => array_intersect(acc, l))
+    rankPerQuery(
+      grouped.select(col("query_id"), col("doc_id"),
+          size(starts).cast("long").as("phrase_tf"))
+        .filter(col("phrase_tf") > 0),
+      "phrase_tf", k)
+  }
+
+  /** [[searchMany]] against a persisted positional store: the postings
+    * scan statically prunes to the union of the log's term buckets (a
+    * ≤ nBuckets IN-list collected from one tiny aggregate over the log —
+    * bounded driver metadata, the same mechanism as
+    * [[BM25.searchManyStore]]), tombstones excluded via the live view. */
+  def searchStoreMany(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int = 10,
+                      idCol: String = "query_id", textCol: String = "phrase",
+                      nBuckets: Int = 64): DataFrame =
+    searchMany(liveForLog(spark, path,
+      phraseTerms(queries, idCol, textCol), nBuckets), queries, k, idCol, textCol)
+
+  /** Batch proximity serving: every query's sloppy-phrase match in one
+    * job — same frame shape as [[searchMany]] with DISTINCT terms per
+    * query (first-occurrence order; ord 0 is the anchor term) and a
+    * proximity filter instead of the intersection: anchors are ord-0
+    * positions with every other term within `window` tokens. */
+  def proximityMany(positional: DataFrame, queries: DataFrame, window: Int,
+                    k: Int = 10, idCol: String = "query_id",
+                    textCol: String = "phrase"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val qt = distinctTerms(queries, idCol, textCol)
+    val grouped = positional.select(col("term"), col("doc_id"), col("positions"))
+      .join(qt, "term")
+      .select(col("query_id"), col("n"), col("doc_id"),
+        struct(col("ord").as("ord"), col("positions").as("p")).as("leg"))
+      .groupBy("query_id", "doc_id")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("legs"),
+        collect_list(col("leg")).as("ls"))
+      .filter(col("legs") === col("n"))
+    val anchorSeed = element_at(
+      filter(col("ls"), l => l.getField("ord") === 0), 1).getField("p")
+    val anchors = aggregate(
+      filter(col("ls"), l => l.getField("ord") =!= 0),
+      anchorSeed,
+      (acc, l) => filter(acc, x =>
+        exists(l.getField("p"), y => abs(y - x) <= lit(window))))
+    rankPerQuery(
+      grouped.select(col("query_id"), col("doc_id"),
+          size(anchors).cast("long").as("prox_tf"))
+        .filter(col("prox_tf") > 0),
+      "prox_tf", k)
+  }
+
+  /** [[proximityMany]] against a persisted positional store — bucket-
+    * union pruned, tombstone-aware, like [[searchStoreMany]]. */
+  def proximityStoreMany(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, window: Int, k: Int = 10,
+                         idCol: String = "query_id", textCol: String = "phrase",
+                         nBuckets: Int = 64): DataFrame =
+    proximityMany(liveForLog(spark, path,
+      distinctTerms(queries, idCol, textCol), nBuckets), queries, window, k,
+      idCol, textCol)
+
+  /** Per-query ORDERED terms with their ordinal: `(query_id, n, ord,
+    * term)`; zero-token phrases drop. */
+  private def phraseTerms(queries: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+        Analyzer.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("query_id"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("ord", "term")))
+
+  /** Per-query DISTINCT terms (first-occurrence order — ord 0 is the
+    * proximity anchor), `(query_id, n, ord, term)`. */
+  private def distinctTerms(queries: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+        array_distinct(Analyzer.tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("query_id"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("ord", "term")))
+
+  /** Store access path for a query LOG: bucket-union static pruning
+    * (≤ nBuckets distinct values collected from the exploded terms —
+    * bounded driver metadata at any log size) + the live-view
+    * tombstone anti-join. */
+  private def liveForLog(spark: org.apache.spark.sql.SparkSession,
+                         path: String, qt: DataFrame, nBuckets: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$path/positional")
+    val pruned = Indexer.pruningBuckets(spark, path, "positional",
+        Indexer.storedPositionalBuckets(spark, path), nBuckets) match {
+      case Some(nb) =>
+        val buckets = qt.select(Indexer.termBucket(col("term"), nb).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        raw.filter(col("term_bucket").isin(buckets: _*))
+      case None => raw
+    }
+    Indexer.minusDeletes(spark, path, pruned)
+  }
+
+  /** Rank + bound each query's matches: top-`k` per query on the
+    * bounded-heap operator, then a per-query rank window over the ≤ k
+    * survivors. */
+  private def rankPerQuery(scored: DataFrame, tfCol: String, k: Int): DataFrame = {
+    val top = org.apache.spark.sql.graft.TopKOps.topKPerKey(scored,
+      keys = Seq("query_id"), order = Seq(tfCol -> false, "doc_id" -> true), k)
+    top.select(col("query_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col(tfCol).desc, col("doc_id").asc)).cast("long").as("rank"),
+      col("doc_id"), col(tfCol))
+  }
+
   /** Proximity search: top-`k` documents where every query term occurs
     * within `window` tokens of an anchor occurrence of the FIRST term,
     * in any order — the sloppy-phrase relaxation of [[search]].

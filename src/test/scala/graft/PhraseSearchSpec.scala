@@ -65,6 +65,62 @@ class PhraseSearchSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 3L)))
   }
 
+  test("searchMany answers each phrase exactly like the single-phrase face") {
+    // fixture corpus + toy docs so the duplicated-term phrase has matches
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+      .unionByName(Seq(990001L -> "buffalo buffalo buffalo",
+        990002L -> "x buffalo buffalo y").toDF("doc_id", "text"))
+    val pp = graft.index.Indexer.positionalPostings(docs)
+    val log = Seq(
+      1L -> "slow hash batch",
+      2L -> "slow hash",
+      3L -> "buffalo buffalo",  // duplicated phrase term
+      4L -> "",                 // zero tokens → no rows
+      5L -> "zebra stripes qq") // no match → no rows
+    val many = PhraseSearch.searchMany(pp, log.toDF("query_id", "phrase"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(!many.contains(4L) && !many.contains(5L))
+    assert(many.contains(3L), "dup-term phrase must match the toy docs")
+    log.filter { case (id, _) => many.contains(id) }.foreach { case (id, phrase) =>
+      val single = PhraseSearch.searchPostings(pp, phrase)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(many(id).map(r => (r._2, r._3, r._4)) === single,
+        s"phrase $id diverged")
+    }
+
+    // proximity batch face vs single face
+    val plog = Seq(1L -> "slow hash batch", 2L -> "batch slow")
+    val pmany = PhraseSearch.proximityMany(pp, plog.toDF("query_id", "phrase"), 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    plog.foreach { case (id, q) =>
+      val single = PhraseSearch.proximitySearch(docs, q, 4)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(pmany.getOrElse(id, Seq.empty).map(r => (r._2, r._3, r._4)) === single,
+        s"proximity $id diverged")
+    }
+
+    // store faces: identical answers through the pruned live scan, and
+    // tombstoned docs vanish from every query
+    val path = java.nio.file.Files.createTempDirectory("posbatch").toString
+    graft.index.Indexer.writeIndex(graft.index.Indexer.buildIndex(docs), path, nBuckets = 16)
+    graft.index.Indexer.writePositional(docs, path, nBuckets = 16)
+    val viaStore = PhraseSearch.searchStoreMany(spark, path,
+        log.toDF("query_id", "phrase"), nBuckets = 16)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(viaStore.keySet === many.keySet)
+    many.foreach { case (id, rows) => assert(viaStore(id) === rows, s"store $id") }
+    val deadTop = many(3L).head._3 // the dup-term query's toy top doc
+    graft.index.Indexer.deleteDocs(spark, path, Seq(deadTop).toDF("doc_id"))
+    val afterDelete = PhraseSearch.searchStoreMany(spark, path,
+        log.toDF("query_id", "phrase"), nBuckets = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!afterDelete.exists(_._3 == deadTop),
+      "tombstoned doc must vanish from every phrase query")
+  }
+
   test("positional postings store sorted 0-based offsets") {
     val pp = graft.index.Indexer.positionalPostings(corpus(1L -> "b a b b"))
       .filter(col("term") === "b").collect()
