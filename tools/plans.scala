@@ -16,7 +16,8 @@ val names = Seq(
   "q_store_fsck_incr", "q_ivf_fsck_incr", "q_dedup_fsck_incr",
   "q_dedup_repair", "q_ivf_repair", "q_vstore_repair",
   "q_vstore_fsck_incr", "q_stream_prep_ingest", "q_prep_ann",
-  "q_bm25_batch", "q_bm25_batch_store", "q_stream_index_ingest")
+  "q_bm25_batch", "q_bm25_batch_store", "q_stream_index_ingest",
+  "q_phrase_batch_store", "q_prox_batch_store")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
