@@ -40,17 +40,33 @@ object FsOps {
     * for `_lastbatch` that absence would silently downgrade a
     * batch-tracked store to legacy and the next append would write
     * UNTAGGED rows, mixing schemas. The aside holds the last durable
-    * value, which is exactly what a reader should recover. */
+    * value, which is exactly what a reader should recover.
+    *
+    * When the LIVE file exists alongside a stray aside (the swap's OTHER
+    * crash window: new value installed, aside not yet deleted), the aside
+    * is STALE — and left in place it becomes a trap: a later manual
+    * delete of the live marker (a documented reset procedure) would
+    * silently resurrect the old value through this very fallback (e.g.
+    * an outdated `_lastbatch` causing ordinal reuse). So readers
+    * self-heal: live-present + aside-present → best-effort delete of the
+    * aside. Safe under the stores' single-writer discipline — a live
+    * file can only coexist with an aside after the swap's install step
+    * completed, at which point the aside is never the newest value. */
   def readMarker(spark: org.apache.spark.sql.SparkSession, path: String,
                  marker: String): Option[String] = {
     val p = new Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(p.getParent, s"_${p.getName}.swap_old")
     val target =
-      if (fs.exists(p)) Some(p)
-      else {
-        val aside = new Path(p.getParent, s"_${p.getName}.swap_old")
-        if (fs.exists(aside)) Some(aside) else None
+      if (fs.exists(p)) {
+        if (fs.exists(aside)) {
+          try fs.delete(aside, true)
+          catch { case scala.util.control.NonFatal(_) => () } // heal next read
+        }
+        Some(p)
       }
+      else if (fs.exists(aside)) Some(aside)
+      else None
     target.map { t =>
       val in = fs.open(t)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

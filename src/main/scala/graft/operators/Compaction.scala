@@ -63,6 +63,24 @@ object Compaction {
     val totalBytes = dataFiles.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
+    // Idempotence short-circuits — a scheduled `index compact` cron must
+    // not pay a full table rewrite on a store nothing touched since the
+    // last run. Plain path: already at the target file count → the
+    // rewrite would be a byte-identical copy, skip it. rangeBy path:
+    // repartitionByRange always rewrites (its value is the LAYOUT, not
+    // the count), so the no-op test is a `_compact_range_state` marker
+    // recording a fingerprint of the exact file listing + request the
+    // last range-compaction produced — any append, expunge, or changed
+    // rangeBy/targetBytes perturbs the listing or the request and forces
+    // a genuine re-run. Listing fingerprints are driver-side metadata
+    // (≤ file count entries), never a data scan.
+    if (rangeBy.isEmpty && target == dataFiles.length)
+      return CompactionStats(dataFiles.length, dataFiles.length, totalBytes, target)
+    if (rangeBy.nonEmpty &&
+        graft.FsOps.readMarker(spark, path, RangeStateMarker)
+          .contains(listingFingerprint(dataFiles.toSeq, rangeBy, target)))
+      return CompactionStats(dataFiles.length, dataFiles.length, totalBytes, target)
+
     val df = spark.read.parquet(path)
     val sized =
       if (rangeBy.nonEmpty) {
@@ -80,11 +98,47 @@ object Compaction {
     sized.write.mode("overwrite").parquet(tmp.toString)
     graft.FsOps.atomicSwap(fs, dir, tmp)
 
-    val after = fs.listStatus(dir).count { s =>
+    val installed = fs.listStatus(dir).filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    CompactionStats(dataFiles.length, after, totalBytes, target)
+    // record what THIS range-compaction produced, so the next scheduled
+    // run over an untouched directory is a metadata no-op (see above).
+    // The fingerprint carries the target the NEXT run will compute from
+    // the installed listing — compacted files compress differently from
+    // the fragmented input, so this run's own target would mismatch and
+    // defeat the skip. Consequence: the installed file count may sit a
+    // compression-granularity margin above the recomputed target; the
+    // skip keeps it (the files are already range-disjoint and
+    // near-target-sized — re-splitting them buys nothing a cron should
+    // pay a rewrite for). Written after the swap into the new live dir
+    // (the swap replaced the whole directory, old markers with it);
+    // underscore-named, so neither the reader nor the next listing sees
+    // it as data.
+    if (rangeBy.nonEmpty) {
+      val nextTarget = math.max(1,
+        math.ceil(installed.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      graft.FsOps.writeMarker(spark, path, RangeStateMarker,
+        listingFingerprint(installed.toSeq, rangeBy, nextTarget))
+    }
+    CompactionStats(dataFiles.length, installed.length, totalBytes, target)
+  }
+
+  /** Marker recording the file listing a range-compaction produced
+    * (underscore-prefixed: invisible to Spark's file listing). */
+  private[graft] val RangeStateMarker = "_compact_range_state"
+
+  /** Order-independent fingerprint of a data-file listing plus the
+    * compaction request itself — equal iff the directory's visible data
+    * files (names AND sizes) and the (rangeBy, target) pair are all
+    * unchanged. */
+  private def listingFingerprint(files: Seq[org.apache.hadoop.fs.FileStatus],
+                                 rangeBy: Seq[String], target: Int): String = {
+    val c = new java.util.zip.CRC32()
+    val body = files.map(f => s"${f.getPath.getName}:${f.getLen}").sorted
+      .mkString("\n") + s"\nrangeBy=${rangeBy.mkString(",")};target=$target"
+    c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(c.getValue)
   }
 
   /** Compact every `col=value` partition directory under a partitioned

@@ -130,21 +130,28 @@ object BM25 {
                       nBuckets: Int = 64): DataFrame = {
     val ix = graft.index.Indexer.readIndexLive(spark, path)
     val qt = queryTerms(queries, idCol, textCol)
-    val pruned = graft.index.Indexer.pruningBuckets(spark, path, "postings",
-        graft.index.Indexer.storedBuckets(spark, path), nBuckets) match {
+    val (pruned, qtUsed) = graft.index.Indexer.pruningBuckets(spark, path,
+        "postings", graft.index.Indexer.storedBuckets(spark, path),
+        nBuckets) match {
       case Some(nb) =>
-        // the bucket collect evaluates qt's analyzer chain once and the
-        // scoring join evaluates it again — a narrow CPU re-run over the
-        // (log-sized) query frame, deliberately NOT cached: the result
-        // frame returns lazily, so a cache could not be released here,
-        // and the chain is trivial next to the postings scan it prunes
-        val buckets = qt
+        // the analyzed (query_id, term) frame feeds TWO consumers — the
+        // bucket-union collect and the scoring join — so it is
+        // materialized ONCE (eager localCheckpoint: analyzer runs a
+        // single time over the log, pairs land on executor block
+        // storage ∝ log size). Not just a CPU saving: a
+        // NONDETERMINISTIC query frame (sample, un-ordered limit,
+        // rand-derived ids) re-evaluated per consumer could yield a
+        // bucket union inconsistent with the join's terms, silently
+        // pruning away matching postings — one materialization makes
+        // both consumers see the same rows by construction.
+        val qtOnce = qt.localCheckpoint(true)
+        val buckets = qtOnce
           .select(graft.index.Indexer.termBucket(col("term"), nb).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        ix.postings.filter(col("term_bucket").isin(buckets: _*))
-      case None => ix.postings
+        (ix.postings.filter(col("term_bucket").isin(buckets: _*)), qtOnce)
+      case None => (ix.postings, qt) // single consumer: no double-read
     }
-    searchManyOn(ix.copy(postings = pruned), qt, params)
+    searchManyOn(ix.copy(postings = pruned), qtUsed, params)
   }
 
   /** Per-query distinct terms; array_distinct BEFORE explode so a

@@ -104,8 +104,11 @@ object PhraseSearch {
     * Per-query top-k on [[org.apache.spark.sql.graft.TopKPerKey]]'s
     * bounded heaps. */
   def searchMany(positional: DataFrame, queries: DataFrame, k: Int = 10,
-                 idCol: String = "query_id", textCol: String = "phrase"): DataFrame = {
-    val qt = phraseTerms(queries, idCol, textCol)
+                 idCol: String = "query_id", textCol: String = "phrase"): DataFrame =
+    searchManyOn(positional, phraseTerms(queries, idCol, textCol), k)
+
+  private def searchManyOn(positional: DataFrame, qt: DataFrame,
+                           k: Int): DataFrame = {
     val grouped = positional.select(col("term"), col("doc_id"), col("positions"))
       .join(qt, "term")
       .select(col("query_id"), col("n"), col("doc_id"),
@@ -133,9 +136,11 @@ object PhraseSearch {
   def searchStoreMany(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, k: Int = 10,
                       idCol: String = "query_id", textCol: String = "phrase",
-                      nBuckets: Int = 64): DataFrame =
-    searchMany(liveForLog(spark, path,
-      phraseTerms(queries, idCol, textCol), nBuckets), queries, k, idCol, textCol)
+                      nBuckets: Int = 64): DataFrame = {
+    val (pos, qt) = liveForLog(spark, path,
+      phraseTerms(queries, idCol, textCol), nBuckets)
+    searchManyOn(pos, qt, k)
+  }
 
   /** Batch proximity serving: every query's sloppy-phrase match in one
     * job — same frame shape as [[searchMany]] with DISTINCT terms per
@@ -144,9 +149,13 @@ object PhraseSearch {
     * positions with every other term within `window` tokens. */
   def proximityMany(positional: DataFrame, queries: DataFrame, window: Int,
                     k: Int = 10, idCol: String = "query_id",
-                    textCol: String = "phrase"): DataFrame = {
+                    textCol: String = "phrase"): DataFrame =
+    proximityManyOn(positional, distinctTerms(queries, idCol, textCol),
+      window, k)
+
+  private def proximityManyOn(positional: DataFrame, qt: DataFrame,
+                              window: Int, k: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val qt = distinctTerms(queries, idCol, textCol)
     val grouped = positional.select(col("term"), col("doc_id"), col("positions"))
       .join(qt, "term")
       .select(col("query_id"), col("n"), col("doc_id"),
@@ -174,10 +183,11 @@ object PhraseSearch {
   def proximityStoreMany(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, window: Int, k: Int = 10,
                          idCol: String = "query_id", textCol: String = "phrase",
-                         nBuckets: Int = 64): DataFrame =
-    proximityMany(liveForLog(spark, path,
-      distinctTerms(queries, idCol, textCol), nBuckets), queries, window, k,
-      idCol, textCol)
+                         nBuckets: Int = 64): DataFrame = {
+    val (pos, qt) = liveForLog(spark, path,
+      distinctTerms(queries, idCol, textCol), nBuckets)
+    proximityManyOn(pos, qt, window, k)
+  }
 
   /** Per-query ORDERED terms with their ordinal: `(query_id, n, ord,
     * term)`; zero-token phrases drop. */
@@ -202,19 +212,28 @@ object PhraseSearch {
   /** Store access path for a query LOG: bucket-union static pruning
     * (≤ nBuckets distinct values collected from the exploded terms —
     * bounded driver metadata at any log size) + the live-view
-    * tombstone anti-join. */
+    * tombstone anti-join. Returns the pruned positional table AND the
+    * term frame the caller must join with: on the pruned path the
+    * analyzed frame is materialized ONCE (eager localCheckpoint) so the
+    * bucket collect and the matching join see the SAME rows — a
+    * nondeterministic query frame (sample, rand-derived ids)
+    * re-evaluated per consumer could otherwise yield a bucket union
+    * inconsistent with the join's terms and silently drop matches
+    * (same discipline as [[BM25.searchManyStore]]). */
   private def liveForLog(spark: org.apache.spark.sql.SparkSession,
-                         path: String, qt: DataFrame, nBuckets: Int): DataFrame = {
+                         path: String, qt: DataFrame,
+                         nBuckets: Int): (DataFrame, DataFrame) = {
     val raw = spark.read.parquet(s"$path/positional")
-    val pruned = Indexer.pruningBuckets(spark, path, "positional",
+    val (pruned, qtUsed) = Indexer.pruningBuckets(spark, path, "positional",
         Indexer.storedPositionalBuckets(spark, path), nBuckets) match {
       case Some(nb) =>
-        val buckets = qt.select(Indexer.termBucket(col("term"), nb).as("b"))
+        val qtOnce = qt.localCheckpoint(true)
+        val buckets = qtOnce.select(Indexer.termBucket(col("term"), nb).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        raw.filter(col("term_bucket").isin(buckets: _*))
-      case None => raw
+        (raw.filter(col("term_bucket").isin(buckets: _*)), qtOnce)
+      case None => (raw, qt) // single consumer: no double-read
     }
-    Indexer.minusDeletes(spark, path, pruned)
+    (Indexer.minusDeletes(spark, path, pruned), qtUsed)
   }
 
   /** Rank + bound each query's matches: top-`k` per query on the

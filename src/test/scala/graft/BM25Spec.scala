@@ -131,4 +131,35 @@ class BM25Spec extends SparkSpec {
     assert(!afterDelete.exists(r => r._3 == deadTop),
       "tombstoned doc must vanish from every query's results")
   }
+
+  test("searchManyStore evaluates the query frame ONCE (pruning and join agree)") {
+    // The pruned store path has two consumers of the analyzed query
+    // frame: the bucket-union collect and the scoring join. If each
+    // re-evaluated the frame, a nondeterministic query source (sample,
+    // rand-derived ids) could give the collect one set of terms and the
+    // join another — pruning away matching postings. The contract: ONE
+    // materialization (eager localCheckpoint), observed here by counting
+    // UDF evaluations of the query text.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25onceeval").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    QueryEvalProbe.evals.set(0L)
+    import org.apache.spark.sql.functions.{col, udf}
+    val probed = udf { s: String => QueryEvalProbe.evals.incrementAndGet(); s }
+    val log = Seq(1L -> "fast hash join scan", 2L -> "slow hash batch")
+      .toDF("query_id", "raw")
+      .select(col("query_id"), probed(col("raw")).as("query_text"))
+    val res = BM25.searchManyStore(spark, path, log, nBuckets = 16).collect()
+    assert(res.nonEmpty)
+    assert(QueryEvalProbe.evals.get() === 2L,
+      s"query frame evaluated ${QueryEvalProbe.evals.get()} row-times for a " +
+        "2-query log — the bucket collect and the scoring join must share " +
+        "one materialization")
+  }
+}
+
+/** Executor-visible (same-JVM in local mode) evaluation counter for the
+  * single-materialization contract test. */
+object QueryEvalProbe {
+  val evals = new java.util.concurrent.atomic.AtomicLong(0L)
 }

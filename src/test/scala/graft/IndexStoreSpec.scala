@@ -32,6 +32,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L))
   }
 
+  test("stale swap-aside beside a live marker is self-healed, not resurrected") {
+    val path = Files.createTempDirectory("fsopsstale").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate atomicSwap's OTHER crash window: new value installed,
+    // stale aside not yet deleted — live says 9, aside still says 7
+    FsOps.writeLongMarker(spark, path, "_lastbatch", 7L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"),
+      new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"), true)
+    try out.write("9".getBytes("UTF-8")) finally out.close()
+    // the read returns the live value AND deletes the stale aside: left
+    // in place, a later manual delete of the live marker (a documented
+    // reset) would silently revive 7 through the aside fallback —
+    // an outdated _lastbatch means ordinal reuse on the next append
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")),
+      "stale aside must be healed away once a live marker coexists with it")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"), false)
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === None,
+      "after the heal, a deliberate marker reset must read as never-recorded")
+  }
+
   test("index store roundtrip: searchStore == search, with partition pruning") {
     val docs = Tables.load(spark, sf0001, "documents")
     val ix = Indexer.buildIndex(docs)

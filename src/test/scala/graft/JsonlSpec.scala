@@ -91,6 +91,35 @@ class JsonlSpec extends SparkSpec {
     // entirely pre-watermark (skippable) and at least one entirely post
     assert(ranges.exists(_._2 <= 2L) && ranges.exists(_._1 > 2L),
       ranges.mkString(", "))
+
+    // idempotence: a second range-compaction of the untouched directory
+    // is a metadata NO-OP — a scheduled `index compact` cron must not
+    // pay a full rewrite when nothing changed (the _compact_range_state
+    // fingerprint matches the listing it produced)
+    val filesBefore2 = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val stats2 = Compaction.compact(spark, path, targetBytes = 32 * 1024,
+      rangeBy = Seq("batch"))
+    assert(stats2.filesBefore === stats2.filesAfter, stats2.toString)
+    val filesAfter2 = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(filesAfter2 === filesBefore2,
+      "no-op range compaction must not rewrite any file")
+
+    // ...and an append AFTER the compaction perturbs the listing, so the
+    // next run is a genuine rewrite again (skipping must never hide new
+    // files from the range layout)
+    spark.range(500)
+      .select(col("id"), lit(5L).as("batch"),
+        concat(lit("payload-"), col("id")).as("s"))
+      .repartition(4).write.mode("append").parquet(path)
+    val stats3 = Compaction.compact(spark, path, targetBytes = 32 * 1024,
+      rangeBy = Seq("batch"))
+    assert(stats3.filesAfter < stats3.filesBefore, stats3.toString)
+    assert(spark.read.parquet(path).count() === 10500L)
+    assert(spark.read.parquet(path).agg(max(col("batch"))).head.getLong(0) === 5L)
   }
 
   test("compaction refuses a partitioned table root") {
