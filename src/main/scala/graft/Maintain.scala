@@ -70,16 +70,23 @@ object Maintain {
       case ("index", "rollback")     => index.Indexer.rollbackPartialAppend(spark, path); None
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
       case ("index", "compact") =>
-        // per-table: the bucketed tables leaf by leaf (layout preserved),
-        // the flat tables in place
-        operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
-          rangeBy = batchRange("postings"))
+        if (index.Indexer.docBucketsOf(spark, path).isDefined)
+          // doc-bucketed store: the generic rewrite would strip the
+          // bucket-suffixed file names the zero-shuffle join depends on —
+          // compact through the layout-aware twin instead
+          index.Indexer.compactDocBucketed(spark, path)
+        else {
+          // per-table: the bucketed tables leaf by leaf (layout preserved),
+          // the flat tables in place
+          operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
+            rangeBy = batchRange("postings"))
+          operators.Compaction.compact(spark, s"$path/doc_stats",
+            rangeBy = batchRange("doc_stats"))
+        }
         val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
         if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
           operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
             rangeBy = batchRange("positional"))
-        operators.Compaction.compact(spark, s"$path/doc_stats",
-          rangeBy = batchRange("doc_stats"))
         None
       case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
       case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))

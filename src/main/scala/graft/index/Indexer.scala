@@ -226,25 +226,44 @@ object Indexer {
     * for a query's terms (enabling static partition pruning) with the
     * exact same function executors used at write time.
     */
-  def writeIndex(ix: InvertedIndex, path: String, nBuckets: Int = 64): Unit = {
+  def writeIndex(ix: InvertedIndex, path: String, nBuckets: Int = 64,
+                 docBuckets: Option[Int] = None): Unit = {
     // every store row carries the ingest-batch ordinal that wrote it
     // (constant per parquet file, so min/max statistics let an
     // incremental audit's `batch > since` filter skip pre-audit files
     // outright — see [[checkStoreIncremental]]); the initial build is
     // batch 0, each append bumps the `_lastbatch` marker
-    ix.docStats.withColumn("batch", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/doc_stats")
-    ix.postings
-      .withColumn("batch", lit(0L))
-      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
-      // co-locate each bucket's rows in one task before the partitioned
-      // write: without this every task writes a file into every bucket
-      // dir (tasks × buckets small files — measured dominating the store
-      // write); with it, one file per bucket
-      .repartition(nBuckets, col("term_bucket"))
-      .write.mode("overwrite")
-      .partitionBy("term_bucket")
-      .parquet(s"$path/postings")
+    docBuckets match {
+      case Some(db) =>
+        // doc-bucketed layout: postings AND doc_stats co-bucketed (and
+        // sorted within buckets) by doc_id as external catalog tables —
+        // the scoring join postings ⋈ doc_stats then plans with NO
+        // exchange on either side (the shuffle is paid once here, at
+        // write time, and amortized over every query). term_bucket
+        // partitioning is kept on postings, so static term pruning and
+        // doc-co-location COMPOSE. See [[docBucketsOf]] for the layout
+        // record and [[registerBucketedTable]] for cross-session reads.
+        writeBucketedStoreTable(ix.docStats.withColumn("batch", lit(0L)),
+          path, "doc_stats", db, termBuckets = None)
+        writeBucketedStoreTable(
+          ix.postings.withColumn("batch", lit(0L)),
+          path, "postings", db, termBuckets = Some(nBuckets))
+        writeBucketsMarker(ix.postings.sparkSession, path, db, DocBucketsMarker)
+      case None =>
+        ix.docStats.withColumn("batch", lit(0L))
+          .write.mode("overwrite").parquet(s"$path/doc_stats")
+        ix.postings
+          .withColumn("batch", lit(0L))
+          .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+          // co-locate each bucket's rows in one task before the partitioned
+          // write: without this every task writes a file into every bucket
+          // dir (tasks × buckets small files — measured dominating the store
+          // write); with it, one file per bucket
+          .repartition(nBuckets, col("term_bucket"))
+          .write.mode("overwrite")
+          .partitionBy("term_bucket")
+          .parquet(s"$path/postings")
+    }
     // derive the small tables from the JUST-PERSISTED copies: vocab/meta
     // over the original lineages would re-run the whole tokenize/explode/
     // aggregate chain a second (and third) time — reading the stored
@@ -300,13 +319,39 @@ object Indexer {
     def tag(df: DataFrame): DataFrame =
       batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
     val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
-    tag(delta.docStats).write.mode("append").parquet(s"$path/doc_stats")
-    tag(delta.postings)
-      .withColumn("term_bucket", termBucket(col("term"), nb))
-      .repartition(nb, col("term_bucket"))
-      .write.mode("append")
-      .partitionBy("term_bucket")
-      .parquet(s"$path/postings")
+    docBucketsOf(spark, path) match {
+      case Some(db) =>
+        // doc-bucketed store: the delta appends THROUGH the catalog with
+        // the store's own bucket spec (by-name column resolution; a
+        // mismatched spec fails loudly instead of silently degrading the
+        // layout). Each append adds one file per (bucket × touched
+        // term-partition) — bucket-suffixed names keep the zero-shuffle
+        // join valid, and the partition re-sync on the next read picks
+        // up any new term_bucket dirs.
+        val dsName = registerBucketedTable(spark, path, "doc_stats", db,
+          partitioned = false)
+        val poName = registerBucketedTable(spark, path, "postings", db,
+          partitioned = true)
+        tag(delta.docStats).repartition(db, col("doc_id"))
+          .write.format("parquet")
+          .bucketBy(db, "doc_id").sortBy("doc_id")
+          .mode("append").saveAsTable(dsName)
+        tag(delta.postings)
+          .withColumn("term_bucket", termBucket(col("term"), nb))
+          .repartition(db, col("doc_id"))
+          .write.format("parquet")
+          .partitionBy("term_bucket")
+          .bucketBy(db, "doc_id").sortBy("doc_id")
+          .mode("append").saveAsTable(poName)
+      case None =>
+        tag(delta.docStats).write.mode("append").parquet(s"$path/doc_stats")
+        tag(delta.postings)
+          .withColumn("term_bucket", termBucket(col("term"), nb))
+          .repartition(nb, col("term_bucket"))
+          .write.mode("append")
+          .partitionBy("term_bucket")
+          .parquet(s"$path/postings")
+    }
     // a CO-LOCATED positional table must grow with the same batch —
     // otherwise the phrase/proximity faces would silently miss the
     // appended docs (the append-side twin of the delete-consistency
@@ -433,15 +478,24 @@ object Indexer {
         spark.read.parquet(s"$path/postings").filter(col("batch") > marker).isEmpty &&
         !posOrphaned)
       return // nothing orphaned — the append either completed or never started
-    ds.filter(col("batch") <= marker)
-      .write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
-    val nb = storedBuckets(spark, path).getOrElse(64)
-    spark.read.parquet(s"$path/postings").filter(col("batch") <= marker)
-      .repartition(nb, col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$path/postings_tmp")
-    swapTable(spark, path, "doc_stats")
-    swapTable(spark, path, "postings")
+    docBucketsOf(spark, path) match {
+      case Some(db) =>
+        rewriteBucketedStoreTable(spark, path, "doc_stats",
+          ds.filter(col("batch") <= marker), db, partitioned = false)
+        rewriteBucketedStoreTable(spark, path, "postings",
+          spark.read.parquet(s"$path/postings").filter(col("batch") <= marker),
+          db, partitioned = true)
+      case None =>
+        ds.filter(col("batch") <= marker)
+          .write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
+        val nb = storedBuckets(spark, path).getOrElse(64)
+        spark.read.parquet(s"$path/postings").filter(col("batch") <= marker)
+          .repartition(nb, col("term_bucket"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$path/postings_tmp")
+        swapTable(spark, path, "doc_stats")
+        swapTable(spark, path, "postings")
+    }
     if (hasPos && posDf.columns.contains("batch")) {
       val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
       posDf.filter(col("batch") <= marker)
@@ -705,6 +759,177 @@ object Indexer {
     storedBuckets(spark, path, PositionalBucketsMarker)
       .orElse(storedBuckets(spark, path))
 
+  // ---- doc-bucketed layout: postings and doc_stats co-bucketed (and
+  // sorted within buckets) by doc_id, persisted as EXTERNAL catalog
+  // tables at the store path. Spark only exposes bucketed-scan metadata
+  // through the catalog, so the store records its layout in the
+  // `_docbuckets` marker and readers (re-)register the catalog entries
+  // idempotently — a fresh session reads the same files with the same
+  // zero-shuffle join, and a plain `spark.read.parquet` of the files
+  // stays valid for every path-based maintenance read (fsck, audits).
+
+  /** Marker recording the doc-bucket count of a doc-bucketed store. */
+  val DocBucketsMarker = "_docbuckets"
+
+  /** The doc-bucket count a store was written with, if doc-bucketed. */
+  def docBucketsOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[Int] =
+    storedBuckets(spark, path, DocBucketsMarker)
+
+  /** Deterministic session-catalog name for a store table — derived from
+    * the (qualified) store path so distinct stores never collide and the
+    * same store re-registers under the same name in any session. */
+  def catalogTableName(spark: org.apache.spark.sql.SparkSession,
+                       path: String, table: String): String = {
+    val qualified = qualifiedUri(spark, path).toString.stripSuffix("/")
+    val c = new java.util.zip.CRC32()
+    c.update(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"graft_ix_${c.getValue}%08x_$table"
+  }
+
+  private def qualifiedUri(spark: org.apache.spark.sql.SparkSession,
+                           path: String): java.net.URI = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri
+  }
+
+  /** Write one store table in the doc-bucketed layout: repartitioned to
+    * its buckets (so each task holds whole buckets — without this every
+    * task writes a file into every bucket), bucketed + sorted by doc_id,
+    * `term_bucket`-partitioned when `termBuckets` is given, installed as
+    * an external table at `path/table` under the deterministic catalog
+    * name (replacing any stale registration AND any previous files —
+    * overwrite semantics, same as the plain writer). */
+  private def writeBucketedStoreTable(df: DataFrame, path: String,
+                                      table: String, db: Int,
+                                      termBuckets: Option[Int]): Unit = {
+    val spark = df.sparkSession
+    val name = catalogTableName(spark, path, table)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(s"$path/$table")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val withPart = termBuckets match {
+      case Some(nb) => df.withColumn("term_bucket", termBucket(col("term"), nb))
+      case None => df
+    }
+    val w = withPart.repartition(db, col("doc_id"))
+      .write.format("parquet")
+      .bucketBy(db, "doc_id").sortBy("doc_id")
+      .option("path", qualifiedUri(spark, s"$path/$table").toString)
+      .mode("overwrite")
+    (if (termBuckets.isDefined) w.partitionBy("term_bucket") else w)
+      .saveAsTable(name)
+  }
+
+  /** Idempotently (re-)register the catalog entry for a doc-bucketed
+    * store table and return its name. An existing entry is kept only if
+    * its location AND bucket spec match the store's record (a moved
+    * store, a crc-colliding path, or a changed layout drops and
+    * re-creates); partitioned tables re-sync their partition list from
+    * the directories every time (bounded driver metadata, ≤ nBuckets
+    * dirs) so appends/rewrites from other sessions are always visible. */
+  private def registerBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, table: String, db: Int,
+                                    partitioned: Boolean): String = {
+    val name = catalogTableName(spark, path, table)
+    val loc = qualifiedUri(spark, s"$path/$table")
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val cat = spark.sessionState.catalog
+    val ok = cat.tableExists(ident) && {
+      val md = cat.getTableMetadata(ident)
+      md.location == loc && md.bucketSpec.exists(b =>
+        b.numBuckets == db && b.bucketColumnNames == Seq("doc_id"))
+    }
+    if (!ok) {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      // data-column DDL inferred from the files themselves (title is
+      // optional; future columns survive re-registration unchanged)
+      val fileSchema = spark.read.parquet(s"$path/$table").schema
+      val dataCols = fileSchema.filterNot(_.name == "term_bucket")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val cols = if (partitioned) s"$dataCols, `term_bucket` BIGINT" else dataCols
+      val partClause = if (partitioned) "PARTITIONED BY (term_bucket) " else ""
+      spark.sql(
+        s"CREATE TABLE `$name` ($cols) USING PARQUET $partClause" +
+          s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $db BUCKETS " +
+          s"LOCATION '$loc'")
+    }
+    if (partitioned)
+      spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+    name
+  }
+
+  /** Read one table of a doc-bucketed store THROUGH the catalog (the
+    * bucketed scan is what makes the doc_id join exchange-free). Any
+    * registration failure degrades to the plain parquet read — correct,
+    * just shuffled — rather than failing the query. */
+  private def bucketedStoreTable(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, table: String, db: Int,
+                                 partitioned: Boolean): DataFrame =
+    try spark.table(registerBucketedTable(spark, path, table, db, partitioned))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] $path/$table: doc-bucketed catalog " +
+          s"registration failed (${e.getMessage}) — reading unbucketed " +
+          "(correct, but the doc_id join pays its exchange again)")
+        spark.read.parquet(s"$path/$table")
+    }
+
+  /** Small-file compaction for a DOC-BUCKETED store — the layout-aware
+    * twin of [[graft.operators.Compaction]] (whose generic rewrite would
+    * strip the bucket-suffixed file names the zero-shuffle join depends
+    * on): each big table rewrites through the bucketed writer, merging
+    * every append's per-bucket files back to one file per (bucket ×
+    * term partition), installed via the same crash-safe swap.
+    *
+    * Trade, documented for the maintenance loop: the merge mixes ingest
+    * batches within each bucket file, so file-level `batch > since`
+    * min/max skipping does NOT survive (unlike the plain store's
+    * `rangeBy=batch` compaction — range and doc-bucket layouts are
+    * mutually exclusive). Run `mark-audited` after compacting, or budget
+    * the next audit as a full one; the join layout this store exists for
+    * is preserved, which is the right priority for a serving store. */
+  def compactDocBucketed(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val db = docBucketsOf(spark, path).getOrElse(throw new IllegalStateException(
+      s"compactDocBucketed: no $DocBucketsMarker marker at $path — use " +
+        "the generic Compaction for a plain store"))
+    rewriteBucketedStoreTable(spark, path, "postings",
+      bucketedStoreTable(spark, path, "postings", db, partitioned = true),
+      db, partitioned = true)
+    rewriteBucketedStoreTable(spark, path, "doc_stats",
+      bucketedStoreTable(spark, path, "doc_stats", db, partitioned = false),
+      db, partitioned = false)
+  }
+
+  /** Maintenance rewrite of one doc-bucketed store table, layout
+    * preserved: the replacement lands as a bucketed external table at
+    * `<table>_tmp` (bucket-suffixed file names survive the directory
+    * rename), both catalog entries drop (metadata only — external
+    * locations keep their files), and the same crash-safe rename-aside
+    * swap as the plain path installs it; the next read re-registers from
+    * the marker. Shared by [[expungeDeletes]] and
+    * [[rollbackPartialAppend]] on doc-bucketed stores. */
+  private def rewriteBucketedStoreTable(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, table: String,
+                                        df: DataFrame, db: Int,
+                                        partitioned: Boolean): Unit = {
+    val tmpName = catalogTableName(spark, path, table) + "_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+    val tmpLoc = new org.apache.hadoop.fs.Path(s"$path/${table}_tmp")
+    tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tmpLoc, true)
+    val w = df.repartition(db, col("doc_id"))
+      .write.format("parquet")
+      .bucketBy(db, "doc_id").sortBy("doc_id")
+      .option("path", qualifiedUri(spark, s"$path/${table}_tmp").toString)
+      .mode("overwrite")
+    (if (partitioned) w.partitionBy("term_bucket") else w).saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+    spark.sql(s"DROP TABLE IF EXISTS `${catalogTableName(spark, path, table)}`")
+    swapTable(spark, path, table)
+  }
+
   /** `term_bucket=` partition values physically present under a bucketed
     * table — one driver-side directory listing (bounded metadata: ≤
     * nBuckets entries). */
@@ -789,13 +1014,24 @@ object Indexer {
     if (!fs.exists(del)) return
     val nb = storedBuckets(spark, path).getOrElse(nBuckets)
     val live = readIndexLive(spark, path)
-    live.postings
-      .repartition(nb, col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$path/postings_tmp")
-    live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
-    swapTable(spark, path, "postings")
-    swapTable(spark, path, "doc_stats")
+    docBucketsOf(spark, path) match {
+      case Some(db) =>
+        // doc-bucketed store: the rewrite preserves the bucketed layout
+        // (tmp written as a bucketed table, same crash-safe dir swap —
+        // see rewriteBucketedStoreTable)
+        rewriteBucketedStoreTable(spark, path, "postings",
+          live.postings, db, partitioned = true)
+        rewriteBucketedStoreTable(spark, path, "doc_stats",
+          live.docStats, db, partitioned = false)
+      case None =>
+        live.postings
+          .repartition(nb, col("term_bucket"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$path/postings_tmp")
+        live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
+        swapTable(spark, path, "postings")
+        swapTable(spark, path, "doc_stats")
+    }
     val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
     if (fs.exists(pos)) {
       // the positional table keeps its OWN bucket layout, which may
@@ -1089,13 +1325,25 @@ object Indexer {
       Seq(unique, positionalCheck, layout, orphans))
   }
 
-  /** Load a persisted index store back as an [[InvertedIndex]]. */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex =
+  /** Load a persisted index store back as an [[InvertedIndex]]. A
+    * doc-bucketed store ([[writeIndex]] with `docBuckets`) serves its big
+    * tables through the catalog so the postings ⋈ doc_stats scoring join
+    * plans exchange-free; everything else is identical. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex = {
+    val (ds, po) = docBucketsOf(spark, path) match {
+      case Some(db) =>
+        (bucketedStoreTable(spark, path, "doc_stats", db, partitioned = false),
+         bucketedStoreTable(spark, path, "postings", db, partitioned = true))
+      case None =>
+        (spark.read.parquet(s"$path/doc_stats"),
+         spark.read.parquet(s"$path/postings"))
+    }
     InvertedIndex(
-      docStats = spark.read.parquet(s"$path/doc_stats"),
-      postings = spark.read.parquet(s"$path/postings"),
+      docStats = ds,
+      postings = po,
       vocab = spark.read.parquet(s"$path/vocab"),
       meta = spark.read.parquet(s"$path/meta"))
+  }
 
   /** LIVE view of a store: [[readIndex]] minus tombstoned documents
     * ([[deleteDocs]]). Without a `deletes` table this IS readIndex —

@@ -422,6 +422,65 @@ object SearchQueries extends QueryGroup {
           col("title"), round(col("score"), 4).as("score"))
     }),
 
+    // the DOC-BUCKETED store layout: postings and doc_stats co-bucketed
+    // (and sorted) by doc_id as catalog tables, so the scoring join
+    // plans with NO exchange on either side (the last big shuffle on the
+    // serving path, paid once at write time — see SCALE.md). Built on
+    // half the corpus and grown by append so the gate covers the
+    // bucketed append path too; answers must be byte-identical to the
+    // plain layout (shared oracle).
+    "q_bm25_store_bucketed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-ixdocbkt")
+      Indexer.writeIndex(
+        Indexer.buildIndex(d.filter(col("doc_id") % 2 === 0), titleCol = Some("source")),
+        path, docBuckets = Some(8))
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 2 === 1),
+        titleCol = Some("source"))
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
+    // ...and the batch-serving face over the same layout: the query
+    // log's bucket-union pruning composes with the exchange-free
+    // doc_id join (shared oracle with the plain batch store)
+    "q_bm25_batch_store_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val path = QueryGroup.scratchDir("graft-batchdocbkt")
+      Indexer.writeIndex(
+        Indexer.buildIndex(docs(s, dir), titleCol = Some("source")), path,
+        docBuckets = Some(8))
+      BM25.searchManyStore(s, path, BatchQueries.toDF("query_id", "query_text"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("title"), round(col("score"), 4).as("score"))
+    }),
+
+    // the MAINTENANCE loop under the oracle: grow a store over three
+    // ingest batches (its append-heavy natural state), compact through
+    // the cron verb (batch-range layout preserved for the incremental
+    // audits), and prove the compacted store answers exactly like an
+    // uncompacted build (shared oracle)
+    "q_store_compact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-ixcompact")
+      Indexer.writeIndex(
+        Indexer.buildIndex(d.filter(col("doc_id") % 3 === 0), titleCol = Some("source")), path)
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 3 === 1),
+        titleCol = Some("source"))
+      Indexer.appendIndex(s, path, d.filter(col("doc_id") % 3 === 2),
+        titleCol = Some("source"))
+      def dsFiles: Int = new java.io.File(s"$path/doc_stats")
+        .listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+      val before = dsFiles
+      graft.Maintain.run(s, "index", "compact", path)
+      require(dsFiles < before,
+        s"compaction did not reduce doc_stats file count ($before before)")
+      BM25.searchStore(s, path, FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     // E3 delete lifecycle: soft-delete a third of the corpus from the
     // persisted store (tombstones — postings never rewritten; vocab/meta
     // recomputed live), then search — the oracle proves the store
@@ -562,6 +621,12 @@ object SearchQueries extends QueryGroup {
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_store"  -> bm25Oracle,
     "q_bm25_append" -> bm25Oracle,
+    // the doc-bucketed layout is answer-identical to the plain store
+    "q_bm25_store_bucketed" -> bm25Oracle,
+    "q_bm25_batch_store_bucketed" -> bm25BatchOracle,
+    // compaction is content-preserving: the compacted store answers
+    // like an uncompacted build
+    "q_store_compact" -> bm25Oracle,
     // the streamed store answers like a one-shot full build
     "q_stream_index_ingest" -> bm25Oracle,
     "q_bm25_batch" -> bm25BatchOracle,
