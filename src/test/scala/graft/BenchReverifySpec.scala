@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.BenchReverify.{Entry, merge, outliers, parseJsonl, render}
+
+/** The committed-bench outlier discipline: synthetic inflation is
+  * detected, re-measured values win, clean sweeps pass untouched — no
+  * SparkSession needed, the logic is pure. */
+class BenchReverifySpec extends AnyFunSuite {
+
+  private val prev = Seq(
+    Entry("q_a", 3.0, ok = true, reps = 2),
+    Entry("q_b", 0.4, ok = true, reps = 3),
+    Entry("q_c", 10.0, ok = true, reps = 2),
+    Entry("q_gone", 5.0, ok = true, reps = 2))
+
+  test("synthetic inflation is flagged; clean entries are not") {
+    val cur = Seq(
+      Entry("q_a", 31.6, ok = true, reps = 2),  // r11's actual failure shape
+      Entry("q_b", 0.9, ok = true, reps = 3),   // >1.5x but sub-second: skip
+      Entry("q_c", 11.0, ok = true, reps = 2))  // within 1.5x: clean
+    assert(outliers(prev, cur) === Seq("q_a"))
+  }
+
+  test("new slow-band entries re-verify; new fast entries do not") {
+    val cur = Seq(
+      Entry("q_new_big", 7.0, ok = true, reps = 2),
+      Entry("q_new_small", 1.2, ok = true, reps = 2))
+    assert(outliers(prev, cur) === Seq("q_new_big"))
+  }
+
+  test("failed entries never re-run (failures are deterministic)") {
+    val cur = Seq(Entry("q_a", 31.6, ok = false, reps = 1))
+    assert(outliers(prev, cur) === Seq.empty)
+  }
+
+  test("merge commits the re-measured min with the reverified stamp") {
+    val cur = Seq(
+      Entry("q_a", 31.6, ok = true, reps = 2),
+      Entry("q_c", 11.0, ok = true, reps = 2))
+    val re = Seq(Entry("q_a", 3.4, ok = true, reps = 2))
+    val m = merge(cur, re)
+    assert(m.find(_.name == "q_a").get ===
+      Entry("q_a", 3.4, ok = true, reps = 4, reverified = true))
+    assert(m.find(_.name == "q_c").get ===
+      Entry("q_c", 11.0, ok = true, reps = 2)) // untouched, unstamped
+  }
+
+  test("a genuine regression survives re-measurement, stamped not excused") {
+    val cur = Seq(Entry("q_a", 9.0, ok = true, reps = 2))
+    val re = Seq(Entry("q_a", 8.8, ok = true, reps = 2))
+    val m = merge(cur, re)
+    assert(m.head.secs === 8.8 && m.head.reverified)
+  }
+
+  test("render/parse roundtrip preserves entries and the stamp") {
+    val entries = Seq(
+      Entry("q_a", 3.4, ok = true, reps = 4, reverified = true),
+      Entry("q \"odd\"", 0.5, ok = true, reps = 3))
+    val (jsonl, json) = render(entries, reps = 3, sfDir = "/root/testdata/sf0.1")
+    assert(parseJsonl(jsonl) === entries)
+    assert(json.contains(""""value":3.9""") &&
+      json.contains(""""reverified":["q_a"]"""), json)
+  }
+
+  test("parse reads Bench's real artifact lines") {
+    val parsed = parseJsonl(Seq(
+      """{"name":"q_chunk","secs":0.756658498,"ok":true,"reps":3}"""))
+    assert(parsed === Seq(Entry("q_chunk", 0.756658498, ok = true, reps = 3)))
+  }
+}
