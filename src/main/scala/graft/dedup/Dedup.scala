@@ -360,12 +360,22 @@ object Dedup {
     * (partial aggs dedupe a boilerplate span's million holders map-side;
     * a window-over-h formulation would buffer them in one state). The
     * duplicated-hash set is typically tiny, so the flag-back semi join
-    * broadcasts under AQE — the span stream is hashed twice (a narrow
-    * CPU re-run) but never shuffled twice. */
+    * broadcasts under AQE.
+    *
+    * The slim stream feeds two consumers (the agg subtree and the
+    * semi-join probe), so it is materialized ONCE via eager
+    * localCheckpoint — measured A/B (tools/span_ab.scala, SCALE.md
+    * "Span-hash stream"): recomputing the explode+hash per consumer
+    * costs 2.80 s → 1.38 s at sf0.1 and 8.96 s → 5.41 s at sf1; a
+    * shared `repartition(h)` exchange does NOT dedupe (the consumers'
+    * pruned subtrees diverge post-optimization, no ReusedExchange fires)
+    * and pays an extra raw-stream shuffle (9.47 s at sf1). Cost of this
+    * shape: ~20 B/span on disk-spillable executor block storage for the
+    * job's lifetime, and the stream evaluates eagerly at call time. */
   private def dupSpanStarts(df: DataFrame, n: Int, minDocs: Int,
                             idCol: String, textCol: String): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val spans = spanHashes(df, n, idCol, textCol)
+    val spans = spanHashes(df, n, idCol, textCol).localCheckpoint(true)
     val dupHashes = spans.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -383,8 +393,9 @@ object Dedup {
     * through verbatim; fully-duplicated docs come back empty).
     *
     * Scale: only the slim span-hash stream shuffles
-    * ([[dupSpanStarts]] — one skew-safe exchange); the token stream
-    * itself NEVER leaves its row. Duplicated starts roll up per doc
+    * ([[dupSpanStarts]] — one skew-safe exchange over a
+    * checkpointed-once stream); the token stream itself NEVER leaves
+    * its row. Duplicated starts roll up per doc
     * (duplicated positions only) and merge into covered INTERVALS —
     * consecutive starts always merge, so a fully-duplicated doc is ONE
     * interval and the per-token coverage probe is ∝ duplication
