@@ -86,9 +86,21 @@ object BenchReverify {
     * `reverified` stamp (the min never invents a number — both values
     * were actually measured; it only refuses to commit the slower of two
     * measurements of the same code). Entries the subset did not re-run
-    * pass through untouched. */
-  def merge(cur: Seq[Entry], remeasured: Seq[Entry]): Seq[Entry] = {
+    * pass through untouched — UNLESS they were `planned` for
+    * re-verification: a planned outlier whose re-measurement is missing
+    * or failed must not commit as if never questioned (the artifact
+    * could not distinguish "clean" from "re-verify attempted and
+    * failed"), so the merge fails loudly and bench_commit.sh surfaces it
+    * instead of committing the unverified number. */
+  def merge(cur: Seq[Entry], remeasured: Seq[Entry],
+            planned: Seq[String] = Seq.empty): Seq[Entry] = {
     val re = remeasured.filter(_.ok).map(e => e.name -> e).toMap
+    val unverified = planned.filterNot(re.contains)
+    require(unverified.isEmpty,
+      s"planned outlier(s) have no successful re-measurement: " +
+        s"${unverified.mkString(", ")} — re-run the solo subset " +
+        "(SPARK_GRAFT_BENCH_ONLY) before merging; committing the suspect " +
+        "original would stamp nothing and read as a clean number")
     cur.map { e =>
       re.get(e.name) match {
         case Some(r) => e.copy(secs = math.min(e.secs, r.secs),
@@ -125,20 +137,26 @@ object BenchReverify {
     *   plan <prev.jsonl> <cur.jsonl>   → prints `REVERIFY=<q1,q2,…>`
     *     (empty value = committed sweep needs no re-measurement)
     *   merge <cur.jsonl> <subset.jsonl> <out.jsonl> <out.json> <sfDir>
+    *         [planned-csv]
     *     → folds the solo subset into the sweep evidence and rewrites
-    *       both artifact files
+    *       both artifact files; with `planned-csv` (the plan step's
+    *       output) the merge REFUSES to commit a planned outlier whose
+    *       re-measurement is missing or failed
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "plan" :: prev :: cur :: Nil =>
       val names = outliers(
         parseJsonl(readLines(prev)), parseJsonl(readLines(cur)))
       println(s"REVERIFY=${names.mkString(",")}")
-    case "merge" :: cur :: subset :: outJsonl :: outJson :: sfDir :: Nil =>
+    case "merge" :: cur :: subset :: outJsonl :: outJson :: sfDir :: rest
+        if rest.length <= 1 =>
       val curE = parseJsonl(readLines(cur))
       require(curE.nonEmpty, s"no entries parsed from $cur")
       require(curE.forall(_.ok),
         "merge refuses a sweep with failed entries — fix the failure and re-sweep")
-      val merged = merge(curE, parseJsonl(readLines(subset)))
+      val planned = rest.headOption.toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      val merged = merge(curE, parseJsonl(readLines(subset)), planned)
       val reps = curE.map(_.reps).max
       val (jsonl, json) = render(merged, reps, sfDir)
       java.nio.file.Files.write(java.nio.file.Paths.get(outJsonl),
@@ -149,7 +167,7 @@ object BenchReverify {
     case other => sys.error(
       "usage: BenchReverify plan <prev.jsonl> <cur.jsonl> | " +
         "merge <cur.jsonl> <subset.jsonl> <out.jsonl> <out.json> <sfDir> " +
-        s"(got: ${other.mkString(" ")})")
+        s"[planned-csv] (got: ${other.mkString(" ")})")
   }
 
   private def readLines(p: String): Seq[String] = {

@@ -47,24 +47,23 @@ object FsOps {
     * is STALE — and left in place it becomes a trap: a later manual
     * delete of the live marker (a documented reset procedure) would
     * silently resurrect the old value through this very fallback (e.g.
-    * an outdated `_lastbatch` causing ordinal reuse). So readers
-    * self-heal: live-present + aside-present → best-effort delete of the
-    * aside. Safe under the stores' single-writer discipline — a live
-    * file can only coexist with an aside after the swap's install step
-    * completed, at which point the aside is never the newest value. */
+    * an outdated `_lastbatch` causing ordinal reuse). Readers do NOT
+    * delete it, though: a read can run CONCURRENTLY with a writer's
+    * [[atomicSwap]], and "live present, aside present" is also the
+    * mid-swap state right after rename(live→aside) + rename(tmp→live) —
+    * a reader that sampled the two exists() around the writer's renames
+    * could delete the only durable copy the writer's crash-rollback
+    * still needs. Stale asides heal on the WRITER side (the next
+    * [[atomicSwap]] deletes them first) or explicitly via
+    * [[healStaleAsides]] (the `heal-markers` maintenance verb, run
+    * without a concurrent writer — the reset procedure's companion). */
   def readMarker(spark: org.apache.spark.sql.SparkSession, path: String,
                  marker: String): Option[String] = {
     val p = new Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = new Path(p.getParent, s"_${p.getName}.swap_old")
     val target =
-      if (fs.exists(p)) {
-        if (fs.exists(aside)) {
-          try fs.delete(aside, true)
-          catch { case scala.util.control.NonFatal(_) => () } // heal next read
-        }
-        Some(p)
-      }
+      if (fs.exists(p)) Some(p)
       else if (fs.exists(aside)) Some(aside)
       else None
     target.map { t =>
@@ -72,6 +71,30 @@ object FsOps {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
+  }
+
+  /** Delete every `_<marker>.swap_old` aside under `path` whose live
+    * marker exists — the maintenance-verb side of the stale-aside trap
+    * documented on [[readMarker]]. Single-writer discipline applies: run
+    * this only when no writer can be mid-[[atomicSwap]] on the store
+    * (cron maintenance windows, or right before a manual marker reset).
+    * Asides whose live file is MISSING are kept — they are the only
+    * durable copy of a crashed swap's value and [[readMarker]] still
+    * recovers from them. Returns the healed marker names (driver-side
+    * metadata: one directory listing). */
+  def healStaleAsides(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_") && n.endsWith(".swap_old"))
+      .flatMap { n =>
+        val live = n.stripPrefix("_").stripSuffix(".swap_old")
+        if (fs.exists(new Path(dir, live)) &&
+            fs.delete(new Path(dir, n), true)) Some(live) else None
+      }
   }
 
   /** One-long marker face of [[writeMarker]]/[[readMarker]]. */

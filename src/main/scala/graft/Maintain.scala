@@ -14,6 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
+  *   any    heal-markers   (delete stale `.swap_old` marker asides — run
+  *                          with no concurrent writer; see FsOps.readMarker)
   *   vstore fsck | fsck-incr | mark-audited | repair
   *        | repair-at <version> <keys...>
   *        | checkpoint <version> <keys...> | vacuum <retain>
@@ -61,6 +63,12 @@ object Maintain {
       if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
         Seq("batch") else Seq.empty
     (family, op) match {
+      // family-agnostic: stale-aside cleanup is a property of the marker
+      // discipline every store shares, not of any one family
+      case (_, "heal-markers") =>
+        FsOps.healStaleAsides(spark, path).foreach(m =>
+          println(s"[maintain] healed stale aside for marker $m"))
+        None
       case ("index", "fsck")         => Some(index.Indexer.checkStore(spark, path))
       case ("index", "fsck-incr")    => Some(index.Indexer.checkStoreIncremental(spark, path))
       case ("index", "mark-audited") => index.Indexer.markAudited(spark, path); None
@@ -70,21 +78,25 @@ object Maintain {
       case ("index", "rollback")     => index.Indexer.rollbackPartialAppend(spark, path); None
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
       case ("index", "compact") =>
-        if (index.Indexer.docBucketsOf(spark, path).isDefined)
-          // doc-bucketed store: the generic rewrite would strip the
+        val docBucketed = index.Indexer.docBucketsOf(spark, path).isDefined
+        val posDocBucketed = index.Indexer.positionalDocBucketsOf(spark, path).isDefined
+        if (docBucketed || posDocBucketed)
+          // doc-bucketed table(s): the generic rewrite would strip the
           // bucket-suffixed file names the zero-shuffle join depends on —
-          // compact through the layout-aware twin instead
+          // compact through the layout-aware twin instead (it routes each
+          // table by its own marker, positional included)
           index.Indexer.compactDocBucketed(spark, path)
-        else {
-          // per-table: the bucketed tables leaf by leaf (layout preserved),
-          // the flat tables in place
+        if (!docBucketed) {
+          // per-table: the term-bucketed tables leaf by leaf (layout
+          // preserved), the flat tables in place
           operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
             rangeBy = batchRange("postings"))
           operators.Compaction.compact(spark, s"$path/doc_stats",
             rangeBy = batchRange("doc_stats"))
         }
         val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-        if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+        if (!posDocBucketed &&
+            pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
           operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
             rangeBy = batchRange("positional"))
         None

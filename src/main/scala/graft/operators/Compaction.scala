@@ -65,8 +65,12 @@ object Compaction {
 
     // Idempotence short-circuits — a scheduled `index compact` cron must
     // not pay a full table rewrite on a store nothing touched since the
-    // last run. Plain path: already at the target file count → the
-    // rewrite would be a byte-identical copy, skip it. rangeBy path:
+    // last run. Plain path: already at the target file count AND no file
+    // grossly oversized — count parity alone does not imply balance (one
+    // near-total-size file plus tiny ones can match the computed target
+    // and would then never be rebalanced), so the skip also requires
+    // every file within a compression-granularity margin of targetBytes.
+    // rangeBy path:
     // repartitionByRange always rewrites (its value is the LAYOUT, not
     // the count), so the no-op test is a `_compact_range_state` marker
     // recording a fingerprint of the exact file listing + request the
@@ -74,7 +78,8 @@ object Compaction {
     // rangeBy/targetBytes perturbs the listing or the request and forces
     // a genuine re-run. Listing fingerprints are driver-side metadata
     // (≤ file count entries), never a data scan.
-    if (rangeBy.isEmpty && target == dataFiles.length)
+    val balanced = dataFiles.forall(_.getLen <= (targetBytes * 3) / 2)
+    if (rangeBy.isEmpty && target == dataFiles.length && balanced)
       return CompactionStats(dataFiles.length, dataFiles.length, totalBytes, target)
     if (rangeBy.nonEmpty &&
         graft.FsOps.readMarker(spark, path, RangeStateMarker)
@@ -90,8 +95,11 @@ object Compaction {
         df.repartitionByRange(target, cols: _*).sortWithinPartitions(cols: _*)
       }
       else if (target < dataFiles.length) df.coalesce(target)
-      else if (target > dataFiles.length) df.repartition(target)
-      else df
+      // target >= count: widening, or count-parity-but-imbalanced (the
+      // skip above declined) — either way only a real exchange
+      // rebalances; coalesce can only merge and read-splits don't split
+      // small-but-skewed files
+      else df.repartition(target)
     // underscore prefix: invisible to concurrent readers of a partitioned
     // parent (and never parsed as a partition dir)
     val tmp = new Path(dir.getParent, s"_${dir.getName}.compact_tmp")

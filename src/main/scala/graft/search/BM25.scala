@@ -144,6 +144,16 @@ object BM25 {
         // bucket union inconsistent with the join's terms, silently
         // pruning away matching postings — one materialization makes
         // both consumers see the same rows by construction.
+        // Costs, by design (same trade as Dedup.spanClean): the
+        // checkpointed (query_id, term) pairs pin executor block storage
+        // ∝ log size until the ContextCleaner reclaims the frame after
+        // the caller's reference drops — a long-running serving session
+        // issuing many logs accumulates blocks between GCs; and the
+        // frame is NON-RECOMPUTABLE (checkpointing truncates lineage),
+        // so an executor lost after this point fails the query instead
+        // of silently recomputing — which for a nondeterministic log
+        // could resurrect the very inconsistency this guards against.
+        // Loud failure over silent wrong answers.
         val qtOnce = qt.localCheckpoint(true)
         val buckets = qtOnce
           .select(graft.index.Indexer.termBucket(col("term"), nb).as("b"))

@@ -53,6 +53,29 @@ class BenchReverifySpec extends AnyFunSuite {
     assert(m.head.secs === 8.8 && m.head.reverified)
   }
 
+  test("a planned outlier with no successful re-measurement fails the merge") {
+    val cur = Seq(
+      Entry("q_a", 31.6, ok = true, reps = 2),
+      Entry("q_c", 11.0, ok = true, reps = 2))
+    // re-run missing entirely: the suspect original must not pass
+    // through unstamped as if never questioned
+    val e1 = intercept[IllegalArgumentException] {
+      merge(cur, Seq.empty, planned = Seq("q_a"))
+    }
+    assert(e1.getMessage.contains("q_a"))
+    // re-run present but FAILED: same refusal (ok=false re-measurements
+    // are filtered, so the plan stays unsatisfied)
+    val e2 = intercept[IllegalArgumentException] {
+      merge(cur, Seq(Entry("q_a", 3.4, ok = false, reps = 1)),
+        planned = Seq("q_a"))
+    }
+    assert(e2.getMessage.contains("q_a"))
+    // satisfied plan merges exactly like the unplanned call
+    val m = merge(cur, Seq(Entry("q_a", 3.4, ok = true, reps = 2)),
+      planned = Seq("q_a"))
+    assert(m.find(_.name == "q_a").get.reverified)
+  }
+
   test("render/parse roundtrip preserves entries and the stamp") {
     val entries = Seq(
       Entry("q_a", 3.4, ok = true, reps = 4, reverified = true),

@@ -32,7 +32,7 @@ class IndexStoreSpec extends SparkSpec {
     assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L))
   }
 
-  test("stale swap-aside beside a live marker is self-healed, not resurrected") {
+  test("stale swap-aside heals via the maintenance verb, never on the read path") {
     val path = Files.createTempDirectory("fsopsstale").toString
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,13 +43,30 @@ class IndexStoreSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")))
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"), true)
     try out.write("9".getBytes("UTF-8")) finally out.close()
-    // the read returns the live value AND deletes the stale aside: left
-    // in place, a later manual delete of the live marker (a documented
-    // reset) would silently revive 7 through the aside fallback —
-    // an outdated _lastbatch means ordinal reuse on the next append
+    // the read returns the live value but must NOT delete the aside:
+    // "live + aside" is indistinguishable from a concurrent writer's
+    // mid-swap state, where the aside is the only durable copy — a
+    // read-path delete could destroy the value the writer's rollback
+    // needs (ADVICE r12: the TOCTOU race on serving reads)
     assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")),
+      "the read path must leave the aside in place")
+    // the explicit maintenance verb (no concurrent writer by contract)
+    // is where the stale aside heals — left forever, a later manual
+    // delete of the live marker (a documented reset) would silently
+    // revive 7 through the aside fallback (ordinal reuse on next append)
+    assert(FsOps.healStaleAsides(spark, path) === Seq("_lastbatch"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")),
-      "stale aside must be healed away once a live marker coexists with it")
+      "heal-markers must delete a stale aside whose live marker exists")
+    // an aside WITHOUT a live file is a crashed swap's only copy: kept
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"),
+      new org.apache.hadoop.fs.Path(s"$path/__lastbatch.swap_old")))
+    assert(FsOps.healStaleAsides(spark, path) === Seq.empty)
+    assert(FsOps.readLongMarker(spark, path, "_lastbatch") === Some(9L),
+      "heal-markers must keep an aside that is the only durable copy")
+    // restore live, heal, then a deliberate reset reads as never-recorded
+    FsOps.writeLongMarker(spark, path, "_lastbatch", 9L)
+    assert(FsOps.healStaleAsides(spark, path) === Seq.empty) // swap healed it
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_lastbatch"), false)
     assert(FsOps.readLongMarker(spark, path, "_lastbatch") === None,
       "after the heal, a deliberate marker reset must read as never-recorded")

@@ -56,6 +56,42 @@ class JsonlSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === before.size.toLong)
   }
 
+  test("count parity does not skip an imbalanced directory (one huge + tiny files)") {
+    import graft.operators.Compaction
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val path = Files.createTempDirectory("compact-skew").toString + "/t"
+    // one near-total-size file plus a sliver: two files
+    docs.filter(col("doc_id") =!= 0L).coalesce(1).write.parquet(path)
+    docs.filter(col("doc_id") === 0L).coalesce(1).write.mode("append").parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.length).sorted
+    assert(files.length === 2 && files.last > files.head * 10,
+      s"fixture must be skewed: ${files.mkString(",")}")
+    // pick targetBytes so the computed target EQUALS the file count but
+    // the big file is well past the 1.5x margin — the old count-parity
+    // skip would have frozen this layout forever
+    val total = files.sum
+    val targetBytes = (total + 1) / 2
+    assert(files.last > (targetBytes * 3) / 2)
+    val before = docs.as[(Long, String, String, String)].collect().toSet
+    val stats = Compaction.compact(spark, path, targetBytes = targetBytes)
+    assert(stats.targetFiles === 2, "fixture arithmetic drifted")
+    val rebalanced = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.length)
+    assert(rebalanced.max <= (targetBytes * 3) / 2,
+      s"rewrite must rebalance, got ${rebalanced.mkString(",")}")
+    assert(spark.read.parquet(path)
+      .as[(Long, String, String, String)].collect().toSet === before)
+    // now balanced at target: the skip fires (no rewrite). The rewrite
+    // changed compression (shuffled rows encode differently), so price
+    // the second request off the NEW total
+    val names = new java.io.File(path).listFiles().map(_.getName).toSet
+    Compaction.compact(spark, path, targetBytes = (rebalanced.sum + 1) / 2)
+    assert(new java.io.File(path).listFiles().map(_.getName).toSet === names,
+      "balanced-at-target directory must not be rewritten again")
+  }
+
   test("rangeBy compaction keeps per-file batch ranges disjoint (audit skipping survives)") {
     import graft.operators.Compaction
     // a batch-tracked table in its append-heavy natural state: many

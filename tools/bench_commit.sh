@@ -35,6 +35,6 @@ echo "[bench_commit] re-verifying outliers in a fresh solo JVM: $PLAN"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$PLAN" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*' | tail -1 > /dev/null
 
-sbt -batch "runMain graft.BenchReverify merge bench_last.jsonl bench_subset.jsonl bench_last.jsonl bench_last.json $SF" 2>&1 \
+sbt -batch "runMain graft.BenchReverify merge bench_last.jsonl bench_subset.jsonl bench_last.jsonl bench_last.json $SF $PLAN" 2>&1 \
   | grep -o 'MERGED=.*' | tail -1
 echo "[bench_commit] done — committed values are re-measured minima (stamped)"
