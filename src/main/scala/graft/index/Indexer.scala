@@ -128,9 +128,20 @@ object Indexer {
     * a k-term phrase reads ≤ k of `nBuckets` partitions, statically
     * pruned via the driver-side bucket twin). The positional analog of
     * the frequency store — what [[graft.search.PhraseSearch.searchStore]]
-    * queries. */
+    * queries.
+    *
+    * `docBuckets`: additionally co-bucket (and sort) the rows by doc_id
+    * as a catalog table — the positional face of [[writeIndex]]'s
+    * doc-bucketed layout: the batch phrase/proximity rollup groups per
+    * `(query_id, doc_id)`, and a doc_id-bucketed scan already satisfies
+    * that clustering (doc_id is a subset of the group keys), so the
+    * rollup's exchange disappears whenever the query-log join broadcasts
+    * (the common serving shape). Defaults to the CO-LOCATED frequency
+    * store's recorded doc-bucket layout, so the two tables compose
+    * automatically; term-bucket partitioning is kept either way. */
   def writePositional(corpus: DataFrame, path: String, nBuckets: Int = 64,
-                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      docBuckets: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     // a positional table co-located with an existing frequency store
     // joins that store's batch SEQUENCE — each row inherits ITS DOC'S
@@ -158,12 +169,33 @@ object Indexer {
       // and breaking the positional audit join
       else if (dsExists) pos
       else pos.withColumn("batch", lit(batch)) // true standalone: own sequence
-    tagged
-      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
-      .repartition(nBuckets, col("term_bucket"))
-      .write.mode("overwrite")
-      .partitionBy("term_bucket")
-      .parquet(s"$path/positional")
+    docBuckets.orElse(docBucketsOf(spark, path)) match {
+      case Some(db) =>
+        writeBucketedStoreTable(tagged, path, "positional", db,
+          termBuckets = Some(nBuckets))
+        writeBucketsMarker(spark, path, db, PositionalDocBucketsMarker)
+      case None =>
+        // a plain overwrite of a previously doc-bucketed positional table
+        // must retire the old layout record and catalog entry — a stale
+        // marker would route readers through a bucket spec the new files
+        // no longer honor
+        spark.sql(s"DROP TABLE IF EXISTS " +
+          s"`${catalogTableName(spark, path, "positional")}`")
+        // remove the live marker AND any swap aside: readMarker recovers
+        // a "missing" marker from the aside, so a reset must drop both
+        val pm = new org.apache.hadoop.fs.Path(
+          s"$path/$PositionalDocBucketsMarker")
+        val pfs = pm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        pfs.delete(pm, false)
+        pfs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/_$PositionalDocBucketsMarker.swap_old"), false)
+        tagged
+          .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+          .repartition(nBuckets, col("term_bucket"))
+          .write.mode("overwrite")
+          .partitionBy("term_bucket")
+          .parquet(s"$path/positional")
+    }
     // start the batch sequence ONLY for a standalone positional store —
     // writing the marker beside a LEGACY (pre-batch-tracking) frequency
     // store would make the next appendIndex tag its rows and mix
@@ -428,12 +460,29 @@ object Indexer {
       if (coTrackedBackfill)
         inheritDocBatch(spark, path, pos, newCorpus.select(col(idCol).as("doc_id")))
       else b.map(x => pos.withColumn("batch", lit(x))).getOrElse(pos) // legacy: untagged
-    tagged
-      .withColumn("term_bucket", termBucket(col("term"), nb))
-      .repartition(nb, col("term_bucket"))
-      .write.mode("append")
-      .partitionBy("term_bucket")
-      .parquet(s"$path/positional")
+    positionalDocBucketsOf(spark, path) match {
+      case Some(db) =>
+        // doc-bucketed positional table: append THROUGH the catalog with
+        // the store's own bucket spec (same discipline as appendIndex's
+        // bucketed branch — bucket-suffixed file names keep the
+        // exchange-free rollup valid across appends)
+        val name = registerBucketedTable(spark, path, "positional", db,
+          partitioned = true)
+        tagged
+          .withColumn("term_bucket", termBucket(col("term"), nb))
+          .repartition(db, col("doc_id"))
+          .write.format("parquet")
+          .partitionBy("term_bucket")
+          .bucketBy(db, "doc_id").sortBy("doc_id")
+          .mode("append").saveAsTable(name)
+      case None =>
+        tagged
+          .withColumn("term_bucket", termBucket(col("term"), nb))
+          .repartition(nb, col("term_bucket"))
+          .write.mode("append")
+          .partitionBy("term_bucket")
+          .parquet(s"$path/positional")
+    }
     if (standalone && !coTrackedBackfill)
       b.foreach(x => writeLongMarker(spark, path, LastBatchMarker, x))
   }
@@ -497,12 +546,18 @@ object Indexer {
         swapTable(spark, path, "postings")
     }
     if (hasPos && posDf.columns.contains("batch")) {
-      val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
-      posDf.filter(col("batch") <= marker)
-        .repartition(pnb, col("term_bucket"))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$path/positional_tmp")
-      swapTable(spark, path, "positional")
+      positionalDocBucketsOf(spark, path) match {
+        case Some(db) =>
+          rewriteBucketedStoreTable(spark, path, "positional",
+            posDf.filter(col("batch") <= marker), db, partitioned = true)
+        case None =>
+          val pnb = storedPositionalBuckets(spark, path).getOrElse(64)
+          posDf.filter(col("batch") <= marker)
+            .repartition(pnb, col("term_bucket"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(s"$path/positional_tmp")
+          swapTable(spark, path, "positional")
+      }
     }
   }
 
@@ -776,15 +831,44 @@ object Indexer {
                    path: String): Option[Int] =
     storedBuckets(spark, path, DocBucketsMarker)
 
+  /** Per-table doc-bucket marker for the POSITIONAL table (the
+    * positional twin of [[DocBucketsMarker]], separate for the same
+    * reason the term-bucket markers are per-table: a positional table
+    * co-located with a frequency store may carry a different — or no —
+    * doc-bucket layout, and each reader must trust only its own
+    * table's record). */
+  val PositionalDocBucketsMarker = "_docbuckets_positional"
+
+  /** The doc-bucket count the positional table was written with, if
+    * doc-bucketed. */
+  def positionalDocBucketsOf(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[Int] =
+    storedBuckets(spark, path, PositionalDocBucketsMarker)
+
+  /** Marker recording the batch watermark [[compactDocBucketed]] merged
+    * through: its rewrite mixes ingest batches inside each bucket file,
+    * so file-level `batch > since` min/max skipping is dead for audits
+    * whose watermark sits BELOW this value — [[checkStoreIncremental]]
+    * reads it to report the forced-full degradation loudly instead of
+    * silently paying a full scan. */
+  val CompactedThroughMarker = "_compacted_through"
+
   /** Deterministic session-catalog name for a store table — derived from
     * the (qualified) store path so distinct stores never collide and the
-    * same store re-registers under the same name in any session. */
+    * same store re-registers under the same name in any session. The
+    * digest is the first 16 hex chars of SHA-256 (64 collision bits): a
+    * 32-bit digest gave two long-lived stores a real chance of sharing a
+    * name, and colliding stores THRASH — each read's location check
+    * drops and re-creates the other's catalog entry (correct via
+    * idempotent re-registration, but an MSCK re-sync per alternating
+    * read). */
   def catalogTableName(spark: org.apache.spark.sql.SparkSession,
                        path: String, table: String): String = {
     val qualified = qualifiedUri(spark, path).toString.stripSuffix("/")
-    val c = new java.util.zip.CRC32()
-    c.update(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    f"graft_ix_${c.getValue}%08x_$table"
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString
+    s"graft_ix_${hex}_$table"
   }
 
   private def qualifiedUri(spark: org.apache.spark.sql.SparkSession,
@@ -892,15 +976,32 @@ object Indexer {
     * is preserved, which is the right priority for a serving store. */
   def compactDocBucketed(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
-    val db = docBucketsOf(spark, path).getOrElse(throw new IllegalStateException(
-      s"compactDocBucketed: no $DocBucketsMarker marker at $path — use " +
-        "the generic Compaction for a plain store"))
-    rewriteBucketedStoreTable(spark, path, "postings",
-      bucketedStoreTable(spark, path, "postings", db, partitioned = true),
-      db, partitioned = true)
-    rewriteBucketedStoreTable(spark, path, "doc_stats",
-      bucketedStoreTable(spark, path, "doc_stats", db, partitioned = false),
-      db, partitioned = false)
+    val freqDb = docBucketsOf(spark, path)
+    val posDb = positionalDocBucketsOf(spark, path)
+    require(freqDb.isDefined || posDb.isDefined,
+      s"compactDocBucketed: no $DocBucketsMarker or " +
+        s"$PositionalDocBucketsMarker marker at $path — use the generic " +
+        "Compaction for a plain store")
+    freqDb.foreach { db =>
+      rewriteBucketedStoreTable(spark, path, "postings",
+        bucketedStoreTable(spark, path, "postings", db, partitioned = true),
+        db, partitioned = true)
+      rewriteBucketedStoreTable(spark, path, "doc_stats",
+        bucketedStoreTable(spark, path, "doc_stats", db, partitioned = false),
+        db, partitioned = false)
+    }
+    // a co-located (or standalone) doc-bucketed positional table compacts
+    // through the same layout-preserving rewrite
+    posDb.foreach { db =>
+      rewriteBucketedStoreTable(spark, path, "positional",
+        bucketedStoreTable(spark, path, "positional", db, partitioned = true),
+        db, partitioned = true)
+    }
+    // record the watermark the merge destroyed file-level batch skipping
+    // up to, so the next incremental audit can report its forced-full
+    // degradation instead of silently paying it (see CompactedThroughMarker)
+    lastBatch(spark, path).foreach(b =>
+      writeLongMarker(spark, path, CompactedThroughMarker, b))
   }
 
   /** Maintenance rewrite of one doc-bucketed store table, layout
@@ -1036,12 +1137,19 @@ object Indexer {
     if (fs.exists(pos)) {
       // the positional table keeps its OWN bucket layout, which may
       // differ from the frequency store's (per-table markers)
-      val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
-      minusDeletes(spark, path, spark.read.parquet(s"$path/positional"))
-        .repartition(pnb, col("term_bucket"))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$path/positional_tmp")
-      swapTable(spark, path, "positional")
+      val livePos = minusDeletes(spark, path, readPositional(spark, path))
+      positionalDocBucketsOf(spark, path) match {
+        case Some(db) =>
+          rewriteBucketedStoreTable(spark, path, "positional", livePos, db,
+            partitioned = true)
+        case None =>
+          val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
+          livePos
+            .repartition(pnb, col("term_bucket"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(s"$path/positional_tmp")
+          swapTable(spark, path, "positional")
+      }
     }
     fs.delete(del, true)
   }
@@ -1321,8 +1429,23 @@ object Indexer {
       }
     }
 
+    // a doc-bucketed compaction merged ingest batches inside each bucket
+    // file: when the merge reached past this audit's watermark, the
+    // `batch > since` filter can no longer skip any merged file on
+    // footer min/max alone — the audit still answers correctly but pays
+    // a FULL scan of the compacted tables. Report that loudly (checked=1)
+    // instead of letting the operator believe the delta priced the run;
+    // `mark-audited` after compacting retires the row.
+    val forcedFull = {
+      val through = readLongMarker(spark, path, CompactedThroughMarker)
+      if (through.exists(_ > since))
+        row("delta_full_audit_forced_doc_compaction",
+          spark.range(1).select(lit(1L).as("checked"), lit(0L).as("violations")))
+      else emptyRow(spark, "delta_full_audit_forced_doc_compaction")
+    }
+
     graft.operators.StoreCheck.report(
-      Seq(unique, positionalCheck, layout, orphans))
+      Seq(unique, positionalCheck, layout, orphans, forcedFull))
   }
 
   /** Load a persisted index store back as an [[InvertedIndex]]. A
@@ -1344,6 +1467,21 @@ object Indexer {
       vocab = spark.read.parquet(s"$path/vocab"),
       meta = spark.read.parquet(s"$path/meta"))
   }
+
+  /** The positional table of a store, routed like [[readIndex]]'s big
+    * tables: a doc-bucketed positional table ([[writePositional]] with
+    * `docBuckets`) reads THROUGH the catalog so the batch rollup's
+    * `(query_id, doc_id)` grouping plans without an exchange; a plain
+    * table is a plain parquet read. Registration failure degrades to the
+    * plain read (correct, shuffled) — same contract as the frequency
+    * side. */
+  def readPositional(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    positionalDocBucketsOf(spark, path) match {
+      case Some(db) => bucketedStoreTable(spark, path, "positional", db,
+        partitioned = true)
+      case None => spark.read.parquet(s"$path/positional")
+    }
 
   /** LIVE view of a store: [[readIndex]] minus tombstoned documents
     * ([[deleteDocs]]). Without a `deletes` table this IS readIndex —

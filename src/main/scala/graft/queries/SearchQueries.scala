@@ -268,6 +268,32 @@ object SearchQueries extends QueryGroup {
         BatchProx.toDF("query_id", "phrase"), ProxWindow)
     }),
 
+    // the DOC-BUCKETED positional layout (writePositional with
+    // docBuckets): rows co-bucketed by doc_id as a catalog table, so the
+    // batch rollup's (query_id, doc_id) grouping plans exchange-free —
+    // built on half the corpus and grown through the bucketed append
+    // path; answers must be byte-identical to the plain layout
+    // (oracle shared with q_phrase_store)
+    "q_phrase_store_bucketed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = QueryGroup.scratchDir("graft-posdocbkt")
+      Indexer.writePositional(d.filter(col("doc_id") % 2 === 0), path,
+        docBuckets = Some(8))
+      Indexer.appendPositional(s, path, d.filter(col("doc_id") % 2 === 1))
+      graft.search.PhraseSearch.searchStore(s, path, PhraseQuery, 10)
+    }),
+
+    // ...and the batch proximity face over the same layout: bucket-union
+    // term pruning composes with the doc-co-located rollup (oracle
+    // shared with q_prox_batch_store)
+    "q_prox_batch_store_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val path = QueryGroup.scratchDir("graft-proxdocbkt")
+      Indexer.writePositional(docs(s, dir), path, docBuckets = Some(8))
+      graft.search.PhraseSearch.proximityStoreMany(s, path,
+        BatchProx.toDF("query_id", "phrase"), ProxWindow)
+    }),
+
     // ...and the sloppy-phrase face of the same store
     "q_proximity_store" -> ((s, dir) => {
       val path = QueryGroup.scratchDir("graft-proxstore")
@@ -522,6 +548,10 @@ object SearchQueries extends QueryGroup {
 
     "q_phrase_search" -> phraseOracle,
     "q_phrase_store" -> phraseOracle,
+    // the doc-bucketed positional layout is answer-identical to the
+    // plain store (single face grown by append, and the batch face)
+    "q_phrase_store_bucketed" -> phraseOracle,
+    "q_prox_batch_store_bucketed" -> proxBatchOracle,
     // the batch faces: the single-phrase chain run once per query id
     "q_phrase_batch" -> phraseBatchOracle,
     "q_phrase_batch_store" -> phraseBatchOracle,
@@ -566,13 +596,16 @@ object SearchQueries extends QueryGroup {
 
     // the incremental audit's report: every checked count is an
     // ODD-half (batch-1 delta) population — the even half was appended
-    // as batch 0 and vouched for, so the audit never touches it
+    // as batch 0 and vouched for, so the audit never touches it; the
+    // forced-full advisory row reads checked=0 (no doc-bucketed
+    // compaction ever ran on this store)
     "q_store_fsck_incr" ->
       s"""WITH tok AS ($SqlTok),
                pairs AS (SELECT DISTINCT term, doc_id FROM tok WHERE doc_id % 2 = 1)
           SELECT 'delta_docs_unique' AS invariant,
                  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS checked,
                  CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'delta_full_audit_forced_doc_compaction', 0, 0
           UNION ALL SELECT 'delta_positional_matches_postings',
                  (SELECT count(*) FROM pairs), 0
           UNION ALL SELECT 'delta_postings_bucket_layout',

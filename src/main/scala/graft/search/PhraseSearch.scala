@@ -219,11 +219,15 @@ object PhraseSearch {
     * nondeterministic query frame (sample, rand-derived ids)
     * re-evaluated per consumer could otherwise yield a bucket union
     * inconsistent with the join's terms and silently drop matches
-    * (same discipline as [[BM25.searchManyStore]]). */
+    * (same discipline as [[BM25.searchManyStore]], costs included: the
+    * checkpointed pairs pin executor block storage ∝ log size until the
+    * ContextCleaner reclaims them, and the frame is non-recomputable —
+    * an executor lost after the checkpoint fails the query loudly
+    * rather than risking a silently-inconsistent recompute). */
   private def liveForLog(spark: org.apache.spark.sql.SparkSession,
                          path: String, qt: DataFrame,
                          nBuckets: Int): (DataFrame, DataFrame) = {
-    val raw = spark.read.parquet(s"$path/positional")
+    val raw = Indexer.readPositional(spark, path)
     val (pruned, qtUsed) = Indexer.pruningBuckets(spark, path, "positional",
         Indexer.storedPositionalBuckets(spark, path), nBuckets) match {
       case Some(nb) =>
@@ -279,7 +283,7 @@ object PhraseSearch {
   private def livePositional(spark: org.apache.spark.sql.SparkSession,
                              path: String, terms: Seq[String],
                              nBuckets: Int): DataFrame = {
-    val raw = spark.read.parquet(s"$path/positional")
+    val raw = Indexer.readPositional(spark, path)
     val pruned = Indexer.pruningBuckets(spark, path, "positional",
         Indexer.storedPositionalBuckets(spark, path), nBuckets) match {
       case Some(nb) =>

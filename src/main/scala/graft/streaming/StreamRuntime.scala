@@ -201,7 +201,8 @@ object StreamRuntime {
     */
   def indexIngestBatch(spark: SparkSession, storePath: String, batch: DataFrame,
                        ordinal: Long, titleCol: Option[String] = None,
-                       nBuckets: Int = 64): Unit = {
+                       nBuckets: Int = 64,
+                       docBuckets: Option[Int] = None): Unit = {
     val last = graft.index.Indexer.lastBatch(spark, storePath)
     if (last.exists(_ >= ordinal)) {
       // the store marker at/past this ordinal is EITHER an engine replay
@@ -236,9 +237,13 @@ object StreamRuntime {
       return // replayed, fully applied
     }
     if (ordinal == 0L)
+      // docBuckets only matters at bootstrap: every later append routes
+      // by the store's own _docbuckets marker (appendIndex), so each
+      // micro-batch lands bucket-suffixed and the zero-shuffle scoring
+      // join stays valid across the whole stream
       graft.index.Indexer.writeIndex(
         graft.index.Indexer.buildIndex(batch, titleCol = titleCol),
-        storePath, nBuckets)
+        storePath, nBuckets, docBuckets = docBuckets)
     else {
       require(last.contains(ordinal - 1),
         s"index ingest stream at $storePath: store is at batch $last but the " +
@@ -283,7 +288,8 @@ object StreamRuntime {
     * resume, never to re-stream different files. */
   def runIndexIngest(spark: SparkSession, srcDir: String, storePath: String,
                      titleCol: Option[String] = None, nBuckets: Int = 64,
-                     checkpointDir: Option[String] = None): Unit = {
+                     checkpointDir: Option[String] = None,
+                     docBuckets: Option[Int] = None): Unit = {
     val ckpt = checkpointDir.getOrElse(
       graft.queries.QueryGroup.scratchDir("graft-ixingest-run") + "/ckpt")
     val base = graft.FsOps.readLongMarker(spark, ckpt, StreamBaseMarker).getOrElse {
@@ -312,7 +318,7 @@ object StreamRuntime {
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         indexIngestBatch(batch.sparkSession, storePath, batch.toDF(),
-          base + id, titleCol, nBuckets)
+          base + id, titleCol, nBuckets, docBuckets)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

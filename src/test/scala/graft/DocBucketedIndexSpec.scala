@@ -173,4 +173,107 @@ class DocBucketedIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already exist"))
   }
+
+  // ---- the POSITIONAL table's doc-bucketed layout ----
+
+  private val Phrase = "hash join"
+  private def proxLog = {
+    import spark.implicits._
+    Seq(1L -> Phrase, 2L -> "scan filter").toDF("query_id", "phrase")
+  }
+
+  private def phraseRows(p: String): Seq[(Long, Long, Long)] =
+    graft.search.PhraseSearch.searchStore(spark, p, Phrase, 10, nBuckets = 16)
+      .select(col("rank"), col("doc_id"), col("phrase_tf"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+  private def proxRows(p: String): Seq[(Long, Long, Long, Long)] =
+    graft.search.PhraseSearch.proximityStoreMany(spark, p, proxLog,
+        window = 3, k = 10, nBuckets = 16)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("prox_tf"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("doc-bucketed positional store answers exactly like the plain one, all faces") {
+    val plain = Files.createTempDirectory("posplain").toString
+    val bucketed = Files.createTempDirectory("posdocbkt").toString
+    Indexer.writePositional(docs, plain, nBuckets = 16)
+    // built on half and grown through the bucketed APPEND path
+    Indexer.writePositional(docs.filter(col("doc_id") % 2 === 0), bucketed,
+      nBuckets = 16, docBuckets = Some(4))
+    Indexer.appendPositional(spark, bucketed,
+      docs.filter(col("doc_id") % 2 =!= 0), nBuckets = 16)
+    assert(Indexer.positionalDocBucketsOf(spark, bucketed) === Some(4))
+    assert(Indexer.positionalDocBucketsOf(spark, plain) === None)
+
+    assert(phraseRows(bucketed) === phraseRows(plain))
+    assert(proxRows(bucketed) === proxRows(plain))
+    import spark.implicits._
+    def batchRows(p: String) =
+      graft.search.PhraseSearch.searchStoreMany(spark, p,
+          Seq(1L -> Phrase, 2L -> "fast scan").toDF("query_id", "phrase"),
+          k = 10, nBuckets = 16)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("phrase_tf"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(batchRows(bucketed) === batchRows(plain))
+  }
+
+  test("batch rollup over the doc-bucketed positional store loses its exchange") {
+    val path = Files.createTempDirectory("posdocbktplan").toString
+    Indexer.writePositional(docs, path, nBuckets = 16, docBuckets = Some(4))
+    def assertPlan(tag: String): Unit = {
+      val df = graft.search.PhraseSearch.searchStoreMany(spark, path, proxLog,
+        k = 10, nBuckets = 16)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"$tag: positional scan must be bucketed:\n$p")
+      // the per-(query,doc) rollup groups on (query_id, doc_id); the
+      // bucketed doc_id partitioning already satisfies that clustering,
+      // so NO exchange may precede the aggregation (the TopKPerKey
+      // repartition on query_id alone is expected and bounded)
+      assert(!"Exchange hashpartitioning\\(query_id#\\d+L?, doc_id".r
+          .findFirstIn(p).isDefined,
+        s"$tag: rollup still shuffles on (query_id, doc_id):\n$p")
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"$tag: rollup still shuffles on doc_id:\n$p")
+      // static term-bucket pruning composes with the doc-bucketed layout
+      assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+        s"$tag: term_bucket partition pruning lost:\n$p")
+    }
+    assertPlan("fresh store")
+    // the layout survives append and the layout-aware compaction
+    Indexer.appendPositional(spark, path,
+      docs.limit(0), nBuckets = 16, checkDuplicates = false) // schema-only append
+    Indexer.compactDocBucketed(spark, path)
+    assertPlan("after compaction")
+  }
+
+  test("streamed ingest into a doc-bucketed store keeps the zero-shuffle plan") {
+    val src = Files.createTempDirectory("ixstreamdbsrc").toString
+    val store = Files.createTempDirectory("ixstreamdbstore").toString
+    graft.streaming.StreamRuntime.orderedDrops(spark,
+      Seq(0, 1, 2).map(r => docs.filter(col("doc_id") % 3 === r)
+        .select("doc_id", "text", "source")), src)
+    graft.streaming.StreamRuntime.runIndexIngest(spark, src, store,
+      titleCol = Some("source"), nBuckets = 16, docBuckets = Some(4))
+    assert(Indexer.docBucketsOf(spark, store) === Some(4))
+    assert(Indexer.lastBatch(spark, store) === Some(2L),
+      "three drops must land as three ingest ordinals")
+    // answers like a one-shot full build
+    val full = Files.createTempDirectory("ixstreamdbfull").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs, titleCol = Some("source")),
+      full, nBuckets = 16)
+    assert(searchRows(store) === searchRows(full))
+    // ...and the plan is still exchange-free after >= 2 streamed batches
+    // (per-batch bucket files accumulate; the catalog re-sync must keep
+    // reporting a bucketed scan)
+    withSmj {
+      val df = BM25.searchStore(spark, store, Query, nBuckets = 16)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") &&
+        !p.contains("Exchange hashpartitioning(doc_id"),
+        s"streamed doc-bucketed store lost the zero-shuffle plan:\n$p")
+    }
+  }
 }

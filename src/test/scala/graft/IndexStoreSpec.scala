@@ -585,7 +585,10 @@ class IndexStoreSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
 
     val clean = report()
-    assert(clean.size === 4)
+    assert(clean.size === 5)
+    // no doc-bucketed compaction ever ran: the forced-full advisory
+    // row is present (stable schema) but reads checked = 0
+    assert(clean("delta_full_audit_forced_doc_compaction") === ((0L, 0L)))
     assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
     // audited exactly the appended population, not the store
     assert(clean("delta_docs_unique")._1 === half2.count())
@@ -610,6 +613,36 @@ class IndexStoreSpec extends SparkSpec {
     val advanced = report()
     assert(advanced("delta_docs_unique")._1 === 0L)
     assert(advanced.values.forall(_._2 == 0L))
+  }
+
+  test("incremental audit reports its forced-full degradation after doc-bucketed compaction") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixforcedfull").toString
+    Indexer.writeIndex(
+      Indexer.buildIndex(docs.filter(col("doc_id") % 2 === 0)),
+      path, nBuckets = 16, docBuckets = Some(4))
+    Indexer.markAudited(spark, path) // deep audit vouched for batch 0
+    Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 2 === 1))
+
+    def forced(): (Long, Long) =
+      Indexer.checkStoreIncremental(spark, path, nBuckets = 16)
+        .as[(String, Long, Long)].collect()
+        .collectFirst { case ("delta_full_audit_forced_doc_compaction", c, v) => (c, v) }
+        .get
+
+    // pre-compaction: batch-per-file skipping intact, no degradation
+    assert(forced() === ((0L, 0L)))
+    // the layout-preserving compaction merges batches 0 and 1 inside
+    // each bucket file: the next `batch > 0` audit can no longer skip
+    // any merged file on footer min/max — the report says so loudly
+    // (checked = 1) instead of silently paying the full scan
+    Indexer.compactDocBucketed(spark, path)
+    assert(forced() === ((1L, 0L)),
+      "post-compaction incremental audit must report the forced-full degradation")
+    // mark-audited past the merge watermark retires the advisory
+    Indexer.markAudited(spark, path)
+    assert(forced() === ((0L, 0L)),
+      "an audit whose watermark covers the merge skips the merged files again")
   }
 
   test("clobbered legacy root marker degrades to an unpruned (correct) read") {

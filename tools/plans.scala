@@ -17,7 +17,11 @@ val names = Seq(
   "q_dedup_repair", "q_ivf_repair", "q_vstore_repair",
   "q_vstore_fsck_incr", "q_stream_prep_ingest", "q_prep_ann",
   "q_bm25_batch", "q_bm25_batch_store", "q_stream_index_ingest",
-  "q_phrase_batch_store", "q_prox_batch_store")
+  "q_phrase_batch_store", "q_prox_batch_store",
+  // r12/r13 flagships: the doc-bucketed zero-exchange serving joins,
+  // their positional twins, and the gate-covered compaction lifecycle
+  "q_bm25_store_bucketed", "q_bm25_batch_store_bucketed", "q_store_compact",
+  "q_phrase_store_bucketed", "q_prox_batch_store_bucketed")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")

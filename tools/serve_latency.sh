@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Warm serving-latency evidence (VERDICT r12 #4): build each store once
+# at sf0.1, time k warm query jobs per face, report p50/p95 — plain vs
+# doc-bucketed — into bench_serving.json (committed per round). The gate
+# entries time build+query lifecycles; this is the marginal per-query
+# cost a serving deployment cares about, and the direct measurement of
+# the doc-bucketed layout's benefit. Run SOLO on an idle box.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+
+sbt -batch compile >/dev/null
+
+SPARK_GRAFT_SF_DIR="$SF" /opt/spark/bin/spark-shell --master 'local[32]' \
+  --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+  --driver-class-path target/scala-2.13/classes \
+  -I tools/serve_latency.scala <<< 'sys.exit(0)' \
+  | grep -o 'SERVE[A-Z]* [a-z_=0-9. ]*' > /tmp/serve_latency.txt
+  # -o: spark progress-bar \r can glue onto line starts
+cat /tmp/serve_latency.txt
+
+python3 - "$SF" <<'EOF'
+import json, re, sys
+builds, faces = {}, {}
+for line in open('/tmp/serve_latency.txt'):
+    m = re.match(r'SERVEBUILD store=(\S+) secs=([\d.]+)', line)
+    if m:
+        builds[m.group(1)] = float(m.group(2))
+    m = re.match(r'SERVE face=(\S+) layout=(\S+) reps=(\d+) '
+                 r'p50=([\d.]+) p95=([\d.]+)', line)
+    if m:
+        faces.setdefault(m.group(1), {})[m.group(2)] = {
+            "reps": int(m.group(3)),
+            "p50_secs": float(m.group(4)), "p95_secs": float(m.group(5))}
+ratios = {f: round(v["plain"]["p50_secs"] / v["docbkt"]["p50_secs"], 2)
+          for f, v in faces.items() if "plain" in v and "docbkt" in v}
+out = {"sf": sys.argv[1], "cpus": 32,
+       "build_secs": {k: round(v, 2) for k, v in builds.items()},
+       "faces": faces, "plain_over_docbkt_p50": ratios}
+json.dump(out, open('bench_serving.json', 'w'), indent=1)
+print(json.dumps({"plain_over_docbkt_p50": ratios}, indent=1))
+EOF
+echo "[serve_latency] wrote bench_serving.json"
