@@ -939,8 +939,20 @@ object Indexer {
           s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $db BUCKETS " +
           s"LOCATION '$loc'")
     }
-    if (partitioned)
-      spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+    if (partitioned) {
+      // re-sync the partition list only when the on-disk `term_bucket=`
+      // dirs and the catalog's recorded partitions actually DIVERGE (an
+      // append/rewrite from another session): an unconditional MSCK per
+      // read taxed every warm query job (~0.2 s of driver metadata,
+      // measured at p50 in bench_serving.json's single-query face) for a
+      // sync that is almost always a no-op. Both sides of the comparison
+      // are bounded driver metadata (≤ nBuckets names each).
+      val onDisk = observedBuckets(spark, s"$path/$table")
+        .map(b => s"term_bucket=$b").toSet
+      val inCatalog = cat.listPartitionNames(ident).toSet
+      if (onDisk != inCatalog)
+        spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+    }
     name
   }
 

@@ -41,16 +41,18 @@ build("ivf") { graft.similarity.IvfStore.writeIndex(emb, s"$root/ivf",
   kmeansIters = 0) }
 
 // ---- query frames (deterministic, derived from the corpus) ----
-// a 200-entry log: each query is the first 4 tokens of a document
-val log = docs.orderBy("doc_id").limit(200)
+// a 200-entry log: each query is the first 4 tokens of a document.
+// NOTE: pipelines paren-wrapped — spark-shell -I treats a chained
+// `.method` on a fresh line as a NEW expression otherwise
+val log = (docs.orderBy("doc_id").limit(200)
   .select(col("doc_id").as("query_id"),
     concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("query_text"))
-  .localCheckpoint(true)
-val phraseLog = log.select(col("query_id"),
-  concat_ws(" ", slice(split(col("query_text"), " "), 1, 2)).as("phrase"))
-  .localCheckpoint(true)
-val singleQ = log.orderBy("query_id").limit(1)
-  .select("query_text").collect()(0).getString(0)
+  .localCheckpoint(true))
+val phraseLog = (log.select(col("query_id"),
+    concat_ws(" ", slice(split(col("query_text"), " "), 1, 2)).as("phrase"))
+  .localCheckpoint(true))
+val singleQ = (log.orderBy("query_id").limit(1)
+  .select("query_text").collect()(0).getString(0))
 val probes = emb.orderBy("vec_id").limit(20).localCheckpoint(true)
 
 // ---- the probe: k warm jobs per face, p50/p95 over wall seconds ----

@@ -32,6 +32,12 @@ for line in open('/tmp/serve_latency.txt'):
         faces.setdefault(m.group(1), {})[m.group(2)] = {
             "reps": int(m.group(3)),
             "p50_secs": float(m.group(4)), "p95_secs": float(m.group(5))}
+# fail loudly on a partial probe (a thrown face would otherwise
+# silently vanish from the artifact)
+expected = {"bm25_single", "bm25_batch200", "phrase_batch200",
+            "prox_batch200", "ivf_probe20"}
+missing = expected - set(faces)
+assert not missing, f"probe faces missing from output: {sorted(missing)}"
 ratios = {f: round(v["plain"]["p50_secs"] / v["docbkt"]["p50_secs"], 2)
           for f, v in faces.items() if "plain" in v and "docbkt" in v}
 out = {"sf": sys.argv[1], "cpus": 32,
