@@ -16,9 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   any    heal-markers   (delete stale `.swap_old` marker asides — run
   *                          with no concurrent writer; see FsOps.readMarker)
+  *   pipeline fsck | forget <idsParquet> [purge] | resume
+  *          (path = the PIPELINE ROOT holding index/ dedup/ ivf/ child
+  *           stores — the cross-store takedown cascade and its audit;
+  *           see graft.pipeline.Forget)
   *   vstore fsck | fsck-incr | mark-audited | repair
   *        | repair-at <version> <keys...>
   *        | checkpoint <version> <keys...> | vacuum <retain>
+  *        | purge <idsParquet> <keys...>   (key purge from ALL history)
   *          (fsck/fsck-incr/repair need the store's key columns)
   * }}}
   *
@@ -145,11 +150,40 @@ object Maintain {
             "vstore checkpoint needs a numeric <version> then the store's key column(s)"),
           extra.tail)
         None
+      case ("vstore", "purge") =>
+        // args: <idsParquet> <keyCols...> — right-to-be-forgotten through
+        // time travel: rewrite every log commit and checkpoint without
+        // the ids (vacuum drops whole versions; purge drops KEYS)
+        require(extra.length >= 2,
+          "vstore purge needs <idsParquet> then the store's key column(s)")
+        val st = streaming.VersionedStore.purgeKeys(spark, path, extra.tail,
+          spark.read.parquet(extra.head))
+        println(s"[maintain] purged: logs ${st.logsRewritten.mkString(",")} " +
+          s"checkpoints ${st.checkpointsRewritten.mkString(",")}")
+        None
       case ("vstore", "vacuum") =>
         // args: <retain> — drop history not needed at versions >= retain
         require(extra.nonEmpty, "vstore vacuum needs <retainVersion>")
         streaming.VersionedStore.vacuum(spark, path,
           longArg(extra.head, "vstore vacuum needs a numeric <retainVersion>"))
+        None
+      // the cross-store governance face: `path` is the PIPELINE ROOT
+      // (conventional child stores index/ dedup/ ivf/ — any subset)
+      case ("pipeline", "fsck") => Some(pipeline.Forget.checkPipeline(spark, path))
+      case ("pipeline", "forget") =>
+        require(extra.nonEmpty,
+          "pipeline forget needs the ids parquet path as a trailing arg " +
+            "(a doc_id column; add 'purge' as a second arg for immediate " +
+            "physical expunge)")
+        val n = pipeline.Forget.forget(spark, path,
+          spark.read.parquet(extra.head),
+          purge = extra.lift(1).contains("purge"))
+        println(s"[maintain] forget manifest m=$n complete")
+        None
+      case ("pipeline", "resume") =>
+        val done = pipeline.Forget.resume(spark, path)
+        if (done.isEmpty) println("[maintain] no pending forget manifests")
+        else done.foreach(n => println(s"[maintain] completed forget manifest m=$n"))
         None
       case _ => throw new IllegalArgumentException(
         s"unknown maintenance op: $family $op (see Maintain scaladoc)")

@@ -1094,6 +1094,90 @@ object PipelineQueries extends QueryGroup {
       VersionedStore.checkpoint(s, path, 3L, Seq("doc_id"))
       VersionedStore.checkStoreIncremental(s, path, Seq("doc_id"))
     }),
+
+    // right-to-be-forgotten through TIME TRAVEL: vacuum drops whole
+    // versions by retention; purgeKeys drops specific KEYS from every
+    // version — log commits and checkpoints rewritten without the %9
+    // population, so no AS OF read at any version can resurrect them.
+    // Both snapshots must answer exactly like a full-history replay
+    // that never contained the purged docs (shared timeTravelOracle +
+    // the purge predicate); the purge is verified history-wide by
+    // historyServes in the spec suite
+    "q_vstore_purge" -> ((s, dir) => {
+      import graft.streaming.VersionedStore
+      val path = QueryGroup.scratchDir("graft-ttpurge")
+      ttStoreSetup(s, dir, path)
+      VersionedStore.purgeKeys(s, path, Seq("doc_id"),
+        docs(s, dir).filter(col("doc_id") % 9 === 2).select("doc_id"))
+      ttSnapshots(s, path)
+    }),
+
+    // the cross-store GOVERNANCE face: one pipeline root materializes
+    // the same corpus into all three serving families (inverted index,
+    // dedup signature store, IVF ANN store — population = docs with
+    // embeddings, the pipeline's one-id-space contract), a takedown
+    // batch is forgotten through the write-ahead cascade
+    // (graft.pipeline.Forget: durable manifest first, then every
+    // family's idempotent delete verb, then the terminal marker), and
+    // the cross-store audit certifies the outcome: the manifest is
+    // complete, NO family still serves a forgotten id, and all three
+    // live id surfaces are identical. Every checked count is
+    // data-derived (forgotten-batch and survivor cardinalities)
+    "q_pipeline_forget" -> ((s, dir) => {
+      import graft.pipeline.Forget
+      val root = QueryGroup.scratchDir("graft-forget")
+      val pop = governanceStores(s, dir, root)
+      Forget.forget(s, root, pop.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      Forget.checkPipeline(s, root)
+    }),
+
+    // ...the takedown QUEUE through the REAL streaming runtime: two
+    // id-batch file drops (the shape a compliance system emits), one
+    // micro-batch each (oldest-first), each becoming ONE write-ahead
+    // manifest driven through every family — replay-idempotent by
+    // ordinal (a replayed batch re-drives its own manifest, never
+    // duplicates). The audit certifies both manifests complete, both
+    // batches absent everywhere, surfaces equal on the survivors
+    "q_stream_forget" -> ((s, dir) => {
+      import graft.pipeline.Forget
+      val root = QueryGroup.scratchDir("graft-streamforget")
+      val pop = governanceStores(s, dir, root)
+      val src = s"$root/takedowns"
+      graft.streaming.StreamRuntime.stageDrops(s, Seq(
+        pop.filter(col("doc_id") % 11 === 1).select("doc_id"),
+        pop.filter(col("doc_id") % 11 === 5).select("doc_id")), src)
+      graft.streaming.StreamRuntime.runForgetQueue(s, src, root)
+      Forget.checkPipeline(s, root)
+    }),
+
+    // ...and the drift → DETECT → REPAIR → re-check loop the audit
+    // exists for (the pipeline twin of q_store_repair): the same three
+    // stores, then the partial-failure shape reproduced exactly — a
+    // takedown applied to the INDEX ALONE (the crash window of any
+    // uncoordinated multi-store delete): the detect phase flags both
+    // index-pair surfaces with one violation per drifted doc while the
+    // dedup↔ivf pair still agrees; the repair is the cascade itself
+    // (Forget.forget of the same ids: the index re-delete is an
+    // idempotent no-op, dedup/ivf catch up), and the re-check certifies
+    // every invariant — manifest complete, forgotten ids absent
+    // everywhere, surfaces equal on the survivor population. The detect
+    // report materializes BEFORE the repair mutates the stores
+    "q_pipeline_drift" -> ((s, dir) => {
+      import graft.operators.StoreCheck
+      import graft.pipeline.Forget
+      val root = QueryGroup.scratchDir("graft-drift")
+      val pop = governanceStores(s, dir, root)
+      val takedown = pop.filter(col("doc_id") % 5 === 0).select("doc_id")
+      graft.index.Indexer.deleteDocs(s, s"$root/index", takedown)
+      val detect = StoreCheck.materialize(s, Forget.checkPipeline(s, root))
+        .select(lit("0_detect").as("phase"), col("invariant"),
+          col("checked"), col("violations"))
+      Forget.forget(s, root, takedown)
+      detect.unionByName(
+        Forget.checkPipeline(s, root)
+          .select(lit("1_repaired").as("phase"), col("invariant"),
+            col("checked"), col("violations")))
+    }),
   )
 
   /** Shared q_time_travel / q_vacuum fixture: three CDC commits (insert
@@ -1198,6 +1282,23 @@ object PipelineQueries extends QueryGroup {
 
   private def prepReport(st: graft.pipeline.PrepPipeline.Stages): DataFrame =
     splitBudgetReport(st.clean)
+
+  /** One pipeline root with the three serving families materialized
+    * from the docs-with-embeddings population (the governance entries'
+    * shared fixture — one id space, vec_id = doc_id); returns the
+    * population. */
+  private def governanceStores(s: SparkSession, dir: String,
+                               root: String): DataFrame = {
+    val pop = docs(s, dir)
+      .join(emb(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    graft.index.Indexer.writeIndex(
+      graft.index.Indexer.buildIndex(pop), s"$root/index")
+    graft.dedup.DedupStore.writeSignatures(pop, s"$root/dedup")
+    graft.similarity.IvfStore.writeIndex(
+      emb(s, dir).join(pop.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      s"$root/ivf", kmeansIters = 0)
+    pop
+  }
   // en downsampled, zh deliberately unlisted (dropped stratum)
   val StratFractions: Map[String, Double] =
     Map("en" -> 0.1, "fr" -> 0.6, "de" -> 0.6, "es" -> 0.6)
@@ -1963,6 +2064,100 @@ object PipelineQueries extends QueryGroup {
                  (SELECT n * 32 FROM surv), 0
           UNION ALL SELECT 'delta_id_surface_match', (SELECT n FROM surv), 0
           UNION ALL SELECT 'delta_ids_unique', (SELECT n FROM surv), 0""",
+
+    // the cross-store audit after the forget cascade: one complete
+    // manifest, the %7 takedown batch absent from every family's live
+    // view, and all three survivor surfaces identical (population =
+    // docs with embeddings — the pipeline's one-id-space contract)
+    "q_pipeline_forget" ->
+      """WITH pop AS (SELECT d.doc_id FROM documents d
+                      JOIN embeddings e ON d.doc_id = e.vec_id),
+              gone AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 7 = 3),
+              kept AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 7 <> 3)
+         SELECT 'forget_manifests_complete' AS invariant,
+                CAST(1 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_dedup_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_index_dedup', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_ivf_vstore', 0, 0""",
+
+    // the streamed takedown queue: two drops → two complete manifests;
+    // the forgotten population is their union, absent from every
+    // family; surfaces equal on the survivors
+    "q_stream_forget" ->
+      """WITH pop AS (SELECT d.doc_id FROM documents d
+                      JOIN embeddings e ON d.doc_id = e.vec_id),
+              gone AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 11 IN (1, 5)),
+              kept AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 11 NOT IN (1, 5))
+         SELECT 'forget_manifests_complete' AS invariant,
+                CAST(2 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_dedup_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_index_dedup', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_ivf_vstore', 0, 0""",
+
+    // the drift loop's two phases: detect — no manifests yet, the
+    // index-only takedown puts one violation per drifted doc on BOTH
+    // index pairs (unions still span the full population: the drifted
+    // docs are live in the other store of each pair) while dedup↔ivf
+    // agree; repaired — one complete manifest, the batch absent
+    // everywhere, surfaces equal on the survivors
+    "q_pipeline_drift" ->
+      """WITH pop AS (SELECT d.doc_id FROM documents d
+                      JOIN embeddings e ON d.doc_id = e.vec_id),
+              npop AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop),
+              drift AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                        WHERE doc_id % 5 = 0),
+              kept AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 5 <> 0)
+         SELECT '0_detect' AS phase, 'forget_manifests_complete' AS invariant,
+                CAST(0 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT '0_detect', 'forgotten_absent_dedup', 0, 0
+         UNION ALL SELECT '0_detect', 'forgotten_absent_index', 0, 0
+         UNION ALL SELECT '0_detect', 'forgotten_absent_ivf', 0, 0
+         UNION ALL SELECT '0_detect', 'forgotten_absent_vstore', 0, 0
+         UNION ALL SELECT '0_detect', 'id_surface_dedup_ivf',
+                (SELECT n FROM npop), 0
+         UNION ALL SELECT '0_detect', 'id_surface_dedup_vstore', 0, 0
+         UNION ALL SELECT '0_detect', 'id_surface_index_dedup',
+                (SELECT n FROM npop), (SELECT n FROM drift)
+         UNION ALL SELECT '0_detect', 'id_surface_index_ivf',
+                (SELECT n FROM npop), (SELECT n FROM drift)
+         UNION ALL SELECT '0_detect', 'id_surface_index_vstore', 0, 0
+         UNION ALL SELECT '0_detect', 'id_surface_ivf_vstore', 0, 0
+         UNION ALL SELECT '1_repaired', 'forget_manifests_complete', 1, 0
+         UNION ALL SELECT '1_repaired', 'forgotten_absent_dedup',
+                (SELECT n FROM drift), 0
+         UNION ALL SELECT '1_repaired', 'forgotten_absent_index',
+                (SELECT n FROM drift), 0
+         UNION ALL SELECT '1_repaired', 'forgotten_absent_ivf',
+                (SELECT n FROM drift), 0
+         UNION ALL SELECT '1_repaired', 'forgotten_absent_vstore', 0, 0
+         UNION ALL SELECT '1_repaired', 'id_surface_dedup_ivf',
+                (SELECT n FROM kept), 0
+         UNION ALL SELECT '1_repaired', 'id_surface_dedup_vstore', 0, 0
+         UNION ALL SELECT '1_repaired', 'id_surface_index_dedup',
+                (SELECT n FROM kept), 0
+         UNION ALL SELECT '1_repaired', 'id_surface_index_ivf',
+                (SELECT n FROM kept), 0
+         UNION ALL SELECT '1_repaired', 'id_surface_index_vstore', 0, 0
+         UNION ALL SELECT '1_repaired', 'id_surface_ivf_vstore', 0, 0""",
 
     // the detect→repair loop for the signature store: in the detect
     // phase every removed doc (%4 of the shingle-able even half) is one
@@ -2771,6 +2966,11 @@ object PipelineQueries extends QueryGroup {
     // vacuum must be equally invisible at the retained versions — the
     // oracle replays the SAME full history the store no longer has
     "q_vacuum" -> timeTravelOracle,
+
+    // the purged store answers like a history that never held the %9
+    // docs — same replay, one extra predicate (provably in sync with
+    // the time-travel truth by construction)
+    "q_vstore_purge" -> (timeTravelOracle + " AND doc_id % 9 <> 2"),
 
     // the streaming ingest must land the identical store state — the
     // full-history replay is the truth for it too

@@ -493,6 +493,15 @@ object IvfStore {
       Seq(cover, codes, unique, assignment, norms))
   }
 
+  /** LIVE vec_id surface of a store — the ids a probe could still
+    * return ([[deleteVectors]] tombstones subtracted). Bare longs, one
+    * row per stored vector: the id-surface primitive the cross-store
+    * pipeline audit ([[graft.pipeline.Forget.checkPipeline]]) joins
+    * against — never the vectors themselves. */
+  def liveVectorIds(spark: SparkSession, path: String): DataFrame =
+    liveLists(spark, path,
+      spark.read.parquet(s"$path/lists").select("vec_id")).distinct()
+
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -326,6 +326,70 @@ object StreamRuntime {
     q.awaitTermination()
   }
 
+  /** Stream a TAKEDOWN QUEUE into the cross-store forget cascade: a
+    * directory of id-batch files (each a parquet of `doc_id`s — the
+    * shape a compliance system drops takedown requests in), one
+    * micro-batch per file (oldest-first), each becoming ONE write-ahead
+    * forget manifest driven through every store family at the pipeline
+    * root ([[graft.pipeline.Forget.forgetAt]]).
+    *
+    * Crash-replay contract: stream batch ids map to manifest ordinals
+    * through the same checkpoint-scoped base marker as
+    * [[runIndexIngest]], and `forgetAt` is replay-idempotent — a
+    * replayed batch whose manifest completed is a no-op; one that
+    * crashed mid-cascade is RESUMED (per-family done markers), never
+    * duplicated. Batch-mode `Forget.forget` calls may interleave
+    * between runs (the base is fixed per checkpoint at first start, so
+    * reuse a checkpoint only when the queue owns the ordinals it was
+    * started with — same contract as the index ingest stream). The
+    * audit trail is the manifest history itself; per-trigger work is
+    * ∝ that takedown batch. */
+  def runForgetQueue(spark: SparkSession, srcDir: String, root: String,
+                     checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.getOrElse(
+      graft.queries.QueryGroup.scratchDir("graft-forgetq-run") + "/ckpt")
+    val base = graft.FsOps.readLongMarker(spark, ckpt, StreamBaseMarker)
+      .getOrElse {
+        val b = graft.pipeline.Forget.nextOrdinal(spark, root)
+        graft.FsOps.writeLongMarker(spark, ckpt, StreamBaseMarker, b)
+        b
+      }
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.pipeline.Forget.forgetAt(batch.sparkSession, root,
+          batch.toDF(), base + id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stage each frame into `srcDir` as ONE parquet file with strictly
+    * increasing modification times, so the file stream source
+    * (oldest-first, `maxFilesPerTrigger=1`) replays them as ordered
+    * micro-batches — the distinct-drops twin of [[replayDrops]]. */
+  def stageDrops(spark: SparkSession, dfs: Seq[DataFrame], srcDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$srcDir/_tmp$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"drop_$i%03d.parquet")
+      require(fs.rename(part, dst), s"rename $part -> $dst failed")
+      fs.setTimes(dst, 1000L * (i + 1), -1)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
   /** Drop `df` into `srcDir` as `n` identical single-file batches with
     * strictly increasing modification times — a replayed-ingest fixture
     * for the file stream source (oldest-first, one batch per file). */

@@ -194,6 +194,110 @@ object VersionedStore {
     VacuumStats(base, dropLogs, dropCkpts)
   }
 
+  final case class PurgeStats(logsRewritten: Seq[Long],
+                              checkpointsRewritten: Seq[Long])
+
+  /** Newest readable version — the highest committed log version, or
+    * the highest checkpoint when the whole log was vacuumed away. */
+  def newestVersion(spark: SparkSession, path: String): Long = {
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    require(committed.nonEmpty || ckptVs.nonEmpty, s"no commits at $path")
+    (committed ++ ckptVs).max
+  }
+
+  /** Every key that appears ANYWHERE in history — log commits and
+    * checkpoints alike, tombstoned or not: the surface a time-travel
+    * read could reconstruct from, and therefore the surface a
+    * right-to-be-forgotten audit must check ([[purgeKeys]] is what
+    * empties it of a given id). Distinct keys only; one key-column
+    * scan per `v=` directory (schemas differ between log and
+    * checkpoint dirs, so they read separately and union). */
+  def historyKeys(spark: SparkSession, path: String,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "historyKeys needs at least one key column")
+    val dirs =
+      versions(spark, path).map(v => s"$path/log/v=$v") ++
+      listVersions(spark, new Path(path, "checkpoint"))
+        .map(v => s"$path/checkpoint/v=$v")
+    dirs.map(d => spark.read.parquet(d).select(keys.map(col): _*))
+      .reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(keys.map(k => col("id").as(k)): _*))
+  }
+
+  /** How much HISTORY still carries any of `ids`: one `(where, version,
+    * rows)` row per log commit / checkpoint with surviving traces
+    * (empty frame = the purge invariant holds). The DETECT primitive
+    * beside [[purgeKeys]]: a takedown audit must prove the ids are
+    * gone from every version a time-travel read could reconstruct, not
+    * just from the newest snapshot. One broadcast semi-join pass per
+    * `v=` directory, ∝ history size, never more than the store itself. */
+  def historyServes(spark: SparkSession, path: String, keys: Seq[String],
+                    ids: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "historyServes needs at least one key column")
+    val idsK = broadcast(ids.select(keys.map(col): _*).distinct())
+    val dirs =
+      versions(spark, path).map(v => ("log", v, s"$path/log/v=$v")) ++
+      listVersions(spark, new Path(path, "checkpoint"))
+        .map(v => ("checkpoint", v, s"$path/checkpoint/v=$v"))
+    dirs.map { case (where, v, dir) =>
+        spark.read.parquet(dir).join(idsK, keys, "left_semi")
+          .agg(count(lit(1)).as("rows"))
+          .select(lit(where).as("where"), lit(v).as("version"), col("rows"))
+      }
+      .reduceOption(_ unionByName _)
+      .map(_.filter(col("rows") > 0).orderBy("where", "version"))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("where"), lit(0L).as("version"), lit(0L).as("rows")))
+  }
+
+  /** Purge every trace of `ids` from the store's HISTORY — every log
+    * commit and every checkpoint is rewritten without the keys and
+    * installed via the crash-safe swap. [[vacuum]] drops whole
+    * versions by retention policy; this drops specific KEYS from all
+    * versions — the right-to-be-forgotten verb: after it, no
+    * [[snapshotAt]], [[diff]] or checkpoint read at ANY version can
+    * resurrect the purged documents (a takedown that only touched the
+    * newest snapshot would still serve the doc to every time-travel
+    * read). Idempotent re-run; a crash mid-way leaves some directories
+    * purged and the rest untouched — re-running completes the job, and
+    * [[historyServes]] is the audit that proves it finished.
+    *
+    * Scale: directories with no matching key skip their rewrite (one
+    * short-circuiting broadcast semi-probe each — the probe scan is
+    * bounded by first match), so cost is ∝ the history that actually
+    * carries the ids plus one cheap probe per version. Caveat, by
+    * design: a store fed by a replayable upstream ([[commitAt]]
+    * overwrite semantics) can have a purged version RE-COMMITTED by a
+    * source replay — purge after the log is final, or re-run the purge
+    * (and its audit) after any replay window closes. */
+  def purgeKeys(spark: SparkSession, path: String, keys: Seq[String],
+                ids: DataFrame): PurgeStats = {
+    require(keys.nonEmpty, "purgeKeys needs at least one key column")
+    val idsK = broadcast(ids.select(keys.map(col): _*).distinct())
+    val f = fs(spark, new Path(path))
+    def purgeDir(dir: String): Boolean = {
+      val df = spark.read.parquet(dir)
+      val touched = !df.join(idsK, keys, "left_semi").isEmpty
+      if (touched) {
+        // leading underscore: never parsed as a version by listVersions
+        // nor picked up by any Spark directory listing
+        val live = new Path(dir)
+        val tmp = new Path(live.getParent, s"_${live.getName}.purge_tmp")
+        df.join(idsK, keys, "left_anti")
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.FsOps.atomicSwap(f, live, tmp)
+      }
+      touched
+    }
+    PurgeStats(
+      logsRewritten = versions(spark, path)
+        .filter(v => purgeDir(s"$path/log/v=$v")),
+      checkpointsRewritten = listVersions(spark, new Path(path, "checkpoint"))
+        .filter(v => purgeDir(s"$path/checkpoint/v=$v")))
+  }
+
   /** Materialize the snapshot at `version` as a checkpoint, so later
     * reads start from it instead of replaying history. Temp-write +
     * rename: concurrent readers never see a partial checkpoint. */

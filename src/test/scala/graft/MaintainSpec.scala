@@ -77,6 +77,14 @@ class MaintainSpec extends SparkSpec {
     assert(streaming.VersionedStore.snapshotAt(spark, path, 2L, Seq("k"))
       .count() === 2L)
     assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    // purge <idsParquet> <keys...>: key 2 leaves all surviving history
+    val idsDir = QueryGroup.scratchDir("graft-maint-vsids")
+    Seq(2L).toDF("k").write.mode("overwrite").parquet(s"$idsDir/ids")
+    assert(Maintain.run(spark, "vstore", "purge", path,
+      Seq(s"$idsDir/ids", "k")).isEmpty)
+    assert(streaming.VersionedStore.historyServes(spark, path, Seq("k"),
+      Seq(2L).toDF("k")).isEmpty)
+    assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
     // missing keys fail loudly, not with a confusing downstream error
     val e = intercept[IllegalArgumentException](
       Maintain.run(spark, "vstore", "fsck", path))
@@ -84,6 +92,27 @@ class MaintainSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Maintain.run(spark, "vstore", "checkpoint", path, Seq("2")))
     assert(e2.getMessage.contains("checkpoint"), e2.getMessage)
+  }
+
+  test("pipeline family: fsck / forget / resume dispatch at a pipeline root") {
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"),
+      (3L, "gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val root = QueryGroup.scratchDir("graft-maint-pipe")
+    index.Indexer.writeIndex(index.Indexer.buildIndex(corpus), s"$root/index",
+      nBuckets = 4)
+    dedup.DedupStore.writeSignatures(corpus, s"$root/dedup")
+    assert(violations(Maintain.run(spark, "pipeline", "fsck", root)) === 0L)
+    val idsPath = QueryGroup.scratchDir("graft-maint-pipeids")
+    Seq(2L).toDF("doc_id").write.mode("overwrite").parquet(s"$idsPath/ids")
+    assert(Maintain.run(spark, "pipeline", "forget", root,
+      Seq(s"$idsPath/ids")).isEmpty)
+    assert(violations(Maintain.run(spark, "pipeline", "fsck", root)) === 0L)
+    assert(index.Indexer.readIndexLive(spark, s"$root/index").docStats
+      .filter($"doc_id" === 2L).isEmpty)
+    assert(Maintain.run(spark, "pipeline", "resume", root).isEmpty)
+    val e = intercept[IllegalArgumentException](
+      Maintain.run(spark, "pipeline", "forget", root))
+    assert(e.getMessage.contains("ids parquet path"), e.getMessage)
   }
 
   test("unknown routes fail loudly") {

@@ -455,4 +455,36 @@ class VersionedStoreSpec extends SparkSpec {
     assert(rep("delta_checkpoint_matches_log")._1 === 1L) // v2 live: key 2
     assert(rep.values.forall(_._2 == 0L))
   }
+
+  test("purgeKeys erases a key from all history; historyServes is the audit") {
+    val path = QueryGroup.scratchDir("graft-vstorepurge")
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u"), (2L, "b1", "u"),
+      (3L, "c1", "u")))
+    VersionedStore.checkpoint(spark, path, 1L, Seq("k"))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u"), (3L, "c1", "d")))
+    // detect: key 2 lives in log v1, checkpoint v1, log v2
+    val before = VersionedStore.historyServes(spark, path, Seq("k"),
+        Seq(2L).toDF("k")).as[(String, Long, Long)].collect().toSet
+    assert(before === Set(("checkpoint", 1L, 1L), ("log", 1L, 1L), ("log", 2L, 1L)))
+    val stats = VersionedStore.purgeKeys(spark, path, Seq("k"), Seq(2L).toDF("k"))
+    assert(stats.logsRewritten === Seq(1L, 2L))
+    assert(stats.checkpointsRewritten === Seq(1L))
+    assert(VersionedStore.historyServes(spark, path, Seq("k"),
+      Seq(2L).toDF("k")).isEmpty)
+    // every AS OF read answers like a history that never held key 2 —
+    // including through the purged checkpoint
+    assert(VersionedStore.snapshotAt(spark, path, 1L, Seq("k"))
+      .select("k").as[Long].collect().toSet === Set(1L, 3L))
+    assert(VersionedStore.snapshotAt(spark, path, 2L, Seq("k"))
+      .select("k").as[Long].collect().toSet === Set(1L))
+    // untouched keys keep their full lineage (key 3's tombstone too)
+    assert(VersionedStore.historyKeys(spark, path, Seq("k"))
+      .as[Long].collect().toSet === Set(1L, 3L))
+    // idempotent re-run: the probe finds nothing, no directory rewrites
+    val again = VersionedStore.purgeKeys(spark, path, Seq("k"), Seq(2L).toDF("k"))
+    assert(again.logsRewritten.isEmpty && again.checkpointsRewritten.isEmpty)
+    // fsck still green after the history rewrite
+    assert(VersionedStore.checkStore(spark, path, Seq("k"))
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+  }
 }

@@ -21,7 +21,10 @@ val names = Seq(
   // r12/r13 flagships: the doc-bucketed zero-exchange serving joins,
   // their positional twins, and the gate-covered compaction lifecycle
   "q_bm25_store_bucketed", "q_bm25_batch_store_bucketed", "q_store_compact",
-  "q_phrase_store_bucketed", "q_prox_batch_store_bucketed")
+  "q_phrase_store_bucketed", "q_prox_batch_store_bucketed",
+  // r13 governance: the cross-store forget cascade's audit (detect
+  // phase of the drift loop shows the surface full-outer joins)
+  "q_pipeline_forget", "q_pipeline_drift")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
