@@ -97,6 +97,36 @@ object FsOps {
       }
   }
 
+  /** Transfer the visible (non-`_`/`.`-prefixed) data files of one
+    * directory level into `toDir` as `<prefix><name>` — the shared
+    * primitive of the store-family shard merges (StoreMerge, IvfStore,
+    * DedupStore): per-file idempotent (a target that already landed
+    * skips, so a crashed merge re-runs to completion), `move` renames
+    * (the O(files) promotion path that consumes the shard), copy
+    * otherwise. Subdirectories are NOT descended — callers own partition
+    * levels (they may remap them, e.g. the IVF cid offset). */
+  def transferDataFiles(spark: org.apache.spark.sql.SparkSession,
+                        fromDir: String, toDir: String, prefix: String,
+                        move: Boolean): Unit = {
+    val from = new Path(fromDir)
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(from)) return
+    fs.mkdirs(new Path(toDir))
+    for (st <- fs.listStatus(from).toSeq
+         if !st.isDirectory && !st.getPath.getName.startsWith("_")
+           && !st.getPath.getName.startsWith(".")) {
+      val to = new Path(toDir, s"$prefix${st.getPath.getName}")
+      if (!fs.exists(to)) {
+        if (move) {
+          if (!fs.rename(st.getPath, to))
+            throw new java.io.IOException(s"rename ${st.getPath} -> $to failed")
+        } else if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, to,
+            false, spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(s"copy ${st.getPath} -> $to failed")
+      }
+    }
+  }
+
   /** One-long marker face of [[writeMarker]]/[[readMarker]]. */
   def writeLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
                       marker: String, v: Long): Unit =

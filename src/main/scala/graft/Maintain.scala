@@ -17,6 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   any    heal-markers   (delete stale `.swap_old` marker asides — run
   *                          with no concurrent writer; see FsOps.readMarker)
   *   pipeline fsck | forget <idsParquet> [purge] | resume
+  *        | sweep <predicate...>   (retention: forget what the vstore
+  *                                  metadata marks expired)
+  *        | merge <shardRoots...>  (promote shard-built roots into the
+  *                                  path, family-by-family shard merges)
   *          (path = the PIPELINE ROOT holding index/ dedup/ ivf/ child
   *           stores — the cross-store takedown cascade and its audit;
   *           see graft.pipeline.Forget)
@@ -184,6 +188,26 @@ object Maintain {
         val done = pipeline.Forget.resume(spark, path)
         if (done.isEmpty) println("[maintain] no pending forget manifests")
         else done.foreach(n => println(s"[maintain] completed forget manifest m=$n"))
+        None
+      case ("pipeline", "merge") =>
+        // args: the shard roots; `path` is the DESTINATION root
+        require(extra.size >= 2,
+          "pipeline merge needs >= 2 shard-root paths as trailing args " +
+            "(the maintenance path is the DESTINATION root)")
+        val fams = pipeline.Promote.mergeRoots(spark, extra, path)
+        println(s"[maintain] promoted ${extra.size} shard roots " +
+          s"(families: ${fams.mkString(",")}) into $path")
+        None
+      case ("pipeline", "sweep") =>
+        // args: the retention predicate over the vstore snapshot columns
+        // (joined, so `ingest_day < DATE'2024-01-10'` needs no quoting)
+        require(extra.nonEmpty,
+          "pipeline sweep needs a SQL predicate over the vstore metadata " +
+            "as trailing args, e.g.: ingest_day < DATE'2024-01-10'")
+        pipeline.Forget.retentionSweep(spark, path, extra.mkString(" ")) match {
+          case Some(n) => println(s"[maintain] retention sweep: manifest m=$n complete")
+          case None    => println("[maintain] retention sweep: nothing expired")
+        }
         None
       case _ => throw new IllegalArgumentException(
         s"unknown maintenance op: $family $op (see Maintain scaladoc)")

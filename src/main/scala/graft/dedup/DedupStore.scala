@@ -201,6 +201,63 @@ object DedupStore {
     report
   }
 
+  /** Merge N independently-built signature stores into one — the dedup
+    * face of the shard-build-then-promote pattern
+    * ([[graft.index.StoreMerge]] / [[graft.similarity.IvfStore
+    * .mergeStores]] are the BM25/ANN faces). MinHash signatures and LSH
+    * band buckets are DETERMINISTIC functions of each doc alone, so two
+    * stores built with the same `(numHashes, bands)` geometry union by
+    * pure FILE TRANSFER — no shingle re-hashed, no row rewritten — and
+    * the merged store immediately dedups ingest batches against BOTH
+    * shards' content (the cross-shard near-dups neither shard could see
+    * are exactly what the promotion buys). Contracts: ≥ 2 sources,
+    * identical geometry markers, identical table schemas, batch-tracked
+    * sources, DISJOINT doc_id spaces on the raw sets. Commit point: the
+    * destination geometry marker, written last ([[ingest]] refuses a
+    * store without one); a crashed merge re-runs idempotently
+    * (deterministic `m<i>_` names, landed files skip). The merged store
+    * is born audited — both tables are exact unions, so the derived
+    * invariant set is untouched. `moveFiles = true` renames (the
+    * O(files) promotion that consumes the shards). */
+  def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
+                  moveFiles: Boolean = false): Unit = {
+    require(sources.size >= 2, "mergeStores needs at least two source stores")
+    require(sources.distinct.size == sources.size, "duplicate source store")
+    require(!sources.contains(dest), "destination must not be a source")
+    require(storedGeometry(spark, dest).isEmpty,
+      s"$dest already carries a committed signature store (geometry marker exists)")
+    val geoms = sources.map { s =>
+      storedGeometry(spark, s).getOrElse(throw new IllegalArgumentException(
+        s"$s has no geometry marker — not a persisted signature store"))
+    }
+    require(geoms.distinct.size == 1,
+      s"sources disagree on (numHashes, bands) geometry: " +
+        s"${sources.zip(geoms).mkString(", ")} — mismatched geometries " +
+        "bucket-collide on different band hashes; rebuild the odd shard")
+    val batches = sources.map { s =>
+      lastBatch(spark, s).getOrElse(throw new IllegalArgumentException(
+        s"$s predates batch tracking (no _lastbatch marker)"))
+    }
+    for (t <- Seq("sets", "buckets")) {
+      val schemas = sources.map(s => spark.read.parquet(s"$s/$t").schema)
+      require(schemas.distinct.size == 1,
+        s"sources disagree on the $t schema: ${schemas.distinct.mkString(" vs ")}")
+    }
+    val overlap = sources.map(s => spark.read.parquet(s"$s/sets").select("doc_id"))
+      .reduce(_ union _)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .limit(3).collect()
+    require(overlap.isEmpty,
+      s"sources share doc_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
+        "shard id spaces must be disjoint")
+    for (t <- Seq("sets", "buckets"); (src, i) <- sources.zipWithIndex)
+      graft.FsOps.transferDataFiles(spark, s"$src/$t", s"$dest/$t",
+        s"m${i}_", moveFiles)
+    writeLongMarker(spark, dest, LastBatchMarker, batches.max)
+    markAudited(spark, dest, Some(batches.max))
+    writeGeometry(spark, dest, geoms.head._1, geoms.head._2)
+  }
+
   /** Remove documents from the signature store — the maintenance
     * counterpart of [[ingest]]'s append-only growth: a doc dropped from
     * the corpus (retention, takedown, quality purge) must stop blocking

@@ -733,9 +733,9 @@ object Indexer {
     * can't clobber the other store's record. */
   val PositionalBucketsMarker = "_nbuckets_positional"
 
-  private def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, n: Int,
-                                 marker: String = BucketsMarker): Unit = {
+  private[index] def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, n: Int,
+                                        marker: String = BucketsMarker): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -1,0 +1,176 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Merge N independently-built index stores into one — the
+  * build-shards-in-parallel-then-promote pattern a 100 TB indexing run
+  * actually uses (each ingest partition builds its own store with
+  * [[Indexer.writeIndex]] on its own cluster slice; promotion merges
+  * the shards into the serving store). The reference can only rebuild
+  * from scratch (`index.sh` drops and re-creates the whole Cassandra
+  * keyspace, `app/index.sh:22-28`); at scale a full rebuild to absorb
+  * one finished shard is the difference between minutes and days.
+  *
+  * The merge is METADATA-LEVEL for the big tables: every source was
+  * written with the same deterministic CRC32 term-bucket function
+  * ([[Indexer.termBucket]]), so equal `nBuckets` means the partition
+  * layouts ALIGN — postings (and positional) part files transfer
+  * bucket-dir to bucket-dir, doc_stats and deletes transfer flat, and
+  * no data row is read, shuffled, or rewritten. Only the small derived
+  * tables are computed: vocab re-aggregates the sources' vocab partials
+  * (disjoint doc spaces → `df` sums), and meta combines the stores'
+  * mergeable `(total_docs, length_sum)` longs exactly like
+  * [[Indexer.appendIndex]]'s incremental path. Merging shards holding
+  * 100 TB of postings therefore costs O(files) namenode renames plus a
+  * |vocab|-row aggregate — never a postings scan.
+  *
+  * Contracts (all enforced, loudly):
+  *   - ≥ 2 sources, same `_nbuckets`, none doc-bucketed (a bucketed
+  *     catalog table's files carry bucket-spec file names that cannot
+  *     be interleaved by rename; rebuild the merged store with
+  *     `writeIndex(readIndexLive(...), dest, docBuckets = ...)` when a
+  *     doc-bucketed serving copy is wanted).
+  *   - batch-tracked sources only (`_lastbatch` present and mergeable
+  *     meta layout) — the merged store keeps per-file batch min/max
+  *     skipping and is born AUDITED (derived tables are consistent
+  *     with the merged data by construction, so `_last_audit` starts
+  *     at the merged `_lastbatch`; the next incremental audit sees
+  *     only post-merge appends).
+  *   - per-table schema parity across sources (a title-bearing and a
+  *     title-less doc_stats must not silently mix).
+  *   - DISJOINT doc_id spaces, checked on the RAW doc_stats (a
+  *     tombstoned id still occupies its space: tombstones merge too,
+  *     and a live twin in another shard would be masked by them).
+  *   - positional tables all-or-none, same `_nbuckets_positional`.
+  *
+  * Tombstones: each source's `deletes` table transfers as-is, and the
+  * sources' vocab/meta were already decremented at delete time
+  * ([[Indexer.deleteDocs]]), so live reads of the merged store stay
+  * consistent without any recompute; `expungeDeletes` reclaims the
+  * bytes on the normal maintenance schedule.
+  *
+  * Crash model: the `_nbuckets` marker is the COMMIT point (written
+  * last). A merge that dies mid-transfer leaves dest marker-less;
+  * re-running the same merge RESUMES it — per-file transfer is
+  * idempotent (deterministic `m<i>_` target names, already-present
+  * targets skip, and in move mode the source file is then gone, which
+  * the skip tolerates). A dest with a marker refuses (already merged).
+  *
+  * `moveFiles = true` renames instead of copying — the O(files)
+  * promotion path that CONSUMES the source shards (their husks keep
+  * markers/vocab but lose data files; delete them after commit).
+  * Default copy leaves sources intact at the cost of re-writing bytes.
+  */
+object StoreMerge {
+
+  /** Tables whose files transfer as-is (when present). */
+  private val DataTables = Seq("doc_stats", "postings", "positional", "deletes")
+
+  def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
+                  moveFiles: Boolean = false): Unit = {
+    require(sources.size >= 2, "mergeStores needs at least two source stores")
+    require(sources.distinct.size == sources.size, "duplicate source store")
+    require(!sources.contains(dest), "destination must not be a source")
+    val destP = new Path(dest)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(Indexer.storedBuckets(spark, dest).isEmpty,
+      s"$dest already carries a committed store (its _nbuckets marker " +
+        "exists) — merging INTO a live store is appendIndex's job")
+
+    // ---- layout guards
+    val nbs = sources.map { s =>
+      Indexer.storedBuckets(spark, s).getOrElse(throw new IllegalArgumentException(
+        s"$s has no _nbuckets marker — not a persisted index store"))
+    }
+    require(nbs.distinct.size == 1,
+      s"sources disagree on nBuckets: ${sources.zip(nbs).mkString(", ")} — " +
+        "aligned term buckets are what makes the merge metadata-only; " +
+        "rebuild the odd shard at the common bucket count first")
+    val nb = nbs.head
+    sources.foreach { s =>
+      require(Indexer.docBucketsOf(spark, s).isEmpty,
+        s"$s is doc-bucketed — its bucket-spec file names cannot be " +
+          "interleaved by rename; merge the plain shards, then " +
+          "writeIndex(readIndexLive(...), docBuckets=...) for a bucketed copy")
+    }
+    val batches = sources.map { s =>
+      Indexer.lastBatch(spark, s).getOrElse(throw new IllegalArgumentException(
+        s"$s predates batch tracking (no _lastbatch marker) — the merged " +
+          "store's incremental audits need per-file batch provenance"))
+    }
+    sources.foreach { s =>
+      require(spark.read.parquet(s"$s/meta").columns.contains("length_sum"),
+        s"$s predates the mergeable meta layout (no length_sum partial)")
+    }
+    val posPresent = sources.map(s => fs.exists(new Path(s"$s/positional")))
+    require(posPresent.distinct.size == 1,
+      "positional tables must exist in ALL sources or NONE: a merged " +
+        "store that answers phrase queries from half its docs is drift, " +
+        s"not a store (present: ${sources.zip(posPresent).mkString(", ")})")
+    val hasPos = posPresent.head
+    val pnb = if (!hasPos) None else {
+      val pns = sources.map(s => Indexer.storedPositionalBuckets(spark, s)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$s has a positional table but no bucket marker")))
+      require(pns.distinct.size == 1,
+        s"sources disagree on positional nBuckets: ${sources.zip(pns).mkString(", ")}")
+      Some(pns.head)
+    }
+    for (t <- Seq("doc_stats", "postings") ++ (if (hasPos) Seq("positional") else Nil)) {
+      val schemas = sources.map(s => spark.read.parquet(s"$s/$t").schema)
+      require(schemas.distinct.size == 1,
+        s"sources disagree on the $t schema (e.g. a title-bearing and a " +
+          s"title-less build): ${schemas.distinct.mkString(" vs ")}")
+    }
+
+    // ---- disjointness, on the RAW id surface (bare longs, one union-agg)
+    val overlap = sources.map(s =>
+        spark.read.parquet(s"$s/doc_stats").select("doc_id"))
+      .reduce(_ union _)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .limit(3).collect() // ≤ 3-row driver sample, same as the append probe
+    require(overlap.isEmpty,
+      s"sources share doc_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
+        "shard id spaces must be disjoint (a tombstoned id counts: its " +
+        "tombstone would mask a live twin from another shard)")
+
+    // ---- derived tables: merge the sources' partial-aggregate state
+    // (reads only the small tables; written before any data file moves)
+    sources.map(s => spark.read.parquet(s"$s/vocab")).reduce(_ unionByName _)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$dest/vocab")
+    sources.map(s => spark.read.parquet(s"$s/meta")).reduce(_ unionByName _)
+      .agg(coalesce(sum(col("total_docs")), lit(0L)).as("total_docs"),
+        coalesce(sum(col("length_sum")), lit(0L)).as("length_sum"))
+      .select(col("total_docs"),
+        when(col("total_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("length_sum").cast("double") / col("total_docs"))
+          .as("avg_dl"),
+        col("length_sum"))
+      .write.mode("overwrite").parquet(s"$dest/meta")
+
+    // ---- data files: per-file idempotent transfer (resume skips targets
+    // that already landed; hidden _/.files and markers never transfer)
+    for (table <- DataTables; (src, i) <- sources.zipWithIndex) {
+      val from = new Path(s"$src/$table")
+      if (fs.exists(from)) {
+        graft.FsOps.transferDataFiles(spark, from.toString, s"$dest/$table",
+          s"m${i}_", moveFiles)
+        for (st <- fs.listStatus(from).toSeq // one partition level: term_bucket=N
+             if st.isDirectory && !st.getPath.getName.startsWith("_")
+               && !st.getPath.getName.startsWith("."))
+          graft.FsOps.transferDataFiles(spark, st.getPath.toString,
+            s"$dest/$table/${st.getPath.getName}", s"m${i}_", moveFiles)
+      }
+    }
+
+    // ---- commit: markers last; born-audited (see scaladoc)
+    graft.FsOps.writeLongMarker(spark, dest, Indexer.LastBatchMarker, batches.max)
+    Indexer.markAudited(spark, dest, Some(batches.max))
+    pnb.foreach(n => Indexer.writeBucketsMarker(spark, dest, n,
+      Indexer.PositionalBucketsMarker))
+    Indexer.writeBucketsMarker(spark, dest, nb)
+  }
+}

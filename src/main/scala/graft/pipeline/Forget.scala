@@ -208,6 +208,33 @@ object Forget {
     }
   }
 
+  /** Retention sweep: forget every doc the pipeline's own metadata says
+    * has EXPIRED — the scheduled twin of the takedown-driven [[forget]]
+    * (retention policies at 100 TB are continuous background traffic,
+    * not one-off requests). The expiry truth is the `vstore` family's
+    * newest snapshot (the pipeline's versioned metadata — ingest dates,
+    * licenses, source flags live there by design), filtered by a SQL
+    * `predicate` over its columns; the matching ids then ride the
+    * ordinary write-ahead cascade through every family, INCLUDING the
+    * vstore history purge — so the metadata that triggered the expiry
+    * is itself forgotten, and a re-run of the same sweep selects
+    * nothing (returns None, allocates no manifest: an idle cron tick
+    * is a snapshot probe, not an empty manifest per tick). Cost: one
+    * snapshot scan + the cascade ∝ the expired batch. */
+  def retentionSweep(spark: SparkSession, root: String, predicate: String,
+                     purge: Boolean = false): Option[Long] = {
+    import graft.streaming.VersionedStore
+    require(familiesAt(spark, root).contains("vstore"),
+      s"retention sweep reads its expiry metadata from $root/vstore — " +
+        "no vstore family at this root")
+    val vs = familyPath(root, "vstore")
+    val expired = VersionedStore.snapshotAt(spark, vs,
+        VersionedStore.newestVersion(spark, vs), Seq("doc_id"))
+      .filter(expr(predicate)).select("doc_id")
+    if (expired.isEmpty) None
+    else Some(forget(spark, root, expired, purge = purge))
+  }
+
   /** Re-drive every pending manifest to completion (crash recovery, or
     * a cron beside the other maintenance verbs). Returns the ordinals
     * completed by this call. */

@@ -52,6 +52,26 @@ object PipelineQueries extends QueryGroup {
         JaccardThreshold)
     }),
 
+    // the dedup face of the shard-build-then-promote pattern: two
+    // corpus thirds built as independent signature stores (MinHash +
+    // LSH buckets are per-doc deterministic, so equal-geometry stores
+    // union by pure file transfer — no shingle re-hashed), promoted
+    // into one store (moveFiles=true: O(files) renames), then an ingest
+    // batch dedups against BOTH shards' content at once — the
+    // cross-shard near-dup detection the promotion exists to buy
+    "q_dedup_store_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = QueryGroup.scratchDir("graft-dedupmerge")
+      graft.dedup.DedupStore.writeSignatures(
+        d.filter(col("doc_id") % 3 === 0), s"$root/shardA")
+      graft.dedup.DedupStore.writeSignatures(
+        d.filter(col("doc_id") % 3 === 1), s"$root/shardB")
+      graft.dedup.DedupStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.dedup.DedupStore.ingest(s, s"$root/merged",
+        d.filter(col("doc_id") % 3 === 2), JaccardThreshold)
+    }),
+
     // ...and the store's REMOVE lifecycle: a quarter of the stored docs
     // purged (both signature tables rewritten, crash-safe swap) before
     // the ingest — removed docs must stop blocking near-duplicates, so
@@ -330,6 +350,30 @@ object PipelineQueries extends QueryGroup {
       val path = QueryGroup.scratchDir("graft-ivfstore")
       graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
       graft.similarity.IvfStore.searchStore(s, path,
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
+    // the ANN face of the shard-build-then-promote pattern: two halves
+    // of the corpus trained and assigned as independent IVF stores, then
+    // promoted into one serving store by CENTROID UNION — shard B's cids
+    // offset past shard A's, `cid=` list partitions transferred as files
+    // (no vector read, re-assigned or shuffled; moveFiles=true is the
+    // O(files) rename path). Every vector keeps its shard-local
+    // assignment; searchStore probes its nProbe nearest centroids across
+    // the union unchanged. The oracle reproduces the whole merged
+    // geometry: per-shard seed centroids, per-shard assignment, union
+    // probing
+    "q_ann_ivf_merge" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfmerge")
+      graft.similarity.IvfStore.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
+      graft.similarity.IvfStore.writeIndex(
+        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStore(s, s"$root/merged",
           e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
@@ -1178,6 +1222,65 @@ object PipelineQueries extends QueryGroup {
           .select(lit("1_repaired").as("phase"), col("invariant"),
             col("checked"), col("violations")))
     }),
+
+    // the PROMOTION face of the same pipeline-root convention: two
+    // shard roots, each a complete parallel build of all three serving
+    // families over its corpus half, merged family-by-family into one
+    // root — index (aligned term buckets: file transfer + vocab/meta
+    // partial merge), dedup (deterministic signatures: pure file
+    // transfer), IVF (centroid union: cid-remapped directory transfer).
+    // No text, posting, signature or vector is read or shuffled in the
+    // promotion; moveFiles=true is the O(files) rename path. The
+    // cross-store audit is the certification: zero manifests, all
+    // three live id surfaces identical across the merged families
+    "q_pipeline_merge" -> ((s, dir) => {
+      import graft.pipeline.{Forget, Promote}
+      val root = QueryGroup.scratchDir("graft-promote")
+      val pop = docs(s, dir)
+        .join(emb(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      def shard(pred: org.apache.spark.sql.Column, p: String): Unit = {
+        val part = pop.filter(pred)
+        graft.index.Indexer.writeIndex(
+          graft.index.Indexer.buildIndex(part), s"$p/index")
+        graft.dedup.DedupStore.writeSignatures(part, s"$p/dedup")
+        graft.similarity.IvfStore.writeIndex(
+          emb(s, dir).join(part.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+          s"$p/ivf", kmeansIters = 0)
+      }
+      shard(col("doc_id") % 2 === 0, s"$root/shard0")
+      shard(col("doc_id") % 2 === 1, s"$root/shard1")
+      Promote.mergeRoots(s, Seq(s"$root/shard0", s"$root/shard1"),
+        s"$root/merged", moveFiles = true)
+      Forget.checkPipeline(s, s"$root/merged")
+    }),
+
+    // ...and the SCHEDULED twin of the takedown cascade — a retention
+    // sweep: the pipeline's versioned metadata store carries per-doc
+    // ingest dates (v1 commit), the sweep forgets everything past the
+    // retention horizon through the same write-ahead cascade (vstore
+    // history purge included, so the expiry metadata itself is
+    // forgotten and the next cron tick selects nothing), and the
+    // audit certifies all FOUR families: manifest complete, expired
+    // ids absent everywhere (vstore: from every reconstructable
+    // version), all id surfaces equal on the survivors
+    "q_retention_sweep" -> ((s, dir) => {
+      import graft.pipeline.Forget
+      import graft.streaming.VersionedStore
+      val root = QueryGroup.scratchDir("graft-retention")
+      val pop = governanceStores(s, dir, root)
+      VersionedStore.commit(s, s"$root/vstore",
+        pop.select(col("doc_id"),
+          date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 30).cast("int")).as("ingest_day"),
+          lit("u").as("_op")))
+      val swept = Forget.retentionSweep(s, root,
+        "ingest_day < DATE'2024-01-10'")
+      require(swept.contains(0L), s"sweep did not run: $swept")
+      require(Forget.retentionSweep(s, root,
+        "ingest_day < DATE'2024-01-10'").isEmpty,
+        "an idle re-sweep must select nothing (expiry metadata purged)")
+      Forget.checkPipeline(s, root)
+    }),
   )
 
   /** Shared q_time_travel / q_vacuum fixture: three CDC commits (insert
@@ -1684,6 +1787,59 @@ object PipelineQueries extends QueryGroup {
 
   private lazy val annIvfOracle: String = annIvfOracleFor("TRUE")
 
+  /** Merged-store IVF probe (q_ann_ivf_merge): per-shard seed centroids
+    * (the 16 lowest vec_ids of each half), shard B's cids offset by
+    * shard A's max (16), assignment PER SHARD (the merge never
+    * re-assigns a vector), probing over the UNION — exactly
+    * [[graft.similarity.IvfStore.mergeStores]]'s geometry. */
+  private lazy val annIvfMergeOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH ea AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 2 = 0),
+            eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 2 = 1),
+            qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id IN ($ids)),
+            ca AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                   FROM ea ORDER BY vec_id ASC LIMIT 16),
+            cb AS (SELECT 16 + row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                   FROM eb ORDER BY vec_id ASC LIMIT 16),
+            cu AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+            aa AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY 1 - list_cosine_similarity(e.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM ea e CROSS JOIN ca c) WHERE rn = 1),
+            ab AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY 1 - list_cosine_similarity(e.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM eb e CROSS JOIN cb c) WHERE rn = 1),
+            asg AS (SELECT * FROM aa UNION ALL SELECT * FROM ab),
+            qasg AS (SELECT vec_id AS query_id, cid FROM (
+                     SELECT qe.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY qe.vec_id
+                              ORDER BY 1 - list_cosine_similarity(qe.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM qe CROSS JOIN cu c) WHERE rn <= 4),
+            cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                     FROM qasg q JOIN asg a USING (cid)
+                     WHERE a.vec_id <> q.query_id),
+            scored AS (SELECT cand.query_id, cand.vec_id,
+                              list_cosine_similarity(eq.v, ec.v) AS cos
+                       FROM cand
+                       JOIN qe eq ON cand.query_id = eq.vec_id
+                       JOIN (SELECT * FROM ea UNION ALL SELECT * FROM eb) ec
+                         ON cand.vec_id = ec.vec_id),
+            r AS (SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM scored)
+       SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   /** IVF probe pipeline with the candidate universe restricted to
     * `livePred` over vec_id — centroids and query assignment stay on the
     * FULL corpus (frozen-centroid store semantics); shared by the
@@ -1854,12 +2010,13 @@ object PipelineQueries extends QueryGroup {
   // dedup-on-ingest truth: exact cross-half Jaccard pairs, the stored
   // side scoped by `storedPred` (full even half, or the post-remove
   // survivors)
-  private def dedupIngestOracleFor(storedPred: String): String =
+  private def dedupIngestOracleFor(storedPred: String,
+                                   batchPred: String = "y.doc_id % 2 = 1"): String =
     s"""WITH sh AS ($SqlShingles),
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              inter AS (SELECT y.doc_id AS new_id, x.doc_id AS dup_of, count(*) AS i
                        FROM sh x JOIN sh y ON x.shingle = y.shingle
-                        AND $storedPred AND y.doc_id % 2 = 1
+                        AND $storedPred AND $batchPred
                        GROUP BY 1, 2)
         SELECT new_id, dup_of,
                CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
@@ -2021,6 +2178,9 @@ object PipelineQueries extends QueryGroup {
     // cross-half twin of jaccardOracle: store half (even ids) × new half
     // (odd ids)
     "q_dedup_ingest" -> dedupIngestOracleFor("x.doc_id % 2 = 0"),
+    // the merged shards dedup the third batch against BOTH halves
+    "q_dedup_store_merge" -> dedupIngestOracleFor(
+      "x.doc_id % 3 <> 2", "y.doc_id % 3 = 2"),
 
     // removed stored docs (doc_id % 4 = 0) no longer match — the stored
     // side of the truth is only the surviving half
@@ -2158,6 +2318,50 @@ object PipelineQueries extends QueryGroup {
                 (SELECT n FROM kept), 0
          UNION ALL SELECT '1_repaired', 'id_surface_index_vstore', 0, 0
          UNION ALL SELECT '1_repaired', 'id_surface_ivf_vstore', 0, 0""",
+
+    // the promotion's certification: zero manifests, the three merged
+    // family surfaces identical over the docs-with-embeddings union
+    // (vstore absent: stable-schema zero rows)
+    "q_pipeline_merge" ->
+      """WITH pop AS (SELECT d.doc_id FROM documents d
+                      JOIN embeddings e ON d.doc_id = e.vec_id),
+              np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop)
+         SELECT 'forget_manifests_complete' AS invariant,
+                CAST(0 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'forgotten_absent_dedup', 0, 0
+         UNION ALL SELECT 'forgotten_absent_index', 0, 0
+         UNION ALL SELECT 'forgotten_absent_ivf', 0, 0
+         UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM np), 0
+         UNION ALL SELECT 'id_surface_dedup_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_index_dedup', (SELECT n FROM np), 0
+         UNION ALL SELECT 'id_surface_index_ivf', (SELECT n FROM np), 0
+         UNION ALL SELECT 'id_surface_index_vstore', 0, 0
+         UNION ALL SELECT 'id_surface_ivf_vstore', 0, 0""",
+
+    // the retention sweep's outcome: one complete manifest, the
+    // %30∈[0,8] expiry band (ingest_day < 2024-01-10 at day offset
+    // doc_id%30) absent from every family including the purged vstore
+    // history, all four live surfaces equal on the survivors
+    "q_retention_sweep" ->
+      """WITH pop AS (SELECT d.doc_id FROM documents d
+                      JOIN embeddings e ON d.doc_id = e.vec_id),
+              gone AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 30 <= 8),
+              kept AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pop
+                       WHERE doc_id % 30 > 8)
+         SELECT 'forget_manifests_complete' AS invariant,
+                CAST(1 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
+         UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_vstore', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_dedup_vstore', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_dedup', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_ivf', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_index_vstore', (SELECT n FROM kept), 0
+         UNION ALL SELECT 'id_surface_ivf_vstore', (SELECT n FROM kept), 0""",
 
     // the detect→repair loop for the signature store: in the detect
     // phase every removed doc (%4 of the shingle-able even half) is one
@@ -2576,6 +2780,8 @@ object PipelineQueries extends QueryGroup {
           FROM b GROUP BY 1, 2""",
 
     "q_ann_ivf" -> annIvfOracle,
+    // the centroid-union merged shards, probed as one store
+    "q_ann_ivf_merge" -> annIvfMergeOracle,
 
     // seed-path mean recall recomputed exactly from the two retriever
     // oracles; the refined-not-worse boolean is the CLAIM the gate

@@ -258,6 +258,50 @@ object SearchQueries extends QueryGroup {
         BatchPhrases.toDF("query_id", "phrase"))
     }),
 
+    // the SHARD MERGE promotion path: two halves of the corpus indexed
+    // as independent stores (the parallel-shard-build pattern), one
+    // shard tombstones part of its docs, then StoreMerge promotes both
+    // into one serving store — metadata-level file transfer (aligned
+    // CRC32 term buckets: no postings row read or shuffled) plus the
+    // vocab/meta partial-aggregate merge, tombstones carried through.
+    // moveFiles=true is the production O(files) rename path. The merged
+    // store must answer exactly like a fresh build over the live docs
+    "q_store_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = QueryGroup.scratchDir("graft-ixmerge")
+      val ixFor = (part: org.apache.spark.sql.DataFrame) =>
+        Indexer.buildIndex(part, titleCol = Some("source"))
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA")
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB")
+      Indexer.deleteDocs(s, s"$root/shardA",
+        d.filter(col("doc_id") % 6 === 0).select("doc_id"))
+      graft.index.StoreMerge.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      BM25.searchStore(s, s"$root/merged", FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
+    // ...and the merged store keeps its full lifecycle: a third shard
+    // arrives AFTER the merge through the ordinary incremental append
+    // (batch sequencing continues from the merged _lastbatch), and the
+    // result answers like a one-shot full build (shared bm25Oracle)
+    "q_store_merge_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = QueryGroup.scratchDir("graft-ixmergeapp")
+      val ixFor = (part: org.apache.spark.sql.DataFrame) =>
+        Indexer.buildIndex(part, titleCol = Some("source"))
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 0)), s"$root/shardA")
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 1)), s"$root/shardB")
+      graft.index.StoreMerge.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      Indexer.appendIndex(s, s"$root/merged",
+        d.filter(col("doc_id") % 3 === 2), titleCol = Some("source"))
+      BM25.searchStore(s, s"$root/merged", FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     // the sloppy-phrase batch face over the store: any-order matches
     // within ProxWindow of each query's anchor term
     "q_prox_batch_store" -> ((s, dir) => {
@@ -665,6 +709,12 @@ object SearchQueries extends QueryGroup {
     "q_bm25_batch" -> bm25BatchOracle,
     // the store is a lossless persistence of the same four index tables
     "q_bm25_batch_store" -> bm25BatchOracle,
+    // the merged shards answer like a fresh build over the live docs
+    // (shard A tombstoned its %6 band before the merge)
+    "q_store_merge" -> bm25OracleFor(
+      s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 6 <> 0"),
+    // merge + post-merge append = a one-shot full build
+    "q_store_merge_append" -> bm25Oracle,
     "q_bm25_delete" -> bm25OracleFor(
       s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 3 <> 0"),
     "q_bm25_expunge" -> bm25OracleFor(

@@ -493,6 +493,89 @@ object IvfStore {
       Seq(cover, codes, unique, assignment, norms))
   }
 
+  /** Merge N independently-built IVF stores into one by CENTROID UNION —
+    * the ANN face of the shard-build-then-promote pattern
+    * ([[graft.index.StoreMerge]] is the BM25 face): each ingest
+    * partition trains and assigns its own store in parallel; promotion
+    * unions the centroid tables (shard i's cids offset past shard
+    * i-1's max) and transfers the `cid=` list partitions as FILES into
+    * their remapped directories — no vector is read, re-assigned or
+    * shuffled. Every vector keeps its shard-local assignment; a query
+    * probes its nProbe nearest centroids across the union, so recall
+    * matches per-shard IVF at the same nProbe while the probed
+    * fraction of the corpus SHRINKS (nProbe of sources.size × nCentroids
+    * lists). Re-assignment against one re-trained centroid set remains
+    * what it is everywhere in this store: a rebuild, not a merge.
+    * [[searchStore]] serves the merged store unchanged — centroid
+    * broadcast, driver-side probed-cid IN-list, partition pruning.
+    *
+    * Contracts (enforced): ≥ 2 sources; FRESH stores only (a
+    * `batch=`-layered streaming store re-merges per-batch layout —
+    * refuses loudly); identical lists schema — which also means all
+    * float or all QUANTIZED, never mixed (quantized shards merge fine:
+    * the int8 scale is per-vector, so rows are self-describing and
+    * [[searchStoreQuantized]] serves the union unchanged); DISJOINT
+    * vec_id spaces on the raw lists (a tombstoned id still occupies
+    * its space — tombstones merge too).
+    *
+    * Crash model: the merged `centroids` table is the COMMIT point
+    * (written last — a store without it serves nothing); a merge that
+    * dies mid-transfer re-runs idempotently (deterministic `m<i>_`
+    * names, already-placed files skip). `moveFiles = true` renames
+    * instead of copying — the O(files) promotion path that consumes
+    * the shards. */
+  def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
+                  moveFiles: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(sources.size >= 2, "mergeStores needs at least two source stores")
+    require(sources.distinct.size == sources.size, "duplicate source store")
+    require(!sources.contains(dest), "destination must not be a source")
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$dest/centroids")),
+      s"$dest already carries a committed IVF store (centroids exist)")
+    sources.foreach { s =>
+      require(fs.exists(new Path(s"$s/centroids")) && fs.exists(new Path(s"$s/lists")),
+        s"$s is not a persisted IVF store (centroids/lists missing)")
+      val cols = spark.read.parquet(s"$s/lists").columns.toSet
+      require(!cols.contains("batch"),
+        s"$s is a streaming-ingested (batch-partitioned) store — merge " +
+          "fresh writeIndex shards; a batch-layered store promotes by " +
+          "being ingested into, not merged")
+    }
+    val listSchemas = sources.map(s => spark.read.parquet(s"$s/lists").schema)
+    require(listSchemas.distinct.size == 1,
+      s"sources disagree on the lists schema: ${listSchemas.distinct.mkString(" vs ")}")
+    val overlap = sources.map(s => spark.read.parquet(s"$s/lists").select("vec_id"))
+      .reduce(_ union _)
+      .groupBy("vec_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .limit(3).collect()
+    require(overlap.isEmpty,
+      s"sources share vec_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
+        "shard id spaces must be disjoint (a tombstoned id counts: its " +
+        "tombstone would mask a live twin from another shard)")
+
+    // cid offsets: shard i's cids shift past the cumulative max
+    val centFrames = sources.map(s => spark.read.parquet(s"$s/centroids"))
+    val maxCids = centFrames.map(_.agg(max(col("cid"))).collect()(0).getInt(0))
+    val offsets = maxCids.scanLeft(0)(_ + _).init
+
+    for ((src, i) <- sources.zipWithIndex) {
+      for (st <- fs.listStatus(new Path(s"$src/lists")).toSeq
+           if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
+        val k = st.getPath.getName.stripPrefix("cid=").toInt
+        graft.FsOps.transferDataFiles(spark, st.getPath.toString,
+          s"$dest/lists/cid=${k + offsets(i)}", s"m${i}_", moveFiles)
+      }
+      graft.FsOps.transferDataFiles(spark, s"$src/deletes", s"$dest/deletes",
+        s"m${i}_", moveFiles)
+    }
+    // commit: the remapped centroid union, written last
+    centFrames.zip(offsets).map { case (c, off) =>
+        c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+  }
+
   /** LIVE vec_id surface of a store — the ids a probe could still
     * return ([[deleteVectors]] tombstones subtracted). Bare longs, one
     * row per stored vector: the id-surface primitive the cross-store

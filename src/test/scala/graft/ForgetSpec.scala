@@ -220,6 +220,41 @@ class ForgetSpec extends SparkSpec {
     assert(rep2.values.forall(_._2 === 0L))
   }
 
+  test("retentionSweep forgets the expired metadata band; an idle re-sweep selects nothing") {
+    import graft.streaming.VersionedStore
+    val root = buildRoot()
+    // per-doc ingest dates in the versioned metadata: day offset = doc_id
+    VersionedStore.commit(spark, s"$root/vstore", docsFx.toDF("doc_id", "text")
+      .select($"doc_id",
+        date_add(to_date(lit("2024-01-01")), $"doc_id".cast("int")).as("ingest_day"),
+        lit("u").as("_op")))
+    // horizon at day 2: docs 0 and 1 expire
+    assert(Forget.retentionSweep(spark, root,
+      "ingest_day < DATE'2024-01-03'") === Some(0L))
+    val survivors = docsFx.map(_._1).toSet -- Set(0L, 1L)
+    assert(liveIndexIds(root) === survivors)
+    assert(liveDedupIds(root) === survivors)
+    assert(liveIvfIds(root) === survivors)
+    // the expiry metadata itself was purged from ALL history
+    assert(VersionedStore.historyServes(spark, s"$root/vstore", Seq("doc_id"),
+      Seq(0L, 1L).toDF("doc_id")).isEmpty)
+    val rep = reportMap(Forget.checkPipeline(spark, root))
+    assert(rep("forgotten_absent_vstore") === (2L, 0L))
+    assert(rep.values.forall(_._2 === 0L))
+    // idle tick: nothing matches, no manifest allocated
+    assert(Forget.retentionSweep(spark, root,
+      "ingest_day < DATE'2024-01-03'") === None)
+    assert(reportMap(Forget.checkPipeline(spark, root))
+      ("forget_manifests_complete") === (1L, 0L))
+    // a root without the metadata family fails loudly
+    val bare = Files.createTempDirectory("forgetnomd").toString
+    Indexer.writeIndex(Indexer.buildIndex(docsFx.toDF("doc_id", "text")),
+      s"$bare/index")
+    val e = intercept[IllegalArgumentException](
+      Forget.retentionSweep(spark, bare, "true"))
+    assert(e.getMessage.contains("vstore"), e.getMessage)
+  }
+
   test("absent families report checked=0 rows, never drop from the schema") {
     val root = Files.createTempDirectory("forgetpartial").toString
     val d = docsFx.toDF("doc_id", "text")

@@ -113,6 +113,20 @@ class MaintainSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Maintain.run(spark, "pipeline", "forget", root))
     assert(e.getMessage.contains("ids parquet path"), e.getMessage)
+    // merge: promote two shard roots into the maintenance path
+    val (sh0, sh1) = (QueryGroup.scratchDir("graft-maint-sh0"),
+      QueryGroup.scratchDir("graft-maint-sh1"))
+    index.Indexer.writeIndex(index.Indexer.buildIndex(
+      corpus.filter($"doc_id" <= 1)), s"$sh0/index", nBuckets = 4)
+    index.Indexer.writeIndex(index.Indexer.buildIndex(
+      corpus.filter($"doc_id" > 1)), s"$sh1/index", nBuckets = 4)
+    val mdest = QueryGroup.scratchDir("graft-maint-merged")
+    assert(Maintain.run(spark, "pipeline", "merge", mdest, Seq(sh0, sh1)).isEmpty)
+    assert(index.Indexer.readIndexLive(spark, s"$mdest/index")
+      .docStats.count() === 3L)
+    val e3 = intercept[IllegalArgumentException](
+      Maintain.run(spark, "pipeline", "merge", mdest, Seq(sh0)))
+    assert(e3.getMessage.contains(">= 2 shard-root"), e3.getMessage)
   }
 
   test("unknown routes fail loudly") {

@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupStore
+import graft.index.Indexer
+import graft.pipeline.{Forget, Promote}
+import graft.similarity.{IvfStore, Similarity}
+
+/** The IVF and dedup shard merges and the pipeline-root promotion
+  * (graft.similarity.IvfStore.mergeStores, graft.dedup.DedupStore
+  * .mergeStores, graft.pipeline.Promote.mergeRoots). */
+class PromoteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsFx = Seq(
+    (0L, "alpha beta gamma delta echo"),
+    (1L, "beta gamma delta echo foxtrot"),
+    (2L, "gamma delta echo foxtrot golf"),
+    (3L, "delta echo foxtrot golf hotel"),
+    (4L, "echo foxtrot golf hotel india"),
+    (5L, "foxtrot golf hotel india juliet"),
+    (6L, "golf hotel india juliet kilo"),
+    (7L, "hotel india juliet kilo lima"))
+
+  // 8 spread-out 2-d vectors: nearest-neighbor structure is obvious
+  private def vecsFx = (0L to 7L).map { id =>
+    val a = id.toDouble / 8.0 * math.Pi / 2
+    (id, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+  }
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def fsAt(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ivfShard(pred: Long => Boolean, path: String, nc: Int = 2): Unit =
+    IvfStore.writeIndex(vecsFx.filter(v => pred(v._1)).toDF("vec_id", "embedding"),
+      path, nCentroids = nc, kmeansIters = 0)
+
+  test("IVF centroid-union merge: probing every list equals brute force over the union") {
+    val (a, b, dest) = (tmp("ivfA"), tmp("ivfB"), tmp("ivfDest") + "/store")
+    ivfShard(_ % 2 == 0, a)
+    ivfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest)
+    // centroid union with remapped cids: 2 + 2, ids 1..4
+    val cids = spark.read.parquet(s"$dest/centroids")
+      .select("cid").as[Int].collect().sorted.toSeq
+    assert(cids === Seq(1, 2, 3, 4))
+    // every vector transferred, shard-local assignment preserved
+    assert(spark.read.parquet(s"$dest/lists").select("vec_id")
+      .as[Long].collect().toSet === (0L to 7L).toSet)
+    // nProbe = all centroids → IVF probe ≡ brute force over the union
+    val all = vecsFx.toDF("vec_id", "embedding")
+    val q = all.filter($"vec_id".isin(0L, 3L, 7L))
+    val got = IvfStore.searchStore(spark, dest, q, 3, nProbe = 4)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = Similarity.bruteForceTopK(all, q, 3)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === want)
+    // copy mode left the shards serving
+    assert(IvfStore.searchStore(spark, a, q, 1).count() > 0)
+  }
+
+  test("IVF merge: tombstones carry through; guards refuse loudly; crashed merge resumes") {
+    val (a, b, dest) = (tmp("ivfTsA"), tmp("ivfTsB"), tmp("ivfTsDest") + "/store")
+    ivfShard(_ % 2 == 0, a)
+    ivfShard(_ % 2 == 1, b)
+    IvfStore.deleteVectors(spark, a, Seq(2L).toDF("vec_id"))
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    val q = vecsFx.toDF("vec_id", "embedding").filter($"vec_id" === 1L)
+    assert(!IvfStore.searchStore(spark, dest, q, 8, nProbe = 4)
+      .select("vec_id").as[Long].collect().contains(2L),
+      "shard A's tombstone must mask vec 2 in the merged store")
+    // move mode consumed the shards' list files
+    assert(fsAt(a).listStatus(new Path(s"$a/lists")).toSeq
+      .filter(_.isDirectory)
+      .forall(d => fsAt(a).listStatus(d.getPath).isEmpty))
+    // fresh odd-half shard for the guard probes (b was consumed above)
+    val b2 = tmp("ivfB2")
+    ivfShard(_ % 2 == 1, b2)
+    // overlap refuses (vec 1 in both)
+    val ov = tmp("ivfOv")
+    ivfShard(id => id % 2 == 0 || id == 1, ov)
+    val e1 = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(ov, b2), tmp("ivfD1") + "/store"))
+    assert(e1.getMessage.contains("share vec_ids"), e1.getMessage)
+    // a batch-layered (streaming-ingested) store refuses
+    val st = tmp("ivfStream")
+    IvfStore.writeCentroids(vecsFx.toDF("vec_id", "embedding"), st,
+      nCentroids = 2, kmeansIters = 0)
+    IvfStore.appendBatch(spark, st,
+      vecsFx.filter(_._1 < 4).toDF("vec_id", "embedding"), 0L)
+    val e2 = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(st, b2), tmp("ivfD2") + "/store"))
+    assert(e2.getMessage.contains("batch-partitioned"), e2.getMessage)
+    // a quantized and a float shard refuse via schema parity (never mix)
+    val qz = tmp("ivfQz")
+    IvfStore.writeIndexQuantized(vecsFx.filter(_._1 % 2 == 0)
+      .toDF("vec_id", "embedding"), qz, nCentroids = 2, kmeansIters = 0)
+    val e3 = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(qz, b2), tmp("ivfD3") + "/store"))
+    assert(e3.getMessage.contains("schema"), e3.getMessage)
+    // ...but two QUANTIZED shards merge (the scale is per-vector, rows
+    // self-describe): probing every list equals one full quantized store
+    // probed the same way (assignment is irrelevant when all lists scan)
+    val (qa, qb, qdest, qfull) =
+      (tmp("ivfQa"), tmp("ivfQb"), tmp("ivfQDest") + "/store", tmp("ivfQFull"))
+    IvfStore.writeIndexQuantized(vecsFx.filter(_._1 % 2 == 0)
+      .toDF("vec_id", "embedding"), qa, nCentroids = 2, kmeansIters = 0)
+    IvfStore.writeIndexQuantized(vecsFx.filter(_._1 % 2 == 1)
+      .toDF("vec_id", "embedding"), qb, nCentroids = 2, kmeansIters = 0)
+    IvfStore.mergeStores(spark, Seq(qa, qb), qdest)
+    IvfStore.writeIndexQuantized(vecsFx.toDF("vec_id", "embedding"), qfull,
+      nCentroids = 4, kmeansIters = 0)
+    val qq = vecsFx.toDF("vec_id", "embedding").filter($"vec_id".isin(0L, 5L))
+    def qTop(path: String): Set[(Long, Long, Long)] =
+      IvfStore.searchStoreQuantized(spark, path, qq, 3, nProbe = 4)
+        .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(qTop(qdest) === qTop(qfull))
+    // committed dest refuses
+    val e4 = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(a, b), dest))
+    assert(e4.getMessage.contains("committed IVF store"), e4.getMessage)
+    // crash resume: kill the commit marker (centroids) and one file
+    val (c, d, dest2) = (tmp("ivfC"), tmp("ivfD"), tmp("ivfDest2") + "/store")
+    ivfShard(_ % 2 == 0, c)
+    ivfShard(_ % 2 == 1, d)
+    IvfStore.mergeStores(spark, Seq(c, d), dest2)
+    val fs = fsAt(dest2)
+    fs.delete(new Path(s"$dest2/centroids"), true)
+    val lost = fs.listStatus(fs.listStatus(new Path(s"$dest2/lists")).toSeq
+      .filter(_.isDirectory).head.getPath).head.getPath
+    fs.delete(lost, false)
+    IvfStore.mergeStores(spark, Seq(c, d), dest2)
+    assert(spark.read.parquet(s"$dest2/lists").select("vec_id")
+      .as[Long].collect().toSet === (0L to 7L).toSet)
+  }
+
+  test("dedup signature-store merge: ingest report equals a single full-store build") {
+    val d = docsFx.toDF("doc_id", "text")
+    val (a, b, dest, full) = (tmp("ddA"), tmp("ddB"), tmp("ddDest") + "/store", tmp("ddFull"))
+    DedupStore.writeSignatures(d.filter($"doc_id" % 3 === 0), a)
+    DedupStore.writeSignatures(d.filter($"doc_id" % 3 === 1), b)
+    DedupStore.mergeStores(spark, Seq(a, b), dest)
+    // born audited: both tables are exact unions
+    assert(DedupStore.lastAudited(spark, dest) === DedupStore.lastBatch(spark, dest))
+    DedupStore.writeSignatures(d.filter($"doc_id" % 3 =!= 2), full)
+    val batch = d.filter($"doc_id" % 3 === 2)
+    def report(path: String): Set[(Long, Long)] =
+      DedupStore.ingest(spark, path, batch, 0.3)
+        .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSet
+    val merged = report(dest)
+    assert(merged === report(full))
+    assert(merged.nonEmpty, "fixture must produce cross-shard near-dups")
+    // ...including matches against BOTH shards' content
+    assert(merged.exists(_._2 % 3 == 0) && merged.exists(_._2 % 3 == 1),
+      s"expected dups against both shards, got $merged")
+    // fsck green on the merged store (post-ingest)
+    assert(DedupStore.checkStore(spark, dest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    // geometry mismatch refuses
+    val g = tmp("ddGeom")
+    DedupStore.writeSignatures(d.filter($"doc_id" % 3 === 1), g, bands = 16)
+    val e = intercept[IllegalArgumentException](
+      DedupStore.mergeStores(spark, Seq(a, g), tmp("ddD1") + "/store"))
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+    // overlap refuses
+    val e2 = intercept[IllegalArgumentException](
+      DedupStore.mergeStores(spark, Seq(a, full), tmp("ddD2") + "/store"))
+    assert(e2.getMessage.contains("share doc_ids"), e2.getMessage)
+  }
+
+  private def buildRoot(pred: Long => Boolean, root: String): Unit = {
+    val part = docsFx.filter(r => pred(r._1)).toDF("doc_id", "text")
+    Indexer.writeIndex(Indexer.buildIndex(part), s"$root/index")
+    DedupStore.writeSignatures(part, s"$root/dedup")
+    IvfStore.writeIndex(vecsFx.filter(v => pred(v._1)).toDF("vec_id", "embedding"),
+      s"$root/ivf", nCentroids = 2, kmeansIters = 0)
+  }
+
+  test("mergeRoots promotes whole shard roots; the cross-store audit certifies the union") {
+    val (r0, r1, dest) = (tmp("rootA"), tmp("rootB"), tmp("rootDest") + "/merged")
+    buildRoot(_ % 2 == 0, r0)
+    buildRoot(_ % 2 == 1, r1)
+    assert(Promote.mergeRoots(spark, Seq(r0, r1), dest) ===
+      Seq("dedup", "index", "ivf"))
+    val rep = Forget.checkPipeline(spark, dest).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("forget_manifests_complete") === (0L, 0L))
+    for (p <- Seq("index_dedup", "index_ivf", "dedup_ivf"))
+      assert(rep(s"id_surface_$p") === (8L, 0L), p)
+    assert(rep.values.forall(_._2 === 0L))
+    // ...and the merged root takes takedowns as one unit
+    Forget.forget(spark, dest, Seq(3L).toDF("doc_id"))
+    val rep2 = Forget.checkPipeline(spark, dest).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep2.values.forall(_._2 === 0L))
+    // family mismatch refuses
+    val lop = tmp("rootLop")
+    val part = docsFx.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    Indexer.writeIndex(Indexer.buildIndex(part), s"$lop/index")
+    val e = intercept[IllegalArgumentException](
+      Promote.mergeRoots(spark, Seq(lop, r1), tmp("rootD1") + "/m"))
+    assert(e.getMessage.contains("SAME store families"), e.getMessage)
+    // a root with _forget manifests refuses (per-root ordinals)
+    val e2 = intercept[IllegalArgumentException](
+      Promote.mergeRoots(spark, Seq(dest, r0), tmp("rootD2") + "/m"))
+    assert(e2.getMessage.contains("_forget"), e2.getMessage)
+    // a root with a vstore refuses
+    val (v0, v1) = (tmp("rootV0"), tmp("rootV1"))
+    buildRoot(_ % 2 == 0, v0)
+    buildRoot(_ % 2 == 1, v1)
+    graft.streaming.VersionedStore.commit(spark, s"$v0/vstore",
+      Seq((0L, "u")).toDF("doc_id", "_op"))
+    graft.streaming.VersionedStore.commit(spark, s"$v1/vstore",
+      Seq((1L, "u")).toDF("doc_id", "_op"))
+    val e3 = intercept[IllegalArgumentException](
+      Promote.mergeRoots(spark, Seq(v0, v1), tmp("rootD3") + "/m"))
+    assert(e3.getMessage.contains("vstore"), e3.getMessage)
+  }
+}

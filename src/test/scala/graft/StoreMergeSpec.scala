@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.{Indexer, StoreMerge}
+import graft.search.{BM25, PhraseSearch}
+
+/** Shard merge (graft.index.StoreMerge): metadata-level file transfer +
+  * partial-aggregate derived merge, every contract guard, crash resume,
+  * tombstone carry-through, and post-merge lifecycle (append, audits). */
+class StoreMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "alpha beta gamma delta", "d0"),
+    (1L, "beta gamma delta epsilon", "d1"),
+    (2L, "gamma delta epsilon zeta", "d2"),
+    (3L, "delta epsilon zeta eta", "d3"),
+    (4L, "epsilon zeta eta theta", "d4"),
+    (5L, "zeta eta theta iota alpha", "d5"))
+
+  private def corpusDf: DataFrame = corpus.toDF("doc_id", "text", "title")
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def buildShard(pred: Long => Boolean, path: String,
+                         nBuckets: Int = 8, title: Boolean = true): Unit = {
+    val part = corpusDf.filter(r => pred(r.getLong(0)))
+    Indexer.writeIndex(Indexer.buildIndex(part,
+      titleCol = if (title) Some("title") else None), path, nBuckets = nBuckets)
+  }
+
+  private def fsAt(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fsckViolations(path: String): Long =
+    Indexer.checkStore(spark, path).agg(sum($"violations"))
+      .as[Long].collect().head
+
+  private def searchRows(path: String, q: String): Seq[(Long, Double)] =
+    BM25.searchStore(spark, path, q)
+      .select($"doc_id", round($"score", 6)).as[(Long, Double)].collect().toSeq
+
+  test("merged store answers exactly like a full build; derived tables exact") {
+    val (a, b, full, dest) = (tmp("shardA"), tmp("shardB"), tmp("full"), tmp("merged") + "/store")
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    Indexer.writeIndex(Indexer.buildIndex(corpusDf, titleCol = Some("title")), full, nBuckets = 8)
+    StoreMerge.mergeStores(spark, Seq(a, b), dest)
+    assert(searchRows(dest, "delta epsilon") === searchRows(full, "delta epsilon"))
+    // derived tables are value-identical to the full build's
+    val vm = spark.read.parquet(s"$dest/vocab").as[(String, Long)].collect().toMap
+    val vf = spark.read.parquet(s"$full/vocab").as[(String, Long)].collect().toMap
+    assert(vm === vf)
+    assert(spark.read.parquet(s"$dest/meta").collect().toSeq ===
+      spark.read.parquet(s"$full/meta").collect().toSeq)
+    // fsck green; born-audited: the incremental audit has nothing to scan
+    assert(fsckViolations(dest) === 0L)
+    assert(Indexer.lastAudited(spark, dest) === Indexer.lastBatch(spark, dest))
+    // copy mode: sources intact and still serving
+    assert(searchRows(a, "delta").nonEmpty)
+    // file-level merge: postings bucket dirs contain both shards' files
+    val buckets = fsAt(dest).listStatus(new Path(s"$dest/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("term_bucket=")).toSet
+    assert(buckets.nonEmpty)
+    val files = fsAt(dest).listStatus(new Path(s"$dest/doc_stats"))
+      .map(_.getPath.getName).filter(!_.startsWith("_")).toSet
+    assert(files.exists(_.startsWith("m0_")) && files.exists(_.startsWith("m1_")),
+      s"expected prefixed shard files, got $files")
+  }
+
+  test("moveFiles=true consumes the shards; merged store serves; resume tolerates a crash") {
+    val (a, b, dest) = (tmp("mvA"), tmp("mvB"), tmp("mvDest") + "/store")
+    buildShard(_ < 3, a)
+    buildShard(_ >= 3, b)
+    StoreMerge.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    assert(searchRows(dest, "delta").nonEmpty)
+    assert(fsckViolations(dest) === 0L)
+    // the shards' data files are gone (husks keep markers/vocab)
+    assert(fsAt(a).listStatus(new Path(s"$a/doc_stats"))
+      .forall(s => !s.getPath.getName.startsWith("part-")))
+    // crash resume: replay the same merge into a HALF-transferred dest —
+    // simulate by deleting the commit marker and one transferred file
+    val fs = fsAt(dest)
+    val (c, d, dest2) = (tmp("mvC"), tmp("mvD"), tmp("mvDest2") + "/store")
+    buildShard(_ % 2 == 0, c)
+    buildShard(_ % 2 == 1, d)
+    StoreMerge.mergeStores(spark, Seq(c, d), dest2)
+    fs.delete(new Path(s"$dest2/_nbuckets"), false)
+    val someFile = fs.listStatus(new Path(s"$dest2/doc_stats"))
+      .map(_.getPath).filter(_.getName.startsWith("m0_")).head
+    fs.delete(someFile, false)
+    StoreMerge.mergeStores(spark, Seq(c, d), dest2) // resume re-places it
+    assert(fsckViolations(dest2) === 0L)
+    assert(searchRows(dest2, "delta epsilon").nonEmpty)
+  }
+
+  test("tombstones carry through: merged live view excludes shard-deleted docs") {
+    val (a, b, dest, liveFull) = (tmp("tsA"), tmp("tsB"), tmp("tsDest") + "/store", tmp("tsLive"))
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    Indexer.deleteDocs(spark, a, Seq(0L).toDF("doc_id"))
+    StoreMerge.mergeStores(spark, Seq(a, b), dest)
+    // truth: a fresh build that never held doc 0
+    Indexer.writeIndex(Indexer.buildIndex(
+      corpusDf.filter($"doc_id" =!= 0L), titleCol = Some("title")), liveFull, nBuckets = 8)
+    assert(searchRows(dest, "alpha beta") === searchRows(liveFull, "alpha beta"))
+    assert(spark.read.parquet(s"$dest/vocab").as[(String, Long)].collect().toMap ===
+      spark.read.parquet(s"$liveFull/vocab").as[(String, Long)].collect().toMap)
+    assert(fsckViolations(dest) === 0L)
+    // ...and expunge reclaims the merged tombstones on the normal path
+    Indexer.expungeDeletes(spark, dest)
+    assert(!fsAt(dest).exists(new Path(s"$dest/deletes")))
+    assert(searchRows(dest, "alpha beta") === searchRows(liveFull, "alpha beta"))
+  }
+
+  test("positional shards merge; phrase search = full build; all-or-none enforced") {
+    val (a, b, dest, full) = (tmp("posA"), tmp("posB"), tmp("posDest") + "/store", tmp("posFull"))
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    Indexer.writePositional(corpusDf.filter($"doc_id" % 2 === 0), a, nBuckets = 8)
+    Indexer.writePositional(corpusDf.filter($"doc_id" % 2 === 1), b, nBuckets = 8)
+    StoreMerge.mergeStores(spark, Seq(a, b), dest)
+    Indexer.writePositional(corpusDf, full, nBuckets = 8)
+    assert(
+      PhraseSearch.searchStore(spark, dest, "gamma delta", 10)
+        .select($"doc_id").as[Long].collect().toSet ===
+      PhraseSearch.searchStore(spark, full, "gamma delta", 10)
+        .select($"doc_id").as[Long].collect().toSet)
+    // all-or-none: a positional and a positional-less shard refuse
+    val (c, d) = (tmp("posC"), tmp("posD"))
+    buildShard(_ < 3, c)
+    buildShard(_ >= 3, d)
+    Indexer.writePositional(corpusDf.filter($"doc_id" < 3), c, nBuckets = 8)
+    val e = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(c, d), tmp("posBad") + "/store"))
+    assert(e.getMessage.contains("ALL sources or NONE"), e.getMessage)
+  }
+
+  test("contract guards fail loudly: overlap, nBuckets, doc-bucketed, schema, committed dest") {
+    val (a, b) = (tmp("gA"), tmp("gB"))
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    // overlapping id spaces (doc 0 in both)
+    val ov = tmp("gOv")
+    buildShard(id => id % 2 == 0 || id == 1, ov)
+    val e1 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(ov, b), tmp("gD1") + "/store"))
+    assert(e1.getMessage.contains("share doc_ids"), e1.getMessage)
+    // ...a TOMBSTONED id still occupies its space
+    val ts = tmp("gTs")
+    buildShard(id => id % 2 == 0 || id == 1, ts)
+    Indexer.deleteDocs(spark, ts, Seq(1L).toDF("doc_id"))
+    val e1b = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(ts, b), tmp("gD1b") + "/store"))
+    assert(e1b.getMessage.contains("share doc_ids"), e1b.getMessage)
+    // bucket-count mismatch
+    val nb4 = tmp("gNb4")
+    buildShard(_ % 2 == 1, nb4, nBuckets = 4)
+    val e2 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, nb4), tmp("gD2") + "/store"))
+    assert(e2.getMessage.contains("nBuckets"), e2.getMessage)
+    // doc-bucketed source
+    val db = tmp("gDb")
+    Indexer.writeIndex(Indexer.buildIndex(
+      corpusDf.filter($"doc_id" % 2 === 1), titleCol = Some("title")),
+      db, nBuckets = 8, docBuckets = Some(2))
+    val e3 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, db), tmp("gD3") + "/store"))
+    assert(e3.getMessage.contains("doc-bucketed"), e3.getMessage)
+    // schema mismatch (title-less shard)
+    val nt = tmp("gNt")
+    buildShard(_ % 2 == 1, nt, title = false)
+    val e4 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, nt), tmp("gD4") + "/store"))
+    assert(e4.getMessage.contains("schema"), e4.getMessage)
+    // committed destination refuses
+    val committed = tmp("gCommitted")
+    buildShard(_ => true, committed)
+    val e5 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, b), committed))
+    assert(e5.getMessage.contains("appendIndex"), e5.getMessage)
+    // fewer than two sources
+    val e6 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a), tmp("gD6") + "/store"))
+    assert(e6.getMessage.contains("at least two"), e6.getMessage)
+  }
+
+  test("post-merge lifecycle: append grows the merged store; incremental audit sees only the delta") {
+    val (a, b, dest) = (tmp("lcA"), tmp("lcB"), tmp("lcDest") + "/store")
+    buildShard(id => id == 0 || id == 1, a)
+    buildShard(id => id == 2 || id == 3, b)
+    StoreMerge.mergeStores(spark, Seq(a, b), dest)
+    Indexer.appendIndex(spark, dest,
+      corpusDf.filter($"doc_id" >= 4L), titleCol = Some("title"))
+    val full = tmp("lcFull")
+    Indexer.writeIndex(Indexer.buildIndex(corpusDf, titleCol = Some("title")), full, nBuckets = 8)
+    assert(searchRows(dest, "zeta eta") === searchRows(full, "zeta eta"))
+    // the incremental audit covers the appended batch and stays green
+    assert(Indexer.checkStoreIncremental(spark, dest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    assert(fsckViolations(dest) === 0L)
+  }
+}

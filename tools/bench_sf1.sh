@@ -22,10 +22,13 @@ cd "$(dirname "$0")/.."
 # checkpoint (q_dup_spans, q_span_clean), the doc-bucketed layouts
 # (q_bm25_store_bucketed, q_prox_batch_store_bucketed), compaction
 # (q_store_compact), the batch faces (q_bm25_batch, q_phrase_batch_store),
-# q_tfidf_store (r11's adjudicated outlier), and the governance cascade
+# q_tfidf_store (r11's adjudicated outlier), the governance cascade
 # (q_pipeline_forget: 3-store build + forget + cross-store audit;
-# q_vstore_purge: history rewrite across every commit/checkpoint)
-SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store,q_dup_spans,q_tfidf_store,q_bm25_batch,q_phrase_batch_store,q_bm25_store_bucketed,q_prox_batch_store_bucketed,q_store_compact,q_pipeline_forget,q_vstore_purge"
+# q_vstore_purge: history rewrite across every commit/checkpoint), and
+# the r13 shard merges (q_store_merge: 2 shard builds + file-transfer
+# merge + search — merge cost must stay metadata-flat at 10x;
+# q_pipeline_merge: whole-root promotion + audit)
+SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store,q_dup_spans,q_tfidf_store,q_bm25_batch,q_phrase_batch_store,q_bm25_store_bucketed,q_prox_batch_store_bucketed,q_store_compact,q_pipeline_forget,q_vstore_purge,q_store_merge,q_pipeline_merge"
 
 if [ ! -d /tmp/sf1/documents.parquet ] || [ ! -d /tmp/sf1/embeddings.parquet ]; then
   echo "[bench_sf1] generating /tmp/sf1 fixture..."

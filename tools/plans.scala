@@ -24,7 +24,11 @@ val names = Seq(
   "q_phrase_store_bucketed", "q_prox_batch_store_bucketed",
   // r13 governance: the cross-store forget cascade's audit (detect
   // phase of the drift loop shows the surface full-outer joins)
-  "q_pipeline_forget", "q_pipeline_drift")
+  "q_pipeline_forget", "q_pipeline_drift",
+  // r13 promotion: the merged shard store must keep the pruned-scan
+  // serving plan (PartitionFilters on term_bucket over transferred
+  // files) — the plan proves the file-level merge preserved layout
+  "q_store_merge", "q_ann_ivf_merge")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
