@@ -120,9 +120,19 @@ object FsOps {
         if (move) {
           if (!fs.rename(st.getPath, to))
             throw new java.io.IOException(s"rename ${st.getPath} -> $to failed")
-        } else if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, to,
-            false, spark.sparkContext.hadoopConfiguration))
-          throw new java.io.IOException(s"copy ${st.getPath} -> $to failed")
+        } else {
+          // copy is NOT crash-atomic, so never copy straight to the final
+          // name: a death mid-copy would leave a truncated file that the
+          // skip-if-exists resume keeps — and then COMMITS. Stage under a
+          // dot-name (invisible to Spark listings), rename into place
+          // (atomic); overwrite=true reclaims a crashed copy's debris.
+          val tmp = new Path(toDir, s".$prefix${st.getPath.getName}.copying")
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, tmp,
+              false, true, spark.sparkContext.hadoopConfiguration))
+            throw new java.io.IOException(s"copy ${st.getPath} -> $tmp failed")
+          if (!fs.rename(tmp, to))
+            throw new java.io.IOException(s"rename $tmp -> $to failed")
+        }
       }
     }
   }

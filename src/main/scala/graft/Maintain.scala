@@ -19,8 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   pipeline fsck | forget <idsParquet> [purge] | resume
   *        | sweep <predicate...>   (retention: forget what the vstore
   *                                  metadata marks expired)
-  *        | merge <shardRoots...>  (promote shard-built roots into the
-  *                                  path, family-by-family shard merges)
+  *        | merge <shardRoots...> [move]  (promote shard-built roots into
+  *                                  the path, family-by-family shard
+  *                                  merges; `move` renames — consumes
+  *                                  the shards)
   *          (path = the PIPELINE ROOT holding index/ dedup/ ivf/ child
   *           stores — the cross-store takedown cascade and its audit;
   *           see graft.pipeline.Forget)
@@ -190,13 +192,20 @@ object Maintain {
         else done.foreach(n => println(s"[maintain] completed forget manifest m=$n"))
         None
       case ("pipeline", "merge") =>
-        // args: the shard roots; `path` is the DESTINATION root
-        require(extra.size >= 2,
+        // args: the shard roots, optionally followed by the literal
+        // `move` (O(files) rename promotion — consumes the shards);
+        // `path` is the DESTINATION root
+        val move = extra.lastOption.contains("move")
+        val shardRoots = if (move) extra.init else extra
+        require(shardRoots.size >= 2,
           "pipeline merge needs >= 2 shard-root paths as trailing args " +
-            "(the maintenance path is the DESTINATION root)")
-        val fams = pipeline.Promote.mergeRoots(spark, extra, path)
-        println(s"[maintain] promoted ${extra.size} shard roots " +
-          s"(families: ${fams.mkString(",")}) into $path")
+            "(the maintenance path is the DESTINATION root; append " +
+            "'move' for the rename promotion)")
+        val fams = pipeline.Promote.mergeRoots(spark, shardRoots, path,
+          moveFiles = move)
+        println(s"[maintain] promoted ${shardRoots.size} shard roots " +
+          s"(families: ${fams.mkString(",")}${if (move) ", moved" else ""}) " +
+          s"into $path")
         None
       case ("pipeline", "sweep") =>
         // args: the retention predicate over the vstore snapshot columns

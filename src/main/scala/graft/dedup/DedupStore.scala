@@ -82,6 +82,16 @@ object DedupStore {
   // files via min/max statistics), `_lastbatch` tracks the highest
   // ordinal written, `_last_audit` the highest one an audit vouched for.
 
+  /** Shingle size the store was built with. Unlike (numHashes, bands)
+    * it is INVISIBLE in the table schemas — sets of 3-shingles and
+    * 5-shingles look identical — so it gets its own marker: a verify
+    * point for [[ingest]] (a mismatched batch would compute Jaccard
+    * against incomparable sets) and a merge guard ([[mergeStores]] is
+    * exactly where independently-configured builds meet). Stores
+    * written before the marker existed validate vacuously on ingest
+    * but REFUSE to merge (the risk is silent dedup corruption). */
+  private val ShingleMarker = "_shingle_n"
+
   private val LastBatchMarker = "_lastbatch"
   private val LastAuditMarker = "_last_audit"
 
@@ -128,6 +138,7 @@ object DedupStore {
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/buckets")
     writeGeometry(corpus.sparkSession, path, numHashes, bands)
+    writeLongMarker(corpus.sparkSession, path, ShingleMarker, shingleN.toLong)
     writeLongMarker(corpus.sparkSession, path, LastBatchMarker, 0L)
   }
 
@@ -149,6 +160,12 @@ object DedupStore {
              idCol: String = "doc_id", textCol: String = "text",
              shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     requireGeometry(spark, path, numHashes, bands, "ingest")
+    readLongMarker(spark, path, ShingleMarker).foreach { n =>
+      require(n == shingleN.toLong,
+        s"ingest shingleN=$shingleN does not match the store's recorded " +
+          s"shingle size $n at $path — Jaccard over mismatched shingle " +
+          "sizes silently mis-dedups")
+    }
     // stage the batch's sets/buckets once: they are each consumed by
     // several jobs below (candidate join, verification, survivor append),
     // and every consumer would otherwise re-run the shingle chain
@@ -221,9 +238,7 @@ object DedupStore {
     * O(files) promotion that consumes the shards). */
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
-    require(sources.size >= 2, "mergeStores needs at least two source stores")
-    require(sources.distinct.size == sources.size, "duplicate source store")
-    require(!sources.contains(dest), "destination must not be a source")
+    graft.operators.MergeGuards.requireMergeable(sources, dest)
     require(storedGeometry(spark, dest).isEmpty,
       s"$dest already carries a committed signature store (geometry marker exists)")
     val geoms = sources.map { s =>
@@ -238,21 +253,30 @@ object DedupStore {
       lastBatch(spark, s).getOrElse(throw new IllegalArgumentException(
         s"$s predates batch tracking (no _lastbatch marker)"))
     }
-    for (t <- Seq("sets", "buckets")) {
-      val schemas = sources.map(s => spark.read.parquet(s"$s/$t").schema)
-      require(schemas.distinct.size == 1,
-        s"sources disagree on the $t schema: ${schemas.distinct.mkString(" vs ")}")
+    val shingleNs = sources.map { s =>
+      readLongMarker(spark, s, ShingleMarker).getOrElse(
+        throw new IllegalArgumentException(
+          s"$s records no $ShingleMarker marker — shingle size is " +
+            "invisible in the schema and a mixed-shingle merge silently " +
+            "mis-dedups; rebuild the shard to record it"))
     }
-    val overlap = sources.map(s => spark.read.parquet(s"$s/sets").select("doc_id"))
-      .reduce(_ union _)
-      .groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .limit(3).collect()
-    require(overlap.isEmpty,
-      s"sources share doc_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
-        "shard id spaces must be disjoint")
+    require(shingleNs.distinct.size == 1,
+      s"sources disagree on shingleN: ${sources.zip(shingleNs).mkString(", ")}")
+    // a dest already holding transferred sets is a crashed merge being
+    // RESUMED: the data-reading guards passed before the first file
+    // moved, and a move-drained source's tables no longer read — skip
+    val destSets = new Path(s"$dest/sets")
+    if (!destSets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(destSets)) {
+      for (t <- Seq("sets", "buckets"))
+        graft.operators.MergeGuards.requireSchemaParity(spark, sources, t)
+      graft.operators.MergeGuards.requireDisjointIds(spark,
+        sources.map(s => s"$s/sets"), "doc_id")
+    }
     for (t <- Seq("sets", "buckets"); (src, i) <- sources.zipWithIndex)
       graft.FsOps.transferDataFiles(spark, s"$src/$t", s"$dest/$t",
         s"m${i}_", moveFiles)
+    writeLongMarker(spark, dest, ShingleMarker, shingleNs.head)
     writeLongMarker(spark, dest, LastBatchMarker, batches.max)
     markAudited(spark, dest, Some(batches.max))
     writeGeometry(spark, dest, geoms.head._1, geoms.head._2)

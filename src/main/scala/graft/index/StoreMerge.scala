@@ -70,14 +70,17 @@ object StoreMerge {
 
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
-    require(sources.size >= 2, "mergeStores needs at least two source stores")
-    require(sources.distinct.size == sources.size, "duplicate source store")
-    require(!sources.contains(dest), "destination must not be a source")
+    graft.operators.MergeGuards.requireMergeable(sources, dest)
     val destP = new Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(Indexer.storedBuckets(spark, dest).isEmpty,
       s"$dest already carries a committed store (its _nbuckets marker " +
         "exists) — merging INTO a live store is appendIndex's job")
+    // a dest already holding transferred files is a crashed merge being
+    // RESUMED: the data-reading guards below passed before the first
+    // file ever moved, and re-reading a move-drained source would die
+    // on its emptied directories — skip them, transfer picks up
+    val resuming = fs.exists(new Path(s"$dest/doc_stats"))
 
     // ---- layout guards
     val nbs = sources.map { s =>
@@ -103,7 +106,7 @@ object StoreMerge {
     sources.foreach { s =>
       require(spark.read.parquet(s"$s/meta").columns.contains("length_sum"),
         s"$s predates the mergeable meta layout (no length_sum partial)")
-    }
+    } // meta is never transferred, so this read survives a resume
     val posPresent = sources.map(s => fs.exists(new Path(s"$s/positional")))
     require(posPresent.distinct.size == 1,
       "positional tables must exist in ALL sources or NONE: a merged " +
@@ -118,23 +121,14 @@ object StoreMerge {
         s"sources disagree on positional nBuckets: ${sources.zip(pns).mkString(", ")}")
       Some(pns.head)
     }
-    for (t <- Seq("doc_stats", "postings") ++ (if (hasPos) Seq("positional") else Nil)) {
-      val schemas = sources.map(s => spark.read.parquet(s"$s/$t").schema)
-      require(schemas.distinct.size == 1,
-        s"sources disagree on the $t schema (e.g. a title-bearing and a " +
-          s"title-less build): ${schemas.distinct.mkString(" vs ")}")
+    if (!resuming) {
+      for (t <- Seq("doc_stats", "postings") ++ (if (hasPos) Seq("positional") else Nil))
+        graft.operators.MergeGuards.requireSchemaParity(spark, sources, t)
+      // disjointness on the RAW id surface (bare longs, one union-agg;
+      // same ≤ 3-row driver sample as the append probe)
+      graft.operators.MergeGuards.requireDisjointIds(spark,
+        sources.map(s => s"$s/doc_stats"), "doc_id")
     }
-
-    // ---- disjointness, on the RAW id surface (bare longs, one union-agg)
-    val overlap = sources.map(s =>
-        spark.read.parquet(s"$s/doc_stats").select("doc_id"))
-      .reduce(_ union _)
-      .groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .limit(3).collect() // ≤ 3-row driver sample, same as the append probe
-    require(overlap.isEmpty,
-      s"sources share doc_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
-        "shard id spaces must be disjoint (a tombstoned id counts: its " +
-        "tombstone would mask a live twin from another shard)")
 
     // ---- derived tables: merge the sources' partial-aggregate state
     // (reads only the small tables; written before any data file moves)

@@ -87,10 +87,25 @@ object Forget {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Families present at the root (store child dir exists). */
+  /** Families present at the root — present means COMMITTED, not merely
+    * a directory: a crashed bootstrap's debris (a writeIndex that died
+    * before its layout marker, a vstore dir with no commit) reads as
+    * family-absent, so the cascade and the audit skip it instead of
+    * crashing on it. The debris belongs to the write verb's own crash
+    * window (its retry overwrites); an audit that died on exactly the
+    * partial-failure state it exists to detect would be useless. */
   def familiesAt(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
-    Families.filter(f => fs.exists(new Path(familyPath(root, f))))
+    Families.filter { f =>
+      val p = familyPath(root, f)
+      fs.exists(new Path(p)) && (f match {
+        case "index" => graft.index.Indexer.storedBuckets(spark, p).nonEmpty
+        case "dedup" => graft.dedup.DedupStore.storedGeometry(spark, p).nonEmpty
+        case "ivf"   => fs.exists(new Path(s"$p/centroids")) &&
+                        fs.exists(new Path(s"$p/lists"))
+        case "vstore" => graft.streaming.VersionedStore.hasCommits(spark, p)
+      })
+    }
   }
 
   private def manifestOrdinals(spark: SparkSession, root: String): Seq[Long] = {
@@ -304,6 +319,20 @@ object Forget {
     val ms = manifests(spark, root)
     val pendingCount = ms.count(!_._3)
 
+    // each present family's id surface is consumed up to four times
+    // below (one per surface pair + the forgotten-absent probe) —
+    // compute it ONCE: at 100 TB re-deriving a surface per consumer is
+    // 3-4 full store scans per family per audit. persist() is released
+    // after the eager materialization at the bottom.
+    val liveCache: Map[String, DataFrame] =
+      fams.map(f => f -> liveIds(spark, root, f).persist()).toMap
+    val servedCache: Map[String, DataFrame] = fams.map {
+      // the vstore's SERVED surface (all history) differs from its live
+      // one; the other families' serve from the same live view
+      case "vstore" => "vstore" -> servedIds(spark, root, "vstore").persist()
+      case f => f -> liveCache(f)
+    }.toMap
+
     val manifestRow = spark.range(1).select(
       lit("forget_manifests_complete").as("invariant"),
       lit(ms.size.toLong).as("checked"),
@@ -326,10 +355,9 @@ object Forget {
           // semi-join build side so the live surface streams through one
           // scan instead of shuffling (left_semi is the join shape whose
           // RIGHT side Spark will broadcast)
-          val served = servedIds(spark, root, f)
           StoreCheck.row(s"forgotten_absent_$f",
             forgotten.agg(count(lit(1)).as("checked")).crossJoin(
-              served.join(broadcast(forgotten), Seq("doc_id"), "left_semi")
+              servedCache(f).join(broadcast(forgotten), Seq("doc_id"), "left_semi")
                 .agg(count(lit(1)).as("violations"))))
         case None => StoreCheck.emptyRow(spark, s"forgotten_absent_$f")
       }
@@ -339,8 +367,8 @@ object Forget {
       val name = s"id_surface_${a}_$b"
       if (fams.contains(a) && fams.contains(b))
         StoreCheck.row(name,
-          liveIds(spark, root, a).withColumn("in_a", lit(1))
-            .join(liveIds(spark, root, b).withColumn("in_b", lit(1)),
+          liveCache(a).withColumn("in_a", lit(1))
+            .join(liveCache(b).withColumn("in_b", lit(1)),
               Seq("doc_id"), "full_outer")
             .agg(count(lit(1)).as("checked"),
               sum(when(col("in_a").isNull.or(col("in_b").isNull), 1L)
@@ -348,6 +376,14 @@ object Forget {
       else StoreCheck.emptyRow(spark, name)
     }
 
-    StoreCheck.report(manifestRow +: (absentRows ++ surfaceRows))
+    // materialize the ≤ 11-row report EAGERLY so the persisted surfaces
+    // can be released here (a lazily-returned report would re-scan the
+    // unpersisted surfaces at whatever later point the caller acts)
+    try StoreCheck.materialize(spark,
+      StoreCheck.report(manifestRow +: (absentRows ++ surfaceRows)))
+    finally {
+      liveCache.values.foreach(_.unpersist())
+      servedCache.get("vstore").foreach(_.unpersist())
+    }
   }
 }

@@ -27,7 +27,9 @@ import org.apache.spark.sql.SparkSession
   * fresh store); roots with `_forget` manifests refuse (manifest
   * ordinals are per-root; run takedowns at the merged root instead).
   * Crash model: each family merge has its own commit marker and
-  * idempotent resume — re-run the promotion until it returns.
+  * idempotent resume, and [[mergeRoots]] SKIPS families whose dest
+  * store is already committed — so a promotion that died anywhere
+  * (mid-transfer or between families) re-runs to completion.
   */
 object Promote {
 
@@ -52,15 +54,25 @@ object Promote {
         s"$r carries _forget manifests (per-root ordinals do not merge) — " +
           "promote fresh shards; run takedowns at the merged root")
     }
-    if (fams.contains("index"))
+    // a family whose dest store already carries its commit marker was
+    // completed by a PREVIOUS run of this same promotion — skip it, so a
+    // crash between families resumes instead of dying on the committed
+    // store's own already-merged guard (dest must be a fresh root at the
+    // first call, like every family merge's dest)
+    if (fams.contains("index") &&
+        graft.index.Indexer.storedBuckets(spark, s"$dest/index").isEmpty)
       graft.index.StoreMerge.mergeStores(spark,
         roots.map(r => s"$r/index"), s"$dest/index", moveFiles)
-    if (fams.contains("dedup"))
+    if (fams.contains("dedup") &&
+        graft.dedup.DedupStore.storedGeometry(spark, s"$dest/dedup").isEmpty)
       graft.dedup.DedupStore.mergeStores(spark,
         roots.map(r => s"$r/dedup"), s"$dest/dedup", moveFiles)
-    if (fams.contains("ivf"))
-      graft.similarity.IvfStore.mergeStores(spark,
-        roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)
+    if (fams.contains("ivf")) {
+      val cents = new Path(s"$dest/ivf/centroids")
+      if (!cents.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cents))
+        graft.similarity.IvfStore.mergeStores(spark,
+          roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)
+    }
     fams.toSeq.sorted
   }
 }

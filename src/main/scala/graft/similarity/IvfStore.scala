@@ -527,32 +527,29 @@ object IvfStore {
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
-    require(sources.size >= 2, "mergeStores needs at least two source stores")
-    require(sources.distinct.size == sources.size, "duplicate source store")
-    require(!sources.contains(dest), "destination must not be a source")
+    graft.operators.MergeGuards.requireMergeable(sources, dest)
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(s"$dest/centroids")),
       s"$dest already carries a committed IVF store (centroids exist)")
     sources.foreach { s =>
       require(fs.exists(new Path(s"$s/centroids")) && fs.exists(new Path(s"$s/lists")),
         s"$s is not a persisted IVF store (centroids/lists missing)")
-      val cols = spark.read.parquet(s"$s/lists").columns.toSet
-      require(!cols.contains("batch"),
+      // the batch=/cid= layout is visible from the partition DIRS alone —
+      // survives a move-drained resume, unlike a data read
+      require(!fs.listStatus(new Path(s"$s/lists"))
+          .exists(_.getPath.getName.startsWith("batch=")),
         s"$s is a streaming-ingested (batch-partitioned) store — merge " +
           "fresh writeIndex shards; a batch-layered store promotes by " +
           "being ingested into, not merged")
     }
-    val listSchemas = sources.map(s => spark.read.parquet(s"$s/lists").schema)
-    require(listSchemas.distinct.size == 1,
-      s"sources disagree on the lists schema: ${listSchemas.distinct.mkString(" vs ")}")
-    val overlap = sources.map(s => spark.read.parquet(s"$s/lists").select("vec_id"))
-      .reduce(_ union _)
-      .groupBy("vec_id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .limit(3).collect()
-    require(overlap.isEmpty,
-      s"sources share vec_ids (e.g. ${overlap.map(_.get(0)).mkString(", ")}) — " +
-        "shard id spaces must be disjoint (a tombstoned id counts: its " +
-        "tombstone would mask a live twin from another shard)")
+    // a dest already holding transferred lists is a crashed merge being
+    // RESUMED: the data-reading guards passed before the first file
+    // moved, and a move-drained source's lists no longer read — skip
+    if (!fs.exists(new Path(s"$dest/lists"))) {
+      graft.operators.MergeGuards.requireSchemaParity(spark, sources, "lists")
+      graft.operators.MergeGuards.requireDisjointIds(spark,
+        sources.map(s => s"$s/lists"), "vec_id")
+    }
 
     // cid offsets: shard i's cids shift past the cumulative max
     val centFrames = sources.map(s => spark.read.parquet(s"$s/centroids"))

@@ -197,6 +197,14 @@ object VersionedStore {
   final case class PurgeStats(logsRewritten: Seq[Long],
                               checkpointsRewritten: Seq[Long])
 
+  /** Whether the store has ANY readable version (log commit or
+    * checkpoint) — the commitment probe for callers that must treat a
+    * crashed bootstrap's bare directory as "no store here" instead of
+    * crashing on it (graft.pipeline.Forget.familiesAt). */
+  def hasCommits(spark: SparkSession, path: String): Boolean =
+    versions(spark, path).nonEmpty ||
+      listVersions(spark, new Path(path, "checkpoint")).nonEmpty
+
   /** Newest readable version — the highest committed log version, or
     * the highest checkpoint when the whole log was vacuumed away. */
   def newestVersion(spark: SparkSession, path: String): Long = {

@@ -121,7 +121,8 @@ class MaintainSpec extends SparkSpec {
     index.Indexer.writeIndex(index.Indexer.buildIndex(
       corpus.filter($"doc_id" > 1)), s"$sh1/index", nBuckets = 4)
     val mdest = QueryGroup.scratchDir("graft-maint-merged")
-    assert(Maintain.run(spark, "pipeline", "merge", mdest, Seq(sh0, sh1)).isEmpty)
+    assert(Maintain.run(spark, "pipeline", "merge", mdest,
+      Seq(sh0, sh1, "move")).isEmpty)
     assert(index.Indexer.readIndexLive(spark, s"$mdest/index")
       .docStats.count() === 3L)
     val e3 = intercept[IllegalArgumentException](

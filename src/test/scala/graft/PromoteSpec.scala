@@ -176,6 +176,16 @@ class PromoteSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       DedupStore.mergeStores(spark, Seq(a, full), tmp("ddD2") + "/store"))
     assert(e2.getMessage.contains("share doc_ids"), e2.getMessage)
+    // shingleN mismatch refuses (invisible in the schema — marker-guarded)
+    val s5 = tmp("ddSh5")
+    DedupStore.writeSignatures(d.filter($"doc_id" % 3 === 1), s5, shingleN = 5)
+    val e3 = intercept[IllegalArgumentException](
+      DedupStore.mergeStores(spark, Seq(a, s5), tmp("ddD3") + "/store"))
+    assert(e3.getMessage.contains("shingleN"), e3.getMessage)
+    // ...and ingest against a mismatched shingle size refuses too
+    val e4 = intercept[IllegalArgumentException](
+      DedupStore.ingest(spark, s5, batch, 0.3, shingleN = 3))
+    assert(e4.getMessage.contains("shingle"), e4.getMessage)
   }
 
   private def buildRoot(pred: Long => Boolean, root: String): Unit = {
@@ -225,5 +235,46 @@ class PromoteSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Promote.mergeRoots(spark, Seq(v0, v1), tmp("rootD3") + "/m"))
     assert(e3.getMessage.contains("vstore"), e3.getMessage)
+  }
+
+  test("a promotion that died between families resumes: committed families skip") {
+    val (r0, r1, dest) = (tmp("resA"), tmp("resB"), tmp("resDest") + "/merged")
+    buildRoot(_ % 2 == 0, r0)
+    buildRoot(_ % 2 == 1, r1)
+    // reproduce the crash window: the index family committed, the rest never ran
+    graft.index.StoreMerge.mergeStores(spark,
+      Seq(s"$r0/index", s"$r1/index"), s"$dest/index")
+    assert(Promote.mergeRoots(spark, Seq(r0, r1), dest) ===
+      Seq("dedup", "index", "ivf"),
+      "the re-run must skip the committed index and finish dedup+ivf")
+    val rep = Forget.checkPipeline(spark, dest).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (p <- Seq("index_dedup", "index_ivf", "dedup_ivf"))
+      assert(rep(s"id_surface_$p") === (8L, 0L), p)
+    assert(rep.values.forall(_._2 === 0L))
+    // fully-promoted roots re-run as a complete no-op
+    assert(Promote.mergeRoots(spark, Seq(r0, r1), dest) ===
+      Seq("dedup", "index", "ivf"))
+  }
+
+  test("uncommitted family debris reads as absent: the audit reports instead of crashing") {
+    val root = tmp("debris")
+    val part = docsFx.toDF("doc_id", "text")
+    Indexer.writeIndex(Indexer.buildIndex(part), s"$root/index")
+    // a crashed vstore bootstrap (dir, no commit) and a crashed IVF
+    // build (dir, no centroids) — exactly the partial-failure shapes
+    // the audit exists to coexist with
+    fsAt(root).mkdirs(new Path(s"$root/vstore/log"))
+    fsAt(root).mkdirs(new Path(s"$root/ivf/lists"))
+    assert(Forget.familiesAt(spark, root) === Seq("index"))
+    val rep = Forget.checkPipeline(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("id_surface_index_ivf") === (0L, 0L))
+    assert(rep("id_surface_index_vstore") === (0L, 0L))
+    assert(rep.size === 11, "stable report schema over debris")
+    // ...and the cascade skips the debris instead of crashing on it
+    Forget.forget(spark, root, Seq(1L).toDF("doc_id"))
+    assert(Forget.checkPipeline(spark, root).collect()
+      .map(r => r.getLong(2)).sum === 0L)
   }
 }

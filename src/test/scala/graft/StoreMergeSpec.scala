@@ -97,6 +97,35 @@ class StoreMergeSpec extends SparkSpec {
     StoreMerge.mergeStores(spark, Seq(c, d), dest2) // resume re-places it
     assert(fsckViolations(dest2) === 0L)
     assert(searchRows(dest2, "delta epsilon").nonEmpty)
+    // MOVE-mode resume: the crashed run already DRAINED the sources'
+    // data tables, so the re-run must not re-read them (the data-level
+    // guards are skipped once dest holds transferred files)
+    val (e, f2, dest3) = (tmp("mvE"), tmp("mvF"), tmp("mvDest3") + "/store")
+    buildShard(_ % 2 == 0, e)
+    buildShard(_ % 2 == 1, f2)
+    StoreMerge.mergeStores(spark, Seq(e, f2), dest3, moveFiles = true)
+    fs.delete(new Path(s"$dest3/_nbuckets"), false) // commit never landed
+    StoreMerge.mergeStores(spark, Seq(e, f2), dest3, moveFiles = true)
+    assert(fsckViolations(dest3) === 0L)
+    assert(searchRows(dest3, "delta epsilon").nonEmpty)
+  }
+
+  test("a stale crashed-copy staging file is reclaimed, never committed") {
+    val from = tmp("cpFrom")
+    val to = tmp("cpTo")
+    val fs = fsAt(from)
+    val src = new Path(from, "part-0001.parquet")
+    val out = fs.create(src); out.write("real-bytes".getBytes); out.close()
+    // a previous copy died mid-write: truncated staging debris
+    val stale = new Path(to, ".m0_part-0001.parquet.copying")
+    val o2 = fs.create(stale); o2.write("tru".getBytes); o2.close()
+    FsOps.transferDataFiles(spark, from, to, "m0_", move = false)
+    val dst = new Path(to, "m0_part-0001.parquet")
+    assert(fs.exists(dst) && fs.getFileStatus(dst).getLen === 10L,
+      "the final file must carry the FULL re-copied bytes, not the debris")
+    assert(!fs.exists(stale), "staging debris must be reclaimed")
+    // ...and dot-prefixed staging names are invisible to Spark listings
+    // by construction (same convention as the swap asides)
   }
 
   test("tombstones carry through: merged live view excludes shard-deleted docs") {
