@@ -35,12 +35,16 @@ val mMove = t { StoreMerge.mergeStores(spark,
 val rebuild = t { Indexer.writeIndex(Indexer.buildIndex(docs), s"$base/full") }
 println(f"MERGEAB family=index shard_builds=$shardSecs%.2f merge_copy=$mCopy%.2f merge_move=$mMove%.2f rebuild=$rebuild%.2f")
 
-// correctness spot-check: the promoted store answers like the rebuild
-val got = graft.search.BM25.searchStore(spark, s"$base/mergedMove", "fast hash join scan")
-  .select("doc_id").collect.map(_.getLong(0)).toSeq
-val want = graft.search.BM25.searchStore(spark, s"$base/full", "fast hash join scan")
-  .select("doc_id").collect.map(_.getLong(0)).toSeq
-println(s"MERGEAB family=index answers_match=${got == want}")
+// correctness spot-check: the promoted store answers like the rebuild.
+// Compare ROUNDED (doc_id, score) sets — raw-score ordering can flip on
+// sub-ulp summation noise between two value-identical stores (the gate
+// oracle rounds for the same reason); value-for-value equality is the
+// gate's job (q_store_merge), this guards the probe itself
+// NOTE single line: spark-shell -I evaluates a continuation .method on
+// the next line as a NEW expression (the def would return the DataFrame
+// and the comparison would test reference equality)
+def top(path: String) = graft.search.BM25.searchStore(spark, path, "fast hash join scan").select(col("doc_id"), round(col("score"), 4).as("s")).collect.map(r => (r.getLong(0), r.getDouble(1))).toSet
+println(s"MERGEAB family=index answers_match=${top(s"$base/mergedMove") == top(s"$base/full")}")
 
 val ivfShardSecs = t {
   IvfStore.writeIndex(emb.filter(col("vec_id") % 2 === 0), s"$base/ivfA", kmeansIters = 0)
