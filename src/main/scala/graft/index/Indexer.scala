@@ -630,6 +630,47 @@ object Indexer {
     swapTable(spark, path, "meta")
   }
 
+  /** Finish the vocab/meta swaps of an interrupted maintenance op.
+    * A pending `vocab_tmp`/`meta_tmp` pair is installable only when it
+    * describes the data state that is COMMITTED now: appendIndex and
+    * refreshDerived compute theirs after their data commit, but
+    * deleteDocs writes its decremented tmp BEFORE the tombstone append
+    * (the decrement anti-joins the deletes table it is about to grow),
+    * so a crash on either side of that append leaves a complete tmp
+    * whose correctness depends on whether the tombstones landed. The
+    * probe that distinguishes them: meta_tmp's `total_docs` must equal
+    * the live doc count (doc_stats minus tombstones) — every legitimate
+    * swap-ready tmp satisfies it, and a pre-append deleteDocs tmp is
+    * short by the never-tombstoned ids. On mismatch — or when a tmp
+    * write itself died mid-job (no `_SUCCESS`) — both tables are
+    * rebuilt from the live view instead. No-op when nothing is
+    * pending. */
+  private def healPendingDerived(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = Seq("vocab", "meta").filter(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/${n}_tmp")))
+    if (pending.isEmpty) return
+    val installable =
+      // a lone vocab_tmp has no meta_tmp to vouch for it (the crash
+      // predates the meta write, so nothing ties it to committed data)
+      pending.contains("meta") &&
+      pending.forall(n => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/${n}_tmp/_SUCCESS"))) && {
+        val claimed = spark.read.parquet(s"$path/meta_tmp")
+          .select(col("total_docs")).as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).head()
+        claimed == readIndexLive(spark, path).docStats.count()
+      }
+    if (installable) pending.foreach(n => swapTable(spark, path, n))
+    else {
+      pending.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/${n}_tmp"), true))
+      refreshDerived(spark, path)
+    }
+  }
+
   /** Install `<name>_tmp` over the live `<name>` table (crash-safe
     * rename-aside swap — see the appendIndex commentary). */
   private def swapTable(spark: org.apache.spark.sql.SparkSession,
@@ -678,7 +719,20 @@ object Indexer {
       ids.select(col(idCol).as("doc_id")).distinct()
         .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
           Seq("doc_id"), "left_semi"))
-    if (newDead.isEmpty) return // nothing new to tombstone
+    if (newDead.isEmpty) {
+      // Nothing new to tombstone — but a prior deleteDocs on these SAME
+      // ids may have crashed between its tombstone append and the
+      // derived-table swaps, leaving vocab_tmp/meta_tmp pending. That
+      // crash makes this resume path the ONLY caller that ever sees the
+      // inconsistency (the ids are already tombstoned, so the normal
+      // body never runs again), and without healing here a cascade
+      // resume (Forget) would seal its manifest over a store whose
+      // df/total_docs/avg_dl still count the dead docs. Complete the
+      // pending swaps — or, if a tmp write itself died mid-job (no
+      // _SUCCESS), fall back to the full recompute.
+      healPendingDerived(spark, path)
+      return
+    }
     val storedMeta = spark.read.parquet(s"$path/meta")
     if (!storedMeta.columns.contains("length_sum")) {
       // store predates the mergeable meta layout: tombstone + full recompute

@@ -97,6 +97,13 @@ object StoreMerge {
         s"$s is doc-bucketed — its bucket-spec file names cannot be " +
           "interleaved by rename; merge the plain shards, then " +
           "writeIndex(readIndexLive(...), docBuckets=...) for a bucketed copy")
+      require(Indexer.positionalDocBucketsOf(spark, s).isEmpty,
+        s"$s has a doc-bucketed POSITIONAL table — same contract as the " +
+          "frequency guard: bucket-spec file names cannot be interleaved " +
+          "by rename (the dest would carry no positional doc-bucket " +
+          "marker and the transferred files would be stale layout " +
+          "debris); merge plain shards, then writePositional(..., " +
+          "docBuckets=...) for a bucketed copy")
     }
     val batches = sources.map { s =>
       Indexer.lastBatch(spark, s).getOrElse(throw new IllegalArgumentException(

@@ -524,9 +524,15 @@ object VersionedStore {
     * as the other three families' markAudited). */
   def markAudited(spark: SparkSession, path: String,
                   upTo: Option[Long] = None): Unit = {
-    val v = upTo.orElse(versions(spark, path).lastOption).getOrElse(
-      throw new IllegalStateException(s"markAudited: no commits at $path — " +
-        "an empty store has nothing to vouch for"))
+    // default upTo falls back to the newest CHECKPOINT when the whole
+    // log was vacuumed away — the same committed-state contract as
+    // hasCommits/newestVersion, so `mark-audited` after
+    // vacuum(retain=newest) works on a healthy checkpoint-only store
+    val v = upTo.orElse(versions(spark, path).lastOption)
+      .orElse(listVersions(spark, new Path(path, "checkpoint")).lastOption)
+      .getOrElse(
+        throw new IllegalStateException(s"markAudited: no commits at $path — " +
+          "an empty store has nothing to vouch for"))
     graft.FsOps.writeLongMarker(spark, path, LastAuditMarker, v)
     // also vouch for the CHECKPOINTS the audit covered: those at
     // versions ≤ v that exist right now. Recorded as a set so a

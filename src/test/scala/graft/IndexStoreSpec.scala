@@ -305,6 +305,100 @@ class IndexStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vocab").count() === 0)
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (s, d) = (new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(dst))
+    org.apache.hadoop.fs.FileUtil.copy(
+      s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+  }
+
+  test("deleteDocs resume completes a crashed delete's pending derived swaps") {
+    // ADVICE r13 (medium): deleteDocs commits its tombstone append
+    // before the vocab/meta swaps; a crash between them left the ids
+    // tombstoned but the derived tables un-decremented — and the resume
+    // (same ids, now all already dead) early-returned at newDead.isEmpty,
+    // sealing the drift forever while Forget's manifest read complete.
+    // The resume must instead detect the pending _tmp tables and finish
+    // the swaps.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val dead = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val (path, oracle) = (Files.createTempDirectory("ixheal").toString,
+      Files.createTempDirectory("ixhealOracle").toString)
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    Indexer.writeIndex(Indexer.buildIndex(docs), oracle, nBuckets = 16)
+    Indexer.deleteDocs(spark, oracle, dead) // the state a completed delete reaches
+    // forge the crash on `path`: tombstones committed (the oracle's
+    // deletes table IS what the append would have written), decremented
+    // tables parked as _tmp, swaps never ran
+    copyDir(s"$oracle/deletes", s"$path/deletes")
+    copyDir(s"$oracle/vocab", s"$path/vocab_tmp")
+    copyDir(s"$oracle/meta", s"$path/meta_tmp")
+    // resume with the same ids: nothing new to tombstone, heal installs
+    Indexer.deleteDocs(spark, path, dead)
+    def vocabRows(p: String) = spark.read.parquet(s"$p/vocab")
+      .as[(String, Long)].collect().toSeq.sorted
+    def metaRow(p: String) = spark.read.parquet(s"$p/meta")
+      .select("total_docs", "avg_dl", "length_sum")
+      .as[(Long, Double, Long)].head()
+    assert(vocabRows(path) === vocabRows(oracle),
+      "resume must install the pending decremented vocab")
+    assert(metaRow(path) === metaRow(oracle),
+      "resume must install the pending decremented meta")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/vocab_tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_tmp")),
+      "nothing stays pending after the heal")
+    // and the delete is a true no-op from here on
+    Indexer.deleteDocs(spark, path, dead)
+    assert(metaRow(path) === metaRow(oracle))
+  }
+
+  test("deleteDocs resume discards a pre-append crash's stale pending tables") {
+    // the OTHER side of the crash window: _tmp written but the tombstone
+    // append never ran — those decrements never committed, so a later
+    // resume (triggered by a different, fully-tombstoned id set) must
+    // NOT install them; the consistency probe (meta_tmp.total_docs vs
+    // the live doc count) rejects the pair and rebuilds from the live
+    // view instead
+    val docs = Tables.load(spark, sf0001, "documents")
+    val idsA = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val (path, forged) = (Files.createTempDirectory("ixheal2").toString,
+      Files.createTempDirectory("ixheal2Forge").toString)
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    Indexer.writeIndex(Indexer.buildIndex(docs), forged, nBuckets = 16)
+    Indexer.deleteDocs(spark, path, idsA) // committed state: only A dead
+    def metaRow(p: String) = spark.read.parquet(s"$p/meta")
+      .select("total_docs", "avg_dl", "length_sum")
+      .as[(Long, Double, Long)].head()
+    def vocabRows(p: String) = spark.read.parquet(s"$p/vocab")
+      .as[(String, Long)].collect().toSeq.sorted
+    val (wantMeta, wantVocab) = (metaRow(path), vocabRows(path))
+    // forge a crashed delete of B that died BEFORE its tombstone append:
+    // tmp tables reflect A∪B dead, deletes table still carries only A
+    Indexer.deleteDocs(spark, forged, idsA)
+    Indexer.deleteDocs(spark, forged,
+      docs.filter(col("doc_id") % 7 === 1).select("doc_id"))
+    copyDir(s"$forged/vocab", s"$path/vocab_tmp")
+    copyDir(s"$forged/meta", s"$path/meta_tmp")
+    Indexer.deleteDocs(spark, path, idsA) // resume; newDead empty
+    assert(metaRow(path) === wantMeta,
+      "stale pre-append tmp must not install (B was never tombstoned)")
+    assert(vocabRows(path) === wantVocab)
+    // a partial tmp (no _SUCCESS: the tmp write job itself died) is
+    // equally untrusted — rebuilt from the live view
+    copyDir(s"$forged/meta", s"$path/meta_tmp")
+    copyDir(s"$forged/vocab", s"$path/vocab_tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vocab_tmp/_SUCCESS"), false)
+    Indexer.deleteDocs(spark, path, idsA)
+    assert(metaRow(path) === wantMeta)
+    assert(vocabRows(path) === wantVocab)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_tmp")))
+  }
+
   test("positional store: tombstones excluded, expunge rewrites positional table") {
     // regression (VERDICT r6): the positional faces used to ignore the
     // delete lifecycle — searchStore/proximityStore returned tombstoned

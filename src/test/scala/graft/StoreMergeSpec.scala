@@ -217,6 +217,20 @@ class StoreMergeSpec extends SparkSpec {
     val e6 = intercept[IllegalArgumentException](
       StoreMerge.mergeStores(spark, Seq(a), tmp("gD6") + "/store"))
     assert(e6.getMessage.contains("at least two"), e6.getMessage)
+    // positional doc-bucketed source (ADVICE r13): a PLAIN frequency
+    // store whose positional table is doc-bucketed must refuse for the
+    // same reason as the frequency guard — bucket-spec file names can't
+    // interleave by rename, and a silent merge would drop the marker
+    val pdb = tmp("gPdb")
+    buildShard(_ % 2 == 1, pdb)
+    Indexer.writePositional(corpusDf.filter($"doc_id" % 2 === 1), pdb,
+      nBuckets = 8, docBuckets = Some(2))
+    assert(Indexer.docBucketsOf(spark, pdb).isEmpty &&
+      Indexer.positionalDocBucketsOf(spark, pdb).nonEmpty,
+      "precondition: frequency plain, positional doc-bucketed")
+    val e7 = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, pdb), tmp("gD7") + "/store"))
+    assert(e7.getMessage.contains("POSITIONAL"), e7.getMessage)
   }
 
   test("post-merge lifecycle: append grows the merged store; incremental audit sees only the delta") {

@@ -487,4 +487,26 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.checkStore(spark, path, Seq("k"))
       .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
+
+  test("markAudited defaults work on a checkpoint-only store (full vacuum)") {
+    // ADVICE r13: vacuum(retain=newest) can drop the ENTIRE log, leaving
+    // a healthy store whose only committed state is its checkpoint —
+    // hasCommits/newestVersion treat it as committed, so the default
+    // mark-audited (a routine maintenance step right after a deep audit)
+    // must too, instead of throwing 'no commits'
+    val path = QueryGroup.scratchDir("graft-vstore-audit-ckptonly")
+    VersionedStore.commit(spark, path, ch((1L, "a1", "u")))
+    VersionedStore.commit(spark, path, ch((2L, "b2", "u")))
+    VersionedStore.checkpoint(spark, path, 2L, Seq("k"))
+    VersionedStore.vacuum(spark, path, retain = 2L)
+    assert(VersionedStore.versions(spark, path).isEmpty,
+      "precondition: the whole log is vacuumed away")
+    assert(VersionedStore.hasCommits(spark, path))
+    VersionedStore.markAudited(spark, path)
+    assert(VersionedStore.lastAudited(spark, path) === Some(2L),
+      "default upTo must fall back to the newest checkpoint")
+    // the vouched state keeps the incremental audit green (no new state)
+    assert(VersionedStore.checkStoreIncremental(spark, path, Seq("k"))
+      .agg(coalesce(sum($"violations"), lit(0L))).as[Long].collect().head === 0L)
+  }
 }
