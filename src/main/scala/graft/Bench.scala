@@ -102,6 +102,44 @@ object Bench {
     try sweep.headOption.foreach { case (_, fn) => runOnce(fn) }
     catch { case NonFatal(_) => () }
 
+    // CALIBRATION rows (VERDICT r13 #1): three fixed synthetic probes —
+    // pure-codegen CPU, a hash-shuffle aggregate, and a full-column
+    // parquet pass — whose cost depends only on the BOX'S throughput in
+    // this window, never on gate code. Measured min-of-3 warm, in the
+    // same JVM as the sweep, and committed with it, so a cross-window
+    // comparison can divide out the era's throughput: a uniform
+    // box-slow window (r11/r12/r13 each needed a judge's manual solo
+    // re-measurement to adjudicate) then reads as calibration drift in
+    // ONE number instead of 190 individually-unflagged inflations.
+    // BenchReverify normalizes its outlier criterion by the median
+    // probe ratio. Probe definitions are FROZEN — changing the work
+    // changes the unit every prior round committed.
+    val calProbes: Seq[(String, () => Unit)] = Seq(
+      "cal_cpu" -> { () =>
+        spark.range(1L << 26).select(xxhash64(col("id")).as("h"))
+          .agg(expr("bit_xor(h)")).collect(); ()
+      },
+      "cal_shuffle" -> { () =>
+        spark.range(1L << 22)
+          .select((col("id") % 8192).as("k"), col("id").as("v"))
+          .groupBy("k").agg(expr("sum(v)").as("s"))
+          .agg(expr("bit_xor(xxhash64(k, s))")).collect(); ()
+      },
+      "cal_io" -> { () =>
+        val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect(); ()
+      })
+    val calibration: Seq[(String, Double)] = calProbes.flatMap { case (n, f) =>
+      try {
+        f() // own warm pass (first touch of this probe's codegen path)
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+        Some(n -> best)
+      } catch { case NonFatal(_) => None } // fixture without the table
+    }
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -113,6 +151,17 @@ object Bench {
     val jsonlPath = java.nio.file.Paths.get(s"$evidenceStem.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
+    // calibration rows lead the evidence file, flagged "cal":true so
+    // BenchReverify can tell probes from gate queries
+    calibration.foreach { case (n, s) =>
+      val line = s"""{"name":${jstr(n)},"secs":$s,"ok":true,"reps":3,"cal":true}"""
+      try java.nio.file.Files.writeString(jsonlPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] could not append $jsonlPath: $e")
+      }
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = sweep
       .map { case (name, fn) =>
@@ -151,7 +200,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val onlyField = only.map(n =>
       s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$onlyField}"""
+    val calField =
+      if (calibration.isEmpty) ""
+      else calibration.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString(""","calibration":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$calField$onlyField}"""
     println(line)
     // Also persist to a file: the driver's log-tail capture truncates long
     // output, which cost round 4 its per-query timings (BENCH_r04.json has

