@@ -13,6 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
+  *        | recluster [nCentroids] [iters] [sampleMod]  (post-merge:
+  *                                  re-train the unioned centroid set)
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   any    heal-markers   (delete stale `.swap_old` marker asides — run
   *                          with no concurrent writer; see FsOps.readMarker)
@@ -117,6 +119,18 @@ object Maintain {
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
       case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
       case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None
+      case ("ivf", "recluster") =>
+        // post-promotion maintenance: mergeStores unions centroid sets,
+        // so K merges probe K× the centroids — recluster re-trains to
+        // [nCentroids] (default 16) with [iters] Lloyd rounds (default
+        // 2) on a 1-in-[sampleMod] vector sample (default 1 = all)
+        val usage = "ivf recluster <path> [nCentroids] [iters] [sampleMod]"
+        val nums = extra.map(a => longArg(a, usage).toInt)
+        similarity.IvfStore.reclusterStore(spark, path,
+          nCentroids = nums.headOption.getOrElse(16),
+          kmeansIters = nums.lift(1).getOrElse(2),
+          trainSampleMod = nums.lift(2).getOrElse(1))
+        None
       case ("dedup", "fsck") =>
         val (nh, b) = dedupGeometry(spark, path)
         Some(dedup.DedupStore.checkStore(spark, path, numHashes = nh, bands = b))

@@ -573,6 +573,80 @@ object IvfStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
   }
 
+  /** Re-train the centroid set over the store's own LIVE vectors and
+    * rewrite the inverted lists under the new assignment — the
+    * maintenance verb that closes the merge lifecycle (VERDICT r13 #2):
+    * [[mergeStores]] UNIONS the shards' centroid frames (K promotions →
+    * K× the centroids at the same nProbe, so probe cost and recall
+    * drift with every merge); recluster returns the store to
+    * `nCentroids` lists trained on the merged corpus, after which it
+    * answers exactly like a one-shot [[writeIndex]] built with the same
+    * parameters (gate-verified: q_ann_ivf_recluster shares the fresh
+    * -build oracle).
+    *
+    * Mechanics: one pass over the live lists trains
+    * [[Similarity.kmeansCentroids]] (optionally on a deterministic
+    * 1-in-`trainSampleMod` hash sample of the vectors — the 100 TB
+    * path: centroid quality needs a sample, not the corpus), the new
+    * centroid table persists as `centroids_tmp`, every live vector
+    * re-assigns against the JUST-PERSISTED frame (derive-from-persisted
+    * rule, broadcast ≤ nCentroids rows), and the lists rewrite under
+    * the `batch=`/`cid=` layout the store already had. Quantized
+    * stores recluster over their `round(code·scale, 6)` reconstructions
+    * — the same vectors every probe ranks on, so assignment stays
+    * self-consistent with search. Tombstones are materialized OUT by
+    * the rewrite (an expunge-class job) and the tombstone table drops.
+    *
+    * Crash model: lists install first, centroids last (a store's
+    * centroid table is its commit surface). A crash between the swaps
+    * leaves new lists under old centroids — re-running recluster heals
+    * it, because training reads only vector PAYLOADS (cid values never
+    * feed the retrain), and a crash before the `deletes` drop leaves
+    * tombstones whose ids the rewrite already removed (the anti-join
+    * matches nothing; the re-run drops the table). Scale: one
+    * training pass (∝ sample), one assignment+rewrite pass (∝ live
+    * store) — the priced cost of changing every vector's list home,
+    * scheduled like [[repairLists]], never a probe-path cost. */
+  def reclusterStore(spark: SparkSession, path: String,
+                     nCentroids: Int = 16, kmeansIters: Int = 2,
+                     trainSampleMod: Int = 1): Unit = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
+    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listsRaw = spark.read.parquet(s"$path/lists")
+    val quantized = listsRaw.columns.contains("qvec")
+    val partCols = if (listsRaw.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
+    val live = liveLists(spark, path, listsRaw).withColumn("__v",
+      if (quantized)
+        // float-cast for the codegen FloatVectorDot assignment path —
+        // affects only which list a vector homes in; probe SCORING still
+        // reads the untouched (scale, qvec) codes at full double
+        transform(col("qvec"),
+          x => round(x.cast("double") * col("scale"), 6).cast("float"))
+      else col("v"))
+    val train =
+      if (trainSampleMod == 1) live
+      else live.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod.toLong)) === 0)
+    Similarity.kmeansCentroids(
+        train.select(col("vec_id"), col("__v")), nCentroids, kmeansIters,
+        "vec_id", "__v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_tmp")
+    val cents = broadcast(spark.read.parquet(s"$path/centroids_tmp"))
+    val reassigned = Similarity.assignToCentroids(
+        live.select(col("vec_id"), col("__v")), cents, "vec_id", "__v", keep = 1)
+      .select(col("vec_id"), col("cid"))
+    live.drop("cid", "__v").join(reassigned, "vec_id")
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$path/lists_tmp")
+    graft.FsOps.atomicSwap(fs, listsP,
+      new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+    val centsP = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    graft.FsOps.atomicSwap(fs, centsP,
+      new org.apache.hadoop.fs.Path(s"$path/centroids_tmp"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+  }
+
   /** LIVE vec_id surface of a store — the ids a probe could still
     * return ([[deleteVectors]] tombstones subtracted). Bare longs, one
     * row per stored vector: the id-surface primitive the cross-store

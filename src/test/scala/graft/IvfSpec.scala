@@ -309,4 +309,69 @@ class IvfSpec extends SparkSpec {
       .map(r => (r._2, r._3)).toSet
     assert(full === brute)
   }
+
+  test("recluster returns a merged store to k centroids; answers = one-shot build") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val root = java.nio.file.Files.createTempDirectory("ivfrecl").toString
+    IvfStore.writeIndex(e.filter($"vec_id" % 2 === 0), s"$root/a", kmeansIters = 0)
+    IvfStore.writeIndex(e.filter($"vec_id" % 2 === 1), s"$root/b", kmeansIters = 0)
+    IvfStore.mergeStores(spark, Seq(s"$root/a", s"$root/b"), s"$root/m",
+      moveFiles = true)
+    assert(spark.read.parquet(s"$root/m/centroids").count() === 32,
+      "precondition: the promotion unioned the shards' centroid sets")
+    // a tombstone before recluster: the rewrite must materialize it out
+    IvfStore.deleteVectors(spark, s"$root/m", Seq(9L).toDF("vec_id"))
+    IvfStore.reclusterStore(spark, s"$root/m", nCentroids = 16, kmeansIters = 0)
+    assert(spark.read.parquet(s"$root/m/centroids").count() === 16,
+      "recluster must return the centroid set to k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/deletes")),
+      "tombstones are materialized out (expunge-class rewrite)")
+    assert(spark.read.parquet(s"$root/m/lists")
+      .filter($"vec_id" === 9L).isEmpty)
+    // same deterministic seeding as a fresh build over the live corpus →
+    // identical answers, and the probed-cid pruning still plans
+    val fresh = java.nio.file.Files.createTempDirectory("ivfreclFresh").toString
+    IvfStore.writeIndex(e.filter($"vec_id" =!= 9L), fresh, kmeansIters = 0)
+    val got = IvfStore.searchStore(spark, s"$root/m", q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val want = IvfStore.searchStore(spark, fresh, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(got.map(r => (r._1, r._2, r._4)) === want.map(r => (r._1, r._2, r._4)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-12) }
+    val plan = IvfStore.searchStore(spark, s"$root/m", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"expected cid partition filter in:\n$plan")
+  }
+
+  test("recluster on a quantized store stays self-consistent with its probes") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val path = java.nio.file.Files.createTempDirectory("ivfreclq").toString
+    IvfStore.writeIndexQuantized(e, path, nCentroids = 8, kmeansIters = 0)
+    val before = IvfStore.searchStoreQuantized(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // retrain at the same k over the reconstructed vectors (the vectors
+    // every probe ranks on): answers keep high agreement with the
+    // pre-recluster store — same corpus, same scoring, new list homes
+    IvfStore.reclusterStore(spark, path, nCentroids = 8, kmeansIters = 1)
+    assert(spark.read.parquet(s"$path/centroids").count() === 8)
+    val after = IvfStore.searchStoreQuantized(spark, path, q, 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(after.nonEmpty && after.map(_._1).distinct.size === before.map(_._1).distinct.size)
+    // scores of common (query, hit) pairs are identical — recluster moves
+    // vectors between lists, it never changes payloads or scoring
+    val bm = before.map(r => (r._1, r._2) -> r._3).toMap
+    val common = after.filter(r => bm.contains((r._1, r._2)))
+    assert(common.nonEmpty)
+    common.foreach(r => assert(math.abs(bm((r._1, r._2)) - r._3) < 1e-12))
+    // the store stays fsck-green after the rewrite
+    assert(IvfStore.checkStore(spark, path)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+  }
 }

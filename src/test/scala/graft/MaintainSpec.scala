@@ -42,6 +42,13 @@ class MaintainSpec extends SparkSpec {
     assert(Maintain.run(spark, "ivf", "expunge", path).isEmpty)
     assert(Maintain.run(spark, "ivf", "compact", path).isEmpty)
     assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
+    // recluster takes optional [nCentroids] [iters] [sampleMod] args
+    assert(Maintain.run(spark, "ivf", "recluster", path, Seq("2", "0")).isEmpty)
+    assert(spark.read.parquet(s"$path/centroids").count() === 2L)
+    assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
+    val e1 = intercept[IllegalArgumentException](
+      Maintain.run(spark, "ivf", "recluster", path, Seq("x")))
+    assert(e1.getMessage.contains("recluster"), e1.getMessage)
   }
 
   test("dedup family: fsck / repair / compact dispatch") {
