@@ -302,6 +302,36 @@ object SearchQueries extends QueryGroup {
           col("title"), round(col("score"), 4).as("score"))
     }),
 
+    // ...and the promotion's TERMINAL state (VERDICT r13 #3): a
+    // production merge ends in a doc-bucketed serving copy, not the
+    // plain merged store — StoreMerge refuses doc-bucketed sources by
+    // design (bucket-spec file names can't interleave by rename) and
+    // prescribes exactly this rebuild: merge the plain shards, then one
+    // writeIndex(readIndexLive(merged), docBuckets=...) pays the
+    // doc_id shuffle once so every serving query plans the scoring join
+    // exchange-free (zero-shuffle plan spec-asserted in
+    // StoreMergeSpec; measured 1.17-1.78x warm p50 in
+    // bench_serving.json). Answers identical to serving the merged
+    // store directly — oracle shared with q_store_merge, tombstones
+    // carried through the live view into the rebuild
+    "q_store_merge_bucketed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = QueryGroup.scratchDir("graft-ixmergebkt")
+      val ixFor = (part: org.apache.spark.sql.DataFrame) =>
+        Indexer.buildIndex(part, titleCol = Some("source"))
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA")
+      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB")
+      Indexer.deleteDocs(s, s"$root/shardA",
+        d.filter(col("doc_id") % 6 === 0).select("doc_id"))
+      graft.index.StoreMerge.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      Indexer.writeIndex(Indexer.readIndexLive(s, s"$root/merged"),
+        s"$root/serving", docBuckets = Some(8))
+      BM25.searchStore(s, s"$root/serving", FlagshipQuery)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("title"), round(col("score"), 4).as("score"))
+    }),
+
     // the sloppy-phrase batch face over the store: any-order matches
     // within ProxWindow of each query's anchor term
     "q_prox_batch_store" -> ((s, dir) => {
@@ -712,6 +742,10 @@ object SearchQueries extends QueryGroup {
     // the merged shards answer like a fresh build over the live docs
     // (shard A tombstoned its %6 band before the merge)
     "q_store_merge" -> bm25OracleFor(
+      s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 6 <> 0"),
+    // the merged store's doc-bucketed serving copy answers exactly like
+    // the merged store it was rebuilt from (same live view)
+    "q_store_merge_bucketed" -> bm25OracleFor(
       s"SELECT doc_id, $SqlNorm AS t FROM documents WHERE doc_id % 6 <> 0"),
     // merge + post-merge append = a one-shot full build
     "q_store_merge_append" -> bm25Oracle,

@@ -233,6 +233,49 @@ class StoreMergeSpec extends SparkSpec {
     assert(e7.getMessage.contains("POSITIONAL"), e7.getMessage)
   }
 
+  test("promotion endgame: merged store rebuilds into a doc-bucketed serving copy, zero-shuffle plan") {
+    // VERDICT r13 #3: the production promotion ends in a doc-bucketed
+    // serving copy. StoreMerge refuses doc-bucketed sources by design;
+    // the prescribed writeIndex(readIndexLive(merged), docBuckets=...)
+    // rebuild must preserve answers (tombstones included) and buy the
+    // exchange-free scoring join the bucketed layout exists for.
+    val (a, b, dest, serving) =
+      (tmp("bkA"), tmp("bkB"), tmp("bkDest") + "/store", tmp("bkServe") + "/store")
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    Indexer.deleteDocs(spark, a, Seq(0L).toDF("doc_id"))
+    StoreMerge.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    Indexer.writeIndex(Indexer.readIndexLive(spark, dest), serving,
+      nBuckets = 8, docBuckets = Some(2))
+    assert(Indexer.docBucketsOf(spark, serving) === Some(2))
+    assert(searchRows(serving, "delta") === searchRows(dest, "delta"),
+      "the serving copy must answer exactly like the merged store")
+    assert(searchRows(serving, "delta").nonEmpty)
+    assert(!searchRows(serving, "alpha").exists(_._1 == 0L),
+      "the shard tombstone must carry through the live-view rebuild")
+    // zero-shuffle scoring join (the layout's reason to exist)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = BM25.searchStore(spark, serving, "delta", nBuckets = 8)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"scoring join still shuffles on doc_id:\n$p")
+      assert("Bucketed: true".r.findAllIn(p).size >= 2,
+        s"both join sides must be bucketed scans:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (prevA.isEmpty)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    // fsck green on the rebuilt copy (fresh batch-0 store)
+    assert(fsckViolations(serving) === 0L)
+  }
+
   test("post-merge lifecycle: append grows the merged store; incremental audit sees only the delta") {
     val (a, b, dest) = (tmp("lcA"), tmp("lcB"), tmp("lcDest") + "/store")
     buildShard(id => id == 0 || id == 1, a)
