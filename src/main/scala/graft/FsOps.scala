@@ -13,6 +13,38 @@ object FsOps {
     * the only remaining copy — every rename's return value is checked,
     * and the aside copy is only dropped after the install succeeded.
     */
+  /** Consumed-shard husk discipline (VERDICT r13 #4): a move-mode shard
+    * merge DRAINS its sources' data files but leaves markers and small
+    * tables behind. A later read of such a husk used to die on parquet
+    * schema inference over an empty directory — loud but cryptic, and
+    * an append into one would silently build on drained data. Every
+    * move-mode merge now stamps each consumed source with
+    * `_merged_into=<dest>` AFTER the dest's commit marker lands (so a
+    * genuinely-crashed merge, dest uncommitted, carries no stamp and
+    * resumes normally), the store families' read/append/maintenance
+    * entries refuse stamped husks by name, and `Maintain pipeline
+    * scrap` deletes husks whose recorded dest is certified committed.
+    */
+  val MergedIntoMarker = "_merged_into"
+
+  /** Where this store's data went, if it was consumed by a move-mode
+    * merge (None = live store). */
+  def mergedInto(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Option[String] =
+    readMarker(spark, path, MergedIntoMarker).map(_.trim).filter(_.nonEmpty)
+
+  /** Refuse to operate on a consumed husk — the pointed error every
+    * family's read/append/maintenance entry throws instead of a parquet
+    * schema-inference failure on drained directories. */
+  def requireNotHusk(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    mergedInto(spark, path).foreach { dest =>
+      throw new IllegalStateException(
+        s"$path was consumed by a move-mode shard merge into $dest " +
+          "(marker _merged_into) — read or append at the merged store; " +
+          "delete this husk with: Maintain pipeline scrap " + path)
+    }
+
   /** Write a small driver-side text marker at `<path>/<marker>` — the
     * shared bookkeeping primitive behind every store's `_lastbatch` /
     * `_last_audit` / `_geometry` / `_fingerprint` discipline. Written

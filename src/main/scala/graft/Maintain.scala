@@ -25,6 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                                  the path, family-by-family shard
   *                                  merges; `move` renames — consumes
   *                                  the shards)
+  *        | scrap  (delete the path if it is a CERTIFIED consumed husk —
+  *                  `_merged_into` stamped and the recorded dest
+  *                  committed; a pipeline root scraps when every family
+  *                  child is a certified husk)
   *          (path = the PIPELINE ROOT holding index/ dedup/ ivf/ child
   *           stores — the cross-store takedown cascade and its audit;
   *           see graft.pipeline.Forget)
@@ -220,6 +224,14 @@ object Maintain {
         println(s"[maintain] promoted ${shardRoots.size} shard roots " +
           s"(families: ${fams.mkString(",")}${if (move) ", moved" else ""}) " +
           s"into $path")
+        None
+      case ("pipeline", "scrap") =>
+        // delete a certified consumed husk (a stamped store, or a shard
+        // root whose every family child is stamped); refuses live or
+        // uncertified paths — see Promote.scrapRoot
+        val gone = pipeline.Promote.scrapRoot(spark, path)
+        println(s"[maintain] scrapped ${gone.size} husk store(s): " +
+          gone.mkString(", "))
         None
       case ("pipeline", "sweep") =>
         // args: the retention predicate over the vstore snapshot columns

@@ -159,6 +159,7 @@ object DedupStore {
              minJaccard: Double,
              idCol: String = "doc_id", textCol: String = "text",
              shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     requireGeometry(spark, path, numHashes, bands, "ingest")
     readLongMarker(spark, path, ShingleMarker).foreach { n =>
       require(n == shingleN.toLong,
@@ -239,6 +240,7 @@ object DedupStore {
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
     graft.operators.MergeGuards.requireMergeable(sources, dest)
+    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
     require(storedGeometry(spark, dest).isEmpty,
       s"$dest already carries a committed signature store (geometry marker exists)")
     val geoms = sources.map { s =>
@@ -280,6 +282,11 @@ object DedupStore {
     writeLongMarker(spark, dest, LastBatchMarker, batches.max)
     markAudited(spark, dest, Some(batches.max))
     writeGeometry(spark, dest, geoms.head._1, geoms.head._2)
+    // stamp drained sources only after the geometry commit above (husk
+    // contract — see FsOps.MergedIntoMarker)
+    if (moveFiles)
+      sources.foreach(s =>
+        graft.FsOps.writeMarker(spark, s, graft.FsOps.MergedIntoMarker, dest))
   }
 
   /** Remove documents from the signature store — the maintenance
@@ -298,6 +305,7 @@ object DedupStore {
     * (same trade as the index stores' expunge). */
   def removeDocs(spark: SparkSession, path: String, ids: DataFrame,
                  idCol: String = "doc_id"): Unit = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val rm = ids.select(col(idCol).as("doc_id")).distinct()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (t <- Seq("sets", "buckets")) {
@@ -343,6 +351,7 @@ object DedupStore {
     */
   def checkStore(spark: SparkSession, path: String,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     requireGeometry(spark, path, numHashes, bands, "checkStore")
     import graft.operators.StoreCheck.row
     // one shared pass per audited table (sets feeds the uniqueness,

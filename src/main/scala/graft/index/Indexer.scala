@@ -332,6 +332,7 @@ object Indexer {
                   newCorpus: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", titleCol: Option[String] = None,
                   nBuckets: Int = 64): Unit = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     // the store's own recorded layout wins over the parameter — a
     // mismatched append would land rows in partitions pruning never probes
     val nb = storedBuckets(spark, path).getOrElse(nBuckets)
@@ -713,6 +714,7 @@ object Indexer {
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, path: String,
                  ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     // only ids that exist AND are not already tombstoned contribute —
     // re-decrementing an already-dead doc would corrupt df/meta
     val newDead = minusDeletes(spark, path,
@@ -1270,6 +1272,7 @@ object Indexer {
     */
   def checkStore(spark: org.apache.spark.sql.SparkSession, path: String,
                  nBuckets: Int = 64): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(table: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$table")
@@ -1519,6 +1522,7 @@ object Indexer {
     * tables through the catalog so the postings ⋈ doc_stats scoring join
     * plans exchange-free; everything else is identical. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): InvertedIndex = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val (ds, po) = docBucketsOf(spark, path) match {
       case Some(db) =>
         (bucketedStoreTable(spark, path, "doc_stats", db, partitioned = false),

@@ -71,6 +71,7 @@ object StoreMerge {
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
     graft.operators.MergeGuards.requireMergeable(sources, dest)
+    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
     val destP = new Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(Indexer.storedBuckets(spark, dest).isEmpty,
@@ -173,5 +174,12 @@ object StoreMerge {
     pnb.foreach(n => Indexer.writeBucketsMarker(spark, dest, n,
       Indexer.PositionalBucketsMarker))
     Indexer.writeBucketsMarker(spark, dest, nb)
+    // drained sources become stamped husks — ONLY after the dest commit
+    // marker above, so a crashed merge (dest uncommitted) leaves its
+    // sources unstamped and resumable; readers refuse the husk by name
+    // and `pipeline scrap` reclaims it (FsOps.MergedIntoMarker)
+    if (moveFiles)
+      sources.foreach(s =>
+        graft.FsOps.writeMarker(spark, s, graft.FsOps.MergedIntoMarker, dest))
   }
 }

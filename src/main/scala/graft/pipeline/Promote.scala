@@ -75,4 +75,49 @@ object Promote {
     }
     fams.toSeq.sorted
   }
+
+  /** Delete a consumed-shard husk (VERDICT r13 #4) — the cleanup verb
+    * behind `Maintain pipeline scrap <path>`. A move-mode merge stamps
+    * each drained source `_merged_into=<dest>` AFTER the dest commits;
+    * scrap deletes only CERTIFIED husks: the path (or every family
+    * child of a pipeline root) must carry the stamp, and the recorded
+    * dest must hold a committed store. Refuses anything live or
+    * uncertified — a crashed merge's sources are unstamped (the stamp
+    * is post-commit by construction) and therefore unscrappable, which
+    * is exactly what keeps resume possible. Returns the husk store
+    * paths deleted. */
+  def scrapRoot(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def certify(husk: String): Unit = {
+      val dest = graft.FsOps.mergedInto(spark, husk).getOrElse(
+        throw new IllegalArgumentException(
+          s"$husk carries no ${graft.FsOps.MergedIntoMarker} marker — not a " +
+            "consumed husk; scrap refuses to delete live stores"))
+      val committed =
+        graft.index.Indexer.storedBuckets(spark, dest).nonEmpty ||
+        graft.dedup.DedupStore.storedGeometry(spark, dest).nonEmpty ||
+        fs.exists(new Path(s"$dest/centroids"))
+      require(committed,
+        s"$husk records ${graft.FsOps.MergedIntoMarker}=$dest but no " +
+          "committed store exists there — refusing to delete the remains; " +
+          "finish or re-run the merge first")
+    }
+    if (graft.FsOps.mergedInto(spark, root).isDefined) {
+      certify(root)
+      fs.delete(new Path(root), true)
+      return Seq(root)
+    }
+    val fams = Forget.familiesAt(spark, root)
+    require(fams.nonEmpty,
+      s"$root is neither a stamped husk nor a pipeline root holding " +
+        "family stores — nothing to scrap")
+    val children = fams.map(f => s"$root/$f")
+    val live = children.filterNot(c => graft.FsOps.mergedInto(spark, c).isDefined)
+    require(live.isEmpty,
+      s"refusing to scrap $root: live (unstamped) family stores remain: " +
+        live.mkString(", "))
+    children.foreach(certify)
+    fs.delete(new Path(root), true)
+    children
+  }
 }

@@ -1277,6 +1277,11 @@ object PipelineQueries extends QueryGroup {
       shard(col("doc_id") % 2 === 1, s"$root/shard1")
       Promote.mergeRoots(s, Seq(s"$root/shard0", s"$root/shard1"),
         s"$root/merged", moveFiles = true)
+      // the consumed shard roots are now stamped husks; scrap them
+      // (certified against the merged stores) BEFORE the audit runs, so
+      // the gate proves the full promote → scrap → serve lifecycle
+      Promote.scrapRoot(s, s"$root/shard0")
+      Promote.scrapRoot(s, s"$root/shard1")
       Forget.checkPipeline(s, s"$root/merged")
     }),
 

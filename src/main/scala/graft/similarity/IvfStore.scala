@@ -80,6 +80,7 @@ object IvfStore {
   def searchStoreQuantized(spark: SparkSession, path: String, queries: DataFrame,
                            k: Int, nProbe: Int = 4,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -126,6 +127,7 @@ object IvfStore {
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: Long,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val assigned = Similarity.assignToCentroids(
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
@@ -314,6 +316,7 @@ object IvfStore {
     * design: duplicates and foreign ids are both documented no-ops of
     * [[deleteVectors]]'s anti-join semantics. */
   def checkStore(spark: SparkSession, path: String): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val lists = spark.read.parquet(s"$path/lists")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -528,6 +531,7 @@ object IvfStore {
                   moveFiles: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeGuards.requireMergeable(sources, dest)
+    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(s"$dest/centroids")),
       s"$dest already carries a committed IVF store (centroids exist)")
@@ -571,6 +575,11 @@ object IvfStore {
         c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
       .reduce(_ unionByName _)
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    // stamp drained sources only after the commit above (husk contract —
+    // see FsOps.MergedIntoMarker)
+    if (moveFiles)
+      sources.foreach(s =>
+        graft.FsOps.writeMarker(spark, s, graft.FsOps.MergedIntoMarker, dest))
   }
 
   /** Re-train the centroid set over the store's own LIVE vectors and
@@ -666,6 +675,7 @@ object IvfStore {
   def searchStore(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

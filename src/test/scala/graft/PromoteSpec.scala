@@ -125,9 +125,15 @@ class PromoteSpec extends SparkSpec {
         .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)]
         .collect().toSet
     assert(qTop(qdest) === qTop(qfull))
-    // committed dest refuses
+    // consumed husks refuse as sources (a and b were move-merged above)
+    val eHusk = intercept[IllegalStateException](
+      IvfStore.mergeStores(spark, Seq(a, b), tmp("ivfD4") + "/store"))
+    assert(eHusk.getMessage.contains("_merged_into"), eHusk.getMessage)
+    // committed dest refuses (live sources, so the dest guard is what fires)
+    val a2 = tmp("ivfA2")
+    ivfShard(_ % 2 == 0, a2)
     val e4 = intercept[IllegalArgumentException](
-      IvfStore.mergeStores(spark, Seq(a, b), dest))
+      IvfStore.mergeStores(spark, Seq(a2, b2), dest))
     assert(e4.getMessage.contains("committed IVF store"), e4.getMessage)
     // crash resume: kill the commit marker (centroids) and one file
     val (c, d, dest2) = (tmp("ivfC"), tmp("ivfD"), tmp("ivfDest2") + "/store")
@@ -275,6 +281,53 @@ class PromoteSpec extends SparkSpec {
     // ...and the cascade skips the debris instead of crashing on it
     Forget.forget(spark, root, Seq(1L).toDF("doc_id"))
     assert(Forget.checkPipeline(spark, root).collect()
+      .map(r => r.getLong(2)).sum === 0L)
+  }
+
+  test("pipeline scrap deletes certified husk roots; refuses live or uncertified ones") {
+    val (r0, r1, dest) = (tmp("scrA"), tmp("scrB"), tmp("scrDest") + "/merged")
+    buildRoot(_ % 2 == 0, r0)
+    buildRoot(_ % 2 == 1, r1)
+    // a LIVE root refuses before anything is touched
+    val eLive = intercept[IllegalArgumentException](Promote.scrapRoot(spark, r0))
+    assert(eLive.getMessage.contains("live"), eLive.getMessage)
+    assert(fsAt(r0).exists(new Path(s"$r0/index")), "refusal must not delete")
+    Promote.mergeRoots(spark, Seq(r0, r1), dest, moveFiles = true)
+    // every family child is now a stamped husk pointing at its dest store
+    assert(FsOps.mergedInto(spark, s"$r0/index") === Some(s"$dest/index"))
+    assert(FsOps.mergedInto(spark, s"$r0/dedup") === Some(s"$dest/dedup"))
+    assert(FsOps.mergedInto(spark, s"$r0/ivf") === Some(s"$dest/ivf"))
+    // ...and reading a husk is a pointed refusal, not a parquet error
+    val eRead = intercept[IllegalStateException](
+      IvfStore.searchStore(spark, s"$r0/ivf",
+        vecsFx.toDF("vec_id", "embedding").limit(1), 3))
+    assert(eRead.getMessage.contains("_merged_into"), eRead.getMessage)
+    val eDedup = intercept[IllegalStateException](
+      DedupStore.ingest(spark, s"$r0/dedup",
+        docsFx.toDF("doc_id", "text").limit(0), minJaccard = 0.5))
+    assert(eDedup.getMessage.contains("consumed"), eDedup.getMessage)
+    // an UNCERTIFIED husk (stamped, but the recorded dest is gone)
+    // refuses: never delete the only remains
+    val r2 = tmp("scrC")
+    buildRoot(_ < 2, r2)
+    FsOps.writeMarker(spark, s"$r2/index", FsOps.MergedIntoMarker,
+      tmp("scrNowhere") + "/never")
+    FsOps.writeMarker(spark, s"$r2/dedup", FsOps.MergedIntoMarker,
+      tmp("scrNowhere2") + "/never")
+    FsOps.writeMarker(spark, s"$r2/ivf", FsOps.MergedIntoMarker,
+      tmp("scrNowhere3") + "/never")
+    val eCert = intercept[IllegalArgumentException](Promote.scrapRoot(spark, r2))
+    assert(eCert.getMessage.contains("no committed store"), eCert.getMessage)
+    assert(fsAt(r2).exists(new Path(s"$r2/index")))
+    // certified husk root scraps: all three children + the root go
+    assert(Promote.scrapRoot(spark, r0).toSet ===
+      Set(s"$r0/index", s"$r0/dedup", s"$r0/ivf"))
+    assert(!fsAt(r0).exists(new Path(r0)), "the husk root is gone")
+    // a single stamped store scraps directly (non-root form)
+    assert(Promote.scrapRoot(spark, s"$r1/index") === Seq(s"$r1/index"))
+    assert(!fsAt(r1).exists(new Path(s"$r1/index")))
+    // the merged root still serves after the husks are gone
+    assert(Forget.checkPipeline(spark, dest).collect()
       .map(r => r.getLong(2)).sum === 0L)
   }
 }

@@ -83,6 +83,21 @@ class StoreMergeSpec extends SparkSpec {
     // the shards' data files are gone (husks keep markers/vocab)
     assert(fsAt(a).listStatus(new Path(s"$a/doc_stats"))
       .forall(s => !s.getPath.getName.startsWith("part-")))
+    // ...and the drained shards are STAMPED husks (VERDICT r13 #4):
+    // readers refuse them by name instead of dying on parquet schema
+    // inference over the emptied dirs
+    assert(FsOps.mergedInto(spark, a) === Some(dest))
+    assert(FsOps.mergedInto(spark, b) === Some(dest))
+    val eHusk = intercept[IllegalStateException](searchRows(a, "delta"))
+    assert(eHusk.getMessage.contains("_merged_into") &&
+      eHusk.getMessage.contains(dest), eHusk.getMessage)
+    val eApp = intercept[IllegalStateException](
+      Indexer.appendIndex(spark, a, corpusDf.filter($"doc_id" < 0)))
+    assert(eApp.getMessage.contains("consumed"), eApp.getMessage)
+    // a husk cannot be a merge source either
+    val eSrc = intercept[IllegalStateException](
+      StoreMerge.mergeStores(spark, Seq(a, b), tmp("mvHd") + "/store"))
+    assert(eSrc.getMessage.contains("_merged_into"), eSrc.getMessage)
     // crash resume: replay the same merge into a HALF-transferred dest —
     // simulate by deleting the commit marker and one transferred file
     val fs = fsAt(dest)
@@ -105,9 +120,23 @@ class StoreMergeSpec extends SparkSpec {
     buildShard(_ % 2 == 1, f2)
     StoreMerge.mergeStores(spark, Seq(e, f2), dest3, moveFiles = true)
     fs.delete(new Path(s"$dest3/_nbuckets"), false) // commit never landed
+    // a REAL crash predates the husk stamps (they land only after the
+    // dest commit marker), so the simulation removes them too — this is
+    // exactly the contract that keeps crashed merges resumable
+    fs.delete(new Path(s"$e/${FsOps.MergedIntoMarker}"), false)
+    fs.delete(new Path(s"$f2/${FsOps.MergedIntoMarker}"), false)
     StoreMerge.mergeStores(spark, Seq(e, f2), dest3, moveFiles = true)
     assert(fsckViolations(dest3) === 0L)
     assert(searchRows(dest3, "delta epsilon").nonEmpty)
+    assert(FsOps.mergedInto(spark, e) === Some(dest3),
+      "the resumed merge re-stamps its consumed sources")
+    // copy-mode merges never stamp: sources stay live
+    val (g, h) = (tmp("mvG"), tmp("mvH"))
+    buildShard(_ % 2 == 0, g)
+    buildShard(_ % 2 == 1, h)
+    StoreMerge.mergeStores(spark, Seq(g, h), tmp("mvDest4") + "/store")
+    assert(FsOps.mergedInto(spark, g) === None)
+    assert(searchRows(g, "delta").nonEmpty, "copy-mode source still serves")
   }
 
   test("a stale crashed-copy staging file is reclaimed, never committed") {
