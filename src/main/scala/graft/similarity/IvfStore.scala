@@ -512,9 +512,13 @@ object IvfStore {
     * [[searchStore]] serves the merged store unchanged — centroid
     * broadcast, driver-side probed-cid IN-list, partition pruning.
     *
-    * Contracts (enforced): ≥ 2 sources; FRESH stores only (a
-    * `batch=`-layered streaming store re-merges per-batch layout —
-    * refuses loudly); identical lists schema — which also means all
+    * Contracts (enforced): ≥ 2 sources; uniformly FRESH or uniformly
+    * `batch=`-layered (streaming-ingested) sources — layered shards
+    * merge per batch layer with the same cid remap, batch ordinals
+    * offset per source (collision-free replay overwrite and audit
+    * deltas; the merged store is born-audited at its highest remapped
+    * ordinal), while MIXED layouts refuse (a half-present batch column
+    * serves neither audit); identical lists schema — which also means all
     * float or all QUANTIZED, never mixed (quantized shards merge fine:
     * the int8 scale is per-vector, so rows are self-describing and
     * [[searchStoreQuantized]] serves the union unchanged); DISJOINT
@@ -538,14 +542,28 @@ object IvfStore {
     sources.foreach { s =>
       require(fs.exists(new Path(s"$s/centroids")) && fs.exists(new Path(s"$s/lists")),
         s"$s is not a persisted IVF store (centroids/lists missing)")
-      // the batch=/cid= layout is visible from the partition DIRS alone —
-      // survives a move-drained resume, unlike a data read
-      require(!fs.listStatus(new Path(s"$s/lists"))
-          .exists(_.getPath.getName.startsWith("batch=")),
-        s"$s is a streaming-ingested (batch-partitioned) store — merge " +
-          "fresh writeIndex shards; a batch-layered store promotes by " +
-          "being ingested into, not merged")
     }
+    // the batch=/cid= layout is visible from the partition DIRS alone —
+    // survives a move-drained resume, unlike a data read. Fresh and
+    // batch-layered shards both merge (each batch layer transfers with
+    // the same cid remap, batch ordinals offset per source so replay
+    // overwrite and audit deltas stay collision-free) — but never MIXED:
+    // the merged lists would carry a half-present batch column
+    val layered = sources.map(s => fs.listStatus(new Path(s"$s/lists"))
+      .exists(_.getPath.getName.startsWith("batch=")))
+    require(layered.distinct.size == 1,
+      s"sources mix fresh and batch-layered (streaming-ingested) lists " +
+        s"layouts: ${sources.zip(layered).mkString(", ")} — a merged store " +
+        "with a half-present batch column serves neither audit; rebuild " +
+        "or stream-compact the odd shard first")
+    val isLayered = layered.head
+    // per-source batch offsets: shard i's ordinals shift past the
+    // cumulative (max+1) of its predecessors, so a post-merge streaming
+    // replay of one shard's ordinal can never overwrite another's layer
+    val batchOffsets: Seq[Long] =
+      if (!isLayered) Seq.fill(sources.size)(0L)
+      else sources.map(s => listBatches(spark, s).lastOption.getOrElse(0L) + 1L)
+        .scanLeft(0L)(_ + _).init
     // a dest already holding transferred lists is a crashed merge being
     // RESUMED: the data-reading guards passed before the first file
     // moved, and a move-drained source's lists no longer read — skip
@@ -561,12 +579,24 @@ object IvfStore {
     val offsets = maxCids.scanLeft(0)(_ + _).init
 
     for ((src, i) <- sources.zipWithIndex) {
-      for (st <- fs.listStatus(new Path(s"$src/lists")).toSeq
-           if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
-        val k = st.getPath.getName.stripPrefix("cid=").toInt
-        graft.FsOps.transferDataFiles(spark, st.getPath.toString,
-          s"$dest/lists/cid=${k + offsets(i)}", s"m${i}_", moveFiles)
-      }
+      if (isLayered)
+        for (bst <- fs.listStatus(new Path(s"$src/lists")).toSeq
+             if bst.isDirectory && bst.getPath.getName.startsWith("batch=");
+             st <- fs.listStatus(bst.getPath).toSeq
+             if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
+          val b = bst.getPath.getName.stripPrefix("batch=").toLong
+          val k = st.getPath.getName.stripPrefix("cid=").toInt
+          graft.FsOps.transferDataFiles(spark, st.getPath.toString,
+            s"$dest/lists/batch=${b + batchOffsets(i)}/cid=${k + offsets(i)}",
+            s"m${i}_", moveFiles)
+        }
+      else
+        for (st <- fs.listStatus(new Path(s"$src/lists")).toSeq
+             if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
+          val k = st.getPath.getName.stripPrefix("cid=").toInt
+          graft.FsOps.transferDataFiles(spark, st.getPath.toString,
+            s"$dest/lists/cid=${k + offsets(i)}", s"m${i}_", moveFiles)
+        }
       graft.FsOps.transferDataFiles(spark, s"$src/deletes", s"$dest/deletes",
         s"m${i}_", moveFiles)
     }
@@ -575,6 +605,11 @@ object IvfStore {
         c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
       .reduce(_ unionByName _)
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    // a layered merge is born-audited at its highest remapped ordinal
+    // (merged data is consistent by construction, same contract as the
+    // index/dedup merges): the next incremental audit sees only
+    // post-merge ingest
+    if (isLayered) markAudited(spark, dest)
     // stamp drained sources only after the commit above (husk contract —
     // see FsOps.MergedIntoMarker)
     if (moveFiles)

@@ -91,7 +91,9 @@ class PromoteSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       IvfStore.mergeStores(spark, Seq(ov, b2), tmp("ivfD1") + "/store"))
     assert(e1.getMessage.contains("share vec_ids"), e1.getMessage)
-    // a batch-layered (streaming-ingested) store refuses
+    // MIXED fresh + batch-layered sources refuse (a half-present batch
+    // column serves neither audit); uniformly-layered shards merge —
+    // see the dedicated test below
     val st = tmp("ivfStream")
     IvfStore.writeCentroids(vecsFx.toDF("vec_id", "embedding"), st,
       nCentroids = 2, kmeansIters = 0)
@@ -99,7 +101,7 @@ class PromoteSpec extends SparkSpec {
       vecsFx.filter(_._1 < 4).toDF("vec_id", "embedding"), 0L)
     val e2 = intercept[IllegalArgumentException](
       IvfStore.mergeStores(spark, Seq(st, b2), tmp("ivfD2") + "/store"))
-    assert(e2.getMessage.contains("batch-partitioned"), e2.getMessage)
+    assert(e2.getMessage.contains("mix fresh and batch-layered"), e2.getMessage)
     // a quantized and a float shard refuse via schema parity (never mix)
     val qz = tmp("ivfQz")
     IvfStore.writeIndexQuantized(vecsFx.filter(_._1 % 2 == 0)
@@ -148,6 +150,46 @@ class PromoteSpec extends SparkSpec {
     IvfStore.mergeStores(spark, Seq(c, d), dest2)
     assert(spark.read.parquet(s"$dest2/lists").select("vec_id")
       .as[Long].collect().toSet === (0L to 7L).toSet)
+  }
+
+  test("batch-layered IVF shards merge: per-layer cid remap, offset ordinals, born-audited") {
+    // VERDICT r13 #5: the stream-shards-then-promote composition. Two
+    // shards each built by streaming ingest (frozen per-shard centroids,
+    // two appendBatch layers), merged — answers must equal the same
+    // merge of one-shot-built shards (assignment per shard is identical
+    // by construction, so the merged geometry is too).
+    val (a, b, dest) = (tmp("ivfLgA"), tmp("ivfLgB"), tmp("ivfLgDest") + "/store")
+    def streamShard(pred: Long => Boolean, path: String): Unit = {
+      IvfStore.writeCentroids(vecsFx.filter(v => pred(v._1)).toDF("vec_id", "embedding"),
+        path, nCentroids = 2, kmeansIters = 0)
+      val vs = vecsFx.filter(v => pred(v._1))
+      IvfStore.appendBatch(spark, path,
+        vs.take(2).toDF("vec_id", "embedding"), 0L)
+      IvfStore.appendBatch(spark, path,
+        vs.drop(2).toDF("vec_id", "embedding"), 1L)
+    }
+    streamShard(_ % 2 == 0, a)
+    streamShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest)
+    // shard B's ordinals shift past shard A's max+1: layers 0,1 + 2,3
+    assert(IvfStore.listBatches(spark, dest) === Seq(0L, 1L, 2L, 3L))
+    // ...and the merge vouches for the merged layers (born-audited)
+    assert(IvfStore.lastAudited(spark, dest) === Some(3L))
+    assert(IvfStore.checkStoreIncremental(spark, dest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    // answers equal the fresh-shard merge of the same halves
+    val (fa, fb, fdest) = (tmp("ivfLfA"), tmp("ivfLfB"), tmp("ivfLfDest") + "/store")
+    ivfShard(_ % 2 == 0, fa)
+    ivfShard(_ % 2 == 1, fb)
+    IvfStore.mergeStores(spark, Seq(fa, fb), fdest)
+    val q = vecsFx.toDF("vec_id", "embedding").filter($"vec_id".isin(0L, 3L, 7L))
+    def top(path: String) = IvfStore.searchStore(spark, path, q, 3, nProbe = 4)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(top(dest) === top(fdest))
+    // full fsck green on the layered merged store
+    assert(IvfStore.checkStore(spark, dest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
 
   test("dedup signature-store merge: ingest report equals a single full-store build") {
