@@ -192,6 +192,66 @@ class PromoteSpec extends SparkSpec {
       .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
 
+  test("merged-store assignment audit: grouped invariant, repair, recluster, nested bounds") {
+    // VERDICT r14 #1: a merged store keeps shard-local assignments by
+    // contract, so the deep audit's lists_assignment must check
+    // nearest-WITHIN-GROUP (bounds marker), not nearest-of-the-union.
+    val (a, b, dest) = (tmp("gbA"), tmp("gbB"), tmp("gbDest") + "/store")
+    ivfShard(_ % 2 == 0, a)
+    ivfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest)
+    assert(IvfStore.mergedBounds(spark, dest) === Some(Seq(0, 2)))
+    // healthy merged store: fully green (this was the r14 RED spec shape)
+    assert(IvfStore.checkStore(spark, dest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    // corrupt one row's cid WITHIN its group: the grouped audit flags it
+    val lists = spark.read.parquet(s"$dest/lists")
+    val c0 = lists.filter($"vec_id" === 0L).select("cid").as[Int].collect().head
+    assert(c0 == 1 || c0 == 2, s"vec 0 must live in shard A's group, got $c0")
+    val flipped = if (c0 == 1) 2 else 1
+    val fs = fsAt(dest)
+    lists.withColumn("cid",
+        when($"vec_id" === 0L, lit(flipped)).otherwise($"cid"))
+      .repartition($"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dest/lists_tmp")
+    FsOps.atomicSwap(fs, new Path(s"$dest/lists"), new Path(s"$dest/lists_tmp"))
+    def rep(): Map[String, Long] = IvfStore.checkStore(spark, dest).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep()("lists_assignment") === 1L, "within-group corruption must flag")
+    // repair reassigns WITHIN the group (merge contract preserved): green
+    // again, and vec 0 is back under its original list
+    IvfStore.repairLists(spark, dest)
+    assert(rep().values.sum === 0L)
+    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
+      .select("cid").as[Int].collect().head === c0)
+    // recluster re-trains one union-nearest centroid set and DROPS the
+    // bounds marker — the strict union invariant is back in force
+    IvfStore.reclusterStore(spark, dest, nCentroids = 4, kmeansIters = 0)
+    assert(IvfStore.mergedBounds(spark, dest) === None)
+    assert(rep().values.sum === 0L)
+    // nested merge composes bounds: (A+B) merged with (C+D) carries all
+    // four groups, shifted into the outer cid space
+    def vecsAt(ids: Range) = ids.map { id =>
+      val ang = id.toDouble / 16.0 * math.Pi
+      (id.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val (m1, c, d, m2, outer) =
+      (tmp("gbM1") + "/s", tmp("gbC"), tmp("gbD"), tmp("gbM2") + "/s", tmp("gbOut") + "/s")
+    val (a2, b2) = (tmp("gbA3"), tmp("gbB3"))
+    ivfShard(_ % 2 == 0, a2)
+    ivfShard(_ % 2 == 1, b2)
+    IvfStore.mergeStores(spark, Seq(a2, b2), m1)
+    IvfStore.writeIndex(vecsAt(8 to 9).toDF("vec_id", "embedding"), c,
+      nCentroids = 2, kmeansIters = 0)
+    IvfStore.writeIndex(vecsAt(10 to 11).toDF("vec_id", "embedding"), d,
+      nCentroids = 2, kmeansIters = 0)
+    IvfStore.mergeStores(spark, Seq(c, d), m2)
+    IvfStore.mergeStores(spark, Seq(m1, m2), outer)
+    assert(IvfStore.mergedBounds(spark, outer) === Some(Seq(0, 2, 4, 6)))
+    assert(IvfStore.checkStore(spark, outer)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+  }
+
   test("dedup signature-store merge: ingest report equals a single full-store build") {
     val d = docsFx.toDF("doc_id", "text")
     val (a, b, dest, full) = (tmp("ddA"), tmp("ddB"), tmp("ddDest") + "/store", tmp("ddFull"))
