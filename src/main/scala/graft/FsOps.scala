@@ -169,6 +169,55 @@ object FsOps {
     }
   }
 
+  /** Visible (non-`_`/`.`-prefixed) data file NAMES under `dir`,
+    * recursing through visible subdirectories — the drained-ness probe
+    * of the husk-stamp resume below (bounded: directory metadata only,
+    * never file contents). Empty when the directory is absent. */
+  def visibleDataFiles(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: Path): Seq[String] =
+      fs.listStatus(d).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_")
+          || st.getPath.getName.startsWith("."))
+        .flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath.getName))
+    if (fs.exists(p)) walk(p) else Seq.empty
+  }
+
+  /** Complete the husk stamps of a move-mode merge that died BETWEEN its
+    * dest commit and the stamping loop (ADVICE r14): that window used to
+    * be unfixable — the re-run refused on the committed dest, and scrap
+    * refuses unstamped paths — reinstating exactly the cryptic
+    * drained-directory state the husk discipline exists to eliminate.
+    *
+    * Returns true (after writing any missing `_merged_into` stamps) iff
+    * every source is either already stamped into `dest`, or visibly
+    * drained with its transferred `m<i>_`-prefixed files present under
+    * the dest's `tables` — the deterministic evidence that THIS dest
+    * consumed source ordinal i (single-pipeline discipline assumed: the
+    * check cannot distinguish two merges that drained the same shard at
+    * the same ordinal, which disjoint-id guards make unreachable in one
+    * pipeline). False = not that crash shape; callers fall through to
+    * their committed-dest refusal. Callers must have verified the dest
+    * commit marker and moveFiles=true themselves. */
+  def completeHuskStamps(spark: org.apache.spark.sql.SparkSession,
+                         sources: Seq[String], dest: String,
+                         tables: Seq[String]): Boolean = {
+    val destFiles = tables.flatMap(t => visibleDataFiles(spark, s"$dest/$t"))
+    val resumable = sources.zipWithIndex.forall { case (s, i) =>
+      mergedInto(spark, s).contains(dest) || (
+        tables.forall(t => visibleDataFiles(spark, s"$s/$t").isEmpty) &&
+          destFiles.exists(_.startsWith(s"m${i}_")))
+    }
+    if (resumable)
+      sources.foreach(s =>
+        if (!mergedInto(spark, s).contains(dest))
+          writeMarker(spark, s, MergedIntoMarker, dest))
+    resumable
+  }
+
   /** One-long marker face of [[writeMarker]]/[[readMarker]]. */
   def writeLongMarker(spark: org.apache.spark.sql.SparkSession, path: String,
                       marker: String, v: Long): Unit =

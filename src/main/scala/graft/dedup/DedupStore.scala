@@ -240,9 +240,17 @@ object DedupStore {
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
     graft.operators.MergeGuards.requireMergeable(sources, dest)
-    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
-    require(storedGeometry(spark, dest).isEmpty,
-      s"$dest already carries a committed signature store (geometry marker exists)")
+    graft.FsOps.requireNotHusk(spark, dest)
+    if (storedGeometry(spark, dest).nonEmpty) {
+      // committed dest: either the move-mode crash window between the
+      // commit and the husk stamps (complete the stamps and return —
+      // FsOps.completeHuskStamps), or a genuine re-merge to refuse
+      if (moveFiles && graft.FsOps.completeHuskStamps(spark, sources, dest,
+          Seq("sets", "buckets"))) return
+      throw new IllegalArgumentException(
+        s"$dest already carries a committed signature store (geometry marker exists)")
+    }
+    sources.foreach(graft.FsOps.requireNotHusk(spark, _))
     val geoms = sources.map { s =>
       storedGeometry(spark, s).getOrElse(throw new IllegalArgumentException(
         s"$s has no geometry marker — not a persisted signature store"))

@@ -71,12 +71,20 @@ object StoreMerge {
   def mergeStores(spark: SparkSession, sources: Seq[String], dest: String,
                   moveFiles: Boolean = false): Unit = {
     graft.operators.MergeGuards.requireMergeable(sources, dest)
-    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
+    graft.FsOps.requireNotHusk(spark, dest)
     val destP = new Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(Indexer.storedBuckets(spark, dest).isEmpty,
-      s"$dest already carries a committed store (its _nbuckets marker " +
-        "exists) — merging INTO a live store is appendIndex's job")
+    if (Indexer.storedBuckets(spark, dest).nonEmpty) {
+      // committed dest: either the move-mode crash window between the
+      // commit and the husk stamps (complete the stamps and return —
+      // FsOps.completeHuskStamps), or a genuine re-merge to refuse
+      if (moveFiles && graft.FsOps.completeHuskStamps(spark, sources, dest,
+          DataTables)) return
+      throw new IllegalArgumentException(
+        s"$dest already carries a committed store (its _nbuckets marker " +
+          "exists) — merging INTO a live store is appendIndex's job")
+    }
+    sources.foreach(graft.FsOps.requireNotHusk(spark, _))
     // a dest already holding transferred files is a crashed merge being
     // RESUMED: the data-reading guards below passed before the first
     // file ever moved, and re-reading a move-drained source would die

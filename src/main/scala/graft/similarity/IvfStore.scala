@@ -81,6 +81,7 @@ object IvfStore {
                            k: Int, nProbe: Int = 4,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
+    requireNotMidRecluster(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -123,11 +124,42 @@ object IvfStore {
     * retried micro-batch REPLACES its previous output instead of
     * duplicating it. `cid` stays a partition level below `batch`, so
     * query-time probed-cid pruning still skips unprobed lists of every
-    * batch. */
+    * batch.
+    *
+    * Ordinal guard: `batchId` must exceed the audited watermark
+    * ([[lastAudited]]). The replay-overwrite contract holds only for
+    * ordinals the audit has NOT vouched for — in particular, a merged
+    * store is born-audited at its highest REMAPPED ordinal, so an
+    * upstream shard's checkpoint continuing its own ordinal stream into
+    * the merged store (its "next batch" collides with another shard's
+    * remapped layer) refuses loudly instead of silently clobbering a
+    * committed layer that the `batch > since` audit window would never
+    * re-inspect. Ingest merged stores with fresh ordinals from
+    * `listBatches(path).last + 1`. */
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: Long,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
+    requireNotMidRecluster(spark, path)
+    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val lfs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lfs.exists(listsP)) {
+      val kids = lfs.listStatus(listsP).filter(_.isDirectory).map(_.getPath.getName)
+      require(kids.isEmpty || kids.exists(_.startsWith("batch=")),
+        s"appendBatch: $path/lists carries a fresh (cid-only) layout — " +
+          "appending a batch= layer would leave a half-present batch column " +
+          "that serves neither audit; streaming ingest targets stores " +
+          "bootstrapped by writeCentroids (rebuild, or merge shards instead)")
+    }
+    lastAudited(spark, path).foreach { a =>
+      require(batchId > a,
+        s"appendBatch: batch ordinal $batchId is <= the audited watermark $a " +
+          s"at $path — replaying an ordinal the audit vouched for (e.g. an " +
+          "upstream shard's checkpoint continuing into a merge-remapped " +
+          "store) silently clobbers a committed layer the incremental audit " +
+          "would never re-inspect; ingest with fresh ordinals from " +
+          "listBatches(path).last + 1")
+    }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val assigned = Similarity.assignToCentroids(
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
@@ -169,9 +201,12 @@ object IvfStore {
     * path. */
   def compactLists(spark: SparkSession, path: String,
                    targetBytes: Long = 128L * 1024 * 1024)
-      : Map[String, graft.operators.Compaction.CompactionStats] =
+      : Map[String, graft.operators.Compaction.CompactionStats] = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path)
     graft.operators.Compaction.compactPartitionsRecursive(
       spark, s"$path/lists", targetBytes)
+  }
 
   /** Soft-delete vectors from a persisted IVF store: ids append into a
     * `deletes` tombstone table — the cid-partitioned lists are NEVER
@@ -183,9 +218,12 @@ object IvfStore {
     * standard IVF maintenance split. Idempotent: duplicate tombstones
     * change nothing (anti-join semantics). */
   def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
-                    idCol: String = "vec_id"): Unit =
+                    idCol: String = "vec_id"): Unit = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path) // the rewrite drops `deletes`
     ids.select(col(idCol).as("vec_id")).distinct()
       .write.mode("append").parquet(s"$path/deletes")
+  }
 
   /** Physically apply accumulated tombstones ([[deleteVectors]]) — the
     * compaction-class counterpart of soft delete, mirroring
@@ -201,6 +239,8 @@ object IvfStore {
     * idempotent (the anti-join matches nothing on already-clean lists
     * while the tombstone table survives until the final drop). */
   def expungeDeletes(spark: SparkSession, path: String): Unit = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path)
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(del)) return
@@ -244,6 +284,8 @@ object IvfStore {
     * maintenance job beside [[compactLists]]/[[expungeDeletes]], never a
     * probe-path cost. */
   def repairLists(spark: SparkSession, path: String): Unit = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path)
     val lists = spark.read.parquet(s"$path/lists")
     val quantized = lists.columns.contains("qvec")
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
@@ -318,6 +360,23 @@ object IvfStore {
   // the verb that returns the store to the strict union invariant.
 
   private[graft] val MergedBoundsMarker = "_merged_bounds"
+
+  /** In-progress stamp for [[reclusterStore]]'s two-swap install window:
+    * between the lists swap and the centroids swap a reader would probe
+    * the OLD centroid frame against NEW lists (cid-inconsistent, silently
+    * wrong results). The marker lands before the first swap and clears
+    * after the second + the tombstone drop; every read/ingest entry
+    * refuses while it is present, and re-running recluster heals the
+    * window (training reads only vector payloads). */
+  private[graft] val ReclusterMarker = "_recluster_inprogress"
+
+  private def requireNotMidRecluster(spark: SparkSession, path: String): Unit =
+    if (graft.FsOps.readMarker(spark, path, ReclusterMarker).isDefined)
+      throw new IllegalStateException(
+        s"$path is mid-recluster (marker $ReclusterMarker): a crash between " +
+          "the lists and centroids swaps leaves the two tables " +
+          "cid-inconsistent — re-run `Maintain ivf recluster` to complete " +
+          "the install before reading or ingesting")
 
   /** Exclusive-lower cid group bounds of a merged store (None = never
     * merged / reclustered since): cid c belongs to group
@@ -406,6 +465,7 @@ object IvfStore {
     * [[deleteVectors]]'s anti-join semantics. */
   def checkStore(spark: SparkSession, path: String): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
+    requireNotMidRecluster(spark, path)
     val lists = spark.read.parquet(s"$path/lists")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -509,6 +569,8 @@ object IvfStore {
     * only (column-pruned, no payload vectors move). */
   def checkStoreIncremental(spark: SparkSession, path: String,
                             sinceBatch: Option[Long] = None): DataFrame = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path)
     import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
     def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
     val lists = spark.read.parquet(s"$path/lists")
@@ -617,10 +679,20 @@ object IvfStore {
                   moveFiles: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeGuards.requireMergeable(sources, dest)
-    (dest +: sources).foreach(graft.FsOps.requireNotHusk(spark, _))
+    graft.FsOps.requireNotHusk(spark, dest)
+    requireNotMidRecluster(spark, dest)
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new Path(s"$dest/centroids")),
-      s"$dest already carries a committed IVF store (centroids exist)")
+    if (fs.exists(new Path(s"$dest/centroids"))) {
+      // committed dest: either the move-mode crash window between the
+      // commit and the husk stamps (complete the stamps and return —
+      // FsOps.completeHuskStamps), or a genuine re-merge to refuse
+      if (moveFiles && graft.FsOps.completeHuskStamps(spark, sources, dest,
+          Seq("lists", "deletes"))) return
+      throw new IllegalArgumentException(
+        s"$dest already carries a committed IVF store (centroids exist)")
+    }
+    sources.foreach(graft.FsOps.requireNotHusk(spark, _))
+    sources.foreach(requireNotMidRecluster(spark, _))
     sources.foreach { s =>
       require(fs.exists(new Path(s"$s/centroids")) && fs.exists(new Path(s"$s/lists")),
         s"$s is not a persisted IVF store (centroids/lists missing)")
@@ -746,6 +818,7 @@ object IvfStore {
                      nCentroids: Int = 16, kmeansIters: Int = 2,
                      trainSampleMod: Int = 1): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
+    graft.FsOps.requireNotHusk(spark, path) // (its own in-progress marker is fine: re-run heals)
     val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listsRaw = spark.read.parquet(s"$path/lists")
@@ -774,6 +847,11 @@ object IvfStore {
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/lists_tmp")
+    // both tables are staged; stamp the install window before the first
+    // swap — a crash between the two swaps leaves old centroids over new
+    // lists, and readers must refuse that cid-inconsistent frame rather
+    // than silently return wrong results (ADVICE r14)
+    graft.FsOps.writeMarker(spark, path, ReclusterMarker, "1")
     graft.FsOps.atomicSwap(fs, listsP,
       new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
     val centsP = new org.apache.hadoop.fs.Path(s"$path/centroids")
@@ -787,6 +865,11 @@ object IvfStore {
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/_$MergedBoundsMarker.swap_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    // install complete: clear the in-progress stamp (live + swap aside —
+    // readMarker recovers from asides, so a clear must remove both)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$ReclusterMarker"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_$ReclusterMarker.swap_old"), true)
   }
 
   /** LIVE vec_id surface of a store — the ids a probe could still
@@ -794,9 +877,11 @@ object IvfStore {
     * row per stored vector: the id-surface primitive the cross-store
     * pipeline audit ([[graft.pipeline.Forget.checkPipeline]]) joins
     * against — never the vectors themselves. */
-  def liveVectorIds(spark: SparkSession, path: String): DataFrame =
+  def liveVectorIds(spark: SparkSession, path: String): DataFrame = {
+    requireNotMidRecluster(spark, path)
     liveLists(spark, path,
       spark.read.parquet(s"$path/lists").select("vec_id")).distinct()
+  }
 
   private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -809,6 +894,7 @@ object IvfStore {
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
+    requireNotMidRecluster(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

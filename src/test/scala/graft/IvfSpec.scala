@@ -374,4 +374,60 @@ class IvfSpec extends SparkSpec {
     assert(IvfStore.checkStore(spark, path)
       .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
+
+  test("ingest and recluster guards: audited-ordinal replay, mixed layout, install window") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" === 0L)
+
+    // appendBatch refuses an ordinal the audit vouched for (ADVICE r14:
+    // an upstream shard's checkpoint continuing into a merge-remapped
+    // store would clobber a layer the `batch > since` window never
+    // re-inspects)
+    val root = java.nio.file.Files.createTempDirectory("ivfguard").toString
+    def streamShard(m: Long, path: String): Unit = {
+      IvfStore.writeCentroids(e.filter($"vec_id" % 2 === m), path,
+        nCentroids = 2, kmeansIters = 0)
+      IvfStore.appendBatch(spark, path,
+        e.filter($"vec_id" % 2 === m && $"vec_id" < 250), 0L)
+      IvfStore.appendBatch(spark, path,
+        e.filter($"vec_id" % 2 === m && $"vec_id" >= 250), 1L)
+    }
+    streamShard(0L, s"$root/a")
+    streamShard(1L, s"$root/b")
+    IvfStore.mergeStores(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    assert(IvfStore.lastAudited(spark, s"$root/m") === Some(3L))
+    val eReplay = intercept[IllegalArgumentException](
+      IvfStore.appendBatch(spark, s"$root/m", q, 2L))
+    assert(eReplay.getMessage.contains("audited watermark"), eReplay.getMessage)
+    // ...while a fresh ordinal past the watermark lands normally
+    IvfStore.appendBatch(spark, s"$root/m",
+      Seq((9001L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")), 4L)
+    assert(IvfStore.listBatches(spark, s"$root/m") === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // appendBatch refuses a fresh (cid-only) store: a half-present batch
+    // column serves neither audit
+    val fresh = java.nio.file.Files.createTempDirectory("ivfguardf").toString
+    IvfStore.writeIndex(e, fresh, kmeansIters = 0)
+    val eMix = intercept[IllegalArgumentException](
+      IvfStore.appendBatch(spark, fresh, q, 0L))
+    assert(eMix.getMessage.contains("cid-only"), eMix.getMessage)
+
+    // recluster install window: with the in-progress marker present
+    // (forged crash between the two swaps), every read/ingest entry
+    // refuses by name; re-running recluster heals and clears it
+    FsOps.writeMarker(spark, fresh, "_recluster_inprogress", "1")
+    val eSearch = intercept[IllegalStateException](
+      IvfStore.searchStore(spark, fresh, q, 3))
+    assert(eSearch.getMessage.contains("mid-recluster"), eSearch.getMessage)
+    intercept[IllegalStateException](IvfStore.checkStore(spark, fresh))
+    intercept[IllegalStateException](IvfStore.appendBatch(spark, fresh, q, 5L))
+    intercept[IllegalStateException](
+      IvfStore.deleteVectors(spark, fresh, Seq(1L).toDF("vec_id")))
+    IvfStore.reclusterStore(spark, fresh, nCentroids = 16, kmeansIters = 0)
+    assert(FsOps.readMarker(spark, fresh, "_recluster_inprogress").isEmpty,
+      "a completed recluster clears the install-window stamp")
+    assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
+  }
 }

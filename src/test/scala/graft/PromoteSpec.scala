@@ -386,6 +386,45 @@ class PromoteSpec extends SparkSpec {
       .map(r => r.getLong(2)).sum === 0L)
   }
 
+  test("a move-merge that died between commit and husk stamps completes the stamps on re-run") {
+    // ADVICE r14: stamps land only after the dest commit, so a crash in
+    // between leaves drained, unstamped sources that the committed-dest
+    // guard used to refuse forever and scrap refused to reclaim. The
+    // re-run must detect that exact shape and complete the stamps.
+    val (r0, r1, dest) = (tmp("stA"), tmp("stB"), tmp("stDest") + "/merged")
+    buildRoot(_ % 2 == 0, r0)
+    buildRoot(_ % 2 == 1, r1)
+    import graft.index.StoreMerge
+    def mergeAll(): Unit = {
+      StoreMerge.mergeStores(spark,
+        Seq(s"$r0/index", s"$r1/index"), s"$dest/index", moveFiles = true)
+      DedupStore.mergeStores(spark,
+        Seq(s"$r0/dedup", s"$r1/dedup"), s"$dest/dedup", moveFiles = true)
+      IvfStore.mergeStores(spark,
+        Seq(s"$r0/ivf", s"$r1/ivf"), s"$dest/ivf", moveFiles = true)
+    }
+    mergeAll()
+    // forge the crash: commits landed, stamps never did (partial on index)
+    for ((f, r) <- Seq(("index", r0), ("dedup", r0), ("dedup", r1),
+                       ("ivf", r0), ("ivf", r1)))
+      fsAt(r).delete(new Path(s"$r/$f/${FsOps.MergedIntoMarker}"), false)
+    assert(FsOps.mergedInto(spark, s"$r0/index") === None)
+    // the re-run completes the stamps instead of refusing on the commit
+    mergeAll()
+    for (f <- Seq("index", "dedup", "ivf"); r <- Seq(r0, r1))
+      assert(FsOps.mergedInto(spark, s"$r/$f") === Some(s"$dest/$f"), s"$r/$f")
+    // ...and scrap now reclaims what used to be an unfixable husk root
+    assert(Promote.scrapRoot(spark, r0).toSet ===
+      Set(s"$r0/index", s"$r0/dedup", s"$r0/ivf"))
+    // LIVE sources against a committed dest still refuse (not that shape)
+    val (c, d) = (tmp("stC"), tmp("stD"))
+    ivfShard(_ % 2 == 0, c)
+    ivfShard(_ % 2 == 1, d)
+    val e = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(c, d), s"$dest/ivf", moveFiles = true))
+    assert(e.getMessage.contains("committed IVF store"), e.getMessage)
+  }
+
   test("pipeline scrap deletes certified husk roots; refuses live or uncertified ones") {
     val (r0, r1, dest) = (tmp("scrA"), tmp("scrB"), tmp("scrDest") + "/merged")
     buildRoot(_ % 2 == 0, r0)
