@@ -102,7 +102,7 @@ object Bench {
     try sweep.headOption.foreach { case (_, fn) => runOnce(fn) }
     catch { case NonFatal(_) => () }
 
-    // CALIBRATION rows (VERDICT r13 #1): three fixed synthetic probes —
+    // CALIBRATION probes (VERDICT r13 #1): three fixed synthetic probes —
     // pure-codegen CPU, a hash-shuffle aggregate, and a full-column
     // parquet pass — whose cost depends only on the BOX'S throughput in
     // this window, never on gate code. Measured min-of-3 warm, in the
@@ -114,6 +114,20 @@ object Bench {
     // BenchReverify normalizes its outlier criterion by the median
     // probe ratio. Probe definitions are FROZEN — changing the work
     // changes the unit every prior round committed.
+    //
+    // Placement (ADVICE r14): the plain-named rows run AFTER the sweep —
+    // a pre-sweep cal_io fully scanned lineitem 4× and handed the
+    // sweep's IO families a systematically warmer page cache than every
+    // pre-r14 window measured (an invisible one-time step in exactly the
+    // cross-era comparison calibration exists to normalize). On a FULL
+    // gate sweep the probes also fire at the 1/3 and 2/3 marks
+    // (`_t1`/`_t2`-suffixed rows, still cal:true, excluded from totals):
+    // start-only probes read clean through a mid-sweep contamination
+    // burst (the driver-window mode — per-entry 3-20× inflations under a
+    // clean-looking CAL_RATIO), while three placements bound WHERE a
+    // burst hit and make the artifact self-adjudicating. By the 1/3 mark
+    // the gate's own lineitem readers have long warmed the cache, so the
+    // mid-sweep cal_io no longer biases anything.
     val calProbes: Seq[(String, () => Unit)] = Seq(
       "cal_cpu" -> { () =>
         spark.range(1L << 26).select(xxhash64(col("id")).as("h"))
@@ -130,15 +144,16 @@ object Bench {
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).collect(); ()
       })
-    val calibration: Seq[(String, Double)] = calProbes.flatMap { case (n, f) =>
-      try {
-        f() // own warm pass (first touch of this probe's codegen path)
-        val best = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-        }.min
-        Some(n -> best)
-      } catch { case NonFatal(_) => None } // fixture without the table
-    }
+    def measureCal(suffix: String): Seq[(String, Double)] =
+      calProbes.flatMap { case (n, f) =>
+        try {
+          f() // own warm pass (first touch of this probe's codegen path)
+          val best = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+          }.min
+          Some((n + suffix) -> best)
+        } catch { case NonFatal(_) => None } // fixture without the table
+      }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -151,20 +166,31 @@ object Bench {
     val jsonlPath = java.nio.file.Paths.get(s"$evidenceStem.jsonl")
     try java.nio.file.Files.deleteIfExists(jsonlPath)
     catch { case NonFatal(_) => () }
-    // calibration rows lead the evidence file, flagged "cal":true so
-    // BenchReverify can tell probes from gate queries
-    calibration.foreach { case (n, s) =>
-      val line = s"""{"name":${jstr(n)},"secs":$s,"ok":true,"reps":3,"cal":true}"""
+    def appendLine(line: String): Unit =
       try java.nio.file.Files.writeString(jsonlPath, line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] could not append $jsonlPath: $e")
       }
+    // calibration rows are flagged "cal":true so BenchReverify can tell
+    // probes from gate queries; they append in timeline order (mid-sweep
+    // marks, then the post-sweep plain rows)
+    val calibration = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def runCal(suffix: String): Unit = measureCal(suffix).foreach { case (n, s) =>
+      calibration += n -> s
+      appendLine(s"""{"name":${jstr(n)},"secs":$s,"ok":true,"reps":3,"cal":true}""")
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = sweep
-      .map { case (name, fn) =>
+    val sweepSeq = sweep.toSeq
+    // mid-sweep probe marks: full-gate sweeps only (subset runs are the
+    // re-measurement tool — keep them probe-light beyond the final rows)
+    val calMarks: Map[Int, String] =
+      if (only.isDefined || sweepSeq.size < 9) Map.empty
+      else Map(sweepSeq.size / 3 -> "_t1", 2 * sweepSeq.size / 3 -> "_t2")
+    val results = sweepSeq.zipWithIndex
+      .map { case ((name, fn), idx) =>
+      calMarks.get(idx).foreach(runCal)
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try runOnce(fn)
@@ -182,22 +208,17 @@ object Bench {
         else reps
       val extra = (2 to nReps).map(_ => timeOnce())
       val best = (first +: extra).min
-      val line = s"""{"name":${jstr(name)},"secs":$best,"ok":${!errors.contains(name)},"reps":${1 + extra.size}}"""
-      try java.nio.file.Files.writeString(jsonlPath, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case NonFatal(e) =>
-        System.err.println(s"[bench] could not append $jsonlPath: $e")
-      }
+      appendLine(s"""{"name":${jstr(name)},"secs":$best,"ok":${!errors.contains(name)},"reps":${1 + extra.size}}""")
       name -> best
     }
+    runCal("") // the era probes proper: post-sweep (see placement note)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val ok = results.keys.map(k => jstr(k) + ":" + !errors.contains(k))
+    val ok = results.map { case (k, _) => jstr(k) + ":" + !errors.contains(k) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val onlyField = only.map(n =>
       s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""").getOrElse("")
     val calField =

@@ -106,7 +106,10 @@ object BenchReverify {
     * (r13's mode, which the unnormalized factor structurally missed on
     * every entry at once) flags nothing per-entry and surfaces as the
     * one CAL_RATIO number instead, while a query that genuinely
-    * regressed past factor× the era's expectation still flags. */
+    * regressed past factor× the era's expectation still flags. The
+    * new-entry band is era-relative too (ADVICE r14): a raw-seconds
+    * floor let an inflated first number slip through in a fast era and
+    * re-measured clean entries for free in a slow one. */
   def outliers(prev: Seq[Entry], cur: Seq[Entry], factor: Double = 1.5,
                floorSecs: Double = 1.0, newEntryFloorSecs: Double = 5.0,
                calRatio: Double = 1.0): Seq[String] = {
@@ -114,7 +117,8 @@ object BenchReverify {
     cur.filter(e => e.ok && !e.cal).collect {
       case e if prevBy.get(e.name).exists(p => e.secs > p * calRatio * factor) &&
         e.secs >= floorSecs => e.name
-      case e if !prevBy.contains(e.name) && e.secs >= newEntryFloorSecs => e.name
+      case e if !prevBy.contains(e.name) &&
+        e.secs >= newEntryFloorSecs * calRatio => e.name
     }
   }
 

@@ -29,6 +29,18 @@ class BenchReverifySpec extends AnyFunSuite {
     assert(outliers(prev, cur) === Seq("q_new_big"))
   }
 
+  test("the new-entry band is era-relative (ADVICE r14)") {
+    // 4.0 s: under the raw 5 s floor, but in a fast era (calRatio 0.7)
+    // the era-scaled band is 3.5 s — an inflated first committed number
+    // must not escape just because the box is quick this window
+    val cur = Seq(Entry("q_new_mid", 4.0, ok = true, reps = 2))
+    assert(outliers(prev, cur, calRatio = 0.7) === Seq("q_new_mid"))
+    // ...and in a slow era (calRatio 1.4, band 7 s) the same number is
+    // expected box drag, not a suspect first measurement
+    assert(outliers(prev, cur, calRatio = 1.4) === Seq.empty)
+    assert(outliers(prev, cur) === Seq.empty) // neutral era: raw floor
+  }
+
   test("failed entries never re-run (failures are deterministic)") {
     val cur = Seq(Entry("q_a", 31.6, ok = false, reps = 1))
     assert(outliers(prev, cur) === Seq.empty)
