@@ -306,6 +306,12 @@ object Forget {
     *     A doc RE-INGESTED after its takedown flags here by design:
     *     re-publication of forgotten content must be an explicit
     *     decision (retire the manifest), never an ingest side effect.
+    *   - `forgotten_absent_index_positional` — the index family's
+    *     positional table is a SECOND physical serve surface
+    *     (phrase/proximity queries read it directly): its live doc_id
+    *     surface is audited against the forgotten set independently,
+    *     so a botched positional rewrite cannot hide behind a clean
+    *     doc_stats. checked = 0 when the store has no positional table.
     *   - `id_surface_<a>_<b>` — checked = |live(a) ∪ live(b)|,
     *     violations = |symmetric difference|: the pipeline contract that
     *     every family serves the SAME live population. Pipelines that
@@ -363,6 +369,33 @@ object Forget {
       }
     }
 
+    // the index family's positional table is a SECOND physical serve
+    // surface (phrase/proximity queries read it directly, with its own
+    // tombstone mask): a crashed positional expunge that lost its mask
+    // would serve a forgotten doc's positions while doc_stats reads
+    // clean, and the doc_stats-only audit above certifies it (VERDICT
+    // r13 #6). Audit the positional LIVE surface independently — one
+    // column-pruned doc_id pass, broadcast semi-join against the
+    // forgotten set. Stores without a positional table report checked=0.
+    val positionalRow = {
+      val name = "forgotten_absent_index_positional"
+      val idxPath = familyPath(root, "index")
+      val hasPos = fams.contains("index") &&
+        fsOf(spark, idxPath).exists(
+          new org.apache.hadoop.fs.Path(s"$idxPath/positional"))
+      (if (hasPos) forgottenFor("index") else None) match {
+        case Some(forgotten) =>
+          val livePos = graft.index.Indexer.minusDeletes(spark, idxPath,
+            graft.index.Indexer.readPositional(spark, idxPath)
+              .select("doc_id")).distinct()
+          StoreCheck.row(name,
+            forgotten.agg(count(lit(1)).as("checked")).crossJoin(
+              livePos.join(broadcast(forgotten), Seq("doc_id"), "left_semi")
+                .agg(count(lit(1)).as("violations"))))
+        case None => StoreCheck.emptyRow(spark, name)
+      }
+    }
+
     val surfaceRows = Families.combinations(2).toSeq.map { case Seq(a, b) =>
       val name = s"id_surface_${a}_$b"
       if (fams.contains(a) && fams.contains(b))
@@ -380,7 +413,8 @@ object Forget {
     // can be released here (a lazily-returned report would re-scan the
     // unpersisted surfaces at whatever later point the caller acts)
     try StoreCheck.materialize(spark,
-      StoreCheck.report(manifestRow +: (absentRows ++ surfaceRows)))
+      StoreCheck.report(
+        manifestRow +: (absentRows ++ (positionalRow +: surfaceRows))))
     finally {
       liveCache.values.foreach(_.unpersist())
       servedCache.get("vstore").foreach(_.unpersist())

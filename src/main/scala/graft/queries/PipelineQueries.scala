@@ -378,6 +378,36 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // the stream-shards-then-promote composition (VERDICT r13 #5 / r14
+    // #2): each shard is built by STREAMING ingest — frozen per-shard
+    // centroids (writeCentroids over the half, same deterministic seeds
+    // as a one-shot build), then two appendBatch layers — so its lists
+    // live under batch=/cid= partitions. The merge transfers each batch
+    // layer with the same cid remap, offsets batch ordinals per source
+    // (collision-free post-merge replay), and born-audits the result at
+    // the highest remapped ordinal. Per-shard assignment is identical to
+    // the one-shot build by construction, so the merged geometry — and
+    // the oracle — is exactly q_ann_ivf_merge's
+    "q_ann_ivf_merge_stream" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfmergestream")
+      def streamShard(m: Int, path: String): Unit = {
+        val half = e.filter(col("vec_id") % 2 === m)
+        graft.similarity.IvfStore.writeCentroids(half, path, kmeansIters = 0)
+        graft.similarity.IvfStore.appendBatch(s, path,
+          half.filter(col("vec_id") % 4 < 2), 0L)
+        graft.similarity.IvfStore.appendBatch(s, path,
+          half.filter(col("vec_id") % 4 >= 2), 1L)
+      }
+      streamShard(0, s"$root/shardA")
+      streamShard(1, s"$root/shardB")
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStore(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // ...and the merge lifecycle's terminal maintenance step (VERDICT
     // r13 #2): the promotion UNIONED the shards' centroid sets (32 cids
     // for 16-per-shard), so every probe pays 2× the centroid scan at
@@ -1197,6 +1227,10 @@ object PipelineQueries extends QueryGroup {
       import graft.pipeline.Forget
       val root = QueryGroup.scratchDir("graft-forget")
       val pop = governanceStores(s, dir, root)
+      // a co-located positional table: the index family's SECOND physical
+      // serve surface, audited independently by the takedown officer
+      // (forgotten_absent_index_positional — VERDICT r13 #6)
+      graft.index.Indexer.writePositional(pop, s"$root/index")
       Forget.forget(s, root, pop.filter(col("doc_id") % 7 === 3).select("doc_id"))
       Forget.checkPipeline(s, root)
     }),
@@ -2271,6 +2305,8 @@ object PipelineQueries extends QueryGroup {
                 CAST(1 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index_positional',
+                (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
          UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
@@ -2294,6 +2330,7 @@ object PipelineQueries extends QueryGroup {
                 CAST(2 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index_positional', 0, 0
          UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
          UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
@@ -2321,6 +2358,8 @@ object PipelineQueries extends QueryGroup {
                 CAST(0 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT '0_detect', 'forgotten_absent_dedup', 0, 0
          UNION ALL SELECT '0_detect', 'forgotten_absent_index', 0, 0
+         UNION ALL SELECT '0_detect', 'forgotten_absent_index_positional',
+                0, 0
          UNION ALL SELECT '0_detect', 'forgotten_absent_ivf', 0, 0
          UNION ALL SELECT '0_detect', 'forgotten_absent_vstore', 0, 0
          UNION ALL SELECT '0_detect', 'id_surface_dedup_ivf',
@@ -2337,6 +2376,8 @@ object PipelineQueries extends QueryGroup {
                 (SELECT n FROM drift), 0
          UNION ALL SELECT '1_repaired', 'forgotten_absent_index',
                 (SELECT n FROM drift), 0
+         UNION ALL SELECT '1_repaired', 'forgotten_absent_index_positional',
+                0, 0
          UNION ALL SELECT '1_repaired', 'forgotten_absent_ivf',
                 (SELECT n FROM drift), 0
          UNION ALL SELECT '1_repaired', 'forgotten_absent_vstore', 0, 0
@@ -2361,6 +2402,7 @@ object PipelineQueries extends QueryGroup {
                 CAST(0 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT 'forgotten_absent_dedup', 0, 0
          UNION ALL SELECT 'forgotten_absent_index', 0, 0
+         UNION ALL SELECT 'forgotten_absent_index_positional', 0, 0
          UNION ALL SELECT 'forgotten_absent_ivf', 0, 0
          UNION ALL SELECT 'forgotten_absent_vstore', 0, 0
          UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM np), 0
@@ -2385,6 +2427,7 @@ object PipelineQueries extends QueryGroup {
                 CAST(1 AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations
          UNION ALL SELECT 'forgotten_absent_dedup', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_index', (SELECT n FROM gone), 0
+         UNION ALL SELECT 'forgotten_absent_index_positional', 0, 0
          UNION ALL SELECT 'forgotten_absent_ivf', (SELECT n FROM gone), 0
          UNION ALL SELECT 'forgotten_absent_vstore', (SELECT n FROM gone), 0
          UNION ALL SELECT 'id_surface_dedup_ivf', (SELECT n FROM kept), 0
@@ -2813,6 +2856,9 @@ object PipelineQueries extends QueryGroup {
     "q_ann_ivf" -> annIvfOracle,
     // the centroid-union merged shards, probed as one store
     "q_ann_ivf_merge" -> annIvfMergeOracle,
+    // layered shards: identical per-shard assignment by construction —
+    // the layered merge must answer exactly like the fresh-shard merge
+    "q_ann_ivf_merge_stream" -> annIvfMergeOracle,
     // recluster(16, iters=0) over the merged corpus re-seeds from the 16
     // lowest vec_ids of the WHOLE corpus — exactly the fresh-build
     // geometry, so the one-shot oracle applies verbatim

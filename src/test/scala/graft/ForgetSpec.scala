@@ -77,7 +77,7 @@ class ForgetSpec extends SparkSpec {
     assert(rep("id_surface_index_vstore") === (0L, 0L))
     // and the whole report has zero violations
     assert(rep.values.forall(_._2 === 0L))
-    assert(rep.size === 11, "stable report schema")
+    assert(rep.size === 12, "stable report schema")
   }
 
   test("vstore family: forget purges history; the audit checks every version") {
@@ -255,6 +255,46 @@ class ForgetSpec extends SparkSpec {
     assert(e.getMessage.contains("vstore"), e.getMessage)
   }
 
+  test("positional serve surface audits independently: a botched expunge can't pass") {
+    // VERDICT r13 #6: the positional table is the index family's second
+    // physical serve surface. A positional rewrite that lost the
+    // forgotten doc's rows-vs-mask race must flag even while doc_stats
+    // reads clean (the doc_stats-only audit would certify the store).
+    val root = buildRoot()
+    Indexer.writePositional(docsFx.toDF("doc_id", "text"), s"$root/index")
+    Forget.forget(spark, root, Seq(3L).toDF("doc_id"))
+    val rep = reportMap(Forget.checkPipeline(spark, root))
+    assert(rep("forgotten_absent_index_positional") === (1L, 0L))
+    assert(rep.values.forall(_._2 === 0L))
+    // forge the botched rewrite: stash the pre-expunge positional table,
+    // run the real expunge (doc_stats/postings/positional clean,
+    // tombstones dropped), then restore the stale positional dir — the
+    // forgotten doc's positions are physically serving, mask gone
+    val fs = fsAt(root)
+    val pos = new Path(s"$root/index/positional")
+    val aside = new Path(s"$root/index/positional_stale")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, pos, fs, aside, false,
+      spark.sparkContext.hadoopConfiguration))
+    Indexer.expungeDeletes(spark, s"$root/index")
+    fs.delete(pos, true)
+    assert(fs.rename(aside, pos))
+    val rep2 = reportMap(Forget.checkPipeline(spark, root))
+    assert(rep2("forgotten_absent_index_positional") === (1L, 1L),
+      "the stale positional rows must flag")
+    assert(rep2("forgotten_absent_index") === (1L, 0L),
+      "doc_stats reads clean — exactly the shape the old audit certified")
+    // repair: re-tombstone the id by hand (it is gone from doc_stats, so
+    // deleteDocs' derived decrement is rightly a no-op — the manual
+    // tombstone is the remediation for orphaned positional rows) and
+    // re-run the expunge-class rewrite; the re-check certifies
+    Seq(3L).toDF("doc_id").write.mode("append")
+      .parquet(s"$root/index/deletes")
+    Indexer.expungeDeletes(spark, s"$root/index")
+    val rep3 = reportMap(Forget.checkPipeline(spark, root))
+    assert(rep3("forgotten_absent_index_positional") === (1L, 0L))
+    assert(rep3.values.forall(_._2 === 0L))
+  }
+
   test("absent families report checked=0 rows, never drop from the schema") {
     val root = Files.createTempDirectory("forgetpartial").toString
     val d = docsFx.toDF("doc_id", "text")
@@ -270,6 +310,6 @@ class ForgetSpec extends SparkSpec {
     assert(rep("id_surface_ivf_vstore") === (0L, 0L))
     assert(rep("forgotten_absent_index") === (1L, 0L))
     assert(rep("id_surface_index_dedup") === (7L, 0L))
-    assert(rep.size === 11, "stable report schema")
+    assert(rep.size === 12, "stable report schema")
   }
 }

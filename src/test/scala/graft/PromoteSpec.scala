@@ -379,7 +379,7 @@ class PromoteSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rep("id_surface_index_ivf") === (0L, 0L))
     assert(rep("id_surface_index_vstore") === (0L, 0L))
-    assert(rep.size === 11, "stable report schema over debris")
+    assert(rep.size === 12, "stable report schema over debris")
     // ...and the cascade skips the debris instead of crashing on it
     Forget.forget(spark, root, Seq(1L).toDF("doc_id"))
     assert(Forget.checkPipeline(spark, root).collect()
