@@ -28,7 +28,13 @@ val names = Seq(
   // r13 promotion: the merged shard store must keep the pruned-scan
   // serving plan (PartitionFilters on term_bucket over transferred
   // files) — the plan proves the file-level merge preserved layout
-  "q_store_merge", "q_ann_ivf_merge")
+  "q_store_merge", "q_ann_ivf_merge",
+  // r14/r15 endgame: the merged→doc-bucketed serving copy (exchange-free
+  // scoring join over the promoted store), the recluster maintenance
+  // verb (broadcast reassignment + partition-pruned probe after), and
+  // the layered-shard merge (batch=/cid= layout preserved through the
+  // remap — probing still pruned)
+  "q_store_merge_bucketed", "q_ann_ivf_recluster", "q_ann_ivf_merge_stream")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")

@@ -40,6 +40,32 @@ val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 build("ivf") { graft.similarity.IvfStore.writeIndex(emb, s"$root/ivf",
   kmeansIters = 0) }
 
+// ---- merged-store serving parity (VERDICT r13 #8): the promotion's
+// output must serve at plain-store latency. Index: two parity shards
+// merged metadata-level. IVF: centroid-union merge doubles the centroid
+// set at the same nProbe; `reclustered` shows recluster returning the
+// probe cost to the pre-merge baseline.
+build("index_merged") {
+  graft.index.Indexer.writeIndex(
+    graft.index.Indexer.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      titleCol = Some("source")), s"$root/ix_shA")
+  graft.index.Indexer.writeIndex(
+    graft.index.Indexer.buildIndex(docs.filter(col("doc_id") % 2 === 1),
+      titleCol = Some("source")), s"$root/ix_shB")
+  graft.index.StoreMerge.mergeStores(spark,
+    Seq(s"$root/ix_shA", s"$root/ix_shB"), s"$root/ix_merged",
+    moveFiles = true)
+}
+build("ivf_merged") {
+  graft.similarity.IvfStore.writeIndex(emb.filter(col("vec_id") % 2 === 0),
+    s"$root/ivf_shA", kmeansIters = 0)
+  graft.similarity.IvfStore.writeIndex(emb.filter(col("vec_id") % 2 === 1),
+    s"$root/ivf_shB", kmeansIters = 0)
+  graft.similarity.IvfStore.mergeStores(spark,
+    Seq(s"$root/ivf_shA", s"$root/ivf_shB"), s"$root/ivf_merged",
+    moveFiles = true)
+}
+
 // ---- query frames (deterministic, derived from the corpus) ----
 // a 200-entry log: each query is the first 4 tokens of a document.
 // NOTE: pipelines paren-wrapped — spark-shell -I treats a chained
@@ -76,5 +102,16 @@ face("phrase_batch200", "docbkt") { graft.search.PhraseSearch.searchStoreMany(sp
 face("prox_batch200", "plain")  { graft.search.PhraseSearch.proximityStoreMany(spark, s"$root/pos_plain", phraseLog, 3).count() }
 face("prox_batch200", "docbkt") { graft.search.PhraseSearch.proximityStoreMany(spark, s"$root/pos_docbkt", phraseLog, 3).count() }
 face("ivf_probe20", "plain") { graft.similarity.IvfStore.searchStore(spark, s"$root/ivf", probes, 10).count() }
+
+// merged faces: same query jobs against the promotion's output
+face("bm25_single", "merged")   { graft.search.BM25.searchStore(spark, s"$root/ix_merged", singleQ).count() }
+face("bm25_batch200", "merged") { graft.search.BM25.searchManyStore(spark, s"$root/ix_merged", log).count() }
+face("ivf_probe20", "merged")   { graft.similarity.IvfStore.searchStore(spark, s"$root/ivf_merged", probes, 10).count() }
+
+// ...and after the recluster maintenance verb (one retrain+rewrite pass,
+// priced under SERVEBUILD): probe cost returns to the pre-merge baseline
+build("ivf_recluster") { graft.similarity.IvfStore.reclusterStore(spark,
+  s"$root/ivf_merged", nCentroids = 16, kmeansIters = 0) }
+face("ivf_probe20", "reclustered") { graft.similarity.IvfStore.searchStore(spark, s"$root/ivf_merged", probes, 10).count() }
 
 println("SERVEDONE")

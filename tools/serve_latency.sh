@@ -40,10 +40,20 @@ missing = expected - set(faces)
 assert not missing, f"probe faces missing from output: {sorted(missing)}"
 ratios = {f: round(v["plain"]["p50_secs"] / v["docbkt"]["p50_secs"], 2)
           for f, v in faces.items() if "plain" in v and "docbkt" in v}
+# merged-store parity (VERDICT r13 #8): merged p50 over plain p50 per
+# face, and the reclustered IVF probe over its plain baseline
+merged = {f: round(v["merged"]["p50_secs"] / v["plain"]["p50_secs"], 2)
+          for f, v in faces.items() if "merged" in v and "plain" in v}
+ivf = faces.get("ivf_probe20", {})
+if "reclustered" in ivf and "plain" in ivf:
+    merged["ivf_probe20_reclustered"] = round(
+        ivf["reclustered"]["p50_secs"] / ivf["plain"]["p50_secs"], 2)
 out = {"sf": sys.argv[1], "cpus": 32,
        "build_secs": {k: round(v, 2) for k, v in builds.items()},
-       "faces": faces, "plain_over_docbkt_p50": ratios}
+       "faces": faces, "plain_over_docbkt_p50": ratios,
+       "merged_over_plain_p50": merged}
 json.dump(out, open('bench_serving.json', 'w'), indent=1)
-print(json.dumps({"plain_over_docbkt_p50": ratios}, indent=1))
+print(json.dumps({"plain_over_docbkt_p50": ratios,
+                  "merged_over_plain_p50": merged}, indent=1))
 EOF
 echo "[serve_latency] wrote bench_serving.json"
