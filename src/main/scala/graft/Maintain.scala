@@ -15,6 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
   *        | recluster [nCentroids] [iters] [sampleMod]  (post-merge:
   *                                  re-train the unioned centroid set)
+  *        | flatten   (end of a shard's ingest life: batch= layers ->
+  *                     fresh cid=-only layout, mergeable with fresh shards)
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
   *   any    heal-markers   (delete stale `.swap_old` marker asides — run
   *                          with no concurrent writer; see FsOps.readMarker)
@@ -123,6 +125,9 @@ object Maintain {
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
       case ("ivf", "expunge") => similarity.IvfStore.expungeDeletes(spark, path); None
       case ("ivf", "compact") => similarity.IvfStore.compactLists(spark, path); None
+      // end-of-ingest layout rewrite: batch= layers -> fresh cid=-only
+      // lists, so a streamed shard can merge with fresh-built ones
+      case ("ivf", "flatten") => similarity.IvfStore.flattenBatches(spark, path); None
       case ("ivf", "recluster") =>
         // post-promotion maintenance: mergeStores unions centroid sets,
         // so K merges probe K× the centroids — recluster re-trains to

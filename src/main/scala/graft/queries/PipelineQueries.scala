@@ -408,6 +408,33 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // ...and the END of a streamed shard's ingest life: `ivf flatten`
+    // rewrites the batch= layers into the fresh cid=-only layout — the
+    // step the mixed-layout merge refusal prescribes — after which the
+    // shard merges with FRESH-built ones. Flatten changes layout
+    // metadata only (same centroids, same assignment, tombstones
+    // carried), so the flattened-A + fresh-B merge answers exactly like
+    // the all-fresh merge: oracle shared with q_ann_ivf_merge
+    "q_ann_ivf_flatten" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfflatten")
+      val evens = e.filter(col("vec_id") % 2 === 0)
+      graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
+        kmeansIters = 0)
+      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+        evens.filter(col("vec_id") % 4 === 0), 0L)
+      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+        evens.filter(col("vec_id") % 4 === 2), 1L)
+      graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
+      graft.similarity.IvfStore.writeIndex(
+        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStore(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // ...and the merge lifecycle's terminal maintenance step (VERDICT
     // r13 #2): the promotion UNIONED the shards' centroid sets (32 cids
     // for 16-per-shard), so every probe pays 2× the centroid scan at
@@ -2859,6 +2886,9 @@ object PipelineQueries extends QueryGroup {
     // layered shards: identical per-shard assignment by construction —
     // the layered merge must answer exactly like the fresh-shard merge
     "q_ann_ivf_merge_stream" -> annIvfMergeOracle,
+    // flatten is a layout-only rewrite, so flattened-A + fresh-B answers
+    // exactly like the all-fresh merge
+    "q_ann_ivf_flatten" -> annIvfMergeOracle,
     // recluster(16, iters=0) over the merged corpus re-seeds from the 16
     // lowest vec_ids of the WHOLE corpus — exactly the fresh-build
     // geometry, so the one-shot oracle applies verbatim

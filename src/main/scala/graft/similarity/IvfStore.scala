@@ -208,6 +208,40 @@ object IvfStore {
       spark, s"$path/lists", targetBytes)
   }
 
+  /** Flatten a streaming-ingested store's `batch=` layers into the fresh
+    * `cid=`-only layout — the "stream-compact" step the mixed-layout
+    * merge refusal prescribes: [[mergeStores]] requires uniformly fresh
+    * or uniformly layered sources, so a layered shard flattens first to
+    * merge with fresh ones. One layout rewrite under the crash-safe
+    * swap (layout metadata only — no score, assignment or tombstone
+    * changes: deletes carry as-is, expunge stays its own verb). Batch
+    * provenance is gone afterwards, so the `_last_audit` watermark
+    * drops with it ([[checkStoreIncremental]] refuses cid-only stores;
+    * the deep [[checkStore]] is the audit face) and [[appendBatch]]
+    * refuses the flattened store like any fresh build — flattening is
+    * the END of a shard's ingest life, the step before promotion.
+    * Idempotent: a store already in fresh layout is a no-op (the
+    * crash-resume contract — a death between the swap and the marker
+    * drop re-runs to completion). */
+  def flattenBatches(spark: SparkSession, path: String): Unit = {
+    graft.FsOps.requireNotHusk(spark, path)
+    requireNotMidRecluster(spark, path)
+    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lists = spark.read.parquet(s"$path/lists")
+    if (lists.columns.contains("batch")) {
+      lists.drop("batch")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/lists_tmp")
+      graft.FsOps.atomicSwap(fs, listsP,
+        new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_$LastAuditMarker.swap_old"), true)
+  }
+
   /** Soft-delete vectors from a persisted IVF store: ids append into a
     * `deletes` tombstone table — the cid-partitioned lists are NEVER
     * rewritten (a delete batch touches arbitrary cids; rewriting them
@@ -708,8 +742,8 @@ object IvfStore {
     require(layered.distinct.size == 1,
       s"sources mix fresh and batch-layered (streaming-ingested) lists " +
         s"layouts: ${sources.zip(layered).mkString(", ")} — a merged store " +
-        "with a half-present batch column serves neither audit; rebuild " +
-        "or stream-compact the odd shard first")
+        "with a half-present batch column serves neither audit; flatten " +
+        "the layered shard first (Maintain ivf flatten / flattenBatches)")
     val isLayered = layered.head
     // per-source batch offsets: shard i's ordinals shift past the
     // cumulative (max+1) of its predecessors, so a post-merge streaming

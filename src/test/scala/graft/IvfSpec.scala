@@ -375,6 +375,43 @@ class IvfSpec extends SparkSpec {
       .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
 
+  test("flattenBatches ends a shard's ingest life: fresh layout, same answers, merges with fresh shards") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L, 2L))
+    val root = java.nio.file.Files.createTempDirectory("ivfflat").toString
+    val evens = e.filter($"vec_id" % 2 === 0)
+    IvfStore.writeCentroids(evens, s"$root/a", kmeansIters = 0)
+    IvfStore.appendBatch(spark, s"$root/a", evens.filter($"vec_id" % 4 === 0), 0L)
+    IvfStore.appendBatch(spark, s"$root/a", evens.filter($"vec_id" % 4 === 2), 1L)
+    IvfStore.deleteVectors(spark, s"$root/a", Seq(2L).toDF("vec_id"))
+    val before = IvfStore.searchStore(spark, s"$root/a", q, 5, nProbe = 16)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    IvfStore.markAudited(spark, s"$root/a")
+    IvfStore.flattenBatches(spark, s"$root/a")
+    // layout is cid=-only, the batch watermark dropped with the layers
+    val lists = spark.read.parquet(s"$root/a/lists")
+    assert(!lists.columns.contains("batch"))
+    assert(IvfStore.listBatches(spark, s"$root/a") === Seq.empty)
+    assert(IvfStore.lastAudited(spark, s"$root/a") === None)
+    // answers unchanged (layout metadata only; tombstones carried)
+    assert(IvfStore.searchStore(spark, s"$root/a", q, 5, nProbe = 16)
+      .as[(Long, Long, Double, Long)].collect().toSet === before)
+    assert(!lists.filter($"vec_id" === 2L).isEmpty,
+      "flatten must NOT expunge — tombstones mask, expunge is its own verb")
+    // idempotent re-run (the crash-resume contract)
+    IvfStore.flattenBatches(spark, s"$root/a")
+    // ingest is over: appendBatch refuses the fresh layout
+    intercept[IllegalArgumentException](
+      IvfStore.appendBatch(spark, s"$root/a", q, 5L))
+    // ...and the flattened shard merges with a FRESH-built one
+    IvfStore.writeIndex(e.filter($"vec_id" % 2 === 1), s"$root/b", kmeansIters = 0)
+    IvfStore.mergeStores(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    assert(IvfStore.checkStore(spark, s"$root/m")
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    assert(IvfStore.searchStore(spark, s"$root/m", q, 5).count() > 0)
+  }
+
   test("ingest and recluster guards: audited-ordinal replay, mixed layout, install window") {
     import graft.similarity.IvfStore
     val e = Tables.load(spark, sf0001, "embeddings")

@@ -28,14 +28,14 @@ cd "$(dirname "$0")/.."
 # the r13 shard merges (q_store_merge: 2 shard builds + file-transfer
 # merge + search — merge cost must stay metadata-flat at 10x;
 # q_pipeline_merge: whole-root promotion + audit)
-# r15 (VERDICT r13 #7 / r14 #6): grown to 61 — every round-14/15 query
+# r15 (VERDICT r13 #7 / r14 #6): grown to 62 — every round-14/15 query
 # (q_ann_ivf_recluster, q_store_merge_bucketed, q_ann_ivf_merge_stream),
 # the full IVF lifecycle, the dedup signature family, the embedding
 # reranking faces, and the text-analysis scorers. Everything NOT in the
 # subset is excluded for a recorded reason (see the `excluded` field of
 # bench_sf1.json): the sf1 fixture carries documents+embeddings only, so
 # relational/event-table queries cannot run at 10x.
-SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store,q_dup_spans,q_tfidf_store,q_bm25_batch,q_phrase_batch_store,q_bm25_store_bucketed,q_prox_batch_store_bucketed,q_store_compact,q_pipeline_forget,q_vstore_purge,q_store_merge,q_pipeline_merge,q_ann_ivf,q_ann_ivf_merge,q_ann_ivf_merge_stream,q_ann_ivf_recluster,q_ann_ivf_quant,q_ann_ivf_delete,q_ann_ivf_expunge,q_ann_ivf_stream,q_ann_lsh,q_cosine_topk,q_hybrid_rrf,q_mmr_rerank,q_embed_centroid,q_dedup_exact,q_dedup_minhash,q_dedup_simhash,q_dedup_ngram,q_dedup_embed,q_dedup_clusters,q_store_merge_bucketed,q_store_merge_append,q_store_lifecycle,q_bm25_search,q_phrase_search,q_lang_id,q_quality_filter,q_token_count,q_lm_score"
+SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store,q_dup_spans,q_tfidf_store,q_bm25_batch,q_phrase_batch_store,q_bm25_store_bucketed,q_prox_batch_store_bucketed,q_store_compact,q_pipeline_forget,q_vstore_purge,q_store_merge,q_pipeline_merge,q_ann_ivf,q_ann_ivf_merge,q_ann_ivf_merge_stream,q_ann_ivf_flatten,q_ann_ivf_recluster,q_ann_ivf_quant,q_ann_ivf_delete,q_ann_ivf_expunge,q_ann_ivf_stream,q_ann_lsh,q_cosine_topk,q_hybrid_rrf,q_mmr_rerank,q_embed_centroid,q_dedup_exact,q_dedup_minhash,q_dedup_simhash,q_dedup_ngram,q_dedup_embed,q_dedup_clusters,q_store_merge_bucketed,q_store_merge_append,q_store_lifecycle,q_bm25_search,q_phrase_search,q_lang_id,q_quality_filter,q_token_count,q_lm_score"
 
 if [ ! -d /tmp/sf1/documents.parquet ] || [ ! -d /tmp/sf1/embeddings.parquet ]; then
   echo "[bench_sf1] generating /tmp/sf1 fixture..."

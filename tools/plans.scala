@@ -34,7 +34,8 @@ val names = Seq(
   // verb (broadcast reassignment + partition-pruned probe after), and
   // the layered-shard merge (batch=/cid= layout preserved through the
   // remap — probing still pruned)
-  "q_store_merge_bucketed", "q_ann_ivf_recluster", "q_ann_ivf_merge_stream")
+  "q_store_merge_bucketed", "q_ann_ivf_recluster", "q_ann_ivf_merge_stream",
+  "q_ann_ivf_flatten")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
