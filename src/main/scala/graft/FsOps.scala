@@ -193,23 +193,36 @@ object FsOps {
     * drained-directory state the husk discipline exists to eliminate.
     *
     * Returns true (after writing any missing `_merged_into` stamps) iff
-    * every source is either already stamped into `dest`, or visibly
-    * drained with its transferred `m<i>_`-prefixed files present under
-    * the dest's `tables` — the deterministic evidence that THIS dest
-    * consumed source ordinal i (single-pipeline discipline assumed: the
-    * check cannot distinguish two merges that drained the same shard at
-    * the same ordinal, which disjoint-id guards make unreachable in one
-    * pipeline). False = not that crash shape; callers fall through to
-    * their committed-dest refusal. Callers must have verified the dest
-    * commit marker and moveFiles=true themselves. */
+    * every source is either already stamped into `dest`, or is a REAL
+    * drained husk: its table directories still exist (a typo'd or
+    * never-populated path must not read as "drained" — stamping it
+    * would invent provenance and writeMarker would even create the
+    * directory), none carries a visible data file, and the dest holds
+    * `m<i>_`-prefixed files for ordinal i — the deterministic evidence
+    * that THIS dest consumed source i (single-pipeline discipline
+    * assumed: the check cannot distinguish two merges that drained the
+    * same shard at the same ordinal, which disjoint-id guards make
+    * unreachable in one pipeline). A source already stamped into a
+    * DIFFERENT dest is NEVER restamped — its provenance marker is the
+    * record of where its data went, and overwriting it on a mistaken
+    * re-run against the wrong committed dest would corrupt exactly what
+    * the husk discipline exists to preserve. False = not that crash
+    * shape; callers fall through to their committed-dest refusal.
+    * Callers must have verified the dest commit marker and
+    * moveFiles=true themselves. */
   def completeHuskStamps(spark: org.apache.spark.sql.SparkSession,
                          sources: Seq[String], dest: String,
                          tables: Seq[String]): Boolean = {
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val destFiles = tables.flatMap(t => visibleDataFiles(spark, s"$dest/$t"))
     val resumable = sources.zipWithIndex.forall { case (s, i) =>
-      mergedInto(spark, s).contains(dest) || (
-        tables.forall(t => visibleDataFiles(spark, s"$s/$t").isEmpty) &&
-          destFiles.exists(_.startsWith(s"m${i}_")))
+      mergedInto(spark, s) match {
+        case Some(d) => d == dest // stamped elsewhere: never overwrite
+        case None =>
+          tables.exists(t => fs.exists(new Path(s"$s/$t"))) &&
+            tables.forall(t => visibleDataFiles(spark, s"$s/$t").isEmpty) &&
+            destFiles.exists(_.startsWith(s"m${i}_"))
+      }
     }
     if (resumable)
       sources.foreach(s =>

@@ -354,8 +354,14 @@ object Forget {
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
     }
+    // the index family's forgotten frame is consumed twice (its own
+    // absent row + the positional row below): same compute-once
+    // discipline as the surfaces — persisted, released in the finally
+    val forgottenCache: Map[String, Option[DataFrame]] = Families.map(f =>
+      f -> (if (fams.contains(f)) forgottenFor(f).map(_.persist())
+            else None)).toMap
     val absentRows = Families.map { f =>
-      (if (fams.contains(f)) forgottenFor(f) else None) match {
+      forgottenCache(f) match {
         case Some(forgotten) =>
           // forgotten sets are delete-batch-sized: broadcast them as the
           // semi-join build side so the live surface streams through one
@@ -383,7 +389,7 @@ object Forget {
       val hasPos = fams.contains("index") &&
         fsOf(spark, idxPath).exists(
           new org.apache.hadoop.fs.Path(s"$idxPath/positional"))
-      (if (hasPos) forgottenFor("index") else None) match {
+      (if (hasPos) forgottenCache("index") else None) match {
         case Some(forgotten) =>
           val livePos = graft.index.Indexer.minusDeletes(spark, idxPath,
             graft.index.Indexer.readPositional(spark, idxPath)
@@ -409,7 +415,7 @@ object Forget {
       else StoreCheck.emptyRow(spark, name)
     }
 
-    // materialize the ≤ 11-row report EAGERLY so the persisted surfaces
+    // materialize the ≤ 12-row report EAGERLY so the persisted surfaces
     // can be released here (a lazily-returned report would re-scan the
     // unpersisted surfaces at whatever later point the caller acts)
     try StoreCheck.materialize(spark,
@@ -418,6 +424,7 @@ object Forget {
     finally {
       liveCache.values.foreach(_.unpersist())
       servedCache.get("vstore").foreach(_.unpersist())
+      forgottenCache.values.flatten.foreach(_.unpersist())
     }
   }
 }

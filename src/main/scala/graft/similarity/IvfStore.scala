@@ -126,16 +126,19 @@ object IvfStore {
     * query-time probed-cid pruning still skips unprobed lists of every
     * batch.
     *
-    * Ordinal guard: `batchId` must exceed the audited watermark
-    * ([[lastAudited]]). The replay-overwrite contract holds only for
-    * ordinals the audit has NOT vouched for — in particular, a merged
-    * store is born-audited at its highest REMAPPED ordinal, so an
-    * upstream shard's checkpoint continuing its own ordinal stream into
-    * the merged store (its "next batch" collides with another shard's
-    * remapped layer) refuses loudly instead of silently clobbering a
-    * committed layer that the `batch > since` audit window would never
-    * re-inspect. Ingest merged stores with fresh ordinals from
-    * `listBatches(path).last + 1`. */
+    * Ordinal guard: on a MERGED store, `batchId` must exceed the
+    * `_batch_floor` the merge recorded (its highest remapped ordinal).
+    * An upstream shard's checkpoint continuing its own ordinal stream
+    * into the merged store (its "next batch" collides with another
+    * shard's remapped layer) refuses loudly instead of silently
+    * clobbering a committed layer that the born-audited `batch > since`
+    * window would never re-inspect. The floor is FIXED at merge time —
+    * deliberately not the moving [[lastAudited]] watermark, so the
+    * documented replay-overwrite contract survives: a store's OWN
+    * retried micro-batch (at-least-once delivery re-running an ordinal
+    * whose write landed but whose source checkpoint did not) replays
+    * fine even if an audit advanced the watermark in between. Ingest
+    * merged stores with fresh ordinals from `listBatches(path).last + 1`. */
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: Long,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -151,13 +154,13 @@ object IvfStore {
           "that serves neither audit; streaming ingest targets stores " +
           "bootstrapped by writeCentroids (rebuild, or merge shards instead)")
     }
-    lastAudited(spark, path).foreach { a =>
-      require(batchId > a,
-        s"appendBatch: batch ordinal $batchId is <= the audited watermark $a " +
-          s"at $path — replaying an ordinal the audit vouched for (e.g. an " +
-          "upstream shard's checkpoint continuing into a merge-remapped " +
-          "store) silently clobbers a committed layer the incremental audit " +
-          "would never re-inspect; ingest with fresh ordinals from " +
+    graft.FsOps.readLongMarker(spark, path, BatchFloorMarker).foreach { f =>
+      require(batchId > f,
+        s"appendBatch: batch ordinal $batchId is <= this merged store's " +
+          s"ordinal floor $f at $path — an upstream shard's checkpoint " +
+          "continuing its own ordinal stream into a merge-remapped store " +
+          "silently clobbers a committed layer the incremental audit would " +
+          "never re-inspect; ingest with fresh ordinals from " +
           "listBatches(path).last + 1")
     }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -228,6 +231,9 @@ object IvfStore {
     requireNotMidRecluster(spark, path)
     val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a bootstrapped shard that never ingested has no lists yet — it is
+    // trivially fresh; the no-op contract covers it (not a parquet error)
+    if (!fs.exists(listsP)) return
     val lists = spark.read.parquet(s"$path/lists")
     if (lists.columns.contains("batch")) {
       lists.drop("batch")
@@ -240,6 +246,9 @@ object IvfStore {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/_$LastAuditMarker.swap_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BatchFloorMarker"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_$BatchFloorMarker.swap_old"), true)
   }
 
   /** Soft-delete vectors from a persisted IVF store: ids append into a
@@ -356,12 +365,24 @@ object IvfStore {
             val g = grpOf(bs) _
             val cg = broadcast(cents.select(col("cid").as("ccid"), col("cvec"))
               .withColumn("__grp", g(col("ccid"))))
-            deduped.select(col("vec_id"), col("v"), col("cid"))
+            val grouped = deduped.select(col("vec_id"), col("v"), col("cid"))
               .withColumn("__grp", g(col("cid")))
               .join(cg, "__grp")
               .withColumn("cdist", lit(1.0) - Similarity.cosine(col("v"), col("cvec")))
               .groupBy(col("vec_id"))
               .agg(min_by(col("ccid"), col("cdist")).as("cid"))
+            // a corrupted cid can land in a group that holds NO
+            // centroids (e.g. cid=0 below every bound — exactly what
+            // centroid_cover flags): the group join matches nothing and
+            // the vector would silently DROP from the rewrite. Rescue
+            // orphans with the union-wide assignment — repair must never
+            // lose a live vector, and union-nearest satisfies the
+            // grouped audit wherever it lands
+            val orphans = deduped.select(col("vec_id"), col("v"))
+              .join(grouped.select("vec_id"), Seq("vec_id"), "left_anti")
+            grouped.unionByName(
+              Similarity.assignToCentroids(orphans, cents, "vec_id", "v", keep = 1)
+                .select(col("vec_id"), col("cid")))
         }
         deduped.drop("cid").join(reassigned, "vec_id")
           .withColumn("nv", Similarity.norm(col("v")))
@@ -389,7 +410,16 @@ object IvfStore {
   // the grouped invariant (nearest over all centroids is nearest within
   // the subset holding it), so fresh builds, post-merge ingest
   // ([[appendBatch]] assigns against the union) and repaired rows stay
-  // green, while a row landed under the wrong list is still caught.
+  // green, while in-group corruption (a row under the wrong list of its
+  // own shard) is caught and unreachable cids land on `centroid_cover`.
+  // Detection limit, stated plainly: a row whose cid was corrupted into
+  // a FOREIGN group AND happens to be that group's nearest centroid for
+  // its vector reads as valid — the bounds are the only provenance that
+  // survives compaction (file-level `m<i>_` prefixes do not), and
+  // distinguishing that row from legitimate shard-local assignment
+  // would need per-row shard provenance the store deliberately does not
+  // carry. The recall-drift it causes is bounded by the same Voronoi
+  // overlap the merge already accepts; recluster removes it wholesale.
   // [[reclusterStore]] re-trains one centroid set and DROPS the marker —
   // the verb that returns the store to the strict union invariant.
 
@@ -558,6 +588,12 @@ object IvfStore {
   // IO; `_last_audit` records the highest batch an audit vouched for.
 
   private val LastAuditMarker = "_last_audit"
+
+  /** Ordinal floor a layered merge records on its dest (the highest
+    * remapped batch ordinal): [[appendBatch]] refuses ordinals at or
+    * below it. Fixed at merge time — see the appendBatch scaladoc for
+    * why this is not the moving audit watermark. */
+  private val BatchFloorMarker = "_batch_floor"
 
   /** Highest batch an audit has vouched for (None = never audited). */
   def lastAudited(spark: SparkSession, path: String): Option[Long] =
@@ -805,8 +841,14 @@ object IvfStore {
     // a layered merge is born-audited at its highest remapped ordinal
     // (merged data is consistent by construction, same contract as the
     // index/dedup merges): the next incremental audit sees only
-    // post-merge ingest
-    if (isLayered) markAudited(spark, dest)
+    // post-merge ingest. The same ordinal becomes the store's FIXED
+    // appendBatch floor — replaying an upstream shard's checkpoint into
+    // the remapped ordinal space refuses instead of clobbering a layer
+    if (isLayered) {
+      listBatches(spark, dest).lastOption.foreach(
+        graft.FsOps.writeLongMarker(spark, dest, BatchFloorMarker, _))
+      markAudited(spark, dest)
+    }
     // stamp drained sources only after the commit above (husk contract —
     // see FsOps.MergedIntoMarker)
     if (moveFiles)

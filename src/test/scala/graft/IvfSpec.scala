@@ -401,6 +401,10 @@ class IvfSpec extends SparkSpec {
       "flatten must NOT expunge — tombstones mask, expunge is its own verb")
     // idempotent re-run (the crash-resume contract)
     IvfStore.flattenBatches(spark, s"$root/a")
+    // a bootstrapped shard that never ingested is trivially fresh: no-op
+    val boot = java.nio.file.Files.createTempDirectory("ivfflatboot").toString
+    IvfStore.writeCentroids(evens, boot, kmeansIters = 0)
+    IvfStore.flattenBatches(spark, boot)
     // ingest is over: appendBatch refuses the fresh layout
     intercept[IllegalArgumentException](
       IvfStore.appendBatch(spark, s"$root/a", q, 5L))
@@ -436,12 +440,20 @@ class IvfSpec extends SparkSpec {
     assert(IvfStore.lastAudited(spark, s"$root/m") === Some(3L))
     val eReplay = intercept[IllegalArgumentException](
       IvfStore.appendBatch(spark, s"$root/m", q, 2L))
-    assert(eReplay.getMessage.contains("audited watermark"), eReplay.getMessage)
-    // ...while a fresh ordinal past the watermark lands normally
-    IvfStore.appendBatch(spark, s"$root/m",
-      Seq((9001L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
-        .withColumn("embedding", $"embedding".cast("array<float>")), 4L)
+    assert(eReplay.getMessage.contains("ordinal floor"), eReplay.getMessage)
+    // ...while a fresh ordinal past the floor lands normally
+    def newVec(id: Long) = Seq((id, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    IvfStore.appendBatch(spark, s"$root/m", newVec(9001L), 4L)
     assert(IvfStore.listBatches(spark, s"$root/m") === Seq(0L, 1L, 2L, 3L, 4L))
+    // the floor is FIXED at merge time, not the moving audit watermark:
+    // the store's OWN retried micro-batch (at-least-once delivery)
+    // replays its ordinal even after an audit vouched for it
+    IvfStore.markAudited(spark, s"$root/m")
+    IvfStore.appendBatch(spark, s"$root/m", newVec(9002L), 4L)
+    assert(spark.read.parquet(s"$root/m/lists")
+      .filter($"batch" === 4L).select("vec_id").as[Long].collect().toSet
+      === Set(9002L), "replay must REPLACE batch 4, not duplicate it")
 
     // appendBatch refuses a fresh (cid-only) store: a half-present batch
     // column serves neither audit

@@ -224,6 +224,20 @@ class PromoteSpec extends SparkSpec {
     assert(rep().values.sum === 0L)
     assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
       .select("cid").as[Int].collect().head === c0)
+    // a corrupted cid in an EMPTY group (cid=0, below every bound) is
+    // unreachable by probing — centroid_cover flags it — and repair
+    // must RESCUE the vector (union-nearest), never drop it
+    val lists2 = spark.read.parquet(s"$dest/lists")
+    lists2.withColumn("cid",
+        when($"vec_id" === 1L, lit(0)).otherwise($"cid"))
+      .repartition($"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dest/lists_tmp")
+    FsOps.atomicSwap(fs, new Path(s"$dest/lists"), new Path(s"$dest/lists_tmp"))
+    assert(rep()("centroid_cover") === 1L, "cid 0 is uncovered")
+    IvfStore.repairLists(spark, dest)
+    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 1L)
+      .count() === 1L, "repair must never drop a live vector")
+    assert(rep().values.sum === 0L)
     // recluster re-trains one union-nearest centroid set and DROPS the
     // bounds marker — the strict union invariant is back in force
     IvfStore.reclusterStore(spark, dest, nCentroids = 4, kmeansIters = 0)
@@ -423,6 +437,34 @@ class PromoteSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IvfStore.mergeStores(spark, Seq(c, d), s"$dest/ivf", moveFiles = true))
     assert(e.getMessage.contains("committed IVF store"), e.getMessage)
+  }
+
+  test("husk-stamp resume never rewrites provenance: wrong dests and phantom sources refuse") {
+    // sources stamped into d1; a mistaken re-run against a DIFFERENT
+    // committed dest must refuse, not overwrite the _merged_into record
+    val (a, b, d1) = (tmp("wdA"), tmp("wdB"), tmp("wdD1") + "/store")
+    val (c, c2, d2) = (tmp("wdC"), tmp("wdC2"), tmp("wdD2") + "/store")
+    ivfShard(_ % 2 == 0, a)
+    ivfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), d1, moveFiles = true)
+    ivfShard(_ % 2 == 0, c)
+    ivfShard(_ % 2 == 1, c2)
+    IvfStore.mergeStores(spark, Seq(c, c2), d2, moveFiles = true)
+    val eWrong = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(a, b), d2, moveFiles = true))
+    assert(eWrong.getMessage.contains("committed IVF store"), eWrong.getMessage)
+    assert(FsOps.mergedInto(spark, a) === Some(d1),
+      "a wrong-dest re-run must not rewrite where the data actually went")
+    // a typo'd / never-populated source path must not read as "drained"
+    // (stamping it would invent provenance and even create the dir)
+    fsAt(c).delete(new Path(s"$c/${FsOps.MergedIntoMarker}"), false)
+    val ghost = tmp("wdGhost") + "/nothing"
+    val eGhost = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(c, ghost), d2, moveFiles = true))
+    assert(eGhost.getMessage.contains("committed IVF store"), eGhost.getMessage)
+    assert(FsOps.mergedInto(spark, ghost) === None, "phantom source stamped")
+    assert(FsOps.mergedInto(spark, c) === None,
+      "a partial resume must not stamp anything when the set is not resumable")
   }
 
   test("pipeline scrap deletes certified husk roots; refuses live or uncertified ones") {
