@@ -416,6 +416,36 @@ class IvfSpec extends SparkSpec {
     assert(IvfStore.searchStore(spark, s"$root/m", q, 5).count() > 0)
   }
 
+  test("quantized layered shards: merge offsets ordinals, flatten is layout-only, fsck green") {
+    // the layered-merge and flatten machinery is column-agnostic — prove
+    // it on the int8 lists too (scale is per-vector, rows self-describe)
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id".isin(0L, 1L))
+    val root = java.nio.file.Files.createTempDirectory("ivfqlay").toString
+    // streaming ingest (and so the batch= layout) is a raw-store verb;
+    // quantized shards are always fresh-built — assert the merge + the
+    // flatten no-op on exactly that shape
+    def qShard(m: Long, path: String): Unit =
+      IvfStore.writeIndexQuantized(
+        e.filter($"vec_id" % 2 === m && $"vec_id" % 4 === m), path,
+        nCentroids = 2, kmeansIters = 0)
+    qShard(0L, s"$root/a")
+    qShard(1L, s"$root/b")
+    IvfStore.mergeStores(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    // flatten on a fresh-layout (quantized) store is a no-op, and the
+    // merged quantized store is fully fsck-green (grouped assignment
+    // reports checked=0 on quantized — codes carry no raw vectors)
+    IvfStore.flattenBatches(spark, s"$root/m")
+    val rep = IvfStore.checkStore(spark, s"$root/m").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep.values.map(_._2).sum === 0L, rep.toString)
+    assert(rep("lists_assignment")._1 === 0L, "quantized: assignment checked=0")
+    assert(rep("codes_wellformed")._1 > 0L)
+    assert(IvfStore.searchStoreQuantized(spark, s"$root/m", q, 3, nProbe = 4)
+      .count() > 0)
+  }
+
   test("ingest and recluster guards: audited-ordinal replay, mixed layout, install window") {
     import graft.similarity.IvfStore
     val e = Tables.load(spark, sf0001, "embeddings")
