@@ -76,12 +76,25 @@ object Bench {
     // Subset filter resolves (and validates) BEFORE anything is deleted:
     // a typo'd name must fail fast, not clobber the committed evidence
     // files with a successful-looking empty sweep.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+    // the complement form (SPARK_GRAFT_BENCH_EXCLUDE): full gate MINUS a
+    // recorded exclusion list — the sf1 sweep's shape (every family that
+    // can run at 10x, exclusions carried with their rationale in
+    // bench_sf1.json). Still a subset run: evidence goes to
+    // bench_subset.* and the emitted line carries "only".
+    val excludeEnv = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    for ((env, names) <- Seq("SPARK_GRAFT_BENCH_ONLY" -> onlyEnv,
+                             "SPARK_GRAFT_BENCH_EXCLUDE" -> excludeEnv);
+         ns <- names) {
+      val unknown = ns -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in the gate: ${unknown.mkString(", ")}")
+        s"$env names not in the gate: ${unknown.mkString(", ")}")
+    }
+    val only: Option[Set[String]] = excludeEnv match {
+      case None    => onlyEnv
+      case Some(x) => Some(onlyEnv.getOrElse(SparkEntry.queries.keySet.toSet).diff(x))
     }
     val sweep = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -175,12 +188,21 @@ object Bench {
       }
     // calibration rows are flagged "cal":true so BenchReverify can tell
     // probes from gate queries; they append in timeline order (mid-sweep
-    // marks, then the post-sweep plain rows)
+    // marks, then the post-sweep plain rows). Mid-sweep marks perturb
+    // their NEIGHBOR: cal_io scans lineitem 4×, evicting other tables'
+    // pages for whatever entry is measured immediately after — a
+    // per-entry cache exposure pre-r15 eras never had (ADVICE r15). We
+    // accept it (the mark's adjudication value outweighs one perturbed
+    // neighbor) and RECORD it: each mark row carries a "next" field
+    // naming the exposed entry, so a cross-era per-entry drift on that
+    // entry can be traced to the mark instead of to gate code.
     val calibration = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    def runCal(suffix: String): Unit = measureCal(suffix).foreach { case (n, s) =>
-      calibration += n -> s
-      appendLine(s"""{"name":${jstr(n)},"secs":$s,"ok":true,"reps":3,"cal":true}""")
-    }
+    def runCal(suffix: String, next: Option[String] = None): Unit =
+      measureCal(suffix).foreach { case (n, s) =>
+        calibration += n -> s
+        val nextField = next.map(x => s""","next":${jstr(x)}""").getOrElse("")
+        appendLine(s"""{"name":${jstr(n)},"secs":$s,"ok":true,"reps":3,"cal":true$nextField}""")
+      }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val sweepSeq = sweep.toSeq
     // mid-sweep probe marks: full-gate sweeps only (subset runs are the
@@ -190,7 +212,7 @@ object Bench {
       else Map(sweepSeq.size / 3 -> "_t1", 2 * sweepSeq.size / 3 -> "_t2")
     val results = sweepSeq.zipWithIndex
       .map { case ((name, fn), idx) =>
-      calMarks.get(idx).foreach(runCal)
+      calMarks.get(idx).foreach(s => runCal(s, next = Some(name)))
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try runOnce(fn)

@@ -186,6 +186,30 @@ object FsOps {
     if (fs.exists(p)) walk(p) else Seq.empty
   }
 
+  /** Dest-side record of a shard merge's source list, written BEFORE any
+    * file transfers (every merge family calls [[recordMergeSources]]
+    * right after its guards pass): the source-derived evidence
+    * [[completeHuskStamps]] verifies a resume against (ADVICE r15 — the
+    * `m<i>_` ordinal-prefix check alone proves only that SOME source
+    * landed files at ordinal i, so a re-run listing a wrong-but-drained
+    * store at a matching ordinal would be stamped with invented
+    * provenance). Newline-joined paths, order-significant (the order IS
+    * the ordinal assignment). */
+  val MergeSourcesMarker = "_merge_sources"
+
+  def recordMergeSources(spark: org.apache.spark.sql.SparkSession,
+                         dest: String, sources: Seq[String]): Unit = {
+    readMarker(spark, dest, MergeSourcesMarker).foreach { prev =>
+      require(prev.split("\n").toSeq == sources,
+        s"$dest already records a different merge source list " +
+          s"(${prev.split("\n").mkString(", ")}) — a crashed merge must " +
+          "resume with ITS OWN source list and order (the order is the " +
+          "ordinal assignment); merging a different shard set into this " +
+          "debris would interleave two merges' files")
+    }
+    writeMarker(spark, dest, MergeSourcesMarker, sources.mkString("\n"))
+  }
+
   /** Complete the husk stamps of a move-mode merge that died BETWEEN its
     * dest commit and the stamping loop (ADVICE r14): that window used to
     * be unfixable — the re-run refused on the committed dest, and scrap
@@ -199,10 +223,13 @@ object FsOps {
     * would invent provenance and writeMarker would even create the
     * directory), none carries a visible data file, and the dest holds
     * `m<i>_`-prefixed files for ordinal i — the deterministic evidence
-    * that THIS dest consumed source i (single-pipeline discipline
-    * assumed: the check cannot distinguish two merges that drained the
-    * same shard at the same ordinal, which disjoint-id guards make
-    * unreachable in one pipeline). A source already stamped into a
+    * that THIS dest consumed source i. The dest's [[MergeSourcesMarker]]
+    * (when present — every merge writes it before transferring) makes
+    * the evidence source-SPECIFIC: a resume whose source list differs
+    * from the recorded one refuses outright, so a wrong-but-drained
+    * store at a matching ordinal can no longer be stamped with invented
+    * provenance (pre-marker dests fall back to the ordinal-prefix
+    * check under single-pipeline discipline). A source already stamped into a
     * DIFFERENT dest is NEVER restamped — its provenance marker is the
     * record of where its data went, and overwriting it on a mistaken
     * re-run against the wrong committed dest would corrupt exactly what
@@ -213,6 +240,14 @@ object FsOps {
   def completeHuskStamps(spark: org.apache.spark.sql.SparkSession,
                          sources: Seq[String], dest: String,
                          tables: Seq[String]): Boolean = {
+    // source-derived evidence first (ADVICE r15): the merge recorded its
+    // source list on the dest before any file moved; a resume whose list
+    // differs (paths OR order — order is the ordinal assignment) is a
+    // DIFFERENT merge and must fall through to the committed-dest
+    // refusal, never stamp. Absent marker = store merged by a pre-marker
+    // build; the per-source drained-husk evidence below still gates.
+    if (readMarker(spark, dest, MergeSourcesMarker)
+        .exists(_.split("\n").toSeq != sources)) return false
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val destFiles = tables.flatMap(t => visibleDataFiles(spark, s"$dest/$t"))
     val resumable = sources.zipWithIndex.forall { case (s, i) =>

@@ -283,6 +283,9 @@ object DedupStore {
       graft.operators.MergeGuards.requireDisjointIds(spark,
         sources.map(s => s"$s/sets"), "doc_id")
     }
+    // record the source list on the dest BEFORE any file moves — the
+    // source-specific resume evidence completeHuskStamps verifies
+    graft.FsOps.recordMergeSources(spark, dest, sources)
     for (t <- Seq("sets", "buckets"); (src, i) <- sources.zipWithIndex)
       graft.FsOps.transferDataFiles(spark, s"$src/$t", s"$dest/$t",
         s"m${i}_", moveFiles)

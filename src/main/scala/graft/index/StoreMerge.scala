@@ -161,6 +161,10 @@ object StoreMerge {
         col("length_sum"))
       .write.mode("overwrite").parquet(s"$dest/meta")
 
+    // record the source list on the dest BEFORE any file moves — the
+    // source-specific resume evidence completeHuskStamps verifies
+    graft.FsOps.recordMergeSources(spark, dest, sources)
+
     // ---- data files: per-file idempotent transfer (resume skips targets
     // that already landed; hidden _/.files and markers never transfer)
     for (table <- DataTables; (src, i) <- sources.zipWithIndex) {

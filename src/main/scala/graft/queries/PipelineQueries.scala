@@ -473,6 +473,27 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // the quantized shards through the MERGE lifecycle (VERDICT r15 #2:
+    // the machinery was spec'd, now gate-proven): two int8 shards built
+    // independently, promoted by centroid union + file transfer (the
+    // per-vector scale makes rows self-describing, so the merge is
+    // column-agnostic), probed as one store with on-the-fly dequant —
+    // the oracle reproduces per-shard seeds, per-shard raw assignment,
+    // union probing and reconstruction scoring
+    "q_ann_ivf_quant_merge" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfquantmerge")
+      graft.similarity.IvfStore.writeIndexQuantized(
+        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
+      graft.similarity.IvfStore.writeIndexQuantized(
+        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // IVF delete lifecycle: tombstone a quarter of the vectors (lists
     // never rewritten, centroids frozen), search the store — answers
     // exactly like probing the surviving vectors with the same centroids
@@ -516,6 +537,18 @@ object PipelineQueries extends QueryGroup {
       graft.similarity.IvfStore.writeIndex(e, path, kmeansIters = 0)
       graft.similarity.IvfStore.deleteVectors(s, path,
         e.filter(col("vec_id") % 4 === 3).select("vec_id"))
+      graft.similarity.IvfStore.checkStore(s, path)
+    }),
+
+    // ...and the deep audit on a QUANTIZED store (VERDICT r15 #1): the
+    // assignment invariant runs on the round(code·scale, 6)
+    // reconstruction under the per-row tolerance band, so checked is the
+    // full corpus (no longer 0-by-contract) — a mis-homed quantized
+    // vector is visible to fsck without waiting for a recluster
+    "q_ivf_fsck_quant" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivffsckq")
+      graft.similarity.IvfStore.writeIndexQuantized(e, path, kmeansIters = 0)
       graft.similarity.IvfStore.checkStore(s, path)
     }),
 
@@ -1932,6 +1965,73 @@ object PipelineQueries extends QueryGroup {
        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
   }
 
+  /** Quantized-shard merge probe (q_ann_ivf_quant_merge): the merged
+    * geometry of [[annIvfMergeOracle]] (per-shard seeds, per-shard RAW
+    * assignment, union probing) with [[annIvfQuantOracle]]'s scoring —
+    * candidates ranked against the `round(code·scale, 6)` reconstruction
+    * (codes are per-vector, identical whichever shard quantized them). */
+  private lazy val annIvfQuantMergeOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH ea AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 2 = 0),
+            eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 2 = 1),
+            eu AS (SELECT * FROM ea UNION ALL SELECT * FROM eb),
+            qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id IN ($ids)),
+            qz AS (SELECT vec_id,
+                          round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
+                          v
+                   FROM eu),
+            codes AS (SELECT vec_id, scale,
+                             CASE WHEN scale = 0
+                                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                  ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                                         least(CAST(127 AS BIGINT),
+                                               CAST(round(x / scale) AS BIGINT))))
+                             END AS qvec
+                      FROM qz),
+            dq AS (SELECT vec_id, list_transform(qvec, x -> round(x * scale, 6)) AS v
+                   FROM codes),
+            ca AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                   FROM ea ORDER BY vec_id ASC LIMIT 16),
+            cb AS (SELECT 16 + row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                   FROM eb ORDER BY vec_id ASC LIMIT 16),
+            cu AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+            aa AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY 1 - list_cosine_similarity(e.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM ea e CROSS JOIN ca c) WHERE rn = 1),
+            ab AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY 1 - list_cosine_similarity(e.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM eb e CROSS JOIN cb c) WHERE rn = 1),
+            asg AS (SELECT * FROM aa UNION ALL SELECT * FROM ab),
+            qasg AS (SELECT vec_id AS query_id, cid FROM (
+                     SELECT qe.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY qe.vec_id
+                              ORDER BY 1 - list_cosine_similarity(qe.v, c.cvec) ASC,
+                                       c.cid ASC) AS rn
+                     FROM qe CROSS JOIN cu c) WHERE rn <= 4),
+            cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                     FROM qasg q JOIN asg a USING (cid)
+                     WHERE a.vec_id <> q.query_id),
+            scored AS (SELECT cand.query_id, cand.vec_id,
+                              list_cosine_similarity(eq.v, ec.v) AS cos
+                       FROM cand
+                       JOIN qe eq ON cand.query_id = eq.vec_id
+                       JOIN dq ec ON cand.vec_id = ec.vec_id),
+            r AS (SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM scored)
+       SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   /** IVF probe pipeline with the candidate universe restricted to
     * `livePred` over vec_id — centroids and query assignment stay on the
     * FULL corpus (frozen-centroid store semantics); shared by the
@@ -2940,6 +3040,34 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'codes_wellformed', 0, 0
           UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'merged_groups_advisory', 0, 0
+          UNION ALL SELECT 'merged_provenance', 0, 0
+          UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
+
+    // the quantized deep audit: assignment is tolerance-band audited on
+    // the reconstructions (checked = the full corpus, violations 0 — the
+    // band absorbs bounded quantization error on every healthy row by
+    // construction); cover's checked is the raw-assignment cid set
+    "q_ivf_fsck_quant" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+          SELECT 'centroid_cover' AS invariant,
+                 CAST((SELECT count(DISTINCT cid) FROM assign) AS BIGINT) AS checked,
+                 CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'codes_wellformed', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
+          UNION ALL SELECT 'merged_groups_advisory', 0, 0
+          UNION ALL SELECT 'merged_provenance', 0, 0
           UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
 
     // the incremental IVF audit: every checked count is an ODD-half
@@ -3004,16 +3132,23 @@ object PipelineQueries extends QueryGroup {
                  (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
           UNION ALL SELECT '0_detect', 'lists_assignment',
                  (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
+          UNION ALL SELECT '0_detect', 'merged_groups_advisory', 0, 0
+          UNION ALL SELECT '0_detect', 'merged_provenance', 0, 0
           UNION ALL SELECT '0_detect', 'norms_consistent',
                  (SELECT n.n + a.n FROM n, a), 0
           UNION ALL SELECT '1_repaired', 'centroid_cover', (SELECT n FROM cov1), 0
           UNION ALL SELECT '1_repaired', 'codes_wellformed', 0, 0
           UNION ALL SELECT '1_repaired', 'ids_unique', (SELECT n FROM n), 0
           UNION ALL SELECT '1_repaired', 'lists_assignment', (SELECT n FROM n), 0
+          UNION ALL SELECT '1_repaired', 'merged_groups_advisory', 0, 0
+          UNION ALL SELECT '1_repaired', 'merged_provenance', 0, 0
           UNION ALL SELECT '1_repaired', 'norms_consistent', (SELECT n FROM n), 0""",
     // expunge must be invisible in answers — same live-subset truth
     "q_ann_ivf_expunge" -> annIvfOracleFor("vec_id % 4 <> 3"),
     "q_ann_ivf_quant" -> annIvfQuantOracle,
+    // quantized shards through the merge lifecycle: merged-union probing
+    // over per-shard assignments, scored on the reconstructions
+    "q_ann_ivf_quant_merge" -> annIvfQuantMergeOracle,
 
     "q_cms_freq" ->
       s"""WITH tok AS ($SqlTokens),

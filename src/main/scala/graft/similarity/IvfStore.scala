@@ -249,6 +249,12 @@ object IvfStore {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BatchFloorMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/_$BatchFloorMarker.swap_old"), true)
+    // batch provenance dies with the batch column (the advisory row
+    // takes over on a flattened merged store)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/$MergedBatchBoundsMarker"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_$MergedBatchBoundsMarker.swap_old"), true)
   }
 
   /** Soft-delete vectors from a persisted IVF store: ids append into a
@@ -337,7 +343,7 @@ object IvfStore {
     // otherwise tie and survive nondeterministically
     val tiebreaks = (if (lists.columns.contains("batch"))
         Seq(col("batch").asc) else Seq.empty) :+
-      xxhash64(lists.columns.filterNot(_ == "vec_id").sorted.map(col): _*).asc
+      xxhash64(lists.columns.filterNot(_ == "vec_id").sorted.toIndexedSeq.map(col): _*).asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cid").asc +: tiebreaks: _*)
     val deduped = lists.withColumn("__rn", row_number().over(w))
@@ -362,11 +368,28 @@ object IvfStore {
                 deduped.select(col("vec_id"), col("v")), cents, "vec_id", "v", keep = 1)
               .select(col("vec_id"), col("cid"))
           case Some(bs) =>
-            val g = grpOf(bs) _
+            val g = grpOf(bs.map(_.toLong)) _
             val cg = broadcast(cents.select(col("cid").as("ccid"), col("cvec"))
               .withColumn("__grp", g(col("ccid"))))
-            val grouped = deduped.select(col("vec_id"), col("v"), col("cid"))
-              .withColumn("__grp", g(col("cid")))
+            // group to re-home INTO: where batch provenance exists
+            // (layered merge of plain shards), a remapped layer's row
+            // belongs to its SOURCE's group no matter what its possibly
+            // -corrupted cid claims — the merged_provenance invariant's
+            // repair face (a cross-group cid rewrite re-homes into the
+            // provenance group, not the foreign group the cid landed in);
+            // the cid's own group otherwise (merge contract)
+            val rowGrp = (mergedBatchBounds(spark, path),
+                graft.FsOps.readLongMarker(spark, path, BatchFloorMarker)) match {
+              case (Some(bb), Some(f))
+                  if deduped.columns.contains("batch") && bb.size == bs.size =>
+                when(col("batch") <= f, grpOf(bb)(col("batch")))
+                  .otherwise(g(col("cid")))
+              case _ => g(col("cid"))
+            }
+            val keyCols = Seq("vec_id", "v", "cid") ++
+              (if (deduped.columns.contains("batch")) Seq("batch") else Nil)
+            val grouped = deduped.select(keyCols.map(col): _*)
+              .withColumn("__grp", rowGrp)
               .join(cg, "__grp")
               .withColumn("cdist", lit(1.0) - Similarity.cosine(col("v"), col("cvec")))
               .groupBy(col("vec_id"))
@@ -425,6 +448,35 @@ object IvfStore {
 
   private[graft] val MergedBoundsMarker = "_merged_bounds"
 
+  // Cross-group blind spot (VERDICT r15 #3): the grouped invariant audits
+  // each row against the group ITS CID CLAIMS, so a corruption that
+  // rewrites a row's cid into a DIFFERENT group is audited against the
+  // wrong group's centroids and can pass as locally-nearest. On LAYERED
+  // merges provenance survives: each source's batch ordinals occupy a
+  // disjoint range of the merged ordinal space (the merge's batch
+  // offsets), recorded in `_merged_batch_bounds` (exclusive lower batch
+  // bounds, aligned index-for-index with `_merged_bounds`' cid groups).
+  // For every row with batch ≤ the merge's `_batch_floor` (a remapped
+  // layer, never post-merge ingest), group-of-batch IS the row's true
+  // shard — `merged_provenance` flags any row whose cid group disagrees,
+  // and [[repairLists]] re-homes such rows into their provenance group.
+  // The marker is written only when every source is a PLAIN streamed
+  // shard (no `_merged_bounds` of its own): a nested layered merge would
+  // need per-level floors to exclude the inner store's post-merge
+  // batches, so it falls back to the advisory row below. FRESH-layout
+  // merges carry no per-row provenance at all (file prefixes die at
+  // compaction) — `merged_groups_advisory` reports the rows audited
+  // under the grouped-only invariant, and recluster is the recovery
+  // verb for the undetectable class (SCALE.md).
+  private[graft] val MergedBatchBoundsMarker = "_merged_batch_bounds"
+
+  /** Exclusive-lower BATCH-ordinal group bounds of a layered merged
+    * store, aligned with [[mergedBounds]]' groups (None = no batch
+    * provenance: fresh-layout merge, nested layered merge, flattened). */
+  def mergedBatchBounds(spark: SparkSession, path: String): Option[Seq[Long]] =
+    graft.FsOps.readMarker(spark, path, MergedBatchBoundsMarker)
+      .map(_.trim.split(",").map(_.toLong).toSeq)
+
   /** In-progress stamp for [[reclusterStore]]'s two-swap install window:
     * between the lists swap and the centroids swap a reader would probe
     * the OLD centroid frame against NEW lists (cid-inconsistent, silently
@@ -449,19 +501,41 @@ object IvfStore {
     graft.FsOps.readMarker(spark, path, MergedBoundsMarker)
       .map(_.trim.split(",").map(_.toInt).toSeq)
 
-  private def grpOf(bounds: Seq[Int])(c: org.apache.spark.sql.Column)
+  /** Group index of a cid (or batch ordinal) under exclusive-lower
+    * bounds: `count(b in bounds | b < x)`. */
+  private def grpOf(bounds: Seq[Long])(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     bounds.map(b => when(c > lit(b), 1).otherwise(0)).reduce(_ + _)
 
   /** The `lists_assignment` invariant row: nearest-centroid recompute,
     * union-wide on fresh stores, restricted to each row's cid group on
-    * merged stores (see the contract note above). */
+    * merged stores (see the contract note above).
+    *
+    * `tol` (per-row cosine tolerance, quantized stores) switches the
+    * recompute from exact-match to BANDED: a row passes when its
+    * assigned centroid's cosine is within `tol` of the best in-group
+    * cosine. The write path assigned on raw vectors the quantized store
+    * no longer holds; the audit runs on the `round(code·scale, 6)`
+    * reconstruction (exactly what [[reclusterStore]] assigns by and
+    * every probe ranks on), and the band absorbs the bounded
+    * reconstruction error — a mis-homing WITHIN the band is
+    * indistinguishable from quantization noise by construction, while
+    * anything beyond it (a genuinely mis-homed vector) flags.
+    *
+    * The centroid join is a LEFT join and a row whose cid matches no
+    * centroid of its group counts as a violation here too (ADVICE r15):
+    * `checked` reflects every audited (vec_id, cid) row, so this
+    * invariant stays trustworthy independently of `centroid_cover`. */
   private def assignmentRow(spark: SparkSession, name: String,
                             rows: DataFrame, cents: DataFrame,
-                            bounds: Option[Seq[Int]]): DataFrame = {
+                            bounds: Option[Seq[Int]],
+                            tol: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import graft.operators.StoreCheck.row
-    bounds match {
-      case None =>
+    (bounds, tol) match {
+      case (None, None) =>
+        // exact write-path recompute (raw fresh store): bit-identical to
+        // the assignment every write/repair path runs
         val recomputed = Similarity.assignToCentroids(
             rows.select(col("vec_id"), col("v")), cents, "vec_id", "v", keep = 1)
           .select(col("vec_id"), col("cid").as("rcid"))
@@ -470,22 +544,51 @@ object IvfStore {
             .agg(count(lit(1)).as("checked"),
               sum(when(col("cid") =!= col("rcid"), 1L).otherwise(0L))
                 .as("violations")))
-      case Some(bs) =>
-        val g = grpOf(bs) _
+      case _ =>
+        val g: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          bounds.map(bs => grpOf(bs.map(_.toLong)) _)
+            .getOrElse((_: org.apache.spark.sql.Column) => lit(0))
         val cg = broadcast(cents.select(col("cid").as("ccid"), col("cvec"))
           .withColumn("__grp", g(col("ccid"))))
-        val checked = rows.select(col("vec_id"), col("v"), col("cid"))
+        val scored = rows
+          .select(col("vec_id"), col("v"), col("cid"),
+            tol.getOrElse(lit(0.0)).as("__tol"))
           .withColumn("__grp", g(col("cid")))
-          .join(cg, "__grp")
-          .withColumn("cdist", lit(1.0) - Similarity.cosine(col("v"), col("cvec")))
-          .groupBy(col("vec_id"), col("cid"))
-          .agg(min_by(col("ccid"), col("cdist")).as("rcid"))
+          .join(cg, Seq("__grp"), "left")
+          .withColumn("cos", Similarity.cosine(col("v"), col("cvec")))
+          .groupBy(col("vec_id"), col("cid"), col("__tol"))
+          .agg(max(col("cos")).as("best"),
+            max(when(col("ccid") === col("cid"), col("cos"))).as("own"))
         row(name,
-          checked.agg(count(lit(1)).as("checked"),
-            sum(when(col("cid") =!= col("rcid"), 1L).otherwise(0L))
+          scored.agg(count(lit(1)).as("checked"),
+            sum(when(col("own").isNull ||
+                col("best") - col("own") > col("__tol"), 1L).otherwise(0L))
               .as("violations")))
     }
   }
+
+  /** Per-row cosine tolerance for the quantized assignment audit: the
+    * worst-case cosine drift of the `round(code·scale, 6)` reconstruction
+    * vs the raw vector the write path assigned on. Per-component error is
+    * ≤ scale/2 (int8 rounding) + 5e-7 (the round-to-6), so the error
+    * vector's L2 norm is ≤ (scale/2 + 5e-7)·√d and the sphere-projection
+    * Lipschitz bound gives |Δcos| ≤ 2‖e‖/‖v‖ per centroid comparison —
+    * two comparisons (own + best) make the band 4‖e‖/‖v‖, padded for the
+    * audit's float-cast. Assumes `v` is the reconstruction (its norm is
+    * the denominator). */
+  private def quantAssignTol(v: org.apache.spark.sql.Column,
+                             scale: org.apache.spark.sql.Column,
+                             qvec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (lit(2.0) * scale + lit(1e-5)) *
+      sqrt(size(qvec).cast("double")) / Similarity.norm(v) + lit(1e-9)
+
+  /** Quantized lists with the float reconstruction as `v` — the audit
+    * face of the store's "probes rank on round(code·scale, 6)" contract
+    * (float-cast for the codegen dot, same as [[reclusterStore]]). */
+  private def reconstructed(lists: DataFrame): DataFrame =
+    lists.withColumn("v", transform(col("qvec"),
+      x => round(x.cast("double") * col("scale"), 6).cast("float")))
 
   /** Integrity check ("fsck") for a persisted IVF store — the vector
     * twin of [[graft.index.Indexer.checkStore]]: one report row per
@@ -502,26 +605,44 @@ object IvfStore {
     *   - `ids_unique` — one list row per vec_id (a duplicate means a
     *     replayed ingest bypassed the batch-partition overwrite and now
     *     double-counts in every probe it lands in).
-    *   - `lists_assignment` (raw stores) — each row's cid is the nearest
-    *     persisted centroid of its vector, recomputed with the exact
-    *     write-path assignment: the pruning invariant (a mis-assigned
-    *     vector is probed under the wrong lists). On a MERGED store
-    *     (`_merged_bounds` present) the recompute restricts to the
-    *     row's own cid-range group — the merge keeps shard-local
-    *     assignments by contract, so union-nearest would flag healthy
-    *     cross-shard Voronoi overlap as corruption; the grouped form is
-    *     exactly the invariant the merge guarantees and
-    *     [[reclusterStore]] is the verb that restores the strict union
-    *     form. Quantized stores report checked = 0: assignment ran on
-    *     the raw vectors, which the store intentionally no longer holds.
+    *   - `lists_assignment` — each row's cid is the nearest persisted
+    *     centroid of its vector: the pruning invariant (a mis-assigned
+    *     vector is probed under the wrong lists). Raw stores recompute
+    *     with the exact write-path assignment; QUANTIZED stores audit
+    *     the `round(code·scale, 6)` reconstruction under a per-row
+    *     tolerance band ([[quantAssignTol]]) that absorbs the bounded
+    *     reconstruction error — a genuinely mis-homed quantized vector
+    *     flags, a mis-homing within the band is indistinguishable from
+    *     quantization noise by construction ([[reclusterStore]] is the
+    *     repair verb for flagged quantized rows: [[repairLists]] keeps
+    *     quantized cids). On a MERGED store (`_merged_bounds` present)
+    *     the recompute restricts to the row's own cid-range group — the
+    *     merge keeps shard-local assignments by contract, so
+    *     union-nearest would flag healthy cross-shard Voronoi overlap
+    *     as corruption; the grouped form is exactly the invariant the
+    *     merge guarantees and [[reclusterStore]] restores the strict
+    *     union form.
     *   - `norms_consistent` — the precomputed `nv` equals the norm of
     *     the stored vector (raw) or of the `round(code·scale, 6)`
     *     reconstruction (quantized) — a stale norm skews every cosine.
+    *   - `merged_provenance` (layered merged stores) — for every row of
+    *     a remapped layer (batch ≤ the merge's ordinal floor), the cid's
+    *     group equals the batch ordinal's source group
+    *     (`_merged_batch_bounds`): the cross-group invariant the grouped
+    *     recompute cannot see (a cid rewritten into a FOREIGN group is
+    *     audited against that group's centroids). checked = 0 where no
+    *     batch provenance exists.
+    *   - `merged_groups_advisory` — merged stores WITHOUT per-row
+    *     provenance (fresh-layout merges, flattened or nested layered
+    *     merges): checked counts the rows audited under the grouped-only
+    *     invariant, violations is always 0 — an explicit record that
+    *     group-membership corruption is undetectable there and recluster
+    *     is the recovery verb (contract note above; SCALE.md).
     *
     * Scale: the audit is unpruned (scheduled maintenance, not
     * probe-path cost) but priced per PASS over lists — so lists is
-    * scanned ONCE into a cached projection all five invariants share,
-    * centroids broadcast, and the ≤ 5-row report returns eagerly
+    * scanned ONCE into a cached projection all invariants share,
+    * centroids broadcast, and the ≤ 7-row report returns eagerly
     * (releasing the cache before return). Physical rows are audited —
     * tombstoned vectors included, matching what [[expungeDeletes]] will
     * rewrite. Tombstones themselves carry no validity invariant here by
@@ -550,10 +671,41 @@ object IvfStore {
           countDistinct(col("vec_id")).as("d"))
         .select(col("checked"), (col("checked") - col("d")).as("violations")))
 
+    val bounds = mergedBounds(spark, path)
+
     val assignment =
-      if (quantized) emptyRow("lists_assignment")
-      else assignmentRow(spark, "lists_assignment", lists, cents,
-        mergedBounds(spark, path))
+      if (quantized)
+        assignmentRow(spark, "lists_assignment", reconstructed(lists), cents,
+          bounds, Some(quantAssignTol(col("v"), col("scale"), col("qvec"))))
+      else assignmentRow(spark, "lists_assignment", lists, cents, bounds)
+
+    // group-membership invariants of a merged store (contract note above):
+    // batch provenance where it survives, an explicit advisory otherwise
+    val provenanceInfo = (bounds, mergedBatchBounds(spark, path),
+      graft.FsOps.readLongMarker(spark, path, BatchFloorMarker))
+    val provenance = provenanceInfo match {
+      case (Some(cb), Some(bb), Some(f))
+          if cb.size == bb.size && lists.columns.contains("batch") =>
+        val layer = lists.filter(col("batch") <= f)
+        row("merged_provenance",
+          layer.agg(count(lit(1)).as("checked"),
+            sum(when(grpOf(cb.map(_.toLong))(col("cid"))
+                =!= grpOf(bb)(col("batch")), 1L).otherwise(0L))
+              .as("violations")))
+      case _ => emptyRow("merged_provenance")
+    }
+    val advisory = provenanceInfo match {
+      case (Some(_), Some(_), Some(_)) if lists.columns.contains("batch") =>
+        emptyRow("merged_groups_advisory")
+      case (Some(_), _, _) =>
+        // merged store with NO per-row provenance: these rows are audited
+        // under the grouped invariant only — a cid rewritten into a
+        // foreign group that happens to be locally-nearest there is
+        // undetectable by construction; recluster is the recovery verb
+        row("merged_groups_advisory",
+          lists.agg(count(lit(1)).as("checked"), lit(0L).as("violations")))
+      case _ => emptyRow("merged_groups_advisory")
+    }
 
     val norms = {
       val withRef =
@@ -577,7 +729,8 @@ object IvfStore {
             .otherwise(0L)).as("violations")))
 
     try graft.operators.StoreCheck.materialize(spark,
-      graft.operators.StoreCheck.report(Seq(cover, codes, unique, assignment, norms)))
+      graft.operators.StoreCheck.report(
+        Seq(cover, codes, unique, assignment, norms, provenance, advisory)))
     finally lists.unpersist()
   }
 
@@ -629,7 +782,8 @@ object IvfStore {
     *
     * Delta-scoped invariants (same semantics as the full checker,
     * `delta_`-prefixed): per-row assignment recompute against the
-    * broadcast centroids (raw stores; quantized report checked = 0),
+    * broadcast centroids (exact on raw stores; tolerance-banded on the
+    * quantized reconstruction, same contract as the full checker),
     * norm consistency, code well-formedness (quantized), centroid
     * cover of the delta's cids — all ∝ delta via partition pruning.
     * `delta_ids_unique` checks the delta's vec_ids against the WHOLE
@@ -671,7 +825,10 @@ object IvfStore {
     }
 
     val assignment =
-      if (quantized) emptyRow("delta_lists_assignment")
+      if (quantized)
+        assignmentRow(spark, "delta_lists_assignment", reconstructed(delta),
+          cents, mergedBounds(spark, path),
+          Some(quantAssignTol(col("v"), col("scale"), col("qvec"))))
       else assignmentRow(spark, "delta_lists_assignment", delta, cents,
         mergedBounds(spark, path))
 
@@ -797,6 +954,10 @@ object IvfStore {
         sources.map(s => s"$s/lists"), "vec_id")
     }
 
+    // record the source list on the dest BEFORE any file moves — the
+    // source-specific resume evidence completeHuskStamps verifies
+    graft.FsOps.recordMergeSources(spark, dest, sources)
+
     // cid offsets: shard i's cids shift past the cumulative max
     val centFrames = sources.map(s => spark.read.parquet(s"$s/centroids"))
     val maxCids = centFrames.map(_.agg(max(col("cid"))).collect()(0).getInt(0))
@@ -833,22 +994,37 @@ object IvfStore {
     val bounds = sources.zip(offsets).flatMap { case (s, off) =>
       mergedBounds(spark, s).getOrElse(Seq(0)).map(_ + off) }
     graft.FsOps.writeMarker(spark, dest, MergedBoundsMarker, bounds.mkString(","))
-    // commit: the remapped centroid union, written last
-    centFrames.zip(offsets).map { case (c, off) =>
-        c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
-      .reduce(_ unionByName _)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
     // a layered merge is born-audited at its highest remapped ordinal
     // (merged data is consistent by construction, same contract as the
     // index/dedup merges): the next incremental audit sees only
     // post-merge ingest. The same ordinal becomes the store's FIXED
     // appendBatch floor — replaying an upstream shard's checkpoint into
-    // the remapped ordinal space refuses instead of clobbering a layer
+    // the remapped ordinal space refuses instead of clobbering a layer.
+    // All three markers land BEFORE the centroids commit (ADVICE r15
+    // medium): lists are fully transferred by this point, so
+    // listBatches(dest) already answers — while markers written AFTER
+    // the commit would sit in a crash window where the re-run takes the
+    // completeHuskStamps early-return and the merged store permanently
+    // lacked its ordinal floor (an upstream shard checkpoint could then
+    // silently clobber a committed remapped layer)
     if (isLayered) {
       listBatches(spark, dest).lastOption.foreach(
         graft.FsOps.writeLongMarker(spark, dest, BatchFloorMarker, _))
       markAudited(spark, dest)
+      // batch provenance (merged_provenance invariant): only when every
+      // source is a PLAIN streamed shard — a nested layered merge would
+      // need per-level floors to exclude the inner store's post-merge
+      // ingest from provenance scope (contract note at
+      // MergedBatchBoundsMarker), so it stays advisory-only
+      if (sources.forall(mergedBounds(spark, _).isEmpty))
+        graft.FsOps.writeMarker(spark, dest, MergedBatchBoundsMarker,
+          batchOffsets.map(_ - 1L).mkString(","))
     }
+    // commit: the remapped centroid union, written last
+    centFrames.zip(offsets).map { case (c, off) =>
+        c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
     // stamp drained sources only after the commit above (husk contract —
     // see FsOps.MergedIntoMarker)
     if (moveFiles)
@@ -940,6 +1116,10 @@ object IvfStore {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$MergedBoundsMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/_$MergedBoundsMarker.swap_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/$MergedBatchBoundsMarker"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_$MergedBatchBoundsMarker.swap_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     // install complete: clear the in-progress stamp (live + swap aside —
     // readMarker recovers from asides, so a clear must remove both)

@@ -243,11 +243,13 @@ class IvfSpec extends SparkSpec {
         .map(r => r._1 -> (r._2, r._3)).toMap
 
     val healthy = report(path)
-    assert(healthy.size === 5)
+    assert(healthy.size === 7)
     assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
     assert(healthy("lists_assignment")._1 > 0)
     assert(healthy("norms_consistent")._1 > 0)
     assert(healthy("codes_wellformed")._1 === 0L) // raw store: not applicable
+    assert(healthy("merged_provenance")._1 === 0L) // never merged
+    assert(healthy("merged_groups_advisory")._1 === 0L)
 
     // one appended copy of a row under a foreign cid: duplicate vec_id +
     // uncovered cid + mis-assignment — one violation on each invariant,
@@ -279,8 +281,40 @@ class IvfSpec extends SparkSpec {
     val qh = report(qpath)
     assert(qh.values.forall(_._2 == 0L), s"healthy quantized store has violations: $qh")
     assert(qh("codes_wellformed")._1 > 0)
-    assert(qh("lists_assignment")._1 === 0L) // raw vectors gone by design
+    // VERDICT r15 #1: assignment IS audited on quantized stores — the
+    // round(code·scale) reconstruction under the per-row tolerance band
+    // (which must absorb the write path's raw-vs-reconstructed drift on
+    // every healthy row)
+    assert(qh("lists_assignment")._1 > 0)
     assert(qh("norms_consistent")._1 > 0)
+
+    // a genuinely MIS-HOMED quantized vector (rewritten to the farthest
+    // centroid — far outside the quantization band) is caught; the
+    // repair verb for quantized mis-homing is reclusterStore (repairLists
+    // keeps quantized cids: assignment ran on raw vectors)
+    val qlists = spark.read.parquet(s"$qpath/lists")
+    val qcents = spark.read.parquet(s"$qpath/centroids")
+      .select(col("cid").as("ccid"), col("cvec"))
+    val victim = qlists.filter($"vec_id" === 0L)
+      .withColumn("rv", transform(col("qvec"),
+        x => round(x.cast("double") * col("scale"), 6).cast("float")))
+      .crossJoin(broadcast(qcents))
+      .withColumn("cos", graft.similarity.Similarity.cosine($"rv", $"cvec"))
+    val farthest = victim.orderBy($"cos".asc).select("ccid").as[Int].collect().head
+    val qfs0 = new org.apache.hadoop.fs.Path(qpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    qlists.withColumn("cid",
+        when($"vec_id" === 0L, lit(farthest)).otherwise($"cid"))
+      .repartition($"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$qpath/lists_tmp2")
+    graft.FsOps.atomicSwap(qfs0, new org.apache.hadoop.fs.Path(s"$qpath/lists"),
+      new org.apache.hadoop.fs.Path(s"$qpath/lists_tmp2"))
+    val qmis = report(qpath)
+    assert(qmis("lists_assignment")._2 >= 1L,
+      s"mis-homed quantized vector must flag: $qmis")
+    IvfStore.reclusterStore(spark, qpath, nCentroids = 16, kmeansIters = 0)
+    assert(report(qpath).values.forall(_._2 == 0L),
+      "recluster re-homes the quantized vector; the re-check is clean")
 
     // quantized repair face: stale norms (every nv drifted) — detected on
     // norms_consistent, repairLists recomputes nv from the round(code ·
@@ -434,14 +468,20 @@ class IvfSpec extends SparkSpec {
     qShard(1L, s"$root/b")
     IvfStore.mergeStores(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
     // flatten on a fresh-layout (quantized) store is a no-op, and the
-    // merged quantized store is fully fsck-green (grouped assignment
-    // reports checked=0 on quantized — codes carry no raw vectors)
+    // merged quantized store is fully fsck-green — the GROUPED banded
+    // assignment audit runs on the reconstructions (VERDICT r15 #1), and
+    // a fresh-layout merge carries no per-row provenance, so the
+    // advisory row records the rows audited under grouped-only
     IvfStore.flattenBatches(spark, s"$root/m")
     val rep = IvfStore.checkStore(spark, s"$root/m").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rep.values.map(_._2).sum === 0L, rep.toString)
-    assert(rep("lists_assignment")._1 === 0L, "quantized: assignment checked=0")
+    assert(rep("lists_assignment")._1 > 0L,
+      "quantized assignment is tolerance-band audited")
     assert(rep("codes_wellformed")._1 > 0L)
+    assert(rep("merged_provenance")._1 === 0L, "fresh-layout merge: no provenance")
+    assert(rep("merged_groups_advisory")._1 === rep("ids_unique")._1,
+      "advisory row records every grouped-only-audited row")
     assert(IvfStore.searchStoreQuantized(spark, s"$root/m", q, 3, nProbe = 4)
       .count() > 0)
   }

@@ -266,6 +266,130 @@ class PromoteSpec extends SparkSpec {
       .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
 
+  private def streamedIvfShard(pred: Long => Boolean, path: String): Unit = {
+    IvfStore.writeCentroids(
+      vecsFx.filter(v => pred(v._1)).toDF("vec_id", "embedding"),
+      path, nCentroids = 2, kmeansIters = 0)
+    val vs = vecsFx.filter(v => pred(v._1))
+    IvfStore.appendBatch(spark, path, vs.take(2).toDF("vec_id", "embedding"), 0L)
+    IvfStore.appendBatch(spark, path, vs.drop(2).toDF("vec_id", "embedding"), 1L)
+  }
+
+  test("layered merge records batch provenance: cross-group cid rewrite surfaced and repaired") {
+    // VERDICT r15 #3: the grouped recompute audits each row against the
+    // group ITS CID CLAIMS, so a cid rewritten into a foreign group that
+    // is locally-nearest there reads as valid. On a layered merge of
+    // plain streamed shards, batch ordinals ARE per-row provenance —
+    // merged_provenance flags the group mismatch, repairLists re-homes
+    // into the provenance group.
+    val (a, b, dest) = (tmp("provA"), tmp("provB"), tmp("provDest") + "/store")
+    streamedIvfShard(_ % 2 == 0, a)
+    streamedIvfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    assert(IvfStore.mergedBounds(spark, dest) === Some(Seq(0, 2)))
+    assert(IvfStore.mergedBatchBounds(spark, dest) === Some(Seq(-1L, 1L)))
+    def rep(p: String = dest): Map[String, (Long, Long)] =
+      IvfStore.checkStore(spark, p).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val healthy = rep()
+    assert(healthy.values.map(_._2).sum === 0L, healthy.toString)
+    assert(healthy("merged_provenance")._1 === 8L,
+      "every remapped-layer row is provenance-audited")
+    assert(healthy("merged_groups_advisory")._1 === 0L,
+      "provenance exists: the advisory row is empty")
+
+    // rewrite vec 0's cid (shard A, group 1) to the nearest GROUP-2
+    // centroid of its vector — the exact shape the grouped recompute is
+    // blind to by construction
+    val foreign = spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
+      .crossJoin(broadcast(spark.read.parquet(s"$dest/centroids")
+        .filter($"cid" > 2).select($"cid".as("ccid"), $"cvec")))
+      .withColumn("cos", Similarity.cosine($"v", $"cvec"))
+      .orderBy($"cos".desc).select("ccid").as[Int].collect().head
+    val lists = spark.read.parquet(s"$dest/lists")
+    lists.withColumn("cid",
+        when($"vec_id" === 0L, lit(foreign)).otherwise($"cid"))
+      .repartition($"batch", $"cid")
+      .write.mode("overwrite").partitionBy("batch", "cid")
+      .parquet(s"$dest/lists_tmp")
+    FsOps.atomicSwap(fsAt(dest), new Path(s"$dest/lists"),
+      new Path(s"$dest/lists_tmp"))
+    val bad = rep()
+    assert(bad("lists_assignment")._2 === 0L,
+      "the grouped recompute is blind to a locally-nearest foreign-group " +
+        s"cid — the documented limit this invariant exists for: $bad")
+    assert(bad("merged_provenance")._2 === 1L, bad.toString)
+    // repair re-homes the row into its PROVENANCE group, not the foreign
+    // group its corrupted cid claimed
+    IvfStore.repairLists(spark, dest)
+    val fixed = rep()
+    assert(fixed.values.map(_._2).sum === 0L, fixed.toString)
+    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
+      .select("cid").as[Int].collect().head <= 2,
+      "vec 0 must be back under shard A's cid group")
+
+    // post-merge ingest (batch > floor) is union-assigned and stays OUT
+    // of provenance scope
+    IvfStore.appendBatch(spark, dest,
+      Seq((100L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding"), 4L)
+    val post = rep()
+    assert(post.values.map(_._2).sum === 0L, post.toString)
+    assert(post("merged_provenance")._1 === 8L,
+      "batch 4 > floor 3: outside provenance scope")
+
+    // a NESTED layered merge does not compose provenance (per-level
+    // floors would be needed): no batch-bounds marker, advisory row on
+    val c = tmp("provC")
+    val cVecs = Seq((200L, Array(0.1f, 0.99f)), (201L, Array(0.99f, 0.1f)))
+    IvfStore.writeCentroids(cVecs.toDF("vec_id", "embedding"), c,
+      nCentroids = 2, kmeansIters = 0)
+    IvfStore.appendBatch(spark, c, cVecs.toDF("vec_id", "embedding"), 0L)
+    val outer = tmp("provOut") + "/store"
+    IvfStore.mergeStores(spark, Seq(dest, c), outer)
+    assert(IvfStore.mergedBatchBounds(spark, outer) === None)
+    val orep = rep(outer)
+    assert(orep.values.map(_._2).sum === 0L, orep.toString)
+    assert(orep("merged_provenance")._1 === 0L)
+    assert(orep("merged_groups_advisory")._1 === orep("ids_unique")._1,
+      "advisory row records every grouped-only-audited row")
+  }
+
+  test("layered move-merge: floor and audit markers are pre-commit; resume verifies the source list") {
+    // ADVICE r15 medium: _batch_floor / _last_audit / _merged_batch_bounds
+    // land BEFORE the centroids commit, so the crash window between the
+    // commit and the husk stamps can no longer strand a merged store
+    // without its ordinal floor — the completeHuskStamps early-return on
+    // resume needs nothing re-derived.
+    val (a, b, dest) = (tmp("flrA"), tmp("flrB"), tmp("flrDest") + "/store")
+    streamedIvfShard(_ % 2 == 0, a)
+    streamedIvfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    // forge the crash: commit landed, stamps never did
+    fsAt(a).delete(new Path(s"$a/${FsOps.MergedIntoMarker}"), false)
+    fsAt(b).delete(new Path(s"$b/${FsOps.MergedIntoMarker}"), false)
+    assert(FsOps.readLongMarker(spark, dest, "_batch_floor") === Some(3L),
+      "the ordinal floor is durable in the commit-to-stamps crash shape")
+    assert(IvfStore.lastAudited(spark, dest) === Some(3L))
+    // the resume completes the stamps (same source list)...
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    assert(FsOps.mergedInto(spark, a) === Some(dest))
+    assert(FsOps.mergedInto(spark, b) === Some(dest))
+    // ...and the floor refuses an upstream shard's replayed ordinal
+    val eR = intercept[IllegalArgumentException](IvfStore.appendBatch(spark,
+      dest, vecsFx.take(1).toDF("vec_id", "embedding"), 1L))
+    assert(eR.getMessage.contains("ordinal floor"), eR.getMessage)
+    // a resume with a DIFFERENT source order refuses outright: the
+    // dest-side _merge_sources record is the source-specific evidence
+    // (ADVICE r15) — ordinal-prefix existence alone would have stamped
+    fsAt(a).delete(new Path(s"$a/${FsOps.MergedIntoMarker}"), false)
+    fsAt(b).delete(new Path(s"$b/${FsOps.MergedIntoMarker}"), false)
+    val eS = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(b, a), dest, moveFiles = true))
+    assert(eS.getMessage.contains("committed IVF store"), eS.getMessage)
+    assert(FsOps.mergedInto(spark, a) === None,
+      "a mismatched-source resume must not stamp invented provenance")
+  }
+
   test("dedup signature-store merge: ingest report equals a single full-store build") {
     val d = docsFx.toDF("doc_id", "text")
     val (a, b, dest, full) = (tmp("ddA"), tmp("ddB"), tmp("ddDest") + "/store", tmp("ddFull"))

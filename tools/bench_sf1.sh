@@ -1,44 +1,31 @@
 #!/usr/bin/env bash
 # Reproducible sf0.1 -> sf1 (10x) scaling evidence for SCALE.md.
 #
-# 1. Regenerates the /tmp/sf1 documents+embeddings fixture if absent
-#    (tools/gen_sf1.scala — /tmp is wiped between sessions; the fixture
-#    is ~10x sf0.1 and deliberately NOT committed).
-# 2. Runs the docs+ANN scaling subset at sf0.1 and sf1 through
-#    graft.Bench (SPARK_GRAFT_BENCH_ONLY -> bench_subset.json, so the
-#    committed full-gate bench_last.* files are never touched) with
-#    min-of-2 reps.
+# 1. Regenerates the /tmp/sf1 fixture if absent (tools/gen_sf1.scala —
+#    /tmp is wiped between sessions; ~10x sf0.1, NOT committed). Since
+#    r16 (VERDICT r15 #6) the fixture carries ALL NINE tables:
+#    documents/embeddings by token-disjoint replication, the relational
+#    tables by key-shifted replication (10 disjoint TPC-H universes,
+#    referential integrity preserved, region/nation fixed as at any SF),
+#    events by id-shifted replication with timestamps kept (10x rows per
+#    window — the real 10x shape for the window/session/stream families).
+# 2. Runs the FULL GATE at sf0.1 and sf1 through graft.Bench
+#    (SPARK_GRAFT_BENCH_EXCLUDE="" -> a subset-mode run of every query:
+#    evidence goes to bench_subset.json, the committed full-gate
+#    bench_last.* files are never touched) with min-of-2 reps.
 # 3. Runs the incremental-audit probe (tools/fsck_incr_probe.scala):
 #    fixed delta appended to the 1x and 10x stores — incremental audit
 #    wall must track the delta, full audit the store.
 # 4. Assembles bench_sf1.json (committed per round): per-query seconds
-#    at both scales, the 10x ratios, and the probe numbers.
+#    at both scales and the 10x ratios.
 #
 # Run SOLO on an idle box (same discipline as the committed bench).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# r13: added the families the last two rounds changed most — the span
-# checkpoint (q_dup_spans, q_span_clean), the doc-bucketed layouts
-# (q_bm25_store_bucketed, q_prox_batch_store_bucketed), compaction
-# (q_store_compact), the batch faces (q_bm25_batch, q_phrase_batch_store),
-# q_tfidf_store (r11's adjudicated outlier), the governance cascade
-# (q_pipeline_forget: 3-store build + forget + cross-store audit;
-# q_vstore_purge: history rewrite across every commit/checkpoint), and
-# the r13 shard merges (q_store_merge: 2 shard builds + file-transfer
-# merge + search — merge cost must stay metadata-flat at 10x;
-# q_pipeline_merge: whole-root promotion + audit)
-# r15 (VERDICT r13 #7 / r14 #6): grown to 62 — every round-14/15 query
-# (q_ann_ivf_recluster, q_store_merge_bucketed, q_ann_ivf_merge_stream),
-# the full IVF lifecycle, the dedup signature family, the embedding
-# reranking faces, and the text-analysis scorers. Everything NOT in the
-# subset is excluded for a recorded reason (see the `excluded` field of
-# bench_sf1.json): the sf1 fixture carries documents+embeddings only, so
-# relational/event-table queries cannot run at 10x.
-SUBSET="q_store_fsck,q_store_fsck_incr,q_store_repair,q_bm25_expunge,q_prep_pipeline,q_prep_pipeline_staged,q_prep_ingest,q_proximity_store_expunge,q_prep_funnel,q_phrase_store_delete,q_phrase_store_append,q_bm25_append,q_dedup_keep,q_span_clean,q_dedup_repair,q_stream_prep_ingest,q_vstore_fsck_incr,q_ann_ivf_store,q_ivf_fsck_incr,q_prep_ann,q_stream_index_ingest,q_bm25_batch_store,q_dup_spans,q_tfidf_store,q_bm25_batch,q_phrase_batch_store,q_bm25_store_bucketed,q_prox_batch_store_bucketed,q_store_compact,q_pipeline_forget,q_vstore_purge,q_store_merge,q_pipeline_merge,q_ann_ivf,q_ann_ivf_merge,q_ann_ivf_merge_stream,q_ann_ivf_flatten,q_ann_ivf_recluster,q_ann_ivf_quant,q_ann_ivf_delete,q_ann_ivf_expunge,q_ann_ivf_stream,q_ann_lsh,q_cosine_topk,q_hybrid_rrf,q_mmr_rerank,q_embed_centroid,q_dedup_exact,q_dedup_minhash,q_dedup_simhash,q_dedup_ngram,q_dedup_embed,q_dedup_clusters,q_store_merge_bucketed,q_store_merge_append,q_store_lifecycle,q_bm25_search,q_phrase_search,q_lang_id,q_quality_filter,q_token_count,q_lm_score"
-
-if [ ! -d /tmp/sf1/documents.parquet ] || [ ! -d /tmp/sf1/embeddings.parquet ]; then
-  echo "[bench_sf1] generating /tmp/sf1 fixture..."
+if [ ! -d /tmp/sf1/lineitem.parquet ] || [ ! -d /tmp/sf1/events.parquet ] \
+   || [ ! -d /tmp/sf1/documents.parquet ]; then
+  echo "[bench_sf1] generating /tmp/sf1 fixture (all tables)..."
   /opt/spark/bin/spark-shell --master 'local[32]' \
     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
     -I tools/gen_sf1.scala <<< 'sys.exit(0)' | grep SF1ROWS
@@ -46,17 +33,17 @@ fi
 
 sbt -batch compile >/dev/null
 
-run_subset() { # $1 = sf dir, $2 = output path
+run_sweep() { # $1 = sf dir, $2 = output path
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=2 \
-    SPARK_GRAFT_BENCH_ONLY="$SUBSET" \
+    SPARK_GRAFT_BENCH_EXCLUDE="" \
     sbt -batch "runMain graft.Bench" >/dev/null
   mv bench_subset.json "$2"
   rm -f bench_subset.jsonl
 }
-echo "[bench_sf1] subset at sf0.1..."
-run_subset /root/testdata/sf0.1 /tmp/bench_sf01_subset.json
-echo "[bench_sf1] subset at sf1..."
-run_subset /tmp/sf1 /tmp/bench_sf1_subset.json
+echo "[bench_sf1] full gate at sf0.1..."
+run_sweep /root/testdata/sf0.1 /tmp/bench_sf01_subset.json
+echo "[bench_sf1] full gate at sf1..."
+run_sweep /tmp/sf1 /tmp/bench_sf1_subset.json
 
 echo "[bench_sf1] incremental-audit probe..."
 /opt/spark/bin/spark-shell --master 'local[32]' \
@@ -83,20 +70,19 @@ for line in open('/tmp/fsck_probe.txt'):
                               "full_secs": float(m.group(5))}
         if m.group(6):  # the index probe re-times after rangeBy compaction
             probes[m.group(1)]["post_compact_incr_secs"] = float(m.group(6))
+common = sorted(set(a["queries"]) & set(b["queries"]))
 out = {"reps": "min-of-2", "cpus": 32,
-       "subset": sorted(a["queries"]),
-       "excluded": "gate queries not in the subset read the relational/"
-                   "event tables (lineitem/orders/customer/.../events) "
-                   "or TSV/JSONL side fixtures that the sf1 fixture does "
-                   "not carry (it is documents+embeddings only) — their "
-                   "10x behavior is governed by the same scan/shuffle "
-                   "plans PLANS.md documents; sub-second scalar-function "
-                   "families are likewise excluded (fixed JVM overhead "
-                   "dominates any ratio)",
+       "subset": common,
+       "excluded": "none — since r16 the sf1 fixture carries all nine "
+                   "tables (tools/gen_sf1.scala key-shifted replication), "
+                   "so the full gate runs at both scales. Caveat for "
+                   "readers: sub-second entries' ratios are dominated by "
+                   "fixed JVM/job-submission overhead — read family "
+                   "sums, not individual micro-query ratios",
        "sf0.1": {k: round(v, 2) for k, v in a["queries"].items()},
        "sf1": {k: round(v, 2) for k, v in b["queries"].items()},
        "ratio_10x": {k: round(b["queries"][k] / a["queries"][k], 2)
-                     for k in sorted(a["queries"])},
+                     for k in common if a["queries"][k] > 0},
        "fsck_incr_probe": probes}
 json.dump(out, open('bench_sf1.json', 'w'), indent=1)
 print(json.dumps({"ratio_10x": out["ratio_10x"],

@@ -31,5 +31,55 @@ val eParts = (0 until 10).map { i =>
 }
 eParts.reduce(_ unionByName _).repartition(32)
   .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet")
+// relational + event tables (VERDICT r15 #6): replica i shifts every
+// PRIMARY and FOREIGN key by (max+1)*i — referential integrity holds
+// within each replica, so joins scale as 10 disjoint TPC-H-shaped
+// universes (10x probe rows on both sides, no artificial fan-out).
+// region/nation stay fixed (TPC-H dimension tables are constant at any
+// SF; every replica's nationkeys resolve against the one copy).
+// events keep their timestamps: 10x rows per time window is exactly the
+// 10x shape the window/session/streaming families pay at scale.
+val sfDir = "/root/testdata/sf0.1"
+def rep10(name: String, keyShifts: Seq[String]): Unit = {
+  val t = spark.read.parquet(s"$sfDir/$name.parquet")
+  val maxes = keyShifts.map(k => k -> (t.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+  val parts = (0 until 10).map { i =>
+    keyShifts.foldLeft(t) { (df, k) =>
+      if (i == 0) df else df.withColumn(k, col(k) + lit(maxes(k) * i)) }
+  }
+  parts.reduce(_ unionByName _).repartition(32)
+    .write.mode("overwrite").parquet(s"/tmp/sf1/$name.parquet")
+}
+// shared key spaces shift by the SAME modulus on every referencing side:
+// customer/orders share custkey, orders/lineitem share orderkey, etc.
+val custMax = spark.read.parquet(s"$sfDir/customer.parquet")
+  .agg(max(col("c_custkey"))).head.getLong(0) + 1L
+val suppMax = spark.read.parquet(s"$sfDir/supplier.parquet")
+  .agg(max(col("s_suppkey"))).head.getLong(0) + 1L
+val partMax = spark.read.parquet(s"$sfDir/part.parquet")
+  .agg(max(col("p_partkey"))).head.getLong(0) + 1L
+val ordMax = spark.read.parquet(s"$sfDir/orders.parquet")
+  .agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+def rep10Keyed(name: String, shifts: Map[String, Long]): Unit = {
+  val t = spark.read.parquet(s"$sfDir/$name.parquet")
+  val parts = (0 until 10).map { i =>
+    shifts.foldLeft(t) { case (df, (k, m)) =>
+      if (i == 0) df else df.withColumn(k, col(k) + lit(m * i)) }
+  }
+  parts.reduce(_ unionByName _).repartition(32)
+    .write.mode("overwrite").parquet(s"/tmp/sf1/$name.parquet")
+}
+rep10Keyed("customer", Map("c_custkey" -> custMax))
+rep10Keyed("supplier", Map("s_suppkey" -> suppMax))
+rep10Keyed("part", Map("p_partkey" -> partMax))
+rep10Keyed("orders", Map("o_orderkey" -> ordMax, "o_custkey" -> custMax))
+rep10Keyed("lineitem", Map("l_orderkey" -> ordMax, "l_partkey" -> partMax,
+  "l_suppkey" -> suppMax))
+rep10("events", Seq("event_id", "user_id"))
+for (dim <- Seq("region", "nation"))
+  spark.read.parquet(s"$sfDir/$dim.parquet")
+    .write.mode("overwrite").parquet(s"/tmp/sf1/$dim.parquet")
 println("SF1ROWS=" + spark.read.parquet("/tmp/sf1/documents.parquet").count()
-  + "," + spark.read.parquet("/tmp/sf1/embeddings.parquet").count())
+  + "," + spark.read.parquet("/tmp/sf1/embeddings.parquet").count()
+  + "," + spark.read.parquet("/tmp/sf1/lineitem.parquet").count()
+  + "," + spark.read.parquet("/tmp/sf1/events.parquet").count())

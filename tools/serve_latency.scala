@@ -56,6 +56,25 @@ build("index_merged") {
     Seq(s"$root/ix_shA", s"$root/ix_shB"), s"$root/ix_merged",
     moveFiles = true)
 }
+// positional merged store (VERDICT r15 #5): two combined shards
+// (frequency store + co-located positional table — the layout
+// StoreMerge's positional transfer expects), promoted metadata-level;
+// the phrase/prox batch faces then serve from the merged store
+build("pos_merged") {
+  val halfA = docs.filter(col("doc_id") % 2 === 0)
+  val halfB = docs.filter(col("doc_id") % 2 === 1)
+  graft.index.Indexer.writeIndex(
+    graft.index.Indexer.buildIndex(halfA, titleCol = Some("source")),
+    s"$root/pos_shA")
+  graft.index.Indexer.writePositional(halfA, s"$root/pos_shA")
+  graft.index.Indexer.writeIndex(
+    graft.index.Indexer.buildIndex(halfB, titleCol = Some("source")),
+    s"$root/pos_shB")
+  graft.index.Indexer.writePositional(halfB, s"$root/pos_shB")
+  graft.index.StoreMerge.mergeStores(spark,
+    Seq(s"$root/pos_shA", s"$root/pos_shB"), s"$root/pos_merged",
+    moveFiles = true)
+}
 build("ivf_merged") {
   graft.similarity.IvfStore.writeIndex(emb.filter(col("vec_id") % 2 === 0),
     s"$root/ivf_shA", kmeansIters = 0)
@@ -106,6 +125,8 @@ face("ivf_probe20", "plain") { graft.similarity.IvfStore.searchStore(spark, s"$r
 // merged faces: same query jobs against the promotion's output
 face("bm25_single", "merged")   { graft.search.BM25.searchStore(spark, s"$root/ix_merged", singleQ).count() }
 face("bm25_batch200", "merged") { graft.search.BM25.searchManyStore(spark, s"$root/ix_merged", log).count() }
+face("phrase_batch200", "merged") { graft.search.PhraseSearch.searchStoreMany(spark, s"$root/pos_merged", phraseLog).count() }
+face("prox_batch200", "merged")   { graft.search.PhraseSearch.proximityStoreMany(spark, s"$root/pos_merged", phraseLog, 3).count() }
 face("ivf_probe20", "merged")   { graft.similarity.IvfStore.searchStore(spark, s"$root/ivf_merged", probes, 10).count() }
 
 // ...and after the recluster maintenance verb (one retrain+rewrite pass,
