@@ -52,14 +52,19 @@ def rep10(name: String, keyShifts: Seq[String]): Unit = {
 }
 // shared key spaces shift by the SAME modulus on every referencing side:
 // customer/orders share custkey, orders/lineitem share orderkey, etc.
-val custMax = spark.read.parquet(s"$sfDir/customer.parquet")
-  .agg(max(col("c_custkey"))).head.getLong(0) + 1L
-val suppMax = spark.read.parquet(s"$sfDir/supplier.parquet")
-  .agg(max(col("s_suppkey"))).head.getLong(0) + 1L
-val partMax = spark.read.parquet(s"$sfDir/part.parquet")
-  .agg(max(col("p_partkey"))).head.getLong(0) + 1L
-val ordMax = spark.read.parquet(s"$sfDir/orders.parquet")
-  .agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+// NOTE every multi-line statement here is brace-wrapped: the REPL's -I
+// loader evaluates a line that parses complete and treats a following
+// leading-dot line as a chain on the previous RESULT — a two-line
+// `val x = read(...)` + `.agg(...)` binds x to the DataFrame and
+// silently discards the aggregation (exactly how the first run of this
+// script produced a fixture with no relational tables).
+def keyMax(name: String, k: String): Long = {
+  spark.read.parquet(s"$sfDir/$name.parquet").agg(max(col(k))).head.getLong(0) + 1L
+}
+val custMax = keyMax("customer", "c_custkey")
+val suppMax = keyMax("supplier", "s_suppkey")
+val partMax = keyMax("part", "p_partkey")
+val ordMax = keyMax("orders", "o_orderkey")
 def rep10Keyed(name: String, shifts: Map[String, Long]): Unit = {
   val t = spark.read.parquet(s"$sfDir/$name.parquet")
   val parts = (0 until 10).map { i =>
@@ -76,9 +81,9 @@ rep10Keyed("orders", Map("o_orderkey" -> ordMax, "o_custkey" -> custMax))
 rep10Keyed("lineitem", Map("l_orderkey" -> ordMax, "l_partkey" -> partMax,
   "l_suppkey" -> suppMax))
 rep10("events", Seq("event_id", "user_id"))
-for (dim <- Seq("region", "nation"))
-  spark.read.parquet(s"$sfDir/$dim.parquet")
-    .write.mode("overwrite").parquet(s"/tmp/sf1/$dim.parquet")
+for (dim <- Seq("region", "nation")) {
+  spark.read.parquet(s"$sfDir/$dim.parquet").write.mode("overwrite").parquet(s"/tmp/sf1/$dim.parquet")
+}
 println("SF1ROWS=" + spark.read.parquet("/tmp/sf1/documents.parquet").count()
   + "," + spark.read.parquet("/tmp/sf1/embeddings.parquet").count()
   + "," + spark.read.parquet("/tmp/sf1/lineitem.parquet").count()
