@@ -36,8 +36,13 @@ package graft
   */
 object BenchReverify {
 
+  /** `next`: the gate entry measured immediately after a mid-sweep
+    * calibration mark (Bench's `"next"` field, cal rows only) — the
+    * cache-exposure record ADVICE r15 asked for; parsed and re-emitted
+    * so the merge rewrite cannot drop it from the committed artifact. */
   final case class Entry(name: String, secs: Double, ok: Boolean, reps: Int,
-                         reverified: Boolean = false, cal: Boolean = false)
+                         reverified: Boolean = false, cal: Boolean = false,
+                         next: Option[String] = None)
 
   /** Parse the jsonl evidence Bench itself writes (one flat object per
     * line, fields in any order — our own controlled format). */
@@ -72,7 +77,8 @@ object BenchReverify {
         ok = bool(l, "ok").getOrElse(true),
         reps = num(l, "reps").map(_.toInt).getOrElse(1),
         reverified = bool(l, "reverified").getOrElse(false),
-        cal = bool(l, "cal").getOrElse(false))
+        cal = bool(l, "cal").getOrElse(false),
+        next = str(l, "next"))
     }
   }
 
@@ -167,7 +173,8 @@ object BenchReverify {
     val jsonl = entries.map { e =>
       val stamp = if (e.reverified) ""","reverified":true""" else ""
       val calStamp = if (e.cal) ""","cal":true""" else ""
-      s"""{"name":${jstr(e.name)},"secs":${e.secs},"ok":${e.ok},"reps":${e.reps}$stamp$calStamp}"""
+      val nextStamp = e.next.map(n => s""","next":${jstr(n)}""").getOrElse("")
+      s"""{"name":${jstr(e.name)},"secs":${e.secs},"ok":${e.ok},"reps":${e.reps}$stamp$calStamp$nextStamp}"""
     }
     // calibration rows self-describe the window but are not gate
     // queries: excluded from queries/ok/total, surfaced in their own

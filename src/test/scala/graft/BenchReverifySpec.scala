@@ -164,4 +164,20 @@ class BenchReverifySpec extends AnyFunSuite {
       """{"name":"q_chunk","secs":0.756658498,"ok":true,"reps":3}"""))
     assert(parsed === Seq(Entry("q_chunk", 0.756658498, ok = true, reps = 3)))
   }
+
+  test("a mid-sweep mark's next field survives parse, merge and render") {
+    // ADVICE r15: Bench records which gate entry follows each mid-sweep
+    // calibration mark ("next"). The merge rewrite re-serializes every
+    // line, so the field must round-trip or the committed artifact
+    // silently loses the cache-exposure record (the r16 first sweep did).
+    val entries = parseJsonl(Seq(
+      """{"name":"cal_io_t1","secs":0.24,"ok":true,"reps":3,"cal":true,"next":"q_dedup_keep"}""",
+      """{"name":"q_dedup_keep","secs":4.0,"ok":true,"reps":2}"""))
+    assert(entries.head.next === Some("q_dedup_keep"))
+    val merged = merge(entries,
+      Seq(Entry("q_dedup_keep", 3.5, ok = true, reps = 2)), Seq("q_dedup_keep"))
+    val (jsonl, _) = render(merged, reps = 2, sfDir = "/root/testdata/sf0.1")
+    assert(jsonl.head.contains(""""next":"q_dedup_keep""""), jsonl.head)
+    assert(parseJsonl(jsonl) === merged)
+  }
 }
