@@ -35,7 +35,11 @@ val names = Seq(
   // the layered-shard merge (batch=/cid= layout preserved through the
   // remap — probing still pruned)
   "q_store_merge_bucketed", "q_ann_ivf_recluster", "q_ann_ivf_merge_stream",
-  "q_ann_ivf_flatten")
+  "q_ann_ivf_flatten",
+  // r16: quantized shards through the merge (union probe must keep the
+  // probed-cid partition pruning over the transferred int8 lists) and
+  // the quantized deep audit (one cached lists pass, banded recompute)
+  "q_ann_ivf_quant_merge", "q_ivf_fsck_quant")
 val sb = new StringBuilder
 sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
