@@ -42,10 +42,12 @@ object IvfStore {
   /** IVF store with int8-QUANTIZED inverted lists — the memory-bound
     * configuration: assignment happens on the raw vectors (exactly as
     * [[writeIndex]]), but the persisted lists carry `(scale, qvec)`
-    * codes ([[Quantize.toInt8]]) instead of floats — 4× less list bytes
-    * through every probe scan, shuffle and broadcast, which at 100 TB
-    * is the difference between lists living in executor memory or
-    * spilling. Search ([[searchStoreQuantized]]) dequantizes on the fly
+    * codes ([[Quantize.toInt8]]) instead of floats — 4× less VECTOR
+    * payload through every probe scan, shuffle and broadcast (2.65×
+    * whole-list parquet bytes measured at sf0.1, bench_serving.json's
+    * store_bytes — ids/norms/encoding overhead dilute the payload win),
+    * which at 100 TB is the difference between lists living in executor
+    * memory or spilling. Search ([[searchStoreQuantized]]) dequantizes on the fly
     * and ranks on the reconstructed vectors; ranking error is bounded
     * by the scale/2-per-component reconstruction error (QuantizeSpec),
     * and the whole pipeline stays engine-reproducible — codes, dequant
@@ -371,26 +373,39 @@ object IvfStore {
             val g = grpOf(bs.map(_.toLong)) _
             val cg = broadcast(cents.select(col("cid").as("ccid"), col("cvec"))
               .withColumn("__grp", g(col("ccid"))))
-            // group to re-home INTO: where batch provenance exists
-            // (layered merge of plain shards), a remapped layer's row
-            // belongs to its SOURCE's group no matter what its possibly
-            // -corrupted cid claims — the merged_provenance invariant's
-            // repair face (a cross-group cid rewrite re-homes into the
-            // provenance group, not the foreign group the cid landed in);
-            // the cid's own group otherwise (merge contract)
-            val rowGrp = (mergedBatchBounds(spark, path),
+            // group RANGE to re-home INTO: where batch provenance exists
+            // (layered merge — segments, composed through nesting), a
+            // remapped layer's row belongs to its provenance range no
+            // matter what its possibly-corrupted cid claims — the
+            // merged_provenance invariant's repair face. An EXACT segment
+            // pins the single source group; a RANGE segment keeps the
+            // cid-claimed group when it lies inside the range (the merge
+            // contract: shard-local assignment is healthy) and re-homes
+            // to the nearest centroid ACROSS the range otherwise. Rows
+            // without provenance keep their cid's own group (merge
+            // contract). A corrupt segment marker degrades to the
+            // cid-claimed group — weaker, never wrong.
+            val cidG = g(col("cid"))
+            val (provLo, provHi) = (mergedBatchSegments(spark, path),
                 graft.FsOps.readLongMarker(spark, path, BatchFloorMarker)) match {
-              case (Some(bb), Some(f))
-                  if deduped.columns.contains("batch") && bb.size == bs.size =>
-                when(col("batch") <= f, grpOf(bb)(col("batch")))
-                  .otherwise(g(col("cid")))
-              case _ => g(col("cid"))
+              case (Some(segs), Some(f))
+                  if deduped.columns.contains("batch") &&
+                    segmentsValid(segs, bs.size) =>
+                val inScope = col("batch") <= lit(f)
+                (when(inScope, segCol(segs, col("batch"))(_.gLo)).otherwise(cidG),
+                 when(inScope, segCol(segs, col("batch"))(_.gHi)).otherwise(cidG))
+              case _ => (cidG, cidG)
             }
+            val inRange = cidG >= provLo && cidG <= provHi
             val keyCols = Seq("vec_id", "v", "cid") ++
               (if (deduped.columns.contains("batch")) Seq("batch") else Nil)
             val grouped = deduped.select(keyCols.map(col): _*)
-              .withColumn("__grp", rowGrp)
-              .join(cg, "__grp")
+              .withColumn("__glo", when(inRange, cidG).otherwise(provLo))
+              .withColumn("__ghi", when(inRange, cidG).otherwise(provHi))
+              // broadcast range join: cg is ≤ nCentroids rows, so the
+              // nested-loop probe is bounded like the assignment broadcast
+              .join(cg, col("__grp") >= col("__glo") &&
+                col("__grp") <= col("__ghi"))
               .withColumn("cdist", lit(1.0) - Similarity.cosine(col("v"), col("cvec")))
               .groupBy(col("vec_id"))
               .agg(min_by(col("ccid"), col("cdist")).as("cid"))
@@ -454,28 +469,66 @@ object IvfStore {
   // wrong group's centroids and can pass as locally-nearest. On LAYERED
   // merges provenance survives: each source's batch ordinals occupy a
   // disjoint range of the merged ordinal space (the merge's batch
-  // offsets), recorded in `_merged_batch_bounds` (exclusive lower batch
-  // bounds, aligned index-for-index with `_merged_bounds`' cid groups).
-  // For every row with batch ≤ the merge's `_batch_floor` (a remapped
-  // layer, never post-merge ingest), group-of-batch IS the row's true
-  // shard — `merged_provenance` flags any row whose cid group disagrees,
-  // and [[repairLists]] re-homes such rows into their provenance group.
-  // The marker is written only when every source is a PLAIN streamed
-  // shard (no `_merged_bounds` of its own): a nested layered merge would
-  // need per-level floors to exclude the inner store's post-merge
-  // batches, so it falls back to the advisory row below. FRESH-layout
-  // merges carry no per-row provenance at all (file prefixes die at
-  // compaction) — `merged_groups_advisory` reports the rows audited
+  // offsets), recorded in `_merged_batch_bounds` as SEGMENTS
+  // `batchLo:gLo:gHi` (exclusive-lower batch bound → allowed cid-group
+  // range, grpOf units over `_merged_bounds`). A plain shard's layer is
+  // an EXACT segment (gLo = gHi — its one true group); an inner MERGED
+  // source composes (r16): its own segments shift by the outer batch and
+  // group offsets (exact stays exact through any nesting depth), and its
+  // post-merge ingest — union-assigned within that source's centroid
+  // union, so its true group is known only up to the source's span —
+  // becomes a RANGE segment across the source's groups. For every row
+  // with batch ≤ the merge's `_batch_floor` (a remapped layer, never
+  // post-merge ingest), `merged_provenance` flags a cid group outside
+  // the row's segment range, and [[repairLists]] re-homes such rows into
+  // their provenance range (the exact group where known, nearest within
+  // the range otherwise). A within-range rewrite on a range segment is
+  // the residual undetectable class — bounded by the inner store's own
+  // Voronoi overlap, the same drift its merge already accepted. FRESH
+  // -layout merges carry no per-row provenance at all (file prefixes die
+  // at compaction) — `merged_groups_advisory` reports the rows audited
   // under the grouped-only invariant, and recluster is the recovery
   // verb for the undetectable class (SCALE.md).
   private[graft] val MergedBatchBoundsMarker = "_merged_batch_bounds"
 
-  /** Exclusive-lower BATCH-ordinal group bounds of a layered merged
-    * store, aligned with [[mergedBounds]]' groups (None = no batch
-    * provenance: fresh-layout merge, nested layered merge, flattened). */
-  def mergedBatchBounds(spark: SparkSession, path: String): Option[Seq[Long]] =
-    graft.FsOps.readMarker(spark, path, MergedBatchBoundsMarker)
-      .map(_.trim.split(",").map(_.toLong).toSeq)
+  /** One batch-provenance segment of a layered merged store: rows whose
+    * batch ordinal falls past `batchLo` (exclusive, up to the next
+    * segment's bound) must carry a cid group in `[gLo, gHi]` —
+    * `gLo == gHi` is exact source provenance, a wider range is an inner
+    * merged store's union-assigned span (contract note above). */
+  final case class ProvenanceSegment(batchLo: Long, gLo: Int, gHi: Int)
+
+  /** Batch-provenance segments of a layered merged store, ascending by
+    * `batchLo` (None = no batch provenance: fresh-layout merge,
+    * flattened store). Pre-segment markers (bare bounds, one per cid
+    * group) parse as exact index-aligned segments. */
+  def mergedBatchSegments(spark: SparkSession, path: String)
+      : Option[Seq[ProvenanceSegment]] =
+    graft.FsOps.readMarker(spark, path, MergedBatchBoundsMarker).map { raw =>
+      raw.trim.split(",").toIndexedSeq.zipWithIndex.map { case (tok, i) =>
+        tok.split(":") match {
+          case Array(b, lo, hi) => ProvenanceSegment(b.toLong, lo.toInt, hi.toInt)
+          case Array(b) => ProvenanceSegment(b.toLong, i + 1, i + 1)
+          case _ => throw new IllegalStateException(
+            s"corrupt $MergedBatchBoundsMarker at $path: token '$tok'")
+        }
+      }
+    }
+
+  /** Sanity of a segment list against the store's cid groups — corrupt
+    * markers must read as "no provenance" (advisory), never mis-audit. */
+  private def segmentsValid(segs: Seq[ProvenanceSegment], nGroups: Int): Boolean =
+    segs.nonEmpty &&
+      segs.forall(sg => sg.gLo >= 1 && sg.gLo <= sg.gHi && sg.gHi <= nGroups) &&
+      segs.sliding(2).forall(w => w.size < 2 || w(0).batchLo < w(1).batchLo)
+
+  /** Per-row segment attribute: ascending bounds, the row takes the last
+    * segment whose exclusive-lower bound its batch exceeds. */
+  private def segCol(segs: Seq[ProvenanceSegment],
+                     b: org.apache.spark.sql.Column)
+                    (f: ProvenanceSegment => Int): org.apache.spark.sql.Column =
+    segs.tail.foldLeft(lit(f(segs.head))) { (acc, sg) =>
+      when(b > lit(sg.batchLo), lit(f(sg))).otherwise(acc) }
 
   /** In-progress stamp for [[reclusterStore]]'s two-swap install window:
     * between the lists swap and the centroids swap a reader would probe
@@ -627,17 +680,21 @@ object IvfStore {
     *     reconstruction (quantized) — a stale norm skews every cosine.
     *   - `merged_provenance` (layered merged stores) — for every row of
     *     a remapped layer (batch ≤ the merge's ordinal floor), the cid's
-    *     group equals the batch ordinal's source group
-    *     (`_merged_batch_bounds`): the cross-group invariant the grouped
-    *     recompute cannot see (a cid rewritten into a FOREIGN group is
-    *     audited against that group's centroids). checked = 0 where no
-    *     batch provenance exists.
+    *     group lies in the batch ordinal's provenance range
+    *     (`_merged_batch_bounds` segments, COMPOSED through nested
+    *     merges: exact for plain-shard layers at any nesting depth, a
+    *     group range for an inner merged source's union-assigned rows):
+    *     the cross-group invariant the grouped recompute cannot see (a
+    *     cid rewritten into a FOREIGN group is audited against that
+    *     group's centroids). checked = 0 where no batch provenance
+    *     exists.
     *   - `merged_groups_advisory` — merged stores WITHOUT per-row
-    *     provenance (fresh-layout merges, flattened or nested layered
-    *     merges): checked counts the rows audited under the grouped-only
-    *     invariant, violations is always 0 — an explicit record that
-    *     group-membership corruption is undetectable there and recluster
-    *     is the recovery verb (contract note above; SCALE.md).
+    *     provenance (fresh-layout merges, flattened stores, corrupt
+    *     segment markers): checked counts the rows audited under the
+    *     grouped-only invariant, violations is always 0 — an explicit
+    *     record that group-membership corruption is undetectable there
+    *     and recluster is the recovery verb (contract note above;
+    *     SCALE.md).
     *
     * Scale: the audit is unpruned (scheduled maintenance, not
     * probe-path cost) but priced per PASS over lists — so lists is
@@ -680,32 +737,42 @@ object IvfStore {
       else assignmentRow(spark, "lists_assignment", lists, cents, bounds)
 
     // group-membership invariants of a merged store (contract note above):
-    // batch provenance where it survives, an explicit advisory otherwise
-    val provenanceInfo = (bounds, mergedBatchBounds(spark, path),
+    // batch provenance where it survives (composed segments — exact per
+    // plain-shard layer, range across an inner merged source's span), an
+    // explicit advisory otherwise. A corrupt/misaligned segment marker
+    // must degrade to the advisory, never mis-audit.
+    val provenanceInfo = (bounds, mergedBatchSegments(spark, path),
       graft.FsOps.readLongMarker(spark, path, BatchFloorMarker))
-    val provenance = provenanceInfo match {
-      case (Some(cb), Some(bb), Some(f))
-          if cb.size == bb.size && lists.columns.contains("batch") =>
+    val provenanceActive = provenanceInfo match {
+      case (Some(cb), Some(segs), Some(_)) =>
+        segmentsValid(segs, cb.size) && lists.columns.contains("batch")
+      case _ => false
+    }
+    val provenance =
+      if (!provenanceActive) emptyRow("merged_provenance")
+      else {
+        val (cb, segs, f) = provenanceInfo match {
+          case (Some(c), Some(s), Some(fl)) => (c, s, fl)
+          case _ => throw new IllegalStateException("unreachable: provenanceActive")
+        }
         val layer = lists.filter(col("batch") <= f)
+        val cidG = grpOf(cb.map(_.toLong))(col("cid"))
         row("merged_provenance",
           layer.agg(count(lit(1)).as("checked"),
-            sum(when(grpOf(cb.map(_.toLong))(col("cid"))
-                =!= grpOf(bb)(col("batch")), 1L).otherwise(0L))
+            sum(when(cidG < segCol(segs, col("batch"))(_.gLo) ||
+                cidG > segCol(segs, col("batch"))(_.gHi), 1L).otherwise(0L))
               .as("violations")))
-      case _ => emptyRow("merged_provenance")
-    }
-    val advisory = provenanceInfo match {
-      case (Some(_), Some(_), Some(_)) if lists.columns.contains("batch") =>
-        emptyRow("merged_groups_advisory")
-      case (Some(_), _, _) =>
+      }
+    val advisory =
+      if (provenanceActive) emptyRow("merged_groups_advisory")
+      else if (bounds.isDefined)
         // merged store with NO per-row provenance: these rows are audited
         // under the grouped invariant only — a cid rewritten into a
         // foreign group that happens to be locally-nearest there is
         // undetectable by construction; recluster is the recovery verb
         row("merged_groups_advisory",
           lists.agg(count(lit(1)).as("checked"), lit(0L).as("violations")))
-      case _ => emptyRow("merged_groups_advisory")
-    }
+      else emptyRow("merged_groups_advisory")
 
     val norms = {
       val withRef =
@@ -1011,14 +1078,40 @@ object IvfStore {
       listBatches(spark, dest).lastOption.foreach(
         graft.FsOps.writeLongMarker(spark, dest, BatchFloorMarker, _))
       markAudited(spark, dest)
-      // batch provenance (merged_provenance invariant): only when every
-      // source is a PLAIN streamed shard — a nested layered merge would
-      // need per-level floors to exclude the inner store's post-merge
-      // ingest from provenance scope (contract note at
-      // MergedBatchBoundsMarker), so it stays advisory-only
-      if (sources.forall(mergedBounds(spark, _).isEmpty))
-        graft.FsOps.writeMarker(spark, dest, MergedBatchBoundsMarker,
-          batchOffsets.map(_ - 1L).mkString(","))
+      // batch provenance (merged_provenance invariant), COMPOSED through
+      // nesting (r16 — contract note at MergedBatchBoundsMarker): a
+      // plain shard's whole ordinal range is one EXACT segment; a merged
+      // source's own segments shift by this merge's batch/group offsets
+      // (exact provenance survives any nesting depth), and its
+      // post-merge ingest — union-assigned within that source, so its
+      // true group is only known up to the source's span — contributes a
+      // RANGE segment. A source with groups but no readable segments
+      // (pre-segment marker era, or a marker that predates its floor)
+      // degrades to one range segment across its span: weaker, never
+      // wrong. All marker reads here are driver-side small files that
+      // never transfer, so a move-drained resume recomputes identically.
+      val grpSizes = sources.map(s => mergedBounds(spark, s).map(_.size).getOrElse(1))
+      val gOffs = grpSizes.scanLeft(0)(_ + _).init
+      val segs = sources.zipWithIndex.flatMap { case (src, i) =>
+        val bOff = batchOffsets(i); val gOff = gOffs(i); val nG = grpSizes(i)
+        mergedBounds(spark, src) match {
+          case None => Seq(ProvenanceSegment(bOff - 1L, gOff + 1, gOff + 1))
+          case Some(_) =>
+            val maxB = listBatches(spark, src).lastOption.getOrElse(0L)
+            (mergedBatchSegments(spark, src),
+              graft.FsOps.readLongMarker(spark, src, BatchFloorMarker)) match {
+              case (Some(is), Some(f)) if segmentsValid(is, nG) =>
+                is.map(sg => ProvenanceSegment(
+                    sg.batchLo + bOff, sg.gLo + gOff, sg.gHi + gOff)) ++
+                  (if (maxB > f)
+                     Seq(ProvenanceSegment(f + bOff, gOff + 1, gOff + nG))
+                   else Nil)
+              case _ => Seq(ProvenanceSegment(bOff - 1L, gOff + 1, gOff + nG))
+            }
+        }
+      }
+      graft.FsOps.writeMarker(spark, dest, MergedBatchBoundsMarker,
+        segs.map(sg => s"${sg.batchLo}:${sg.gLo}:${sg.gHi}").mkString(","))
     }
     // commit: the remapped centroid union, written last
     centFrames.zip(offsets).map { case (c, off) =>

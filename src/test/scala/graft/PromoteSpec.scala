@@ -287,7 +287,9 @@ class PromoteSpec extends SparkSpec {
     streamedIvfShard(_ % 2 == 1, b)
     IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
     assert(IvfStore.mergedBounds(spark, dest) === Some(Seq(0, 2)))
-    assert(IvfStore.mergedBatchBounds(spark, dest) === Some(Seq(-1L, 1L)))
+    // two plain shards → two EXACT provenance segments
+    assert(IvfStore.mergedBatchSegments(spark, dest) === Some(Seq(
+      IvfStore.ProvenanceSegment(-1L, 1, 1), IvfStore.ProvenanceSegment(1L, 2, 2))))
     def rep(p: String = dest): Map[String, (Long, Long)] =
       IvfStore.checkStore(spark, p).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -337,8 +339,11 @@ class PromoteSpec extends SparkSpec {
     assert(post("merged_provenance")._1 === 8L,
       "batch 4 > floor 3: outside provenance scope")
 
-    // a NESTED layered merge does not compose provenance (per-level
-    // floors would be needed): no batch-bounds marker, advisory row on
+    // a NESTED layered merge COMPOSES provenance (r16): the inner
+    // store's exact segments shift by the outer offsets, its post-merge
+    // ingest (vec 100, union-assigned within dest) becomes a RANGE
+    // segment across dest's two groups, and the new plain shard gets its
+    // own exact segment
     val c = tmp("provC")
     val cVecs = Seq((200L, Array(0.1f, 0.99f)), (201L, Array(0.99f, 0.1f)))
     IvfStore.writeCentroids(cVecs.toDF("vec_id", "embedding"), c,
@@ -346,12 +351,57 @@ class PromoteSpec extends SparkSpec {
     IvfStore.appendBatch(spark, c, cVecs.toDF("vec_id", "embedding"), 0L)
     val outer = tmp("provOut") + "/store"
     IvfStore.mergeStores(spark, Seq(dest, c), outer)
-    assert(IvfStore.mergedBatchBounds(spark, outer) === None)
+    // dest: ordinals 0..4 (floor 3, post-merge batch 4), groups 1-2;
+    // c: one plain batch remapped to ordinal 5, group 3
+    assert(IvfStore.mergedBounds(spark, outer) === Some(Seq(0, 2, 4)))
+    assert(IvfStore.mergedBatchSegments(spark, outer) === Some(Seq(
+      IvfStore.ProvenanceSegment(-1L, 1, 1), IvfStore.ProvenanceSegment(1L, 2, 2),
+      IvfStore.ProvenanceSegment(3L, 1, 2), IvfStore.ProvenanceSegment(4L, 3, 3))))
     val orep = rep(outer)
     assert(orep.values.map(_._2).sum === 0L, orep.toString)
-    assert(orep("merged_provenance")._1 === 0L)
-    assert(orep("merged_groups_advisory")._1 === orep("ids_unique")._1,
-      "advisory row records every grouped-only-audited row")
+    assert(orep("merged_provenance")._1 === orep("ids_unique")._1,
+      "every remapped row is provenance-audited through the nest: " + orep)
+    assert(orep("merged_groups_advisory")._1 === 0L,
+      "composed provenance: the advisory row is empty")
+
+    // cross-group rewrites against the composed segments: an exact-layer
+    // row (vec 1, shard A) rewritten into the new shard's group flags,
+    // and the RANGE row (vec 100) rewritten OUTSIDE its range flags —
+    // while a within-range rewrite is the documented residual limit
+    def rewriteCid(vecId: Long, newCid: Int): Unit = {
+      val ls = spark.read.parquet(s"$outer/lists")
+      ls.withColumn("cid",
+          when($"vec_id" === vecId, lit(newCid)).otherwise($"cid"))
+        .repartition($"batch", $"cid")
+        .write.mode("overwrite").partitionBy("batch", "cid")
+        .parquet(s"$outer/lists_tmp")
+      FsOps.atomicSwap(fsAt(outer), new Path(s"$outer/lists"),
+        new Path(s"$outer/lists_tmp"))
+    }
+    val cids = spark.read.parquet(s"$outer/centroids").select("cid")
+      .as[Int].collect().sorted
+    val inGroup3 = cids.filter(_ > 4).head   // a cid of shard c's group
+    val inGroup2 = cids.filter(k => k > 2 && k <= 4).head // dest group 2
+    val vec1Cid = spark.read.parquet(s"$outer/lists")
+      .filter($"vec_id" === 1L).select("cid").as[Int].collect().head
+    rewriteCid(1L, inGroup3)    // exact-layer row → foreign group
+    assert(rep(outer)("merged_provenance")._2 >= 1L,
+      "exact segment: cross-group rewrite flags through the nest")
+    rewriteCid(1L, vec1Cid)     // restore the healthy assignment
+    rewriteCid(100L, inGroup3)  // range row → OUTSIDE dest's span
+    assert(rep(outer)("merged_provenance")._2 >= 1L,
+      "range segment: rewrite outside the inner store's span flags")
+    // repair re-homes the range row WITHIN its provenance range
+    IvfStore.repairLists(spark, outer)
+    val rfixed = rep(outer)
+    assert(rfixed.values.map(_._2).sum === 0L, rfixed.toString)
+    val homed = spark.read.parquet(s"$outer/lists")
+      .filter($"vec_id" === 100L).select("cid").as[Int].collect().head
+    assert(homed >= 1 && homed <= 4,
+      s"vec 100 must re-home inside dest's group span, got cid $homed")
+    rewriteCid(100L, inGroup2)  // within-range rewrite: undetectable
+    assert(rep(outer)("merged_provenance")._2 === 0L,
+      "a within-range rewrite on a range segment is the documented limit")
   }
 
   test("layered move-merge: floor and audit markers are pre-commit; resume verifies the source list") {

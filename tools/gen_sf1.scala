@@ -16,8 +16,8 @@ val parts = (0 until 10).map { i =>
       transform(split(col("text"), " "), t => concat(lit("r" + i), t)), " "))
     .withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
 }
-parts.reduce(_ unionByName _).repartition(32)
-  .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet")
+(parts.reduce(_ unionByName _).repartition(32)
+  .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet"))
 // embeddings scale the same way: replica i offsets vec_id by
 // (maxVid+1)*i with the vector payload unchanged — IVF/ANN cost is a
 // function of row count and list sizes, not vector values, and
@@ -29,8 +29,8 @@ val maxVid = e.agg(max("vec_id")).head.getLong(0)
 val eParts = (0 until 10).map { i =>
   if (i == 0) e else e.withColumn("vec_id", col("vec_id") + lit((maxVid + 1L) * i))
 }
-eParts.reduce(_ unionByName _).repartition(32)
-  .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet")
+(eParts.reduce(_ unionByName _).repartition(32)
+  .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet"))
 // relational + event tables (VERDICT r15 #6): replica i shifts every
 // PRIMARY and FOREIGN key by (max+1)*i — referential integrity holds
 // within each replica, so joins scale as 10 disjoint TPC-H-shaped

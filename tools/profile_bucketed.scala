@@ -9,8 +9,8 @@
 import org.apache.spark.sql.functions._
 
 val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-val d = spark.read.parquet(s"$sf/documents.parquet")
-  .select(col("doc_id"), col("text"), col("source"))
+val d = (spark.read.parquet(s"$sf/documents.parquet")
+  .select(col("doc_id"), col("text"), col("source")))
 
 def t[A](tag: String)(f: => A): A = {
   val t0 = System.nanoTime(); val r = f

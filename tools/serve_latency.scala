@@ -13,8 +13,11 @@ val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 val reps = sys.env.getOrElse("SPARK_GRAFT_SERVE_REPS", "15").toInt
 val root = "/tmp/serve_stores"
 
-val fs = new org.apache.hadoop.fs.Path(root)
-  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+// paren-wrapped: the -I loader would otherwise bind fs to the PATH and
+// evaluate the leading-dot line against the discarded result (the r16
+// SERVEBYTES probe caught this — fs.delete below had silently never run)
+val fs = (new org.apache.hadoop.fs.Path(root)
+  .getFileSystem(spark.sparkContext.hadoopConfiguration))
 fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
 spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +42,17 @@ build("pos_docbkt") { graft.index.Indexer.writePositional(docs, s"$root/pos_docb
 val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 build("ivf") { graft.similarity.IvfStore.writeIndex(emb, s"$root/ivf",
   kmeansIters = 0) }
+// the int8-quantized configuration (r16): same centroids/assignment
+// geometry, (scale, qvec) codes instead of floats — prices the
+// "4x less probe bytes" claim with a direct warm-latency measurement
+// and the stores' actual list bytes (SERVEBYTES lines below)
+build("ivf_quant") { graft.similarity.IvfStore.writeIndexQuantized(emb,
+  s"$root/ivf_quant", kmeansIters = 0) }
+def bytesOf(p: String): Long = {
+  fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+}
+println("SERVEBYTES store=ivf_lists bytes=" + bytesOf(s"$root/ivf/lists"))
+println("SERVEBYTES store=ivf_quant_lists bytes=" + bytesOf(s"$root/ivf_quant/lists"))
 
 // ---- merged-store serving parity (VERDICT r13 #8): the promotion's
 // output must serve at plain-store latency. Index: two parity shards
@@ -121,6 +135,7 @@ face("phrase_batch200", "docbkt") { graft.search.PhraseSearch.searchStoreMany(sp
 face("prox_batch200", "plain")  { graft.search.PhraseSearch.proximityStoreMany(spark, s"$root/pos_plain", phraseLog, 3).count() }
 face("prox_batch200", "docbkt") { graft.search.PhraseSearch.proximityStoreMany(spark, s"$root/pos_docbkt", phraseLog, 3).count() }
 face("ivf_probe20", "plain") { graft.similarity.IvfStore.searchStore(spark, s"$root/ivf", probes, 10).count() }
+face("ivf_probe20", "quantized") { graft.similarity.IvfStore.searchStoreQuantized(spark, s"$root/ivf_quant", probes, 10).count() }
 
 // merged faces: same query jobs against the promotion's output
 face("bm25_single", "merged")   { graft.search.BM25.searchStore(spark, s"$root/ix_merged", singleQ).count() }

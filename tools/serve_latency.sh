@@ -21,11 +21,14 @@ cat /tmp/serve_latency.txt
 
 python3 - "$SF" <<'EOF'
 import json, re, sys
-builds, faces = {}, {}
+builds, faces, store_bytes = {}, {}, {}
 for line in open('/tmp/serve_latency.txt'):
     m = re.match(r'SERVEBUILD store=(\S+) secs=([\d.]+)', line)
     if m:
         builds[m.group(1)] = float(m.group(2))
+    m = re.match(r'SERVEBYTES store=(\S+) bytes=(\d+)', line)
+    if m:
+        store_bytes[m.group(1)] = int(m.group(2))
     m = re.match(r'SERVE face=(\S+) layout=(\S+) reps=(\d+) '
                  r'p50=([\d.]+) p95=([\d.]+)', line)
     if m:
@@ -48,10 +51,18 @@ ivf = faces.get("ivf_probe20", {})
 if "reclustered" in ivf and "plain" in ivf:
     merged["ivf_probe20_reclustered"] = round(
         ivf["reclustered"]["p50_secs"] / ivf["plain"]["p50_secs"], 2)
+if "quantized" in ivf and "plain" in ivf:
+    merged["ivf_probe20_quantized"] = round(
+        ivf["quantized"]["p50_secs"] / ivf["plain"]["p50_secs"], 2)
 out = {"sf": sys.argv[1], "cpus": 32,
        "build_secs": {k: round(v, 2) for k, v in builds.items()},
        "faces": faces, "plain_over_docbkt_p50": ratios,
        "merged_over_plain_p50": merged}
+if store_bytes:
+    out["store_bytes"] = store_bytes
+    if {"ivf_lists", "ivf_quant_lists"} <= set(store_bytes):
+        out["quant_bytes_ratio"] = round(
+            store_bytes["ivf_lists"] / store_bytes["ivf_quant_lists"], 2)
 json.dump(out, open('bench_serving.json', 'w'), indent=1)
 print(json.dumps({"plain_over_docbkt_p50": ratios,
                   "merged_over_plain_p50": merged}, indent=1))
