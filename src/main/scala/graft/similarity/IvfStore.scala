@@ -104,7 +104,10 @@ object IvfStore {
     liveLists(spark, path, lists).join(broadcast(q), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        Similarity.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+        // zero-norm guard (same contract as Similarity.cosinePrenormed):
+        // ANSI mode would otherwise kill the probe job on one zero vector
+        when(col("nv") * col("nq") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
@@ -500,19 +503,26 @@ object IvfStore {
 
   /** Batch-provenance segments of a layered merged store, ascending by
     * `batchLo` (None = no batch provenance: fresh-layout merge,
-    * flattened store). Pre-segment markers (bare bounds, one per cid
-    * group) parse as exact index-aligned segments. */
+    * flattened store, or a MALFORMED marker — a corrupt marker must
+    * degrade to the advisory row, never half-parse into a wrong audit
+    * that [[repairLists]] would then "fix" healthy rows by). Pre-segment
+    * markers (bare bounds, one per cid group) parse as exact
+    * index-aligned segments — but only when EVERY token is bare: a
+    * mixed bare/segment marker is a truncated new-format marker, not a
+    * legacy one (a bare tail token would otherwise alias to a wrong
+    * exact segment). */
   def mergedBatchSegments(spark: SparkSession, path: String)
       : Option[Seq[ProvenanceSegment]] =
-    graft.FsOps.readMarker(spark, path, MergedBatchBoundsMarker).map { raw =>
-      raw.trim.split(",").toIndexedSeq.zipWithIndex.map { case (tok, i) =>
-        tok.split(":") match {
-          case Array(b, lo, hi) => ProvenanceSegment(b.toLong, lo.toInt, hi.toInt)
-          case Array(b) => ProvenanceSegment(b.toLong, i + 1, i + 1)
-          case _ => throw new IllegalStateException(
-            s"corrupt $MergedBatchBoundsMarker at $path: token '$tok'")
-        }
-      }
+    graft.FsOps.readMarker(spark, path, MergedBatchBoundsMarker).flatMap { raw =>
+      val toks = raw.trim.split(",").toIndexedSeq.map(_.split(":").toSeq)
+      try {
+        if (toks.forall(_.size == 3))
+          Some(toks.map(t => ProvenanceSegment(t(0).toLong, t(1).toInt, t(2).toInt)))
+        else if (toks.forall(_.size == 1))
+          Some(toks.zipWithIndex.map { case (t, i) =>
+            ProvenanceSegment(t(0).toLong, i + 1, i + 1) })
+        else None
+      } catch { case _: NumberFormatException => None }
     }
 
   /** Sanity of a segment list against the store's cid groups — corrupt
@@ -578,7 +588,16 @@ object IvfStore {
     * The centroid join is a LEFT join and a row whose cid matches no
     * centroid of its group counts as a violation here too (ADVICE r15):
     * `checked` reflects every audited (vec_id, cid) row, so this
-    * invariant stays trustworthy independently of `centroid_cover`. */
+    * invariant stays trustworthy independently of `centroid_cover`.
+    *
+    * ZERO vectors (a quantized all-zero code has scale = 0) score
+    * cosine 0 against every centroid ([[Similarity.cosine]]'s zero-norm
+    * contract) — own = best = 0, so they count as checked and never as
+    * violations: no assignment is more right than any other for a
+    * direction-less vector, and probes score it 0 under every query.
+    * The NaN guard below is defense in depth for corrupt NaN payloads —
+    * under Spark's NaN-greatest ordering `NaN - NaN > tol` would read
+    * true and permanently red-flag a store no repair verb can clear. */
   private def assignmentRow(spark: SparkSession, name: String,
                             rows: DataFrame, cents: DataFrame,
                             bounds: Option[Seq[Int]],
@@ -615,7 +634,8 @@ object IvfStore {
         row(name,
           scored.agg(count(lit(1)).as("checked"),
             sum(when(col("own").isNull ||
-                col("best") - col("own") > col("__tol"), 1L).otherwise(0L))
+                (!isnan(col("best")) &&
+                  col("best") - col("own") > col("__tol")), 1L).otherwise(0L))
               .as("violations")))
     }
   }
@@ -632,9 +652,16 @@ object IvfStore {
   private def quantAssignTol(v: org.apache.spark.sql.Column,
                              scale: org.apache.spark.sql.Column,
                              qvec: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    (lit(2.0) * scale + lit(1e-5)) *
-      sqrt(size(qvec).cast("double")) / Similarity.norm(v) + lit(1e-9)
+      : org.apache.spark.sql.Column = {
+    val nv = Similarity.norm(v)
+    // zero-vector guard: a zero reconstruction scores cosine 0 against
+    // every centroid (Similarity.cosine's zero-norm contract), so own =
+    // best = 0 and any tolerance passes — but the bare division would
+    // throw DIVIDE_BY_ZERO under ANSI and kill the whole audit job
+    when(nv === 0.0, lit(0.0)).otherwise(
+      (lit(2.0) * scale + lit(1e-5)) *
+        sqrt(size(qvec).cast("double")) / nv + lit(1e-9))
+  }
 
   /** Quantized lists with the float reconstruction as `v` — the audit
     * face of the store's "probes rank on round(code·scale, 6)" contract

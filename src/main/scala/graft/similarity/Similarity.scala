@@ -33,12 +33,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dotFast(a, a))
 
-  def cosine(a: Column, b: Column): Column = dotFast(a, b) / (norm(a) * norm(b))
+  /** Division that treats a zero denominator as similarity 0 — a ZERO
+    * vector has no direction, so it is "similar to nothing" rather than
+    * an error. Under Spark 4's default ANSI mode a bare `/` THROWS
+    * DIVIDE_BY_ZERO, so without this guard one zero embedding anywhere
+    * in a corpus kills the whole build/probe/audit job at 100 TB —
+    * row-level bad data must degrade per-row, never fail the job.
+    * CaseWhen branches evaluate lazily, so healthy rows run the exact
+    * same division as before (bit-identical scores). */
+  private def zeroSafeCos(num: Column, den: Column): Column =
+    when(den === 0.0, lit(0.0)).otherwise(num / den)
+
+  def cosine(a: Column, b: Column): Column =
+    zeroSafeCos(dotFast(a, b), norm(a) * norm(b))
 
   /** Cosine from a precomputed-norm layout: at N·M pair volume this does
     * one dot per pair instead of three. */
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dotFast(a, b) / (normA * normB)
+    zeroSafeCos(dotFast(a, b), normA * normB)
 
   /** Exact top-k neighbors for each query vector: `(query_id, vec_id, cos,
     * rank)`, self-matches excluded, ties broken by vec_id.

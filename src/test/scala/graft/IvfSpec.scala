@@ -281,6 +281,21 @@ class IvfSpec extends SparkSpec {
     val qh = report(qpath)
     assert(qh.values.forall(_._2 == 0L), s"healthy quantized store has violations: $qh")
     assert(qh("codes_wellformed")._1 > 0)
+
+    // a ZERO vector (scale = 0, all-zero code) has NaN cosine against
+    // every centroid — it must count as checked, never as a violation
+    // (under Spark's NaN-greatest ordering the banded recompute would
+    // otherwise permanently red-flag a healthy store with no repair verb
+    // able to clear it; probes can never return the row anyway)
+    val zpath = java.nio.file.Files.createTempDirectory("ivffsckz").toString
+    IvfStore.writeIndexQuantized(
+      Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+        .toDF("vec_id", "embedding"),
+      zpath, nCentroids = 2, kmeansIters = 0)
+    val zh = report(zpath)
+    assert(zh.values.forall(_._2 == 0L),
+      s"zero vector must not red-flag a healthy quantized store: $zh")
+    assert(zh("lists_assignment")._1 === 3L, "the zero row still counts as checked")
     // VERDICT r15 #1: assignment IS audited on quantized stores — the
     // round(code·scale) reconstruction under the per-row tolerance band
     // (which must absorb the write path's raw-vs-reconstructed drift on

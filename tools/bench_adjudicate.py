@@ -102,9 +102,14 @@ def main():
         dsum = sum(dq[r["name"]] for r in common)
         qratio = (dsum / csum) if csum > 0 else None
         cratio = median_ratio(dcal, ccal, suffixes[i])
-        norm = (qratio / cratio) if (qratio and cratio) else qratio
+        # WITHOUT a calibration baseline the raw ratio cannot separate an
+        # honest slower box from bursty contamination — never apply the
+        # inflation thresholds to it (a uniformly-slow-but-honest box
+        # would read "inflated", the exact misattribution this tool
+        # exists to prevent)
+        norm = (qratio / cratio) if (qratio and cratio) else None
         if norm is None:
-            verdict = "no-data"
+            verdict = "no-data" if qratio is None else "no-cal"
         elif norm <= 1.15:
             verdict = "clean"
         elif norm <= 1.30:
@@ -136,9 +141,13 @@ def main():
         key=lambda o: -o["ratio"])
 
     verdicts = [t["verdict"] for t in out_thirds]
+    # "clean" is a positive claim: at least one third must actually have
+    # been adjudicated — a wrong artifact (no shared queries, no cal
+    # rows) must not read as a successful clean adjudication
     overall = ("inflated" if "inflated" in verdicts
                else "drift" if "drift" in verdicts
-               else "clean")
+               else "clean" if "clean" in verdicts
+               else "no-data")
     report = {
         "driver_artifact": args.driver_json,
         "committed_artifact": args.committed_jsonl,

@@ -40,16 +40,6 @@ val eParts = (0 until 10).map { i =>
 // events keep their timestamps: 10x rows per time window is exactly the
 // 10x shape the window/session/streaming families pay at scale.
 val sfDir = "/root/testdata/sf0.1"
-def rep10(name: String, keyShifts: Seq[String]): Unit = {
-  val t = spark.read.parquet(s"$sfDir/$name.parquet")
-  val maxes = keyShifts.map(k => k -> (t.agg(max(col(k))).head.getLong(0) + 1L)).toMap
-  val parts = (0 until 10).map { i =>
-    keyShifts.foldLeft(t) { (df, k) =>
-      if (i == 0) df else df.withColumn(k, col(k) + lit(maxes(k) * i)) }
-  }
-  parts.reduce(_ unionByName _).repartition(32)
-    .write.mode("overwrite").parquet(s"/tmp/sf1/$name.parquet")
-}
 // shared key spaces shift by the SAME modulus on every referencing side:
 // customer/orders share custkey, orders/lineitem share orderkey, etc.
 // NOTE every multi-line statement here is brace-wrapped: the REPL's -I
@@ -80,7 +70,8 @@ rep10Keyed("part", Map("p_partkey" -> partMax))
 rep10Keyed("orders", Map("o_orderkey" -> ordMax, "o_custkey" -> custMax))
 rep10Keyed("lineitem", Map("l_orderkey" -> ordMax, "l_partkey" -> partMax,
   "l_suppkey" -> suppMax))
-rep10("events", Seq("event_id", "user_id"))
+rep10Keyed("events", Map("event_id" -> keyMax("events", "event_id"),
+  "user_id" -> keyMax("events", "user_id")))
 for (dim <- Seq("region", "nation")) {
   spark.read.parquet(s"$sfDir/$dim.parquet").write.mode("overwrite").parquet(s"/tmp/sf1/$dim.parquet")
 }

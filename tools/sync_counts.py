@@ -24,7 +24,14 @@ import subprocess
 import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-BOUNDS_ORACLES = 4  # q_sketch_distinct, q_sketch_quantile, q_profile_approx, q_ann_ivf_refined
+# The queries whose oracle checks a quality BOUND (a boolean claim)
+# rather than value-for-value rows. No structural marker distinguishes
+# them in source, so the list is named here and query_count() asserts
+# each still exists — adding/removing a bounds oracle without updating
+# this list fails the sync instead of silently stamping a stale
+# value-for-value count into the docs (the review's drift scenario).
+BOUNDS_ORACLE_NAMES = {"q_sketch_distinct", "q_sketch_quantile",
+                       "q_profile_approx", "q_ann_ivf_refined"}
 
 
 def query_count():
@@ -33,6 +40,10 @@ def query_count():
          str(REPO / "src/main/scala/graft/queries")],
         capture_output=True, text=True, check=True).stdout
     names = {line.split('"')[1] for line in out.splitlines()}
+    missing = BOUNDS_ORACLE_NAMES - names
+    if missing:
+        sys.exit(f"bounds-oracle list is stale (not in sources: "
+                 f"{sorted(missing)}) — update BOUNDS_ORACLE_NAMES")
     return len(names)
 
 
@@ -61,7 +72,7 @@ def main():
 
     q = query_count()
     t, s = test_counts(args.test_log)
-    exact = q - BOUNDS_ORACLES
+    exact = q - len(BOUNDS_ORACLE_NAMES)
 
     cov_p = REPO / "COVERAGE.md"
     cov = cov_p.read_text()
@@ -81,7 +92,7 @@ def main():
                      f"# {t} tests across {s} suites", rd, rd_p)
     rd_p.write_text(rd)
 
-    print(f"queries={q} (value-for-value={exact}, bounds={BOUNDS_ORACLES}) "
+    print(f"queries={q} (value-for-value={exact}, bounds={len(BOUNDS_ORACLE_NAMES)}) "
           f"tests={t} suites={s} — README.md + COVERAGE.md synced")
 
 
