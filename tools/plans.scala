@@ -41,7 +41,7 @@ val names = Seq(
   // the quantized deep audit (one cached lists pass, banded recompute)
   "q_ann_ivf_quant_merge", "q_ivf_fsck_quant")
 val sb = new StringBuilder
-sb.append("# PLANS — formatted physical plans (sf0.001)\n\n")
+sb.append("# PLANS - formatted physical plans (sf0.001)\n\n")
 sb.append("Generated evidence artifacts for the flagship queries: what Catalyst\nactually plans for this engine's declarative code (pushdown, pruning,\nbroadcast choice, partial aggregation, TakeOrderedAndProject, custom\noperators). Regenerate with `tools/gen_plans.sh` after operator changes.\n")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
