@@ -494,6 +494,60 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // ...and the quantized merge lifecycle's terminal maintenance step
+    // (VERDICT r16 #1): recluster on an int8 store trains and re-assigns
+    // over the round(code·scale, 6) reconstructions — the same vectors
+    // every probe ranks on — so with deterministic seeding the
+    // reclustered store answers exactly like a fresh quantized build
+    // whose centroids ARE the reconstructed seed vectors. The oracle
+    // reproduces that geometry end-to-end: codes, float-cast
+    // reconstruction for training/assignment (reclusterStore casts __v
+    // to float for the codegen dot), double reconstruction for scoring
+    "q_ann_ivf_quant_recluster" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfquantrecl")
+      graft.similarity.IvfStore.writeIndexQuantized(
+        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
+      graft.similarity.IvfStore.writeIndexQuantized(
+        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.reclusterStore(s, s"$root/merged",
+        nCentroids = 16, kmeansIters = 0)
+      graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
+    // ...and the STREAMED-then-flattened quantized shard (VERDICT r16
+    // #2): streaming ingest quantizes per batch (appendBatch
+    // quantize=true — raw assignment against the frozen centroids, int8
+    // codes in the lists, exactly writeIndexQuantized's split), flatten
+    // rewrites the batch= layers into the fresh layout, and the shard
+    // merges with a fresh-built quantized one. Every step is
+    // layout/metadata-only w.r.t. assignment and codes, so the merged
+    // store answers exactly like the all-fresh quantized merge: oracle
+    // shared with q_ann_ivf_quant_merge
+    "q_ann_ivf_quant_flatten" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfquantflat")
+      val evens = e.filter(col("vec_id") % 2 === 0)
+      graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
+        kmeansIters = 0)
+      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+        evens.filter(col("vec_id") % 4 === 0), 0L, quantize = true)
+      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+        evens.filter(col("vec_id") % 4 === 2), 1L, quantize = true)
+      graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
+      graft.similarity.IvfStore.writeIndexQuantized(
+        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // IVF delete lifecycle: tombstone a quarter of the vectors (lists
     // never rewritten, centroids frozen), search the store — answers
     // exactly like probing the surviving vectors with the same centroids
@@ -2032,6 +2086,73 @@ object PipelineQueries extends QueryGroup {
        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
   }
 
+  /** Quantized-store recluster probe (q_ann_ivf_quant_recluster):
+    * reclusterStore on an int8 store trains and re-assigns over the
+    * FLOAT-CAST `round(code·scale, 6)` reconstructions (the cast feeds
+    * the codegen float dot; [[graft.similarity.IvfStore.reclusterStore]]),
+    * so with kmeansIters = 0 the new centroids ARE the reconstructed
+    * 16 lowest-vec_id vectors and assignment is
+    * reconstruction-vs-reconstruction. Probing then assigns the RAW
+    * query vectors against those reconstructed centroids and scores on
+    * the double reconstruction (stored nv). The oracle reproduces every
+    * stage, round-tripping the reconstruction through REAL for the
+    * training/assignment face so the float cast is value-exact. */
+  private lazy val annIvfQuantReclusterOracle: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             qz AS (SELECT vec_id,
+                           round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
+                           v
+                    FROM e),
+             codes AS (SELECT vec_id, scale,
+                              CASE WHEN scale = 0
+                                   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                   ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                                          least(CAST(127 AS BIGINT),
+                                                CAST(round(x / scale) AS BIGINT))))
+                              END AS qvec
+                       FROM qz),
+             dq AS (SELECT vec_id, list_transform(qvec, x -> round(x * scale, 6)) AS v
+                    FROM codes),
+             dqf AS (SELECT vec_id,
+                            list_transform(qvec,
+                              x -> CAST(CAST(round(x * scale, 6) AS REAL) AS DOUBLE)) AS v
+                     FROM codes),
+             cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                       FROM dqf ORDER BY vec_id ASC LIMIT 16),
+             pairs AS (SELECT d.vec_id, c.cid,
+                              1 - list_cosine_similarity(d.v, c.cvec) AS cdist
+                       FROM dqf d CROSS JOIN cents c),
+             ranked AS (SELECT vec_id, cid,
+                               row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY cdist ASC, cid ASC) AS rn
+                        FROM pairs),
+             assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+             qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id IN ($ids)),
+             qpairs AS (SELECT qe.vec_id, c.cid,
+                               1 - list_cosine_similarity(qe.v, c.cvec) AS cdist
+                        FROM qe CROSS JOIN cents c),
+             qranked AS (SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY cdist ASC, cid ASC) AS rn
+                         FROM qpairs),
+             qassign AS (SELECT vec_id AS query_id, cid FROM qranked WHERE rn <= 4),
+             cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                      FROM qassign q JOIN assign a USING (cid)
+                      WHERE a.vec_id <> q.query_id),
+             scored AS (SELECT cand.query_id, cand.vec_id,
+                               list_cosine_similarity(eq.v, ec.v) AS cos
+                        FROM cand
+                        JOIN qe eq ON cand.query_id = eq.vec_id
+                        JOIN dq ec ON cand.vec_id = ec.vec_id),
+             r AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
+  }
+
   /** IVF probe pipeline with the candidate universe restricted to
     * `livePred` over vec_id — centroids and query assignment stay on the
     * FULL corpus (frozen-centroid store semantics); shared by the
@@ -3037,11 +3158,13 @@ object PipelineQueries extends QueryGroup {
           SELECT 'centroid_cover' AS invariant,
                  CAST((SELECT count(DISTINCT cid) FROM assign) AS BIGINT) AS checked,
                  CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'centroids_wellformed', 16, 0
           UNION ALL SELECT 'codes_wellformed', 0, 0
           UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'merged_groups_advisory', 0, 0
           UNION ALL SELECT 'merged_provenance', 0, 0
+          UNION ALL SELECT 'merged_provenance_range', 0, 0
           UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
 
     // the quantized deep audit: assignment is tolerance-band audited on
@@ -3063,11 +3186,13 @@ object PipelineQueries extends QueryGroup {
           SELECT 'centroid_cover' AS invariant,
                  CAST((SELECT count(DISTINCT cid) FROM assign) AS BIGINT) AS checked,
                  CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'centroids_wellformed', 16, 0
           UNION ALL SELECT 'codes_wellformed', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'ids_unique', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'lists_assignment', (SELECT count(*) FROM e), 0
           UNION ALL SELECT 'merged_groups_advisory', 0, 0
           UNION ALL SELECT 'merged_provenance', 0, 0
+          UNION ALL SELECT 'merged_provenance_range', 0, 0
           UNION ALL SELECT 'norms_consistent', (SELECT count(*) FROM e), 0""",
 
     // the incremental IVF audit: every checked count is an ODD-half
@@ -3092,6 +3217,7 @@ object PipelineQueries extends QueryGroup {
                            FROM assign WHERE vec_id % 2 = 1)
           SELECT 'delta_centroid_cover' AS invariant,
                  (SELECT n FROM oddcids) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'centroids_wellformed', 16, 0
           UNION ALL SELECT 'delta_codes_wellformed', 0, 0
           UNION ALL SELECT 'delta_ids_unique', (SELECT n FROM odd), 0
           UNION ALL SELECT 'delta_lists_assignment', (SELECT n FROM odd), 0
@@ -3127,6 +3253,7 @@ object PipelineQueries extends QueryGroup {
                cov1 AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n FROM assign)
           SELECT '0_detect' AS phase, 'centroid_cover' AS invariant,
                  (SELECT n FROM cov0) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT '0_detect', 'centroids_wellformed', 16, 0
           UNION ALL SELECT '0_detect', 'codes_wellformed', 0, 0
           UNION ALL SELECT '0_detect', 'ids_unique',
                  (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
@@ -3134,14 +3261,17 @@ object PipelineQueries extends QueryGroup {
                  (SELECT n.n + a.n FROM n, a), (SELECT n FROM a)
           UNION ALL SELECT '0_detect', 'merged_groups_advisory', 0, 0
           UNION ALL SELECT '0_detect', 'merged_provenance', 0, 0
+          UNION ALL SELECT '0_detect', 'merged_provenance_range', 0, 0
           UNION ALL SELECT '0_detect', 'norms_consistent',
                  (SELECT n.n + a.n FROM n, a), 0
           UNION ALL SELECT '1_repaired', 'centroid_cover', (SELECT n FROM cov1), 0
+          UNION ALL SELECT '1_repaired', 'centroids_wellformed', 16, 0
           UNION ALL SELECT '1_repaired', 'codes_wellformed', 0, 0
           UNION ALL SELECT '1_repaired', 'ids_unique', (SELECT n FROM n), 0
           UNION ALL SELECT '1_repaired', 'lists_assignment', (SELECT n FROM n), 0
           UNION ALL SELECT '1_repaired', 'merged_groups_advisory', 0, 0
           UNION ALL SELECT '1_repaired', 'merged_provenance', 0, 0
+          UNION ALL SELECT '1_repaired', 'merged_provenance_range', 0, 0
           UNION ALL SELECT '1_repaired', 'norms_consistent', (SELECT n FROM n), 0""",
     // expunge must be invisible in answers — same live-subset truth
     "q_ann_ivf_expunge" -> annIvfOracleFor("vec_id % 4 <> 3"),
@@ -3149,6 +3279,11 @@ object PipelineQueries extends QueryGroup {
     // quantized shards through the merge lifecycle: merged-union probing
     // over per-shard assignments, scored on the reconstructions
     "q_ann_ivf_quant_merge" -> annIvfQuantMergeOracle,
+    // streamed-quantized + flattened shard merges like a fresh one —
+    // every step layout-only w.r.t. assignment and codes
+    "q_ann_ivf_quant_flatten" -> annIvfQuantMergeOracle,
+    // reclustered quantized store = fresh build over the reconstructions
+    "q_ann_ivf_quant_recluster" -> annIvfQuantReclusterOracle,
 
     "q_cms_freq" ->
       s"""WITH tok AS ($SqlTokens),

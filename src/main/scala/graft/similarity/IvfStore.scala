@@ -105,8 +105,11 @@ object IvfStore {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         // zero-norm guard (same contract as Similarity.cosinePrenormed):
-        // ANSI mode would otherwise kill the probe job on one zero vector
-        when(col("nv") * col("nq") === 0.0, lit(0.0))
+        // ANSI mode would otherwise kill the probe job on one zero
+        // vector; −1 so a direction-less (corrupt) vector sinks to the
+        // bottom of the cosine range instead of outranking genuine
+        // negative-cosine neighbors
+        when(col("nv") * col("nq") === 0.0, lit(-1.0))
           .otherwise(Similarity.dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -143,10 +146,22 @@ object IvfStore {
     * retried micro-batch (at-least-once delivery re-running an ordinal
     * whose write landed but whose source checkpoint did not) replays
     * fine even if an audit advanced the watermark in between. Ingest
-    * merged stores with fresh ordinals from `listBatches(path).last + 1`. */
+    * merged stores with fresh ordinals from `listBatches(path).last + 1`.
+    *
+    * `quantize = true` stores the batch as int8 codes — assignment
+    * still runs on the RAW batch vectors against the persisted
+    * centroids (exactly [[writeIndexQuantized]]'s split), the persisted
+    * rows carry `(scale, qvec, nv)` with `nv` from the
+    * `round(code·scale, 6)` reconstruction, so a streamed-then-
+    * flattened quantized shard is row-for-row what a one-shot
+    * [[writeIndexQuantized]] over the same vectors writes. The layers
+    * of one store must be uniformly raw or uniformly quantized (a
+    * half-present qvec column serves neither probe path) — enforced
+    * against the existing lists schema. */
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: Long,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  quantize: Boolean = false): Unit = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     requireNotMidRecluster(spark, path)
     val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
@@ -158,6 +173,16 @@ object IvfStore {
           "appending a batch= layer would leave a half-present batch column " +
           "that serves neither audit; streaming ingest targets stores " +
           "bootstrapped by writeCentroids (rebuild, or merge shards instead)")
+      if (kids.nonEmpty) {
+        // one footer read (metadata): the store's layers must stay
+        // uniformly raw or uniformly quantized
+        val hasQ = spark.read.parquet(s"$path/lists").columns.contains("qvec")
+        require(hasQ == quantize,
+          s"appendBatch: store at $path holds " +
+            s"${if (hasQ) "QUANTIZED" else "RAW"} lists but the batch would " +
+            s"append ${if (quantize) "quantized" else "raw"} rows — a " +
+            "half-present qvec column serves neither probe path")
+      }
     }
     graft.FsOps.readLongMarker(spark, path, BatchFloorMarker).foreach { f =>
       require(batchId > f,
@@ -169,10 +194,22 @@ object IvfStore {
           "listBatches(path).last + 1")
     }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned = Similarity.assignToCentroids(
-        batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
-        cents, "vec_id", "v", keep = 1)
-      .withColumn("nv", Similarity.norm(col("v")))
+    val assignedRaw = Similarity.assignToCentroids(
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      cents, "vec_id", "v", keep = 1)
+    val assigned = (if (!quantize)
+        assignedRaw.withColumn("nv", Similarity.norm(col("v")))
+      else {
+        // the writeIndexQuantized row shape: raw assignment, int8 codes,
+        // reconstruction norm computed once at write time
+        val codes = Quantize.toInt8(batch, idCol, vecCol)
+          .withColumn("rv", transform(col("qvec"),
+            x => round(x.cast("double") * col("scale"), 6)))
+          .select(col("id").as("vec_id"), col("scale"),
+            transform(col("qvec"), x => x.cast("byte")).as("qvec"),
+            sqrt(Similarity.dot(col("rv"), col("rv"))).as("nv"))
+        assignedRaw.select("vec_id", "cid").join(codes, "vec_id")
+      })
       .withColumn("batch", lit(batchId))
       .repartition(col("cid"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -192,11 +229,12 @@ object IvfStore {
   def writeIngesting(vecs: DataFrame, path: String, checkpoint: String,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      trigger: org.apache.spark.sql.streaming.Trigger =
-                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                     quantize: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendBatch(b.sparkSession, path, b, id, idCol, vecCol)
+        appendBatch(b.sparkSession, path, b, id, idCol, vecCol, quantize)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -591,13 +629,17 @@ object IvfStore {
     * invariant stays trustworthy independently of `centroid_cover`.
     *
     * ZERO vectors (a quantized all-zero code has scale = 0) score
-    * cosine 0 against every centroid ([[Similarity.cosine]]'s zero-norm
-    * contract) — own = best = 0, so they count as checked and never as
-    * violations: no assignment is more right than any other for a
-    * direction-less vector, and probes score it 0 under every query.
-    * The NaN guard below is defense in depth for corrupt NaN payloads —
-    * under Spark's NaN-greatest ordering `NaN - NaN > tol` would read
-    * true and permanently red-flag a store no repair verb can clear. */
+    * cosine −1 against every centroid ([[Similarity.cosine]]'s
+    * zero-norm contract) — own = best = −1, so they count as checked
+    * and never as violations: no assignment is more right than any
+    * other for a direction-less vector, and probes rank it at the very
+    * bottom under every query. The NaN guard below is defense in depth
+    * for corrupt NaN payloads — under Spark's NaN-greatest ordering
+    * `NaN - NaN > tol` would read true and permanently red-flag a
+    * store no repair verb can clear; the suppressed class (a
+    * NaN-corrupted CENTROID makes best NaN for its whole group) is
+    * caught by `centroids_wellformed` instead, whose repair verb is
+    * [[reclusterStore]] (re-trains centroids from list payloads). */
   private def assignmentRow(spark: SparkSession, name: String,
                             rows: DataFrame, cents: DataFrame,
                             bounds: Option[Seq[Int]],
@@ -654,9 +696,9 @@ object IvfStore {
                              qvec: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val nv = Similarity.norm(v)
-    // zero-vector guard: a zero reconstruction scores cosine 0 against
+    // zero-vector guard: a zero reconstruction scores cosine −1 against
     // every centroid (Similarity.cosine's zero-norm contract), so own =
-    // best = 0 and any tolerance passes — but the bare division would
+    // best = −1 and any tolerance passes — but the bare division would
     // throw DIVIDE_BY_ZERO under ANSI and kill the whole audit job
     when(nv === 0.0, lit(0.0)).otherwise(
       (lit(2.0) * scale + lit(1e-5)) *
@@ -679,6 +721,11 @@ object IvfStore {
     *   - `centroid_cover` — every list partition's cid exists in the
     *     centroid table (an uncovered cid is unreachable by probing:
     *     its vectors silently vanish from every search).
+    *   - `centroids_wellformed` — no centroid vector is null or carries
+    *     NaN/null components (a poisoned centroid corrupts every probe
+    *     ranked against it, and the assignment audit's NaN guard
+    *     deliberately suppresses it — see [[centroidsWellformedRow]];
+    *     repair verb: [[reclusterStore]]).
     *   - `codes_wellformed` (quantized stores) — every int8 code is in
     *     the clamped [-127, 127] range and scales are non-negative;
     *     checked = 0 on raw stores.
@@ -715,6 +762,13 @@ object IvfStore {
     *     cid rewritten into a FOREIGN group is audited against that
     *     group's centroids). checked = 0 where no batch provenance
     *     exists.
+    *   - `merged_provenance_range` — the RANGE-ONLY subset of the rows
+    *     above (segment gLo < gHi): auditable only up to a group range,
+    *     so a within-range cid rewrite is undetectable and repair can
+    *     only re-home across the whole range. checked_exact = the
+    *     `merged_provenance` total minus this row's checked — the
+    *     coverage evidence for scheduling recluster on a deeply nested
+    *     merged store.
     *   - `merged_groups_advisory` — merged stores WITHOUT per-row
     *     provenance (fresh-layout merges, flattened stores, corrupt
     *     segment markers): checked counts the rows audited under the
@@ -726,7 +780,7 @@ object IvfStore {
     * Scale: the audit is unpruned (scheduled maintenance, not
     * probe-path cost) but priced per PASS over lists — so lists is
     * scanned ONCE into a cached projection all invariants share,
-    * centroids broadcast, and the ≤ 7-row report returns eagerly
+    * centroids broadcast, and the ≤ 9-row report returns eagerly
     * (releasing the cache before return). Physical rows are audited —
     * tombstoned vectors included, matching what [[expungeDeletes]] will
     * rewrite. Tombstones themselves carry no validity invariant here by
@@ -775,8 +829,9 @@ object IvfStore {
         segmentsValid(segs, cb.size) && lists.columns.contains("batch")
       case _ => false
     }
-    val provenance =
-      if (!provenanceActive) emptyRow("merged_provenance")
+    val (provenance, provenanceRange) =
+      if (!provenanceActive)
+        (emptyRow("merged_provenance"), emptyRow("merged_provenance_range"))
       else {
         val (cb, segs, f) = provenanceInfo match {
           case (Some(c), Some(s), Some(fl)) => (c, s, fl)
@@ -784,11 +839,25 @@ object IvfStore {
         }
         val layer = lists.filter(col("batch") <= f)
         val cidG = grpOf(cb.map(_.toLong))(col("cid"))
-        row("merged_provenance",
-          layer.agg(count(lit(1)).as("checked"),
-            sum(when(cidG < segCol(segs, col("batch"))(_.gLo) ||
-                cidG > segCol(segs, col("batch"))(_.gHi), 1L).otherwise(0L))
-              .as("violations")))
+        val (gLo, gHi) = (segCol(segs, col("batch"))(_.gLo),
+          segCol(segs, col("batch"))(_.gHi))
+        val viol = sum(when(cidG < gLo || cidG > gHi, 1L).otherwise(0L))
+          .as("violations")
+        // coverage split (VERDICT r16 #4): rows under a RANGE segment
+        // (gLo < gHi — an inner merged source's union-assigned span) are
+        // auditable only up to that range; a within-range cid rewrite is
+        // undetectable there, and repairLists can only re-home across
+        // the whole range. `merged_provenance` stays the full invariant
+        // (every provenance-scoped row); `merged_provenance_range`
+        // reports the range-only subset, so an operator reads
+        // checked_exact = total − range and schedules recluster on the
+        // evidence of how much of a nested-merged store has degraded to
+        // range-only provenance.
+        (row("merged_provenance",
+           layer.agg(count(lit(1)).as("checked"), viol)),
+         row("merged_provenance_range",
+           layer.filter(gLo =!= gHi)
+             .agg(count(lit(1)).as("checked"), viol)))
       }
     val advisory =
       if (provenanceActive) emptyRow("merged_groups_advisory")
@@ -824,9 +893,28 @@ object IvfStore {
 
     try graft.operators.StoreCheck.materialize(spark,
       graft.operators.StoreCheck.report(
-        Seq(cover, codes, unique, assignment, norms, provenance, advisory)))
+        Seq(cover, centroidsWellformedRow(spark, cents), codes, unique,
+          assignment, norms, provenance, provenanceRange, advisory)))
     finally lists.unpersist()
   }
+
+  /** `centroids_wellformed` — every centroid vector is present and free
+    * of NaN/null components (ADVICE r16): a NaN-corrupted centroid makes
+    * `best` NaN for its entire group, which the assignment audit's NaN
+    * guard deliberately suppresses (NaN-greatest ordering would
+    * otherwise permanently red-flag the store), and the norms invariant
+    * only audits LIST rows — so without this row a poisoned centroid is
+    * invisible to fsck while silently corrupting every probe that ranks
+    * against it. Repair verb: [[reclusterStore]] (re-trains the whole
+    * centroid table from list payloads). ≤ nCentroids rows — metadata
+    * cost. */
+  private def centroidsWellformedRow(spark: SparkSession, cents: DataFrame)
+      : DataFrame =
+    graft.operators.StoreCheck.row("centroids_wellformed",
+      cents.agg(count(lit(1)).as("checked"),
+        sum(when(col("cvec").isNull ||
+            exists(col("cvec"), x => x.isNull || isnan(x)), 1L)
+          .otherwise(0L)).as("violations")))
 
   // ---- incremental audit: the IVF face of the daily/deep audit split
   // ([[graft.index.Indexer.checkStoreIncremental]]). A streaming-ingested
@@ -947,8 +1035,14 @@ object IvfStore {
               exists(col("qvec"), x => x < -127 || x > 127), 1L)
             .otherwise(0L)).as("violations")))
 
+    // centroids are a whole-store (not delta-scoped) surface, but the
+    // delta assignment recompute ranks against them every run and its
+    // NaN guard suppresses a poisoned centroid's violations — so the
+    // incremental audit carries the same ≤ nCentroids wellformedness
+    // row as the deep checker (unprefixed: it is never delta-scoped)
     graft.operators.StoreCheck.report(
-      Seq(cover, codes, unique, assignment, norms))
+      Seq(cover, centroidsWellformedRow(spark, cents), codes, unique,
+        assignment, norms))
   }
 
   /** Merge N independently-built IVF stores into one by CENTROID UNION —

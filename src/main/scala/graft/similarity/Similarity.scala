@@ -33,16 +33,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dotFast(a, a))
 
-  /** Division that treats a zero denominator as similarity 0 — a ZERO
-    * vector has no direction, so it is "similar to nothing" rather than
-    * an error. Under Spark 4's default ANSI mode a bare `/` THROWS
-    * DIVIDE_BY_ZERO, so without this guard one zero embedding anywhere
-    * in a corpus kills the whole build/probe/audit job at 100 TB —
-    * row-level bad data must degrade per-row, never fail the job.
-    * CaseWhen branches evaluate lazily, so healthy rows run the exact
-    * same division as before (bit-identical scores). */
+  /** Division that treats a zero denominator as similarity −1 — the
+    * BOTTOM of the cosine range: a ZERO vector has no direction, so it
+    * must never outrank a genuine neighbor (a similarity of 0 would
+    * place a corrupt all-zero embedding ABOVE real negative-cosine
+    * results in top-k; −1 makes direction-less vectors sink, tied only
+    * with exact-opposite matches). Under Spark 4's default ANSI mode a
+    * bare `/` THROWS DIVIDE_BY_ZERO, so without this guard one zero
+    * embedding anywhere in a corpus kills the whole build/probe/audit
+    * job at 100 TB — row-level bad data must degrade per-row, never
+    * fail the job. CaseWhen branches evaluate lazily, so healthy rows
+    * run the exact same division as before (bit-identical scores). */
   private def zeroSafeCos(num: Column, den: Column): Column =
-    when(den === 0.0, lit(0.0)).otherwise(num / den)
+    when(den === 0.0, lit(-1.0)).otherwise(num / den)
 
   def cosine(a: Column, b: Column): Column =
     zeroSafeCos(dotFast(a, b), norm(a) * norm(b))

@@ -200,7 +200,8 @@ class IvfSpec extends SparkSpec {
 
     val odds = e.filter($"vec_id" % 2 === 1).count()
     val clean = report()
-    assert(clean.size === 5)
+    assert(clean.size === 6)
+    assert(clean("centroids_wellformed")._1 === 16L)
     assert(clean.values.forall(_._2 == 0L), s"clean delta has violations: $clean")
     assert(clean("delta_ids_unique")._1 === odds)
     assert(clean("delta_lists_assignment")._1 === odds)
@@ -243,7 +244,8 @@ class IvfSpec extends SparkSpec {
         .map(r => r._1 -> (r._2, r._3)).toMap
 
     val healthy = report(path)
-    assert(healthy.size === 7)
+    assert(healthy.size === 9)
+    assert(healthy("centroids_wellformed")._1 === 16L)
     assert(healthy.values.forall(_._2 == 0L), s"healthy store has violations: $healthy")
     assert(healthy("lists_assignment")._1 > 0)
     assert(healthy("norms_consistent")._1 > 0)
@@ -282,11 +284,11 @@ class IvfSpec extends SparkSpec {
     assert(qh.values.forall(_._2 == 0L), s"healthy quantized store has violations: $qh")
     assert(qh("codes_wellformed")._1 > 0)
 
-    // a ZERO vector (scale = 0, all-zero code) has NaN cosine against
-    // every centroid — it must count as checked, never as a violation
-    // (under Spark's NaN-greatest ordering the banded recompute would
-    // otherwise permanently red-flag a healthy store with no repair verb
-    // able to clear it; probes can never return the row anyway)
+    // a ZERO vector (scale = 0, all-zero code) scores cosine −1 against
+    // every centroid (Similarity.cosine's zero-norm contract — the
+    // bottom of the range, so a direction-less vector can never outrank
+    // a genuine neighbor in top-k): own = best = −1, so it counts as
+    // checked and never as a violation under any tolerance
     val zpath = java.nio.file.Files.createTempDirectory("ivffsckz").toString
     IvfStore.writeIndexQuantized(
       Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
@@ -472,9 +474,9 @@ class IvfSpec extends SparkSpec {
     val e = Tables.load(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id".isin(0L, 1L))
     val root = java.nio.file.Files.createTempDirectory("ivfqlay").toString
-    // streaming ingest (and so the batch= layout) is a raw-store verb;
-    // quantized shards are always fresh-built — assert the merge + the
-    // flatten no-op on exactly that shape
+    // fresh-built quantized shards: assert the merge + the flatten no-op
+    // on that shape (the streamed-quantized layered path has its own
+    // test below)
     def qShard(m: Long, path: String): Unit =
       IvfStore.writeIndexQuantized(
         e.filter($"vec_id" % 2 === m && $"vec_id" % 4 === m), path,
@@ -563,5 +565,101 @@ class IvfSpec extends SparkSpec {
     assert(FsOps.readMarker(spark, fresh, "_recluster_inprogress").isEmpty,
       "a completed recluster clears the install-window stamp")
     assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
+  }
+
+  test("quantized streaming ingest: streamed+flattened shard equals the one-shot build; mixed layers refuse") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivfqstream").toString
+    // stream the corpus in two quantized batches against frozen
+    // centroids, flatten — row-for-row the one-shot writeIndexQuantized
+    // (same raw assignment, same codes, same reconstruction norm)
+    IvfStore.writeCentroids(e, s"$root/streamed", kmeansIters = 0)
+    IvfStore.appendBatch(spark, s"$root/streamed",
+      e.filter($"vec_id" % 2 === 0), 0L, quantize = true)
+    IvfStore.appendBatch(spark, s"$root/streamed",
+      e.filter($"vec_id" % 2 === 1), 1L, quantize = true)
+    IvfStore.flattenBatches(spark, s"$root/streamed")
+    IvfStore.writeIndexQuantized(e, s"$root/oneshot", kmeansIters = 0)
+    def rows(p: String): Set[(Long, Int, Double, Seq[Byte], Double)] =
+      spark.read.parquet(s"$p/lists")
+        .select($"vec_id", $"cid", $"scale", $"qvec", $"nv")
+        .as[(Long, Int, Double, Seq[Byte], Double)].collect().toSet
+    assert(rows(s"$root/streamed") === rows(s"$root/oneshot"))
+    // ...and fsck is green on the streamed shard (banded quantized audit)
+    val rep = IvfStore.checkStore(spark, s"$root/streamed").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep.values.map(_._2).sum === 0L, rep.toString)
+    assert(rep("codes_wellformed")._1 > 0L)
+
+    // a raw batch into a quantized store (and vice versa) refuses: a
+    // half-present qvec column serves neither probe path
+    val mixed = java.nio.file.Files.createTempDirectory("ivfqmix").toString
+    IvfStore.writeCentroids(e, mixed, kmeansIters = 0)
+    IvfStore.appendBatch(spark, mixed, e.filter($"vec_id" < 100), 0L,
+      quantize = true)
+    val eRaw = intercept[IllegalArgumentException](
+      IvfStore.appendBatch(spark, mixed, e.filter($"vec_id" >= 100), 1L))
+    assert(eRaw.getMessage.contains("QUANTIZED"), eRaw.getMessage)
+    val mixed2 = java.nio.file.Files.createTempDirectory("ivfqmix2").toString
+    IvfStore.writeCentroids(e, mixed2, kmeansIters = 0)
+    IvfStore.appendBatch(spark, mixed2, e.filter($"vec_id" < 100), 0L)
+    val eQ = intercept[IllegalArgumentException](
+      IvfStore.appendBatch(spark, mixed2, e.filter($"vec_id" >= 100), 1L,
+        quantize = true))
+    assert(eQ.getMessage.contains("RAW"), eQ.getMessage)
+  }
+
+  test("centroids_wellformed: a NaN-poisoned centroid flags where the assignment NaN guard is blind; recluster repairs") {
+    // ADVICE r16: the banded assignment audit's NaN guard suppresses
+    // violations for a whole group when a CENTROID (not a list row)
+    // carries NaN — best = max(cos) is NaN under NaN-greatest ordering,
+    // so every row of the group passes. A QUANTIZED store runs exactly
+    // that banded path; the dedicated wellformedness row keeps the class
+    // visible, and reclusterStore (centroids re-trained from list
+    // payloads) clears it
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivfnanc").toString
+    IvfStore.writeIndexQuantized(e, path, kmeansIters = 0)
+    def rep(): Map[String, (Long, Long)] =
+      IvfStore.checkStore(spark, path).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val healthy = rep()
+    assert(healthy("centroids_wellformed") === ((16L, 0L)), healthy.toString)
+
+    // poison one centroid component with NaN (crash-safe swap, as a
+    // corrupt writer would leave it)
+    val cents = spark.read.parquet(s"$path/centroids")
+    cents.withColumn("cvec",
+        when($"cid" === 1,
+          transform($"cvec", x => lit(Float.NaN))).otherwise($"cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.FsOps.atomicSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/centroids"),
+      new org.apache.hadoop.fs.Path(s"$path/centroids_tmp"))
+    val bad = rep()
+    assert(bad("centroids_wellformed")._2 === 1L, bad.toString)
+    assert(bad("lists_assignment")._2 === 0L,
+      "the NaN guard suppresses assignment violations — exactly why the " +
+        s"wellformedness row exists: $bad")
+    IvfStore.reclusterStore(spark, path, nCentroids = 16, kmeansIters = 0)
+    val fixed = rep()
+    assert(fixed("centroids_wellformed") === ((16L, 0L)),
+      s"recluster re-trains centroids from list payloads: $fixed")
+    assert(fixed.values.map(_._2).sum === 0L, fixed.toString)
+  }
+
+  test("incremental audit carries centroids_wellformed") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivfnanci").toString
+    IvfStore.writeCentroids(e, path, nCentroids = 4, kmeansIters = 0)
+    IvfStore.appendBatch(spark, path, e.filter($"vec_id" % 2 === 0), 0L)
+    val rep = IvfStore.checkStoreIncremental(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("centroids_wellformed") === ((4L, 0L)), rep.toString)
   }
 }

@@ -297,6 +297,8 @@ class PromoteSpec extends SparkSpec {
     assert(healthy.values.map(_._2).sum === 0L, healthy.toString)
     assert(healthy("merged_provenance")._1 === 8L,
       "every remapped-layer row is provenance-audited")
+    assert(healthy("merged_provenance_range")._1 === 0L,
+      "two plain shards: all provenance is EXACT, the range subset is empty")
     assert(healthy("merged_groups_advisory")._1 === 0L,
       "provenance exists: the advisory row is empty")
 
@@ -361,6 +363,12 @@ class PromoteSpec extends SparkSpec {
     assert(orep.values.map(_._2).sum === 0L, orep.toString)
     assert(orep("merged_provenance")._1 === orep("ids_unique")._1,
       "every remapped row is provenance-audited through the nest: " + orep)
+    // VERDICT r16 #4 — the coverage split is measurable from the report:
+    // of the 11 provenance-audited rows, exactly the inner store's
+    // post-merge ingest row (vec 100, the (3,1,2) range segment) is
+    // auditable only up to a group range; checked_exact = total − range
+    assert(orep("merged_provenance_range")._1 === 1L,
+      "range-only subset = the union-assigned post-merge ingest row: " + orep)
     assert(orep("merged_groups_advisory")._1 === 0L,
       "composed provenance: the advisory row is empty")
 
@@ -389,8 +397,11 @@ class PromoteSpec extends SparkSpec {
       "exact segment: cross-group rewrite flags through the nest")
     rewriteCid(1L, vec1Cid)     // restore the healthy assignment
     rewriteCid(100L, inGroup3)  // range row → OUTSIDE dest's span
-    assert(rep(outer)("merged_provenance")._2 >= 1L,
+    val rbad = rep(outer)
+    assert(rbad("merged_provenance")._2 >= 1L,
       "range segment: rewrite outside the inner store's span flags")
+    assert(rbad("merged_provenance_range")._2 >= 1L,
+      "…and the violation is attributed to the range subset: " + rbad)
     // repair re-homes the range row WITHIN its provenance range
     IvfStore.repairLists(spark, outer)
     val rfixed = rep(outer)
@@ -438,6 +449,47 @@ class PromoteSpec extends SparkSpec {
     assert(eS.getMessage.contains("committed IVF store"), eS.getMessage)
     assert(FsOps.mergedInto(spark, a) === None,
       "a mismatched-source resume must not stamp invented provenance")
+  }
+
+  test("half-transferred move-resume with a different source list refuses: ivf and dedup families") {
+    // VERDICT r16 #7 (the index-family case lives in StoreMergeSpec):
+    // the dest-side _merge_sources record refuses a resume whose source
+    // list differs, driven through the REAL mid-transfer crash shape —
+    // files transferred, commit and husk stamps never landed.
+    val (a, b, dest) = (tmp("wsIvfA"), tmp("wsIvfB"), tmp("wsIvfDest") + "/store")
+    ivfShard(_ % 2 == 0, a)
+    ivfShard(_ % 2 == 1, b)
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    fsAt(dest).delete(new Path(s"$dest/centroids"), true) // commit never landed
+    fsAt(a).delete(new Path(s"$a/${FsOps.MergedIntoMarker}"), false)
+    fsAt(b).delete(new Path(s"$b/${FsOps.MergedIntoMarker}"), false)
+    val eIvf = intercept[IllegalArgumentException](
+      IvfStore.mergeStores(spark, Seq(b, a), dest, moveFiles = true))
+    assert(eIvf.getMessage.contains("different merge source list"), eIvf.getMessage)
+    assert(FsOps.mergedInto(spark, a) === None,
+      "a refused ivf resume must not stamp invented provenance")
+    IvfStore.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    val q = vecsFx.toDF("vec_id", "embedding").filter($"vec_id" === 1L)
+    assert(IvfStore.searchStore(spark, dest, q, 3, nProbe = 4).count() > 0)
+    assert(FsOps.mergedInto(spark, a) === Some(dest))
+
+    val d = docsFx.toDF("doc_id", "text")
+    val (da, db, ddest) = (tmp("wsDdA"), tmp("wsDdB"), tmp("wsDdDest") + "/store")
+    DedupStore.writeSignatures(d.filter($"doc_id" % 2 === 0), da)
+    DedupStore.writeSignatures(d.filter($"doc_id" % 2 === 1), db)
+    DedupStore.mergeStores(spark, Seq(da, db), ddest, moveFiles = true)
+    fsAt(ddest).delete(new Path(s"$ddest/_geometry"), false) // commit never landed
+    fsAt(da).delete(new Path(s"$da/${FsOps.MergedIntoMarker}"), false)
+    fsAt(db).delete(new Path(s"$db/${FsOps.MergedIntoMarker}"), false)
+    val eDd = intercept[IllegalArgumentException](
+      DedupStore.mergeStores(spark, Seq(db, da), ddest, moveFiles = true))
+    assert(eDd.getMessage.contains("different merge source list"), eDd.getMessage)
+    assert(FsOps.mergedInto(spark, da) === None,
+      "a refused dedup resume must not stamp invented provenance")
+    DedupStore.mergeStores(spark, Seq(da, db), ddest, moveFiles = true)
+    assert(DedupStore.checkStore(spark, ddest)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    assert(FsOps.mergedInto(spark, da) === Some(ddest))
   }
 
   test("dedup signature-store merge: ingest report equals a single full-store build") {

@@ -139,6 +139,40 @@ class StoreMergeSpec extends SparkSpec {
     assert(searchRows(g, "delta").nonEmpty, "copy-mode source still serves")
   }
 
+  test("half-transferred MOVE resume with a different source list refuses before touching files") {
+    // VERDICT r16 #7: drive the _merge_sources refusal through a REAL
+    // mid-transfer crash shape — files transferred, commit marker and
+    // husk stamps never landed — not just the marker require in
+    // isolation (the ivf/dedup family cases live in PromoteSpec)
+    val (a, b, dest) = (tmp("wsA"), tmp("wsB"), tmp("wsDest") + "/store")
+    buildShard(_ % 2 == 0, a)
+    buildShard(_ % 2 == 1, b)
+    StoreMerge.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    val fs = fsAt(dest)
+    fs.delete(new Path(s"$dest/_nbuckets"), false)
+    fs.delete(new Path(s"$a/${FsOps.MergedIntoMarker}"), false)
+    fs.delete(new Path(s"$b/${FsOps.MergedIntoMarker}"), false)
+    // a resume with a SWAPPED source order is a DIFFERENT merge (the
+    // order IS the ordinal assignment): refuse outright...
+    val eS = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(b, a), dest, moveFiles = true))
+    assert(eS.getMessage.contains("different merge source list"), eS.getMessage)
+    // ...and so is a resume over a substituted shard
+    val c = tmp("wsC")
+    buildShard(_ >= 3, c)
+    val eC = intercept[IllegalArgumentException](
+      StoreMerge.mergeStores(spark, Seq(a, c), dest, moveFiles = true))
+    assert(eC.getMessage.contains("different merge source list"), eC.getMessage)
+    assert(FsOps.mergedInto(spark, a) === None,
+      "a refused resume must not stamp invented provenance")
+    // the true source list resumes to completion and serves
+    StoreMerge.mergeStores(spark, Seq(a, b), dest, moveFiles = true)
+    assert(fsckViolations(dest) === 0L)
+    assert(searchRows(dest, "delta epsilon").nonEmpty)
+    assert(FsOps.mergedInto(spark, a) === Some(dest))
+    assert(FsOps.mergedInto(spark, b) === Some(dest))
+  }
+
   test("a stale crashed-copy staging file is reclaimed, never committed") {
     val from = tmp("cpFrom")
     val to = tmp("cpTo")

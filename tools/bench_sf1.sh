@@ -88,4 +88,6 @@ json.dump(out, open('bench_sf1.json', 'w'), indent=1)
 print(json.dumps({"ratio_10x": out["ratio_10x"],
                   "fsck_incr_probe": probes}, indent=1))
 EOF
+# the family sums the caveat above tells readers to use (VERDICT r16 #5)
+python3 tools/family_sums.py bench_sf1.json
 echo "[bench_sf1] wrote bench_sf1.json"
