@@ -234,6 +234,41 @@ object Dedup {
     * ([[graft.similarity.Similarity.radComponent]]), so the SQL oracle
     * reproduces candidates AND verification bit-for-bit.
     */
+  /** Band width (bits) that keeps per-(band,bucket) occupancy ~bounded
+    * at corpus size `n`: `ceil(log2(n / targetOccupancy))`, clamped to
+    * [4, 12]. Candidate-pair volume is `bands × buckets × occupancy²/2`
+    * — QUADRATIC in occupancy — so a FIXED band width means pairs grow
+    * as n² no matter how the corpus is sharded (measured: the gate's
+    * 16×4 geometry, sound at the ≤2k-vector gate scales where this rule
+    * degenerates to it, spilled a 60k-vector run to OOM at ~3.6e9
+    * candidate rows; with the rule's 9 bits the same run is ~5.6e7
+    * candidates and linear wall-clock). The recall consequence is the
+    * banded-LSH curve: p^bits per band — at the high-similarity regime
+    * real dedup thresholds live in (cos ≥ 0.9, p ≈ 0.86) 16 bands keep
+    * recall ≥ ~99% at 9 bits, while LOW thresholds (the cos-0.5 stress
+    * gate) trade recall as bits grow; `bands` is the knob that buys it
+    * back (bands ≈ ln(1/(1-R))/p^bits). Deterministic from n, so the
+    * SQL oracle reproduces the geometry from its own count. */
+  def autoBandBits(n: Long, targetOccupancy: Int = 128): Int = {
+    // integer form of clamp(ceil(log2(n/target)), 4, 12): smallest b
+    // with target·2^b ≥ n — a float log ratio can land on 5.0000…1 at
+    // exact powers of two where the oracle's log2 is exact, and one
+    // off-by-one here silently changes the whole candidate geometry
+    var b = 0
+    while (b < 12 && (targetOccupancy.toLong << b) < n) b += 1
+    math.max(4, b)
+  }
+
+  /** [[embeddingNearDupPairs]] with the band width derived from the
+    * corpus size ([[autoBandBits]]) — the 100 TB face: one driver-side
+    * count (a parquet-statistics scalar), then the same banded plan. */
+  def embeddingNearDupPairsAuto(emb: DataFrame, minCos: Double,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                bands: Int = 16, dim: Int = 64,
+                                targetOccupancy: Int = 128): DataFrame =
+    embeddingNearDupPairs(emb, minCos, idCol, vecCol, bands,
+      autoBandBits(emb.select(idCol).count(), targetOccupancy), dim)
+
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             bands: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {

@@ -259,8 +259,13 @@ object PipelineQueries extends QueryGroup {
           StratFractions)
         .select("doc_id", "lang", "source")),
 
+    // band width derived from the corpus size (Dedup.autoBandBits —
+    // fixed width means candidate pairs grow as n²; the rule degenerates
+    // to the historical 16×4 at the gate scales, and the oracle derives
+    // the same width from its own count, so the geometry stays
+    // engine-reproducible at ANY sf)
     "q_dedup_embed" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(emb(s, dir), CosineThreshold)
+      Dedup.embeddingNearDupPairsAuto(emb(s, dir), CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
     // content-defined chunking: boundaries from token-hash landmarks
@@ -1855,12 +1860,24 @@ object PipelineQueries extends QueryGroup {
         FROM e, (SELECT unnest(range(0, $nPlanes)) AS p) ps"""
 
   /** Banded sign-LSH near-dup: candidates from any-band bucket collision,
-    * exact-cosine verified — reproduces Dedup.embeddingNearDupPairs. */
+    * exact-cosine verified — reproduces Dedup.embeddingNearDupPairsAuto.
+    * The band width derives from the corpus count with the SAME rule as
+    * Dedup.autoBandBits (`clamp(ceil(log2(n/128)), 4, 12)`), so the
+    * oracle reproduces the adaptive geometry at any sf from its own
+    * count — at the gate scales (≤ 2000 vectors) it degenerates to the
+    * historical 16×4. */
   private lazy val dedupEmbedOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             dots AS (${lshDotsSql(EmbedBands * EmbedBandBits)}),
-             buckets AS (SELECT vec_id, p // $EmbedBandBits AS band,
-                                sum(CASE WHEN dp >= 0 THEN 1 << (p % $EmbedBandBits) ELSE 0 END) AS bucket
+             g AS (SELECT greatest(4, least(12,
+                            CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS bits
+                   FROM e),
+             dots AS (SELECT vec_id, p,
+                             list_sum(list_transform(range(0, $EmbedDim),
+                               d -> v[d + 1] * (CASE WHEN ('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8
+                                                     THEN 1.0 ELSE -1.0 END))) AS dp
+                      FROM e, (SELECT unnest(range(0, $EmbedBands * (SELECT bits FROM g))) AS p) ps),
+             buckets AS (SELECT vec_id, p // (SELECT bits FROM g) AS band,
+                                sum(CASE WHEN dp >= 0 THEN 1 << (p % (SELECT bits FROM g)) ELSE 0 END) AS bucket
                          FROM dots GROUP BY 1, 2),
              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                       FROM buckets a JOIN buckets b

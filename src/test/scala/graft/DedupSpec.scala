@@ -307,6 +307,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("autoBandBits bounds bucket occupancy; auto face degenerates to 16x4 at gate scale") {
+    import graft.dedup.Dedup.autoBandBits
+    // the rule: clamp(ceil(log2(n / 128)), 4, 12) — candidate pairs are
+    // quadratic in per-bucket occupancy, so the width must grow with n
+    assert(autoBandBits(500) === 4)    // sf0.01 gate corpus
+    assert(autoBandBits(2000) === 4)   // sf0.1 bench corpus
+    assert(autoBandBits(20000) === 8)  // 10x
+    assert(autoBandBits(60000) === 9)  // 30x
+    assert(autoBandBits(1L << 40) === 12, "clamped: bands buy recall past here")
+    // at gate scale the auto face IS the historical fixed geometry
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val auto = Dedup.embeddingNearDupPairsAuto(e, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Dedup.embeddingNearDupPairs(e, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === fixed)
+  }
+
   test("bucketed embedding near-dup is a verified subset of brute force") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val brute = Dedup.embeddingNearDupPairsBrute(e, 0.3)

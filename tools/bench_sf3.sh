@@ -3,25 +3,21 @@
 # the linear-tail families (VERDICT r16 #6): q_dedup_embed and
 # q_lm_score are claimed linear scan-bound — this measures the
 # dedup/text tail (plus family anchors) at a second decade point to
-# show the exponent holds past 10x. Fixtures: /tmp/sf1 (all tables,
-# tools/gen_sf1.scala), /tmp/sf3 (documents+embeddings only,
-# tools/gen_sf3.scala). Run SOLO on an idle box.
+# show the exponent holds past 10x. Fixtures: /tmp/sfr10 + /tmp/sfr30
+# (documents+embeddings, tools/gen_sf3.scala — replica-ROTATED
+# embeddings: the sf1 fixture's identical-payload replicas make
+# embedding near-dup candidate pairs grow quadratically in replicas,
+# which is a fixture artifact, not engine scaling). Run SOLO.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 ONLY="q_dedup_embed,q_dedup_minhash,q_dedup_exact,q_dedup_simhash,q_lm_score,q_lang_id,q_token_count,q_quality,q_char_entropy,q_keywords"
 
-if [ ! -d /tmp/sf1/documents.parquet ]; then
-  echo "[bench_sf3] generating /tmp/sf1 fixture..."
+if [ ! -d /tmp/sfr10/documents.parquet ] || [ ! -d /tmp/sfr30/documents.parquet ]; then
+  echo "[bench_sf3] generating /tmp/sfr10 + /tmp/sfr30 fixtures (documents+embeddings)..."
   /opt/spark/bin/spark-shell --master 'local[32]' \
     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
-    -I tools/gen_sf1.scala <<< 'sys.exit(0)' | grep SF1ROWS
-fi
-if [ ! -d /tmp/sf3/documents.parquet ]; then
-  echo "[bench_sf3] generating /tmp/sf3 fixture (documents+embeddings)..."
-  /opt/spark/bin/spark-shell --master 'local[32]' \
-    --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
-    -I tools/gen_sf3.scala <<< 'sys.exit(0)' | grep SF3ROWS
+    -I tools/gen_sf3.scala <<< 'sys.exit(0)' | grep SFROWS
 fi
 
 sbt -batch compile >/dev/null
@@ -35,10 +31,10 @@ run_sweep() { # $1 = sf dir, $2 = output path
 }
 echo "[bench_sf3] tail families at sf0.1..."
 run_sweep /root/testdata/sf0.1 /tmp/bench_sf3_01.json
-echo "[bench_sf3] tail families at sf1..."
-run_sweep /tmp/sf1 /tmp/bench_sf3_1.json
-echo "[bench_sf3] tail families at sf3..."
-run_sweep /tmp/sf3 /tmp/bench_sf3_3.json
+echo "[bench_sf3] tail families at 10x (rotated replicas)..."
+run_sweep /tmp/sfr10 /tmp/bench_sf3_1.json
+echo "[bench_sf3] tail families at 30x (rotated replicas)..."
+run_sweep /tmp/sfr30 /tmp/bench_sf3_3.json
 
 python3 - <<'EOF'
 import json
@@ -46,9 +42,9 @@ a = json.load(open('/tmp/bench_sf3_01.json'))["queries"]
 b = json.load(open('/tmp/bench_sf3_1.json'))["queries"]
 c = json.load(open('/tmp/bench_sf3_3.json'))["queries"]
 out = {"reps": "min-of-2", "cpus": 32,
-       "scales": {"sf0.1": 1, "sf1": 10, "sf3": 30},
-       "queries": {q: {"sf0.1": round(a[q], 2), "sf1": round(b[q], 2),
-                       "sf3": round(c[q], 2),
+       "scales": {"sf0.1": 1, "sfr10": 10, "sfr30": 30},
+       "queries": {q: {"sf0.1": round(a[q], 2), "sfr10": round(b[q], 2),
+                       "sfr30": round(c[q], 2),
                        "ratio_10x": round(b[q] / a[q], 2) if a[q] > 0 else None,
                        "ratio_30x_over_10x": round(c[q] / b[q], 2)
                            if b[q] > 0 else None}
