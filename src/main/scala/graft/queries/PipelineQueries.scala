@@ -524,6 +524,34 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
+    // ...and the quantized stream-shards-then-promote composition (the
+    // int8 twin of q_ann_ivf_merge_stream): each shard streams two
+    // QUANTIZED layers against its frozen centroids, the merge transfers
+    // each batch layer with the cid remap and per-source ordinal offsets
+    // (rows self-describe via the per-vector scale), and
+    // searchStoreQuantized probes the layered union unchanged. Per-shard
+    // assignment and codes are identical to the one-shot quantized
+    // build, so the oracle is exactly q_ann_ivf_quant_merge's
+    "q_ann_ivf_quant_merge_stream" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = QueryGroup.scratchDir("graft-ivfquantms")
+      def streamShard(m: Int, path: String): Unit = {
+        val half = e.filter(col("vec_id") % 2 === m)
+        graft.similarity.IvfStore.writeCentroids(half, path, kmeansIters = 0)
+        graft.similarity.IvfStore.appendBatch(s, path,
+          half.filter(col("vec_id") % 4 < 2), 0L, quantize = true)
+        graft.similarity.IvfStore.appendBatch(s, path,
+          half.filter(col("vec_id") % 4 >= 2), 1L, quantize = true)
+      }
+      streamShard(0, s"$root/shardA")
+      streamShard(1, s"$root/shardB")
+      graft.similarity.IvfStore.mergeStores(s,
+        Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
+      graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
+          e.filter(col("vec_id").isin(AnnQueryIds: _*)), 10)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // ...and the STREAMED-then-flattened quantized shard (VERDICT r16
     // #2): streaming ingest quantizes per batch (appendBatch
     // quantize=true — raw assignment against the frozen centroids, int8
@@ -635,6 +663,24 @@ object PipelineQueries extends QueryGroup {
       IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 0), 0L)
       IvfStore.markAudited(s, path)
       IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 1), 1L)
+      IvfStore.checkStoreIncremental(s, path)
+    }),
+
+    // ...and the SAME daily audit on a QUANTIZED streamed store (the
+    // memory-bound ingest's incremental face): the delta assignment runs
+    // tolerance-banded on the round(code·scale, 6) reconstructions, code
+    // well-formedness is delta-scoped (checked = the odd half, no longer
+    // 0), and centroids_wellformed rides every incremental run
+    "q_ivf_fsck_incr_quant" -> ((s, dir) => {
+      import graft.similarity.IvfStore
+      val e = emb(s, dir)
+      val path = QueryGroup.scratchDir("graft-ivffsckincrq")
+      IvfStore.writeCentroids(e, path, kmeansIters = 0)
+      IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 0), 0L,
+        quantize = true)
+      IvfStore.markAudited(s, path)
+      IvfStore.appendBatch(s, path, e.filter(col("vec_id") % 2 === 1), 1L,
+        quantize = true)
       IvfStore.checkStoreIncremental(s, path)
     }),
 
@@ -3240,6 +3286,32 @@ object PipelineQueries extends QueryGroup {
           UNION ALL SELECT 'delta_lists_assignment', (SELECT n FROM odd), 0
           UNION ALL SELECT 'delta_norms_consistent', (SELECT n FROM odd), 0""",
 
+    // the quantized streamed store's daily audit: same delta scoping,
+    // assignment banded on the reconstructions (violations 0 on every
+    // healthy row by the band's construction), codes delta-scoped
+    "q_ivf_fsck_incr_quant" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                         FROM e ORDER BY vec_id ASC LIMIT 16),
+               pairs AS (SELECT e.vec_id, c.cid,
+                                1 - list_cosine_similarity(e.v, c.cvec) AS cdist
+                         FROM e CROSS JOIN cents c),
+               ranked AS (SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY cdist ASC, cid ASC) AS rn
+                          FROM pairs),
+               assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+               odd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id % 2 = 1),
+               oddcids AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n
+                           FROM assign WHERE vec_id % 2 = 1)
+          SELECT 'delta_centroid_cover' AS invariant,
+                 (SELECT n FROM oddcids) AS checked, CAST(0 AS BIGINT) AS violations
+          UNION ALL SELECT 'centroids_wellformed', 16, 0
+          UNION ALL SELECT 'delta_codes_wellformed', (SELECT n FROM odd), 0
+          UNION ALL SELECT 'delta_ids_unique', (SELECT n FROM odd), 0
+          UNION ALL SELECT 'delta_lists_assignment', (SELECT n FROM odd), 0
+          UNION ALL SELECT 'delta_norms_consistent', (SELECT n FROM odd), 0""",
+
     // the detect→repair loop for the IVF store: the corrupted copies
     // (one per vec_id % 10 = 0, under the wrong neighbor cid) are the
     // duplicate count on ids_unique AND the mismatch count on
@@ -3299,6 +3371,9 @@ object PipelineQueries extends QueryGroup {
     // streamed-quantized + flattened shard merges like a fresh one —
     // every step layout-only w.r.t. assignment and codes
     "q_ann_ivf_quant_flatten" -> annIvfQuantMergeOracle,
+    // layered quantized shards promote with per-shard assignment and
+    // codes identical to the one-shot builds
+    "q_ann_ivf_quant_merge_stream" -> annIvfQuantMergeOracle,
     // reclustered quantized store = fresh build over the reconstructions
     "q_ann_ivf_quant_recluster" -> annIvfQuantReclusterOracle,
 
