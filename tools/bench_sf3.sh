@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Three-point (sf0.1 / sf1 / sf3 = 1x / 10x / 30x) scaling evidence for
+# Three-point (sf0.1 / sfr10 / sfr30 = 1x / 10x / 30x) scaling evidence for
 # the linear-tail families (VERDICT r16 #6): q_dedup_embed and
 # q_lm_score are claimed linear scan-bound — this measures the
 # dedup/text tail (plus family anchors) at a second decade point to
