@@ -237,9 +237,19 @@ object FsOps {
     * shape; callers fall through to their committed-dest refusal.
     * Callers must have verified the dest commit marker and
     * moveFiles=true themselves. */
+  /** `sourceRoots`/`destRoot` (default: the store paths themselves) let
+    * a family whose data tables live under a version-pointer frame
+    * (IvfStore's `_frame`) point the drained-ness/`m<i>_` evidence
+    * probes at the frame dirs while the `_merged_into` stamps and the
+    * recorded dest stay at the STORE paths — the markers are
+    * store-level identity, the tables are frame-level data. */
   def completeHuskStamps(spark: org.apache.spark.sql.SparkSession,
                          sources: Seq[String], dest: String,
-                         tables: Seq[String]): Boolean = {
+                         tables: Seq[String],
+                         sourceRoots: Seq[String] = Seq.empty,
+                         destRoot: String = ""): Boolean = {
+    val srcRoots = if (sourceRoots.isEmpty) sources else sourceRoots
+    val dRoot = if (destRoot.isEmpty) dest else destRoot
     // source-derived evidence first (ADVICE r15): the merge recorded its
     // source list on the dest before any file moved; a resume whose list
     // differs (paths OR order — order is the ordinal assignment) is a
@@ -249,13 +259,14 @@ object FsOps {
     if (readMarker(spark, dest, MergeSourcesMarker)
         .exists(_.split("\n").toSeq != sources)) return false
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val destFiles = tables.flatMap(t => visibleDataFiles(spark, s"$dest/$t"))
+    val destFiles = tables.flatMap(t => visibleDataFiles(spark, s"$dRoot/$t"))
     val resumable = sources.zipWithIndex.forall { case (s, i) =>
+      val sr = srcRoots(i)
       mergedInto(spark, s) match {
         case Some(d) => d == dest // stamped elsewhere: never overwrite
         case None =>
-          tables.exists(t => fs.exists(new Path(s"$s/$t"))) &&
-            tables.forall(t => visibleDataFiles(spark, s"$s/$t").isEmpty) &&
+          tables.exists(t => fs.exists(new Path(s"$sr/$t"))) &&
+            tables.forall(t => visibleDataFiles(spark, s"$sr/$t").isEmpty) &&
             destFiles.exists(_.startsWith(s"m${i}_"))
       }
     }

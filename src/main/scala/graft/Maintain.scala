@@ -13,6 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
+  *        | advise [maxRangeFrac]  (provenance→recluster advisor: exits
+  *                                  nonzero when the fsck report's
+  *                                  range-only provenance share says
+  *                                  recluster is due)
   *        | recluster [nCentroids] [iters] [sampleMod]  (post-merge:
   *                                  re-train the unioned centroid set)
   *        | flatten   (end of a shard's ingest life: batch= layers ->
@@ -120,6 +124,15 @@ object Maintain {
             rangeBy = batchRange("positional"))
         None
       case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
+      // provenance→recluster advisor (one row; violations=1 iff the
+      // range-only provenance share exceeds [maxRangeFrac], so a cron
+      // `Maintain ivf advise` exits nonzero exactly when recluster is due)
+      case ("ivf", "advise") =>
+        val usage = "ivf advise <path> [maxRangeFrac 0..1, default 0.25]"
+        val frac = extra.headOption.map(a => a.toDoubleOption.getOrElse(
+          throw new IllegalArgumentException(s"$usage (got '$a')")))
+        Some(similarity.IvfStore.adviseRecluster(spark, path,
+          frac.getOrElse(0.25)))
       case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))
       case ("ivf", "mark-audited") => similarity.IvfStore.markAudited(spark, path); None
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None

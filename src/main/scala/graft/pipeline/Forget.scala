@@ -101,8 +101,12 @@ object Forget {
       fs.exists(new Path(p)) && (f match {
         case "index" => graft.index.Indexer.storedBuckets(spark, p).nonEmpty
         case "dedup" => graft.dedup.DedupStore.storedGeometry(spark, p).nonEmpty
-        case "ivf"   => fs.exists(new Path(s"$p/centroids")) &&
-                        fs.exists(new Path(s"$p/lists"))
+        case "ivf"   =>
+          // resolve the frame pointer: a reclustered/expunged store's
+          // tables live under frames/v=N, not at the store root
+          val r = graft.similarity.IvfStore.frameRoot(spark, p)
+          fs.exists(new Path(s"$r/centroids")) &&
+            fs.exists(new Path(s"$r/lists"))
         case "vstore" => graft.streaming.VersionedStore.hasCommits(spark, p)
       })
     }

@@ -67,12 +67,12 @@ object Promote {
         graft.dedup.DedupStore.storedGeometry(spark, s"$dest/dedup").isEmpty)
       graft.dedup.DedupStore.mergeStores(spark,
         roots.map(r => s"$r/dedup"), s"$dest/dedup", moveFiles)
-    if (fams.contains("ivf")) {
-      val cents = new Path(s"$dest/ivf/centroids")
-      if (!cents.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cents))
-        graft.similarity.IvfStore.mergeStores(spark,
-          roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)
-    }
+    if (fams.contains("ivf") &&
+        // commit probe resolves the frame pointer (a reclustered dest's
+        // centroids live under frames/v=N, not at the store root)
+        !graft.similarity.IvfStore.isCommitted(spark, s"$dest/ivf"))
+      graft.similarity.IvfStore.mergeStores(spark,
+        roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)
     fams.toSeq.sorted
   }
 
@@ -96,7 +96,7 @@ object Promote {
       val committed =
         graft.index.Indexer.storedBuckets(spark, dest).nonEmpty ||
         graft.dedup.DedupStore.storedGeometry(spark, dest).nonEmpty ||
-        fs.exists(new Path(s"$dest/centroids"))
+        graft.similarity.IvfStore.isCommitted(spark, dest)
       require(committed,
         s"$husk records ${graft.FsOps.MergedIntoMarker}=$dest but no " +
           "committed store exists there — refusing to delete the remains; " +

@@ -26,17 +26,21 @@ object IvfStore {
                  nCentroids: Int = 16, kmeansIters: Int = 2,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    // a rebuild over a frame-installed store overwrites the CURRENT
+    // frame in place (the pointer stays) — same non-atomic rebuild
+    // contract as overwriting a legacy store's tables
+    val root = frameRoot(spark, path)
     Similarity.kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$root/centroids")
     // assign against the JUST-PERSISTED centroids (derive-from-persisted
     // rule — and the exact same centroid values the query path will read)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     Similarity.assignToCentroids(
         corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
         cents, "vec_id", "v", keep = 1)
       .withColumn("nv", Similarity.norm(col("v")))
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/lists")
   }
 
   /** IVF store with int8-QUANTIZED inverted lists — the memory-bound
@@ -57,9 +61,10 @@ object IvfStore {
                           nCentroids: Int = 16, kmeansIters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    val root = frameRoot(spark, path)
     Similarity.kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val assigned = Similarity.assignToCentroids(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
       cents, "vec_id", "v", keep = 1)
@@ -73,7 +78,7 @@ object IvfStore {
         sqrt(Similarity.dot(col("rv"), col("rv"))).as("nv"))
     assigned.select("vec_id", "cid").join(codes, "vec_id")
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/lists")
   }
 
   /** Probe a quantized store: same pruning/probe shape as
@@ -83,8 +88,8 @@ object IvfStore {
                            k: Int, nProbe: Int = 4,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
-    requireNotMidRecluster(spark, path)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val root = frameRoot(spark, path)
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         cents, "query_id", "qv", keep = nProbe)
@@ -94,14 +99,14 @@ object IvfStore {
     // only per-pair arithmetic. Scoring uses the declarative fold (same
     // left-to-right double accumulation as the codegen dotF, which is
     // float-array-only).
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$root/lists")
       .filter(col("cid").isin(probed: _*))
       .withColumn("v", transform(col("qvec"),
         x => round(x.cast("double") * col("scale"), 6)))
       .select("cid", "vec_id", "v", "nv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    liveLists(spark, path, lists).join(broadcast(q), "cid")
+    liveLists(spark, root, lists).join(broadcast(q), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         // zero-norm guard (same contract as Similarity.cosinePrenormed):
@@ -124,7 +129,8 @@ object IvfStore {
                      nCentroids: Int = 16, kmeansIters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     Similarity.kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite")
+      .parquet(s"${frameRoot(corpus.sparkSession, path)}/centroids")
 
   /** Assign one ingest batch against the persisted centroids and add its
     * vectors to the inverted lists. Replay-safe: every batch writes under
@@ -163,20 +169,20 @@ object IvfStore {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   quantize: Boolean = false): Unit = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
-    requireNotMidRecluster(spark, path)
-    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val root = frameRoot(spark, path)
+    val listsP = new org.apache.hadoop.fs.Path(s"$root/lists")
     val lfs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (lfs.exists(listsP)) {
       val kids = lfs.listStatus(listsP).filter(_.isDirectory).map(_.getPath.getName)
       require(kids.isEmpty || kids.exists(_.startsWith("batch=")),
-        s"appendBatch: $path/lists carries a fresh (cid-only) layout — " +
+        s"appendBatch: $root/lists carries a fresh (cid-only) layout — " +
           "appending a batch= layer would leave a half-present batch column " +
           "that serves neither audit; streaming ingest targets stores " +
           "bootstrapped by writeCentroids (rebuild, or merge shards instead)")
       if (kids.nonEmpty) {
         // one footer read (metadata): the store's layers must stay
         // uniformly raw or uniformly quantized
-        val hasQ = spark.read.parquet(s"$path/lists").columns.contains("qvec")
+        val hasQ = spark.read.parquet(s"$root/lists").columns.contains("qvec")
         require(hasQ == quantize,
           s"appendBatch: store at $path holds " +
             s"${if (hasQ) "QUANTIZED" else "RAW"} lists but the batch would " +
@@ -193,7 +199,7 @@ object IvfStore {
           "never re-inspect; ingest with fresh ordinals from " +
           "listBatches(path).last + 1")
     }
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val assignedRaw = Similarity.assignToCentroids(
       batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
       cents, "vec_id", "v", keep = 1)
@@ -215,7 +221,7 @@ object IvfStore {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try assigned.write.mode("overwrite")
-      .partitionBy("batch", "cid").parquet(s"$path/lists")
+      .partitionBy("batch", "cid").parquet(s"$root/lists")
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -249,9 +255,8 @@ object IvfStore {
                    targetBytes: Long = 128L * 1024 * 1024)
       : Map[String, graft.operators.Compaction.CompactionStats] = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path)
     graft.operators.Compaction.compactPartitionsRecursive(
-      spark, s"$path/lists", targetBytes)
+      spark, s"${frameRoot(spark, path)}/lists", targetBytes)
   }
 
   /** Flatten a streaming-ingested store's `batch=` layers into the fresh
@@ -271,20 +276,20 @@ object IvfStore {
     * drop re-runs to completion). */
   def flattenBatches(spark: SparkSession, path: String): Unit = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path)
-    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val root = frameRoot(spark, path)
+    val listsP = new org.apache.hadoop.fs.Path(s"$root/lists")
     val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a bootstrapped shard that never ingested has no lists yet — it is
     // trivially fresh; the no-op contract covers it (not a parquet error)
     if (!fs.exists(listsP)) return
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$root/lists")
     if (lists.columns.contains("batch")) {
       lists.drop("batch")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/lists_tmp")
+        .parquet(s"$root/lists_tmp")
       graft.FsOps.atomicSwap(fs, listsP,
-        new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+        new org.apache.hadoop.fs.Path(s"$root/lists_tmp"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
@@ -312,40 +317,49 @@ object IvfStore {
   def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
                     idCol: String = "vec_id"): Unit = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path) // the rewrite drops `deletes`
     ids.select(col(idCol).as("vec_id")).distinct()
-      .write.mode("append").parquet(s"$path/deletes")
+      .write.mode("append").parquet(s"${frameRoot(spark, path)}/deletes")
   }
 
   /** Physically apply accumulated tombstones ([[deleteVectors]]) — the
     * compaction-class counterpart of soft delete, mirroring
     * [[graft.index.Indexer.expungeDeletes]]: the inverted lists are
     * rewritten WITHOUT the dead vectors (partition layout preserved —
-    * `cid`, or `batch`/`cid` for a streaming-ingested store), installed
-    * via the crash-safe rename-aside swap, and the tombstone table is
-    * dropped. Probes lose the anti-join; centroids stay frozen (deletes
-    * thin lists, re-training is a rebuild). Run it when the tombstone
-    * anti-join overhead or dead-row storage outweighs one lists rewrite —
-    * a scheduled maintenance job beside [[compactLists]], never an
-    * ingest-path cost. No-op without tombstones; crash-safe re-run is
-    * idempotent (the anti-join matches nothing on already-clean lists
-    * while the tombstone table survives until the final drop). */
+    * `cid`, or `batch`/`cid` for a streaming-ingested store) and the
+    * tombstone table drops. Probes lose the anti-join; centroids stay
+    * frozen (deletes thin lists, re-training is a rebuild). Run it when
+    * the tombstone anti-join overhead or dead-row storage outweighs one
+    * lists rewrite — a scheduled maintenance job beside
+    * [[compactLists]], never an ingest-path cost. No-op without
+    * tombstones.
+    *
+    * Install is a FRAME BUMP (contract note at [[FrameMarker]]): the
+    * live rows rewrite into the next frame's lists, the (unchanged)
+    * centroid table copies in at file level (≤ nCentroids rows —
+    * metadata cost), the new frame simply carries NO tombstone table,
+    * and one pointer flip installs all three together — the lists
+    * rewrite and the tombstone drop can no longer tear apart. A crash
+    * before the flip costs nothing (the old frame serves, tombstones
+    * still applied by the anti-join; the re-run restages); after the
+    * flip only dead bytes remain for the cleanup below or the next
+    * bump. */
   def expungeDeletes(spark: SparkSession, path: String): Unit = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path)
-    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val root = frameRoot(spark, path)
+    val del = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(del)) return
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$root/lists")
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
-    liveLists(spark, path, lists)
+    val (next, nroot) = nextFrame(spark, path)
+    liveLists(spark, root, lists)
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(s"$path/lists_tmp")
-    graft.FsOps.atomicSwap(fs,
-      new org.apache.hadoop.fs.Path(s"$path/lists"),
-      new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
-    fs.delete(del, true)
+      .parquet(s"$nroot/lists")
+    graft.FsOps.transferDataFiles(spark, s"$root/centroids",
+      s"$nroot/centroids", "", move = false)
+    graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
+    gcFrames(spark, fs, path)
   }
 
   /** Repair the inverted lists — the REPAIR step beside [[checkStore]]'s
@@ -377,8 +391,8 @@ object IvfStore {
     * probe-path cost. */
   def repairLists(spark: SparkSession, path: String): Unit = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path)
-    val lists = spark.read.parquet(s"$path/lists")
+    val root = frameRoot(spark, path)
+    val lists = spark.read.parquet(s"$root/lists")
     val quantized = lists.columns.contains("qvec")
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
     // total order: cid, batch (if present), payload hash — same-cid
@@ -399,7 +413,7 @@ object IvfStore {
           .withColumn("nv", sqrt(Similarity.dot(col("__rv"), col("__rv"))))
           .drop("__rv")
       else {
-        val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+        val cents = broadcast(spark.read.parquet(s"$root/centroids"))
         // merged stores reassign WITHIN each row's cid group (the merge
         // contract — see mergeStores): a union-wide reassign here would
         // "repair" every healthy shard-local assignment into a full
@@ -468,11 +482,11 @@ object IvfStore {
       }
     repaired.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(s"$path/lists_tmp")
-    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+      .parquet(s"$root/lists_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$root/lists")
     graft.FsOps.atomicSwap(
       live.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      live, new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
+      live, new org.apache.hadoop.fs.Path(s"$root/lists_tmp"))
   }
 
   // ---- merged-store assignment contract ------------------------------
@@ -578,22 +592,86 @@ object IvfStore {
     segs.tail.foldLeft(lit(f(segs.head))) { (acc, sg) =>
       when(b > lit(sg.batchLo), lit(f(sg))).otherwise(acc) }
 
-  /** In-progress stamp for [[reclusterStore]]'s two-swap install window:
-    * between the lists swap and the centroids swap a reader would probe
-    * the OLD centroid frame against NEW lists (cid-inconsistent, silently
-    * wrong results). The marker lands before the first swap and clears
-    * after the second + the tombstone drop; every read/ingest entry
-    * refuses while it is present, and re-running recluster heals the
-    * window (training reads only vector payloads). */
-  private[graft] val ReclusterMarker = "_recluster_inprogress"
+  // ---- frame-pointer install (serve-through-maintenance) -------------
+  // A maintenance verb that replaces BOTH tables (recluster) — or lists
+  // plus the tombstone drop (expunge) — cannot install atomically with
+  // per-directory swaps: a crash between the renames leaves the tables
+  // cid-inconsistent, and the r14–r17 answer (stamp `_recluster_
+  // inprogress`, REFUSE all reads until an operator re-runs the verb)
+  // traded silent wrongness for unavailability — at 100 TB an
+  // operational cost the repo's own version-pointer pattern
+  // ([[graft.streaming.VersionedStore]]'s `v=` commit dirs) removes for
+  // free (VERDICT r17 #1). The store's data FRAME (`lists` +
+  // `centroids` + `deletes`) now resolves through ONE pointer:
+  //
+  //   - no `_frame` marker → the legacy layout, tables at the store
+  //     root (every fresh build starts here — no indirection cost);
+  //   - `_frame` = N → tables under `frames/v=N/`.
+  //
+  // Recluster/expunge stage the complete new frame under `frames/
+  // v=N+1`, then flip the pointer with one [[graft.FsOps.writeMarker]]
+  // (a single rename install — readers see the old frame or the new
+  // frame, never a mix), then garbage-collect the old frame. A crash
+  // ANY time before the flip costs nothing (readers serve the old
+  // frame; the re-run restages over the debris); a crash after the
+  // flip leaves dead bytes the re-run or the next frame bump collects.
+  // The `_recluster_inprogress` refuse path this replaces is gone —
+  // there is no window in which a reader must be turned away.
 
-  private def requireNotMidRecluster(spark: SparkSession, path: String): Unit =
-    if (graft.FsOps.readMarker(spark, path, ReclusterMarker).isDefined)
-      throw new IllegalStateException(
-        s"$path is mid-recluster (marker $ReclusterMarker): a crash between " +
-          "the lists and centroids swaps leaves the two tables " +
-          "cid-inconsistent — re-run `Maintain ivf recluster` to complete " +
-          "the install before reading or ingesting")
+  private[graft] val FrameMarker = "_frame"
+
+  /** Root directory of the store's CURRENT data frame — the store path
+    * itself (legacy layout: every fresh build) or `frames/v=N` after a
+    * frame-bump install ([[reclusterStore]]/[[expungeDeletes]]). All
+    * store markers stay at the store root; only the three data tables
+    * live inside the frame. One driver-side marker read. */
+  def frameRoot(spark: SparkSession, path: String): String =
+    graft.FsOps.readLongMarker(spark, path, FrameMarker)
+      .map(n => s"$path/frames/v=$n").getOrElse(path)
+
+  /** True iff a committed IVF store lives at `path`: the current
+    * frame's centroid table — the store's commit surface — exists. The
+    * family-detection probe ([[graft.pipeline.Forget.familiesAt]],
+    * [[graft.pipeline.Promote]]) that a bare `exists(path/centroids)`
+    * check would get wrong on any frame-installed store. */
+  def isCommitted(spark: SparkSession, path: String): Boolean = {
+    val c = new org.apache.hadoop.fs.Path(
+      s"${frameRoot(spark, path)}/centroids")
+    c.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(c)
+  }
+
+  /** Stage-root of the NEXT frame (`frames/v=<current+1>`), with the
+    * version to commit via the pointer flip. Deterministic across a
+    * crashed install's re-run: the pointer only moves at the flip, so
+    * the re-run restages the same `v=` dir (parquet overwrite + the
+    * copy primitive's skip-if-exists both resume cleanly). */
+  private def nextFrame(spark: SparkSession, path: String): (Long, String) = {
+    val next = graft.FsOps.readLongMarker(spark, path, FrameMarker)
+      .getOrElse(-1L) + 1L
+    (next, s"$path/frames/v=$next")
+  }
+
+  /** Garbage-collect every superseded frame after the pointer flip: the
+    * legacy root tables (always dead once a pointer exists) and every
+    * `frames/v=` dir other than the current one — a SWEEP, not a
+    * single-predecessor drop, so a crash between a flip and its cleanup
+    * leaks dead bytes only until the next bump collects them.
+    * Post-commit cleanup only: never an unreadable store. */
+  private def gcFrames(spark: SparkSession,
+                       fs: org.apache.hadoop.fs.FileSystem,
+                       path: String): Unit =
+    graft.FsOps.readLongMarker(spark, path, FrameMarker).foreach { cur =>
+      Seq("lists", "centroids", "deletes").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true))
+      val fr = new org.apache.hadoop.fs.Path(s"$path/frames")
+      if (fs.exists(fr))
+        fs.listStatus(fr).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v=") &&
+              n.stripPrefix("v=").toLongOption.exists(_ != cur))
+            fs.delete(st.getPath, true)
+        }
+    }
 
   /** Exclusive-lower cid group bounds of a merged store (None = never
     * merged / reclustered since): cid c belongs to group
@@ -788,10 +866,10 @@ object IvfStore {
     * [[deleteVectors]]'s anti-join semantics. */
   def checkStore(spark: SparkSession, path: String): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
-    requireNotMidRecluster(spark, path)
-    val lists = spark.read.parquet(s"$path/lists")
+    val root = frameRoot(spark, path)
+    val lists = spark.read.parquet(s"$root/lists")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val quantized = lists.columns.contains("qvec")
     import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
     def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
@@ -898,6 +976,69 @@ object IvfStore {
     finally lists.unpersist()
   }
 
+  /** Close the provenance→recluster loop (VERDICT r17 #2): the fsck
+    * report's `merged_provenance_range` row records how much of a
+    * nested-merged store is auditable only up to a group RANGE (an
+    * inner merged source's union-assigned span — a within-range cid
+    * rewrite is undetectable there and repair can only re-home across
+    * the whole range), and SCALE.md's contract is that an operator
+    * schedules recluster on that evidence. This is the operator: ONE
+    * advice row derived from the report —
+    *
+    *   `(invariant = recluster_recommended, checked = provenance-scoped
+    *    rows, violations = 1 iff recommended, range_only, range_frac,
+    *    threshold, reason)`
+    *
+    * Recommended when the range-only share of provenance-scoped rows
+    * exceeds `maxRangeFrac`: past that point the store's cross-group
+    * audit has degraded below the operator's floor and
+    * [[reclusterStore]] — which re-trains one union set and restores
+    * the STRICT assignment invariant — is the verb that resets coverage
+    * to exact. The `violations` column makes `Maintain ivf advise` a
+    * cron gate: nonzero exit exactly when recluster is due.
+    *
+    * Deliberately NOT triggered by `merged_groups_advisory` (a
+    * fresh-layout merge carries no per-row provenance BY DESIGN — that
+    * is a construction choice recorded at merge time, not degradation
+    * evidence accumulating with nesting depth); the advisory count
+    * rides along in `reason` so the operator sees it.
+    *
+    * `report`: pass a precomputed [[checkStore]] frame to derive advice
+    * from an audit that already ran (the scheduled-maintenance shape:
+    * one deep audit feeds both the red/green gate and this advisor);
+    * omitted, the advisor runs the deep audit itself. */
+  def adviseRecluster(spark: SparkSession, path: String,
+                      maxRangeFrac: Double = 0.25,
+                      report: Option[DataFrame] = None): DataFrame = {
+    require(maxRangeFrac >= 0.0 && maxRangeFrac <= 1.0,
+      s"maxRangeFrac must be in [0, 1] (got $maxRangeFrac)")
+    val rep = report.getOrElse(checkStore(spark, path)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = rep.get("merged_provenance").map(_._1).getOrElse(0L)
+    val range = rep.get("merged_provenance_range").map(_._1).getOrElse(0L)
+    val advisory = rep.get("merged_groups_advisory").map(_._1).getOrElse(0L)
+    val frac = if (total == 0L) 0.0 else range.toDouble / total
+    val recommended = total > 0L && frac > maxRangeFrac
+    val reason =
+      if (recommended)
+        f"range-only provenance $range/$total (${frac}%.4f) exceeds " +
+          f"$maxRangeFrac%.4f — within-range cid rewrites are undetectable " +
+          "there; recluster restores exact (strict-union) coverage"
+      else if (total > 0L)
+        f"range-only provenance $range/$total (${frac}%.4f) within " +
+          f"$maxRangeFrac%.4f" +
+          (if (advisory > 0L) s"; $advisory rows grouped-only (advisory)" else "")
+      else if (advisory > 0L)
+        s"no per-row provenance ($advisory rows grouped-only by merge " +
+          "construction — not degradation evidence; recluster optional)"
+      else "not a merged store, or provenance fully exact"
+    import spark.implicits._
+    Seq(("recluster_recommended", total, if (recommended) 1L else 0L,
+        range, frac, maxRangeFrac, reason))
+      .toDF("invariant", "checked", "violations", "range_only",
+        "range_frac", "threshold", "reason")
+  }
+
   /** `centroids_wellformed` — every centroid vector is present and free
     * of NaN/null components (ADVICE r16): a NaN-corrupted centroid makes
     * `best` NaN for its entire group, which the assignment audit's NaN
@@ -938,7 +1079,7 @@ object IvfStore {
     * directory listing (bounded metadata), the IVF store's batch record
     * (the `batch=` layout IS the marker; no side file needed). */
   def listBatches(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val p = new org.apache.hadoop.fs.Path(s"${frameRoot(spark, path)}/lists")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
@@ -976,16 +1117,16 @@ object IvfStore {
   def checkStoreIncremental(spark: SparkSession, path: String,
                             sinceBatch: Option[Long] = None): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path)
-    requireNotMidRecluster(spark, path)
     import graft.operators.StoreCheck.{row, emptyRow => emptyRowIn}
     def emptyRow(name: String): DataFrame = emptyRowIn(spark, name)
-    val lists = spark.read.parquet(s"$path/lists")
+    val root = frameRoot(spark, path)
+    val lists = spark.read.parquet(s"$root/lists")
     require(lists.columns.contains("batch"),
       s"checkStoreIncremental: store at $path has no batch= layout " +
         "(batch build) — run the full checkStore instead")
     val since = sinceBatch.orElse(lastAudited(spark, path)).getOrElse(-1L)
     val delta = lists.filter(col("batch") > since)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val quantized = lists.columns.contains("qvec")
 
     val unique = {
@@ -1095,21 +1236,26 @@ object IvfStore {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeGuards.requireMergeable(sources, dest)
     graft.FsOps.requireNotHusk(spark, dest)
-    requireNotMidRecluster(spark, dest)
     val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$dest/centroids"))) {
+    // data tables resolve through each store's frame pointer (a
+    // reclustered/expunged shard's tables live under frames/v=N);
+    // markers — husk stamps, merge sources, bounds — stay at the
+    // STORE paths throughout
+    val droot = frameRoot(spark, dest)
+    val sroots = sources.map(frameRoot(spark, _))
+    if (fs.exists(new Path(s"$droot/centroids"))) {
       // committed dest: either the move-mode crash window between the
       // commit and the husk stamps (complete the stamps and return —
       // FsOps.completeHuskStamps), or a genuine re-merge to refuse
       if (moveFiles && graft.FsOps.completeHuskStamps(spark, sources, dest,
-          Seq("lists", "deletes"))) return
+          Seq("lists", "deletes"), sourceRoots = sroots, destRoot = droot))
+        return
       throw new IllegalArgumentException(
         s"$dest already carries a committed IVF store (centroids exist)")
     }
     sources.foreach(graft.FsOps.requireNotHusk(spark, _))
-    sources.foreach(requireNotMidRecluster(spark, _))
-    sources.foreach { s =>
-      require(fs.exists(new Path(s"$s/centroids")) && fs.exists(new Path(s"$s/lists")),
+    sources.zip(sroots).foreach { case (s, sr) =>
+      require(fs.exists(new Path(s"$sr/centroids")) && fs.exists(new Path(s"$sr/lists")),
         s"$s is not a persisted IVF store (centroids/lists missing)")
     }
     // the batch=/cid= layout is visible from the partition DIRS alone —
@@ -1118,7 +1264,7 @@ object IvfStore {
     // the same cid remap, batch ordinals offset per source so replay
     // overwrite and audit deltas stay collision-free) — but never MIXED:
     // the merged lists would carry a half-present batch column
-    val layered = sources.map(s => fs.listStatus(new Path(s"$s/lists"))
+    val layered = sroots.map(sr => fs.listStatus(new Path(s"$sr/lists"))
       .exists(_.getPath.getName.startsWith("batch=")))
     require(layered.distinct.size == 1,
       s"sources mix fresh and batch-layered (streaming-ingested) lists " +
@@ -1136,10 +1282,10 @@ object IvfStore {
     // a dest already holding transferred lists is a crashed merge being
     // RESUMED: the data-reading guards passed before the first file
     // moved, and a move-drained source's lists no longer read — skip
-    if (!fs.exists(new Path(s"$dest/lists"))) {
-      graft.operators.MergeGuards.requireSchemaParity(spark, sources, "lists")
+    if (!fs.exists(new Path(s"$droot/lists"))) {
+      graft.operators.MergeGuards.requireSchemaParity(spark, sroots, "lists")
       graft.operators.MergeGuards.requireDisjointIds(spark,
-        sources.map(s => s"$s/lists"), "vec_id")
+        sroots.map(sr => s"$sr/lists"), "vec_id")
     }
 
     // record the source list on the dest BEFORE any file moves — the
@@ -1147,31 +1293,31 @@ object IvfStore {
     graft.FsOps.recordMergeSources(spark, dest, sources)
 
     // cid offsets: shard i's cids shift past the cumulative max
-    val centFrames = sources.map(s => spark.read.parquet(s"$s/centroids"))
+    val centFrames = sroots.map(sr => spark.read.parquet(s"$sr/centroids"))
     val maxCids = centFrames.map(_.agg(max(col("cid"))).collect()(0).getInt(0))
     val offsets = maxCids.scanLeft(0)(_ + _).init
 
-    for ((src, i) <- sources.zipWithIndex) {
+    for ((srcRoot, i) <- sroots.zipWithIndex) {
       if (isLayered)
-        for (bst <- fs.listStatus(new Path(s"$src/lists")).toSeq
+        for (bst <- fs.listStatus(new Path(s"$srcRoot/lists")).toSeq
              if bst.isDirectory && bst.getPath.getName.startsWith("batch=");
              st <- fs.listStatus(bst.getPath).toSeq
              if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
           val b = bst.getPath.getName.stripPrefix("batch=").toLong
           val k = st.getPath.getName.stripPrefix("cid=").toInt
           graft.FsOps.transferDataFiles(spark, st.getPath.toString,
-            s"$dest/lists/batch=${b + batchOffsets(i)}/cid=${k + offsets(i)}",
+            s"$droot/lists/batch=${b + batchOffsets(i)}/cid=${k + offsets(i)}",
             s"m${i}_", moveFiles)
         }
       else
-        for (st <- fs.listStatus(new Path(s"$src/lists")).toSeq
+        for (st <- fs.listStatus(new Path(s"$srcRoot/lists")).toSeq
              if st.isDirectory && st.getPath.getName.startsWith("cid=")) {
           val k = st.getPath.getName.stripPrefix("cid=").toInt
           graft.FsOps.transferDataFiles(spark, st.getPath.toString,
-            s"$dest/lists/cid=${k + offsets(i)}", s"m${i}_", moveFiles)
+            s"$droot/lists/cid=${k + offsets(i)}", s"m${i}_", moveFiles)
         }
-      graft.FsOps.transferDataFiles(spark, s"$src/deletes", s"$dest/deletes",
-        s"m${i}_", moveFiles)
+      graft.FsOps.transferDataFiles(spark, s"$srcRoot/deletes",
+        s"$droot/deletes", s"m${i}_", moveFiles)
     }
     // shard-local-assignment groups: each source's own bounds (Seq(0)
     // for a fresh shard) shifted by its cid offset — persisted BEFORE
@@ -1238,7 +1384,7 @@ object IvfStore {
     centFrames.zip(offsets).map { case (c, off) =>
         c.select((col("cid") + lit(off)).cast("int").as("cid"), col("cvec")) }
       .reduce(_ unionByName _)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$droot/centroids")
     // stamp drained sources only after the commit above (husk contract —
     // see FsOps.MergedIntoMarker)
     if (moveFiles)
@@ -1270,27 +1416,33 @@ object IvfStore {
     * self-consistent with search. Tombstones are materialized OUT by
     * the rewrite (an expunge-class job) and the tombstone table drops.
     *
-    * Crash model: lists install first, centroids last (a store's
-    * centroid table is its commit surface). A crash between the swaps
-    * leaves new lists under old centroids — re-running recluster heals
-    * it, because training reads only vector PAYLOADS (cid values never
-    * feed the retrain), and a crash before the `deletes` drop leaves
-    * tombstones whose ids the rewrite already removed (the anti-join
-    * matches nothing; the re-run drops the table). Scale: one
-    * training pass (∝ sample), one assignment+rewrite pass (∝ live
-    * store) — the priced cost of changing every vector's list home,
-    * scheduled like [[repairLists]], never a probe-path cost. */
+    * Crash model — the frame-pointer install (contract note at
+    * [[FrameMarker]], VERDICT r17 #1): BOTH new tables stage under the
+    * next `frames/v=` dir, and ONE pointer flip ([[graft.FsOps
+    * .writeMarker]], a single rename) installs them together with the
+    * tombstone drop (the new frame carries no `deletes` table — its
+    * rewrite materialized the tombstones out). Readers always see a
+    * complete, self-consistent frame: the old one until the flip, the
+    * new one after — a crash anywhere costs NOTHING but dead staged
+    * bytes (the re-run restages the same `v=` dir; the post-flip sweep
+    * collects stale frames). The r14–r17 `_recluster_inprogress`
+    * refuse-until-heal window this replaces is gone: the store serves
+    * THROUGH its heaviest maintenance verb. Scale: one training pass
+    * (∝ sample), one assignment+rewrite pass (∝ live store) — the
+    * priced cost of changing every vector's list home, scheduled like
+    * [[repairLists]], never a probe-path cost. */
   def reclusterStore(spark: SparkSession, path: String,
                      nCentroids: Int = 16, kmeansIters: Int = 2,
                      trainSampleMod: Int = 1): Unit = {
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1 (got $trainSampleMod)")
-    graft.FsOps.requireNotHusk(spark, path) // (its own in-progress marker is fine: re-run heals)
-    val listsP = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = listsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listsRaw = spark.read.parquet(s"$path/lists")
+    graft.FsOps.requireNotHusk(spark, path)
+    val root = frameRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listsRaw = spark.read.parquet(s"$root/lists")
     val quantized = listsRaw.columns.contains("qvec")
     val partCols = if (listsRaw.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
-    val live = liveLists(spark, path, listsRaw).withColumn("__v",
+    val live = liveLists(spark, root, listsRaw).withColumn("__v",
       if (quantized)
         // float-cast for the codegen FloatVectorDot assignment path —
         // affects only which list a vector homes in; probe SCORING still
@@ -1301,30 +1453,25 @@ object IvfStore {
     val train =
       if (trainSampleMod == 1) live
       else live.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod.toLong)) === 0)
+    val (next, nroot) = nextFrame(spark, path)
     Similarity.kmeansCentroids(
         train.select(col("vec_id"), col("__v")), nCentroids, kmeansIters,
         "vec_id", "__v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_tmp")
-    val cents = broadcast(spark.read.parquet(s"$path/centroids_tmp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$nroot/centroids")
+    // assign against the JUST-PERSISTED new frame's centroids
+    // (derive-from-persisted rule)
+    val cents = broadcast(spark.read.parquet(s"$nroot/centroids"))
     val reassigned = Similarity.assignToCentroids(
         live.select(col("vec_id"), col("__v")), cents, "vec_id", "__v", keep = 1)
       .select(col("vec_id"), col("cid"))
     live.drop("cid", "__v").join(reassigned, "vec_id")
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(s"$path/lists_tmp")
-    // both tables are staged; stamp the install window before the first
-    // swap — a crash between the two swaps leaves old centroids over new
-    // lists, and readers must refuse that cid-inconsistent frame rather
-    // than silently return wrong results (ADVICE r14)
-    graft.FsOps.writeMarker(spark, path, ReclusterMarker, "1")
-    graft.FsOps.atomicSwap(fs, listsP,
-      new org.apache.hadoop.fs.Path(s"$path/lists_tmp"))
-    val centsP = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    graft.FsOps.atomicSwap(fs, centsP,
-      new org.apache.hadoop.fs.Path(s"$path/centroids_tmp"))
+      .parquet(s"$nroot/lists")
+    // the flip: one rename installs lists + centroids + tombstone drop
+    graft.FsOps.writeLongMarker(spark, path, FrameMarker, next)
     // the store is union-nearest again: drop the merged-assignment
-    // marker (and its swap aside — readMarker recovers from asides).
+    // markers (and their swap asides — readMarker recovers from asides).
     // A crash before these deletes leaves the grouped (weaker-but-green)
     // audit in force until the next recluster; never a false red.
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$MergedBoundsMarker"), true)
@@ -1334,12 +1481,8 @@ object IvfStore {
       s"$path/$MergedBatchBoundsMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/_$MergedBatchBoundsMarker.swap_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
-    // install complete: clear the in-progress stamp (live + swap aside —
-    // readMarker recovers from asides, so a clear must remove both)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$ReclusterMarker"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/_$ReclusterMarker.swap_old"), true)
+    // superseded-frame sweep (post-commit cleanup; crash = dead bytes)
+    gcFrames(spark, fs, path)
   }
 
   /** LIVE vec_id surface of a store — the ids a probe could still
@@ -1348,24 +1491,26 @@ object IvfStore {
     * pipeline audit ([[graft.pipeline.Forget.checkPipeline]]) joins
     * against — never the vectors themselves. */
   def liveVectorIds(spark: SparkSession, path: String): DataFrame = {
-    requireNotMidRecluster(spark, path)
-    liveLists(spark, path,
-      spark.read.parquet(s"$path/lists").select("vec_id")).distinct()
+    val root = frameRoot(spark, path)
+    liveLists(spark, root,
+      spark.read.parquet(s"$root/lists").select("vec_id")).distinct()
   }
 
-  private def liveLists(spark: SparkSession, path: String, lists: DataFrame): DataFrame = {
-    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+  /** `root` is the store's resolved FRAME root ([[frameRoot]]) — every
+    * caller resolves once per entry and passes it down. */
+  private def liveLists(spark: SparkSession, root: String, lists: DataFrame): DataFrame = {
+    val del = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(del)) lists
-    else lists.join(spark.read.parquet(s"$path/deletes"), Seq("vec_id"), "left_anti")
+    else lists.join(spark.read.parquet(s"$root/deletes"), Seq("vec_id"), "left_anti")
   }
 
   def searchStore(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
-    requireNotMidRecluster(spark, path)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val root = frameRoot(spark, path)
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val q = Similarity.assignToCentroids(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         cents, "query_id", "qv", keep = nProbe)
@@ -1373,10 +1518,10 @@ object IvfStore {
     // probed cids: bounded by nCentroids — a driver-side IN-list literal
     // is what turns into a static PartitionFilter on the lists scan
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$root/lists")
       .filter(col("cid").isin(probed: _*))
     // tombstone anti-join applies AFTER the pruned scan (deletes table
     // broadcastable; partition pruning unaffected)
-    Similarity.probeRank(liveLists(spark, path, lists), q, k)
+    Similarity.probeRank(liveLists(spark, root, lists), q, k)
   }
 }

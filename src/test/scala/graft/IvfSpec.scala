@@ -128,16 +128,24 @@ class IvfSpec extends SparkSpec {
     assert(again.toSet === after.toSet)
 
     // expunge: dead rows physically gone, tombstones dropped, answers
-    // unchanged, cid partition layout (and its pruning) preserved
+    // unchanged, cid partition layout (and its pruning) preserved.
+    // Install is a frame bump: the rewritten tables live under the
+    // pointed frames/v= dir and the legacy root tables are swept
     IvfStore.expungeDeletes(spark, path)
-    assert(!new java.io.File(s"$path/deletes").exists)
-    assert(spark.read.parquet(s"$path/lists")
+    val fr = IvfStore.frameRoot(spark, path)
+    assert(fr != path, "expunge must install via a frame-pointer bump")
+    assert(!new java.io.File(s"$fr/deletes").exists,
+      "the new frame must carry no tombstone table")
+    assert(!new java.io.File(s"$path/lists").exists &&
+      !new java.io.File(s"$path/deletes").exists,
+      "the superseded legacy frame must be swept after the flip")
+    assert(spark.read.parquet(s"$fr/lists")
       .filter($"vec_id".isin(dead.toSeq: _*)).count() == 0,
       "expunge must rewrite the lists without the dead vectors")
     val expunged = IvfStore.searchStore(spark, path, q, 10)
       .as[(Long, Long, Double, Long)].collect()
     assert(expunged.toSet === after.toSet, "expunge must not change answers")
-    assert(spark.read.parquet(s"$path/lists").columns.contains("cid"))
+    assert(spark.read.parquet(s"$fr/lists").columns.contains("cid"))
     // no-op on a store without tombstones
     IvfStore.expungeDeletes(spark, path)
     assert(IvfStore.searchStore(spark, path, q, 10)
@@ -336,13 +344,16 @@ class IvfSpec extends SparkSpec {
     // quantized repair face: stale norms (every nv drifted) — detected on
     // norms_consistent, repairLists recomputes nv from the round(code ·
     // scale, 6) reconstruction (cid kept: assignment ran on raw vectors
-    // the store no longer holds) and the re-check is clean
+    // the store no longer holds) and the re-check is clean. The store is
+    // frame-installed after the recluster above, so the corruption
+    // injection targets the pointed frame's lists
+    val qroot = IvfStore.frameRoot(spark, qpath)
     val qfs = new org.apache.hadoop.fs.Path(qpath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(s"$qpath/lists").withColumn("nv", col("nv") + lit(1.0))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$qpath/lists_bad")
-    graft.FsOps.atomicSwap(qfs, new org.apache.hadoop.fs.Path(s"$qpath/lists"),
-      new org.apache.hadoop.fs.Path(s"$qpath/lists_bad"))
+    spark.read.parquet(s"$qroot/lists").withColumn("nv", col("nv") + lit(1.0))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$qroot/lists_bad")
+    graft.FsOps.atomicSwap(qfs, new org.apache.hadoop.fs.Path(s"$qroot/lists"),
+      new org.apache.hadoop.fs.Path(s"$qroot/lists_bad"))
     val qbad = report(qpath)
     assert(qbad("norms_consistent")._2 === qbad("norms_consistent")._1)
     IvfStore.repairLists(spark, qpath)
@@ -375,13 +386,20 @@ class IvfSpec extends SparkSpec {
     // a tombstone before recluster: the rewrite must materialize it out
     IvfStore.deleteVectors(spark, s"$root/m", Seq(9L).toDF("vec_id"))
     IvfStore.reclusterStore(spark, s"$root/m", nCentroids = 16, kmeansIters = 0)
-    assert(spark.read.parquet(s"$root/m/centroids").count() === 16,
+    // frame-pointer install: the new tables live under frames/v=, the
+    // superseded legacy tables are swept, tombstones dropped WITH the flip
+    val mroot = IvfStore.frameRoot(spark, s"$root/m")
+    assert(mroot != s"$root/m", "recluster must install via a frame bump")
+    assert(spark.read.parquet(s"$mroot/centroids").count() === 16,
       "recluster must return the centroid set to k")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/deletes")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mroot/deletes")),
       "tombstones are materialized out (expunge-class rewrite)")
-    assert(spark.read.parquet(s"$root/m/lists")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/lists")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/centroids")),
+      "the superseded legacy frame is swept after the flip")
+    assert(spark.read.parquet(s"$mroot/lists")
       .filter($"vec_id" === 9L).isEmpty)
     // same deterministic seeding as a fresh build over the live corpus →
     // identical answers, and the probed-cid pruning still plans
@@ -411,7 +429,8 @@ class IvfSpec extends SparkSpec {
     // every probe ranks on): answers keep high agreement with the
     // pre-recluster store — same corpus, same scoring, new list homes
     IvfStore.reclusterStore(spark, path, nCentroids = 8, kmeansIters = 1)
-    assert(spark.read.parquet(s"$path/centroids").count() === 8)
+    assert(spark.read.parquet(
+      s"${IvfStore.frameRoot(spark, path)}/centroids").count() === 8)
     val after = IvfStore.searchStoreQuantized(spark, path, q, 10)
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(after.nonEmpty && after.map(_._1).distinct.size === before.map(_._1).distinct.size)
@@ -550,20 +569,43 @@ class IvfSpec extends SparkSpec {
       IvfStore.appendBatch(spark, fresh, q, 0L))
     assert(eMix.getMessage.contains("cid-only"), eMix.getMessage)
 
-    // recluster install window: with the in-progress marker present
-    // (forged crash between the two swaps), every read/ingest entry
-    // refuses by name; re-running recluster heals and clears it
-    FsOps.writeMarker(spark, fresh, "_recluster_inprogress", "1")
-    val eSearch = intercept[IllegalStateException](
-      IvfStore.searchStore(spark, fresh, q, 3))
-    assert(eSearch.getMessage.contains("mid-recluster"), eSearch.getMessage)
-    intercept[IllegalStateException](IvfStore.checkStore(spark, fresh))
-    intercept[IllegalStateException](IvfStore.appendBatch(spark, fresh, q, 5L))
-    intercept[IllegalStateException](
-      IvfStore.deleteVectors(spark, fresh, Seq(1L).toDF("vec_id")))
+    // frame-pointer install (VERDICT r17 #1): a recluster killed between
+    // its two table writes — the next frame partially or fully staged,
+    // the pointer NOT yet flipped — costs NOTHING: readers never look
+    // past the pointer, so every entry serves the OLD frame through the
+    // whole crash window (the r14–r17 refuse-until-heal marker is gone)
+    val preCrash = IvfStore.searchStore(spark, fresh, q, 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // forge the crash: stage a POISONED next frame (wrong centroids AND
+    // wrong lists — a reader that resolved the unflipped frame would
+    // return different answers or die on the alien schema)
+    Seq((0, Array(9f, 9f))).toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$fresh/frames/v=0/centroids")
+    Seq((999L, Array(9f, 9f), 1.0, 0)).toDF("vec_id", "v", "nv", "cid")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$fresh/frames/v=0/lists")
+    assert(IvfStore.searchStore(spark, fresh, q, 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq === preCrash,
+      "an unflipped staged frame must be invisible to every reader")
+    assert(IvfStore.checkStore(spark, fresh)
+      .agg(sum($"violations")).as[Long].collect().head === 0L,
+      "fsck audits the OLD frame through the crash window")
+    IvfStore.deleteVectors(spark, fresh, Seq(-1L).toDF("vec_id")) // ingest verbs too
+    // the re-run restages the SAME v= dir over the debris and completes:
+    // ONE pointer flip installs lists + centroids + tombstone drop
     IvfStore.reclusterStore(spark, fresh, nCentroids = 16, kmeansIters = 0)
-    assert(FsOps.readMarker(spark, fresh, "_recluster_inprogress").isEmpty,
-      "a completed recluster clears the install-window stamp")
+    assert(FsOps.readLongMarker(spark, fresh, "_frame") === Some(0L))
+    assert(IvfStore.frameRoot(spark, fresh) === s"$fresh/frames/v=0")
+    assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
+    assert(!new java.io.File(s"$fresh/lists").exists &&
+      !new java.io.File(s"$fresh/deletes").exists,
+      "the superseded legacy frame is swept after the flip")
+    // a SECOND bump (expunge after a delete) supersedes v=0 and sweeps it
+    IvfStore.deleteVectors(spark, fresh, Seq(0L).toDF("vec_id"))
+    IvfStore.expungeDeletes(spark, fresh)
+    assert(IvfStore.frameRoot(spark, fresh) === s"$fresh/frames/v=1")
+    assert(!new java.io.File(s"$fresh/frames/v=0").exists,
+      "the frame sweep collects every superseded v= dir")
     assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
   }
 

@@ -42,9 +42,16 @@ class MaintainSpec extends SparkSpec {
     assert(Maintain.run(spark, "ivf", "expunge", path).isEmpty)
     assert(Maintain.run(spark, "ivf", "compact", path).isEmpty)
     assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
+    // advisor dispatch: a fresh (never-merged) store is trivially green,
+    // and a malformed threshold fails with the usage message
+    assert(violations(Maintain.run(spark, "ivf", "advise", path)) === 0L)
+    val eAdv = intercept[IllegalArgumentException](
+      Maintain.run(spark, "ivf", "advise", path, Seq("x")))
+    assert(eAdv.getMessage.contains("advise"), eAdv.getMessage)
     // recluster takes optional [nCentroids] [iters] [sampleMod] args
     assert(Maintain.run(spark, "ivf", "recluster", path, Seq("2", "0")).isEmpty)
-    assert(spark.read.parquet(s"$path/centroids").count() === 2L)
+    assert(spark.read.parquet(
+      s"${similarity.IvfStore.frameRoot(spark, path)}/centroids").count() === 2L)
     assert(violations(Maintain.run(spark, "ivf", "fsck", path)) === 0L)
     val e1 = intercept[IllegalArgumentException](
       Maintain.run(spark, "ivf", "recluster", path, Seq("x")))

@@ -371,6 +371,24 @@ class PromoteSpec extends SparkSpec {
       "range-only subset = the union-assigned post-merge ingest row: " + orep)
     assert(orep("merged_groups_advisory")._1 === 0L,
       "composed provenance: the advisory row is empty")
+    // VERDICT r17 #2 — the advisor closes the provenance→recluster loop
+    // on exactly this evidence: 1 of 11 provenance rows is range-only,
+    // so a 0.25 floor stays green and a 0.05 floor recommends recluster
+    // (violations=1 — the `Maintain ivf advise` cron-gate contract)
+    val okAdv = IvfStore.adviseRecluster(spark, outer, maxRangeFrac = 0.25)
+      .collect().head
+    assert(okAdv.getAs[Long]("violations") === 0L, okAdv.toString)
+    assert(okAdv.getAs[Long]("checked") === 11L, okAdv.toString)
+    assert(okAdv.getAs[Long]("range_only") === 1L, okAdv.toString)
+    val dueAdv = IvfStore.adviseRecluster(spark, outer, maxRangeFrac = 0.05)
+      .collect().head
+    assert(dueAdv.getAs[Long]("violations") === 1L, dueAdv.toString)
+    assert(dueAdv.getAs[String]("reason").contains("recluster restores exact"))
+    // ...and derives identically from a PRECOMPUTED deep-audit report
+    // (the scheduled-maintenance shape: one fsck feeds gate + advisor)
+    assert(IvfStore.adviseRecluster(spark, outer, 0.05,
+        report = Some(IvfStore.checkStore(spark, outer)))
+      .collect().head.getAs[Long]("violations") === 1L)
 
     // cross-group rewrites against the composed segments: an exact-layer
     // row (vec 1, shard A) rewritten into the new shard's group flags,
