@@ -247,7 +247,22 @@ object Bench {
       if (calibration.isEmpty) ""
       else calibration.map { case (k, v) => jstr(k) + ":" + v }
         .mkString(""","calibration":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$calField$onlyField}"""
+    // derived-geometry provenance (VERDICT r17 #6): the embedding
+    // near-dup face derives its LSH banding from the corpus, so a
+    // scaling artifact is unreadable without the geometry that ran —
+    // emit (n, band_bits, bands, expected_occupancy) with the sweep so
+    // an occupancy-rule stairstep reads as designed behavior from the
+    // artifact alone (one post-sweep metadata count, untimed)
+    val geomField =
+      if (!results.exists(_._1 == "q_dedup_embed")) ""
+      else try {
+        val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+        val (bits, bands) = graft.dedup.Dedup.autoGeometry(n,
+          graft.queries.PipelineQueries.CosineThreshold)
+        s""","geometry":{"q_dedup_embed":{"n":$n,"band_bits":$bits,""" +
+          s""""bands":$bands,"expected_occupancy":${n / (1L << bits)}}}"""
+      } catch { case NonFatal(_) => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$calField$geomField$onlyField}"""
     println(line)
     // Also persist to a file: the driver's log-tail capture truncates long
     // output, which cost round 4 its per-query timings (BENCH_r04.json has

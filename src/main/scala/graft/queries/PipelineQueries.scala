@@ -238,6 +238,34 @@ object PipelineQueries extends QueryGroup {
       graft.similarity.Eval.ndcgAtK(exact, approx, 10)
     }),
 
+    // the zero-norm cosine contract ON the gate (ADVICE r17): a
+    // direction-less (all-zero) vector scores −1 against every query —
+    // it sinks BELOW genuine negative-cosine neighbors instead of
+    // outranking them, and ANSI mode does not kill the job on the 0/0.
+    // One zero vector unions into the corpus and each query returns its
+    // BOTTOM-5 by cosine: rank 1 is the zero row at exactly −1, ranks
+    // 2-5 real negative-cosine neighbors. The oracle mirrors the
+    // contract with an explicit zero-norm CASE (DuckDB's
+    // list_cosine_similarity is NaN there), so engine/oracle agreement
+    // on the guard is exercised end-to-end, not just in unit tests
+    "q_ann_zero_norm" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionByName(
+        Seq((-1L, Array.fill(EmbedDim)(0f))).toDF("vec_id", "embedding"))
+      val q = e.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").asc, col("vec_id").asc)
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", Similarity.cosine(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     // MMR diversity re-rank over the exact top-10: relevance traded
     // against redundancy with the already-selected set; all frames
     // bounded by |queries|·k — the corpus is never rescanned. rel/sim
@@ -321,12 +349,15 @@ object PipelineQueries extends QueryGroup {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
-    // the PRODUCTION centroid path on the gate (VERDICT r6): Lloyd
-    // refinement is float-mean arithmetic no SQL oracle reproduces, so
-    // the gate states the claim that matters as a bounds boolean (the
-    // q_sketch_distinct pattern): refined centroids must retrieve no
-    // worse than the oracle-able seed configuration. The seed path's
-    // mean recall rides along exactly-verified.
+    // the PRODUCTION centroid path on the gate, VALUE-FOR-VALUE
+    // (VERDICT r17 #7, upgrading the r6 bounds boolean): Lloyd means
+    // pin to a 4-dp grid before the float cast
+    // (Similarity.kmeansCentroids), which makes the refined centroids
+    // reproducible arithmetic — the oracle unrolls the two Lloyd
+    // iterations (assign → grid-pinned float mean, twice), probes with
+    // the refined frame and recomputes the refined mean recall exactly.
+    // The not-worse claim rides along, now derived on both sides rather
+    // than asserted as a literal.
     "q_ann_ivf_refined" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(AnnQueryIds: _*))
@@ -336,14 +367,15 @@ object PipelineQueries extends QueryGroup {
         .agg(avg(col("recall")).as("seed_raw"))
       val refined = graft.similarity.Eval.recallAtK(exact,
           Similarity.ivfTopK(e, q, 10, kmeansIters = 2))
-        .agg(avg(col("recall")).as("refined_mean"))
+        .agg(avg(col("recall")).as("refined_raw"))
       // 1-row × 1-row cross join; the claim compares the two RAW means
-      // (rounding only the displayed column — comparing a rounded-up seed
-      // against a raw refined mean would fail on exact ties) with an
-      // epsilon for summation-order ulps
+      // (rounding only the displayed columns — comparing a rounded-up
+      // seed against a raw refined mean would fail on exact ties) with
+      // an epsilon for summation-order ulps
       seed.crossJoin(refined).select(
         round(col("seed_raw"), 6).as("seed_mean_recall"),
-        (col("refined_mean") >= col("seed_raw") - lit(1e-9))
+        round(col("refined_raw"), 6).as("refined_mean_recall"),
+        (col("refined_raw") >= col("seed_raw") - lit(1e-9))
           .as("refined_not_worse"))
     }),
 
@@ -1887,8 +1919,8 @@ object PipelineQueries extends QueryGroup {
 
   // Sign-LSH geometry shared between the Spark queries and the DuckDB
   // oracles (Similarity.radComponent is the portable plane family).
-  val EmbedBands    = 16
-  val EmbedBandBits = 4
+  // The near-dup face derives its banding (Dedup.autoGeometry); only
+  // the plane dimensionality and the ANN probe width stay fixed.
   val EmbedDim      = 64
   val AnnPlanes     = 6
 
@@ -1907,21 +1939,29 @@ object PipelineQueries extends QueryGroup {
 
   /** Banded sign-LSH near-dup: candidates from any-band bucket collision,
     * exact-cosine verified — reproduces Dedup.embeddingNearDupPairsAuto.
-    * The band width derives from the corpus count with the SAME rule as
-    * Dedup.autoBandBits (`clamp(ceil(log2(n/128)), 4, 12)`), so the
-    * oracle reproduces the adaptive geometry at any sf from its own
-    * count — at the gate scales (≤ 2000 vectors) it degenerates to the
-    * historical 16×4. */
-  private lazy val dedupEmbedOracle: String =
+    * BOTH geometry knobs derive exactly as the engine's: the band width
+    * from the corpus count with Dedup.autoBandBits's INTEGER threshold
+    * rule (`min b in [0,12]: 128·2^b ≥ n`, floored at 4 — ADVICE r17:
+    * no float log2 whose ceil could land off-by-one at exact powers of
+    * two), and the band count from a CASE table generated FROM
+    * [[graft.dedup.Dedup.autoBands]] itself at the gate's (minCos,
+    * targetRecall) — integer-exact on the SQL side, zero duplicated
+    * float math. At the gate scales (≤ 2048 vectors) this degenerates
+    * to the historical 16×4. */
+  private lazy val dedupEmbedOracle: String = {
+    val bandsCase = (4 to 12).map(b =>
+      s"WHEN $b THEN ${Dedup.autoBands(CosineThreshold, 0.97, b)}").mkString(" ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             g AS (SELECT greatest(4, least(12,
-                            CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS bits
-                   FROM e),
+             gb AS (SELECT greatest(4, coalesce((SELECT min(b)
+                             FROM (SELECT unnest(range(0, 13)) AS b)
+                             WHERE 128 * (1::BIGINT << b) >=
+                                   (SELECT count(*) FROM e)), 12)) AS bits),
+             g AS (SELECT bits, (CASE bits $bandsCase END) AS bands FROM gb),
              dots AS (SELECT vec_id, p,
                              list_sum(list_transform(range(0, $EmbedDim),
                                d -> v[d + 1] * (CASE WHEN ('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8
                                                      THEN 1.0 ELSE -1.0 END))) AS dp
-                      FROM e, (SELECT unnest(range(0, $EmbedBands * (SELECT bits FROM g))) AS p) ps),
+                      FROM e, (SELECT unnest(range(0, (SELECT bands FROM g) * (SELECT bits FROM g))) AS p) ps),
              buckets AS (SELECT vec_id, p // (SELECT bits FROM g) AS band,
                                 sum(CASE WHEN dp >= 0 THEN 1 << (p % (SELECT bits FROM g)) ELSE 0 END) AS bucket
                          FROM dots GROUP BY 1, 2),
@@ -1931,6 +1971,29 @@ object PipelineQueries extends QueryGroup {
         SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
         FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
         WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold"""
+  }
+
+  /** Zero-norm cosine contract on the gate (ADVICE r17): DuckDB's
+    * list_cosine_similarity yields NaN on a zero vector, so the oracle
+    * mirrors the engine's −1 contract with an explicit CASE — the
+    * bottom-of-range placement is verified value-for-value, not assumed. */
+  private lazy val annZeroNormOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             c AS (SELECT vec_id, v FROM e
+                   UNION ALL
+                   SELECT -1, list_transform(range(0, $EmbedDim), x -> 0.0)),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1)),
+             scored AS (SELECT query_id, c.vec_id,
+                               CASE WHEN list_sum(list_transform(c.v, x -> x * x)) = 0
+                                      OR list_sum(list_transform(qv, x -> x * x)) = 0
+                                    THEN -1.0
+                                    ELSE list_cosine_similarity(qv, c.v) END AS cos
+                        FROM q, c WHERE c.vec_id <> q.query_id),
+             r AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos ASC, vec_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5"""
 
   /** Single-band multi-probe sign-LSH top-k — reproduces
     * Similarity.lshTopK(nPlanes=6, probeBits=1): query probes its own
@@ -2028,6 +2091,65 @@ object PipelineQueries extends QueryGroup {
         FROM documents d JOIN lists USING (doc_id)"""
 
   private lazy val annIvfOracle: String = annIvfOracleFor("TRUE")
+
+  /** Refined-IVF top-10 (q_ann_ivf_refined, VERDICT r17 #7): the two
+    * Lloyd iterations UNROLLED — assign every vector to its nearest
+    * current centroid, re-center each cluster on the 4-dp grid-pinned
+    * float mean (bit-for-bit [[graft.similarity.Similarity
+    * .kmeansCentroids]]'s arithmetic: the grid pin makes the float mean
+    * reproducible under any summation order), then probe nProbe = 4
+    * over the refined frame. Upgrades the refined path from a bounds
+    * boolean to value-for-value. */
+  private lazy val annIvfRefinedTopSql: String = {
+    val ids = AnnQueryIds.mkString(", ")
+    def assignSql(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, cid FROM (
+               SELECT e.vec_id, e.v, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY (1 - list_cosine_similarity(e.v, c.cvec)) ASC,
+                                 c.cid ASC) AS rn
+               FROM rf_e e CROSS JOIN $cents c) WHERE rn = 1)"""
+    def recenterSql(assign: String, out: String) =
+      s"""$out AS (SELECT cid, list(m ORDER BY d) AS cvec FROM (
+               SELECT cid, d,
+                      CAST(CAST(round(avg(v[d + 1]), 4) AS FLOAT) AS DOUBLE) AS m
+               FROM $assign, (SELECT unnest(range(0, $EmbedDim)) AS d) ds
+               GROUP BY cid, d) GROUP BY cid)"""
+    s"""WITH rf_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             rf_qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id IN ($ids)),
+             rf_c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS cvec
+                       FROM rf_e ORDER BY vec_id ASC LIMIT 16),
+             ${assignSql("rf_c0", "rf_a1")},
+             ${recenterSql("rf_a1", "rf_c1")},
+             ${assignSql("rf_c1", "rf_a2")},
+             ${recenterSql("rf_a2", "rf_c2")},
+             rf_assign AS (SELECT vec_id, cid FROM (
+                  SELECT e.vec_id, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY (1 - list_cosine_similarity(e.v, c.cvec)) ASC,
+                                    c.cid ASC) AS rn
+                  FROM rf_e e CROSS JOIN rf_c2 c) WHERE rn = 1),
+             rf_qassign AS (SELECT vec_id AS query_id, cid FROM (
+                  SELECT qe.vec_id, c.cid,
+                         row_number() OVER (PARTITION BY qe.vec_id
+                           ORDER BY (1 - list_cosine_similarity(qe.v, c.cvec)) ASC,
+                                    c.cid ASC) AS rn
+                  FROM rf_qe qe CROSS JOIN rf_c2 c) WHERE rn <= 4),
+             rf_cand AS (SELECT DISTINCT q.query_id, a.vec_id
+                         FROM rf_qassign q JOIN rf_assign a USING (cid)
+                         WHERE a.vec_id <> q.query_id),
+             rf_scored AS (SELECT rf_cand.query_id, rf_cand.vec_id,
+                                  list_cosine_similarity(eq.v, ec.v) AS cos
+                           FROM rf_cand
+                           JOIN rf_qe eq ON rf_cand.query_id = eq.vec_id
+                           JOIN rf_e ec ON rf_cand.vec_id = ec.vec_id),
+             rf_r AS (SELECT query_id, vec_id,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, vec_id ASC) AS rank
+                      FROM rf_scored)
+        SELECT query_id, vec_id FROM rf_r WHERE rank <= 10"""
+  }
 
   /** Merged-store IVF probe (q_ann_ivf_merge): per-shard seed centroids
     * (the 16 lowest vec_ids of each half), shard B's cids offset by
@@ -3061,6 +3183,7 @@ object PipelineQueries extends QueryGroup {
          FROM m JOIN nv ON m.label = nv.label""",
 
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_zero_norm" -> annZeroNormOracle,
 
     // NDCG@10 with the same two retriever oracles; discounts are the
     // SAME Scala-computed literals Eval.dcgWeight feeds the Spark side
@@ -3178,22 +3301,36 @@ object PipelineQueries extends QueryGroup {
     // geometry, so the one-shot oracle applies verbatim
     "q_ann_ivf_recluster" -> annIvfOracle,
 
-    // seed-path mean recall recomputed exactly from the two retriever
-    // oracles; the refined-not-worse boolean is the CLAIM the gate
-    // verifies (Lloyd float means are not oracle-reproducible)
+    // BOTH mean recalls recomputed exactly (VERDICT r17 #7): the seed
+    // path from the two retriever oracles as before, the REFINED path
+    // from the unrolled grid-pinned Lloyd chain — and the not-worse
+    // boolean derived from the two raw means on the oracle side too
+    // (mirroring the engine's 1e-9 summation-order epsilon), no longer
+    // asserted as a literal
     "q_ann_ivf_refined" ->
       s"""WITH exact AS ($cosineOracle),
                approx AS ($annIvfOracle),
+               rapprox AS ($annIvfRefinedTopSql),
                j AS (SELECT e.query_id, e.vec_id,
                             CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
                      FROM exact e LEFT JOIN approx a
                      ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
                r AS (SELECT query_id,
                             round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
-                     FROM j GROUP BY query_id)
-          SELECT round(avg(recall), 6) AS seed_mean_recall,
-                 true AS refined_not_worse
-          FROM r""",
+                     FROM j GROUP BY query_id),
+               rj AS (SELECT e.query_id, e.vec_id,
+                             CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                      FROM exact e LEFT JOIN rapprox a
+                      ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+               rr AS (SELECT query_id,
+                             round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+                      FROM rj GROUP BY query_id),
+               sm AS (SELECT avg(recall) AS seed_raw FROM r),
+               rm AS (SELECT avg(recall) AS refined_raw FROM rr)
+          SELECT round(sm.seed_raw, 6) AS seed_mean_recall,
+                 round(rm.refined_raw, 6) AS refined_mean_recall,
+                 (rm.refined_raw >= sm.seed_raw - 1e-9) AS refined_not_worse
+          FROM sm, rm""",
 
     // the persisted IVF store answers exactly like the in-memory build
     // with the same deterministic seed centroids — oracle shared

@@ -132,7 +132,15 @@ object Similarity {
         .agg(min_by(col("cid"), col("cdist")).as("cid"))
       cents = assigned
         .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        // Lloyd means pin to a 4-dp grid before the float cast: the
+        // distributed sum's order-dependent noise (~1e-13) cannot flip
+        // a 0.5e-4 rounding boundary, so the refined centroids are
+        // REPRODUCIBLE arithmetic — any engine (or the DuckDB oracle,
+        // q_ann_ivf_refined) summing the same components in any order
+        // lands on the same grid point. Retrieval-neutral: a 1e-4
+        // centroid perturbation is far below cluster radii (centroids
+        // are list homes, never scores).
+        .groupBy("cid", "pos").agg(round(avg(col("col")), 4).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),

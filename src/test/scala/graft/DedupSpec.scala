@@ -308,7 +308,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("autoBandBits bounds bucket occupancy; auto face degenerates to 16x4 at gate scale") {
-    import graft.dedup.Dedup.autoBandBits
+    import graft.dedup.Dedup.{autoBandBits, autoBands, autoGeometry}
     // the rule: clamp(ceil(log2(n / 128)), 4, 12) — candidate pairs are
     // quadratic in per-bucket occupancy, so the width must grow with n
     assert(autoBandBits(500) === 4)    // sf0.01 gate corpus
@@ -316,13 +316,75 @@ class DedupSpec extends SparkSpec {
     assert(autoBandBits(20000) === 8)  // 10x
     assert(autoBandBits(60000) === 9)  // 30x
     assert(autoBandBits(1L << 40) === 12, "clamped: bands buy recall past here")
-    // at gate scale the auto face IS the historical fixed geometry
+    // ...and autoBands buys the recall back (VERDICT r17 #4): the exact
+    // banded-LSH inversion, whose fixed point at the gate geometry
+    // (minCos 0.5, 4 bits, R 0.97) is EXACTLY the historical 16 bands
+    assert(autoBands(0.5, 0.97, 4) === 16)
+    assert(autoBands(0.5, 0.97, 9) === 134, "wider bands demand more of them")
+    assert(autoBands(0.8, 0.97, 8) === 21,
+      "high-similarity thresholds stay cheap at wide bands")
+    assert(autoGeometry(500, 0.5) === ((4, 16)))
+    assert(autoGeometry(2048, 0.5) === ((4, 16)))
+    // the auto face IS embeddingNearDupPairs at the derived geometry
+    // (the fixture's pair mass lives in the 0.3 tail, so compare there:
+    // n = 500 → 4 bits, and 0.3 at R 0.97 demands 26 bands)
     val e = Tables.load(spark, sf0001, "embeddings")
+    assert(autoGeometry(500, 0.3) === ((4, 26)))
     val auto = Dedup.embeddingNearDupPairsAuto(e, 0.3)
       .as[(Long, Long, Double)].collect().toSet
-    val fixed = Dedup.embeddingNearDupPairs(e, 0.3)
+    val derived = Dedup.embeddingNearDupPairs(e, 0.3, bands = 26, bandBits = 4)
       .as[(Long, Long, Double)].collect().toSet
-    assert(auto === fixed)
+    assert(auto === derived)
+    assert(auto.nonEmpty)
+  }
+
+  test("autoBands recall property: measured recall >= target at two thresholds") {
+    // VERDICT r17 #4 done-criterion: on a SEEDED corpus with planted
+    // near-dup pairs (the fixture embeddings carry almost no pairs
+    // above cos 0.5 — their pair mass is the 0.3 tail), the recall-
+    // tuned band count at a WIDE band width (bits = 8, the 10x-scale
+    // width) recovers at least the target fraction of the brute-force
+    // pair set. Everything is deterministic — seeded RNG, md5-derived
+    // planes — so this is a fixed number, not a flaky sample.
+    // Candidates are exact-verified, so lsh ⊆ brute and recall is the
+    // size ratio; the guarantee is AT the minCos boundary and planted
+    // pairs sit just above it, so this measures the curve's worst case.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val target = 0.97
+    for (minCos <- Seq(0.5, 0.8)) {
+      // 300 base vectors, each with a twin perturbed to land just above
+      // the boundary: v' = normalize(cosT·v + sinT·u⊥), cosT = minCos+0.03
+      val cosT = minCos + 0.03
+      val sinT = math.sqrt(1 - cosT * cosT)
+      val rows = (0 until 300).flatMap { i =>
+        val v = unit()
+        val u0 = unit()
+        val d = (v, u0).zipped.map(_ * _).sum.toDouble
+        val perp = u0.zip(v).map { case (ux, vx) => ux - (d * vx).toFloat }
+        val np = math.sqrt(perp.map(x => x * x).sum)
+        val tw = v.zip(perp).map { case (vx, px) =>
+          (cosT * vx + sinT * px / np).toFloat }
+        Seq((i.toLong * 2, v), (i.toLong * 2 + 1, tw))
+      }
+      val e = rows.toDF("vec_id", "embedding")
+      val brute = Dedup.embeddingNearDupPairsBrute(e, minCos)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(brute.size >= 300, s"planted pairs must survive at cos >= $minCos")
+      val bands = Dedup.autoBands(minCos, target, bits = 8)
+      val lsh = Dedup.embeddingNearDupPairs(e, minCos,
+          bands = bands, bandBits = 8)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(lsh.subsetOf(brute), "verified candidates: no false positives")
+      assert(lsh.size >= brute.size * target,
+        s"recall ${lsh.size}/${brute.size} below $target at minCos=$minCos " +
+          s"(bands=$bands, bits=8)")
+    }
   }
 
   test("bucketed embedding near-dup is a verified subset of brute force") {

@@ -11,7 +11,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-ONLY="q_dedup_embed,q_dedup_minhash,q_dedup_exact,q_dedup_simhash,q_lm_score,q_lang_id,q_token_count,q_quality,q_char_entropy,q_keywords"
+# r18 (VERDICT r17 #3): + the quantized ANN lifecycle (build+probe,
+# merge, recluster) and one streaming-runtime entry (documents-only
+# q_stream_dedup_runtime) so the newest surfaces carry a second-decade
+# scale point too. All run off documents/embeddings, the only tables
+# the sfr fixtures carry.
+ONLY="q_dedup_embed,q_dedup_minhash,q_dedup_exact,q_dedup_simhash,q_lm_score,q_lang_id,q_token_count,q_quality,q_char_entropy,q_keywords,q_ann_ivf_quant,q_ann_ivf_quant_merge,q_ann_ivf_quant_recluster,q_stream_dedup_runtime"
 
 if [ ! -d /tmp/sfr10/documents.parquet ] || [ ! -d /tmp/sfr30/documents.parquet ]; then
   echo "[bench_sf3] generating /tmp/sfr10 + /tmp/sfr30 fixtures (documents+embeddings)..."
@@ -38,11 +43,18 @@ run_sweep /tmp/sfr30 /tmp/bench_sf3_3.json
 
 python3 - <<'EOF'
 import json
-a = json.load(open('/tmp/bench_sf3_01.json'))["queries"]
-b = json.load(open('/tmp/bench_sf3_1.json'))["queries"]
-c = json.load(open('/tmp/bench_sf3_3.json'))["queries"]
+A = json.load(open('/tmp/bench_sf3_01.json'))
+B = json.load(open('/tmp/bench_sf3_1.json'))
+C = json.load(open('/tmp/bench_sf3_3.json'))
+a, b, c = A["queries"], B["queries"], C["queries"]
 out = {"reps": "min-of-2", "cpus": 32,
        "scales": {"sf0.1": 1, "sfr10": 10, "sfr30": 30},
+       # derived LSH geometry per scale point (VERDICT r17 #6): the
+       # occupancy-rule stairstep must read as designed behavior from
+       # the artifact alone
+       "geometry": {sf: art.get("geometry", {}).get("q_dedup_embed")
+                    for sf, art in
+                    (("sf0.1", A), ("sfr10", B), ("sfr30", C))},
        "queries": {q: {"sf0.1": round(a[q], 2), "sfr10": round(b[q], 2),
                        "sfr30": round(c[q], 2),
                        "ratio_10x": round(b[q] / a[q], 2) if a[q] > 0 else None,
@@ -50,6 +62,7 @@ out = {"reps": "min-of-2", "cpus": 32,
                            if b[q] > 0 else None}
                    for q in sorted(set(a) & set(b) & set(c))}}
 json.dump(out, open('bench_sf3.json', 'w'), indent=1)
+print(json.dumps({k: v for k, v in out.items() if k != "queries"}, indent=1))
 print(json.dumps(out["queries"], indent=1))
 EOF
 echo "[bench_sf3] wrote bench_sf3.json"
