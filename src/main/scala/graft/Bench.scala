@@ -257,10 +257,15 @@ object Bench {
       if (!results.exists(_._1 == "q_dedup_embed")) ""
       else try {
         val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-        val (bits, bands) = graft.dedup.Dedup.autoGeometry(n,
-          graft.queries.PipelineQueries.CosineThreshold)
+        val minCos = graft.queries.PipelineQueries.CosineThreshold
+        val (bits, bands) = graft.dedup.Dedup.autoGeometry(n, minCos)
+        // recall AT the decision boundary for the geometry that ran —
+        // when the autoBands cost ceiling binds, this is the honest
+        // floor the target recall degraded to (corpus recall is higher)
+        val rec = graft.dedup.Dedup.recallAtMinCos(minCos, bits, bands)
         s""","geometry":{"q_dedup_embed":{"n":$n,"band_bits":$bits,""" +
-          s""""bands":$bands,"expected_occupancy":${n / (1L << bits)}}}"""
+          s""""bands":$bands,"expected_occupancy":${n / (1L << bits)},""" +
+          s""""recall_at_min_cos":${math.rint(rec * 1e4) / 1e4}}}"""
       } catch { case NonFatal(_) => "" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$calField$geomField$onlyField}"""
     println(line)

@@ -280,26 +280,52 @@ object Dedup {
     * The `ceil` argument is rounded to 6 decimals first so any SQL twin
     * (DuckDB oracle) lands on the same integer even when its libm
     * differs by ulps at a boundary — the same engine/oracle float
-    * asymmetry [[autoBandBits]]'s integer loop exists to avoid. */
-  def autoBands(minCos: Double, targetRecall: Double, bits: Int): Int = {
+    * asymmetry [[autoBandBits]]'s integer loop exists to avoid.
+    *
+    * `maxBands` is the COST CEILING (default 64): candidate volume is
+    * linear in bands, and at LOW thresholds + wide bands the inversion
+    * demands counts whose candidate volume is intrinsically unaffordable
+    * (cos 0.5 at 9 bits wants 134 bands — measured at 60k vectors:
+    * ~9.4e8 candidate rows, SparkOutOfMemoryError in the pair-dedup;
+    * 64 bands is the same run at half the volume). When the ceiling
+    * binds, the target recall is NOT met at the boundary — the
+    * achievable value is [[recallAtMinCos]], which the bench geometry
+    * provenance emits so the envelope is honest in the artifact. Real
+    * dedup thresholds (cos ≥ 0.8) never hit the ceiling below 12 bits;
+    * callers that genuinely need full recall at a low threshold raise
+    * `maxBands` explicitly and pay the measured price. */
+  def autoBands(minCos: Double, targetRecall: Double, bits: Int,
+                maxBands: Int = 64): Int = {
     require(minCos > -1.0 && minCos < 1.0, s"minCos must be in (-1, 1), got $minCos")
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0, 1), got $targetRecall")
     require(bits >= 1, s"bits must be >= 1, got $bits")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
     val p = 1.0 - math.acos(minCos) / math.Pi
     val raw = math.log1p(-targetRecall) / math.log1p(-math.pow(p, bits))
-    math.max(1, math.ceil(
-      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt)
+    math.min(maxBands, math.max(1, math.ceil(
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt))
+  }
+
+  /** Expected banded-LSH recall AT the `minCos` decision boundary for a
+    * concrete geometry — `1 − (1 − p^bits)^bands`. Pairs above the
+    * boundary collide more often, so corpus recall exceeds this; it is
+    * the honest floor the bench provenance emits when the [[autoBands]]
+    * cost ceiling binds. */
+  def recallAtMinCos(minCos: Double, bits: Int, bands: Int): Double = {
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), bands)
   }
 
   /** The full self-tuning geometry at corpus size `n`: `(bits, bands)` —
     * width from the occupancy rule ([[autoBandBits]]), count from the
-    * recall inversion ([[autoBands]]). One call so benchmarks and
-    * provenance artifacts emit exactly what the engine ran. */
+    * recall inversion ([[autoBands]], cost-ceilinged). One call so
+    * benchmarks and provenance artifacts emit exactly what the engine
+    * ran. */
   def autoGeometry(n: Long, minCos: Double, targetRecall: Double = 0.97,
-                   targetOccupancy: Int = 128): (Int, Int) = {
+                   targetOccupancy: Int = 128, maxBands: Int = 64): (Int, Int) = {
     val bits = autoBandBits(n, targetOccupancy)
-    (bits, autoBands(minCos, targetRecall, bits))
+    (bits, autoBands(minCos, targetRecall, bits, maxBands))
   }
 
   /** [[embeddingNearDupPairs]] with BOTH geometry knobs derived — the
@@ -312,9 +338,10 @@ object Dedup {
   def embeddingNearDupPairsAuto(emb: DataFrame, minCos: Double,
                                 idCol: String = "vec_id", vecCol: String = "embedding",
                                 targetRecall: Double = 0.97, dim: Int = 64,
-                                targetOccupancy: Int = 128): DataFrame = {
+                                targetOccupancy: Int = 128,
+                                maxBands: Int = 64): DataFrame = {
     val (bits, bands) = autoGeometry(emb.select(idCol).count(), minCos,
-      targetRecall, targetOccupancy)
+      targetRecall, targetOccupancy, maxBands)
     embeddingNearDupPairs(emb, minCos, idCol, vecCol, bands, bits, dim)
   }
 

@@ -320,9 +320,17 @@ class DedupSpec extends SparkSpec {
     // banded-LSH inversion, whose fixed point at the gate geometry
     // (minCos 0.5, 4 bits, R 0.97) is EXACTLY the historical 16 bands
     assert(autoBands(0.5, 0.97, 4) === 16)
-    assert(autoBands(0.5, 0.97, 9) === 134, "wider bands demand more of them")
+    assert(autoBands(0.5, 0.97, 9, maxBands = 1024) === 134,
+      "wider bands demand more of them")
+    // the COST CEILING: full recall at a low threshold + wide bands is
+    // intrinsically unaffordable (134 bands at 60k vectors = the
+    // measured OOM) — the default clamps and the artifact emits the
+    // honest achieved recall at the boundary
+    assert(autoBands(0.5, 0.97, 9) === 64)
+    val clamped = graft.dedup.Dedup.recallAtMinCos(0.5, 9, 64)
+    assert(clamped > 0.80 && clamped < 0.97, s"ceiling-bound recall: $clamped")
     assert(autoBands(0.8, 0.97, 8) === 21,
-      "high-similarity thresholds stay cheap at wide bands")
+      "high-similarity thresholds stay cheap at wide bands — no ceiling")
     assert(autoGeometry(500, 0.5) === ((4, 16)))
     assert(autoGeometry(2048, 0.5) === ((4, 16)))
     // the auto face IS embeddingNearDupPairs at the derived geometry
@@ -376,7 +384,9 @@ class DedupSpec extends SparkSpec {
       val brute = Dedup.embeddingNearDupPairsBrute(e, minCos)
         .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
       assert(brute.size >= 300, s"planted pairs must survive at cos >= $minCos")
-      val bands = Dedup.autoBands(minCos, target, bits = 8)
+      // ceiling lifted: the property validates the INVERSION (bands →
+      // recall), not the cost envelope the default ceiling enforces
+      val bands = Dedup.autoBands(minCos, target, bits = 8, maxBands = 1024)
       val lsh = Dedup.embeddingNearDupPairs(e, minCos,
           bands = bands, bandBits = 8)
         .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
