@@ -189,7 +189,24 @@ object BenchReverify {
       if (cals.isEmpty) ""
       else cals.map(e => jstr(e.name) + ":" + e.secs)
         .mkString(""","calibration":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":{},"reps":$reps,"sf":"$sfDir"$calField,"reverified":$rev}"""
+    // the merge must not DROP Bench's derived-geometry provenance
+    // (VERDICT r17 #6): recompute it the same way Bench emitted it
+    val geomField =
+      if (!qsE.exists(_.name == "q_dedup_embed")) ""
+      else try {
+        // one metadata count; getOrCreate reuses an active session or
+        // spins a minimal local one (the merge CLI path)
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+        val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+        val minCos = graft.queries.PipelineQueries.CosineThreshold
+        val (bits, bands) = graft.dedup.Dedup.autoGeometry(n, minCos)
+        val rec = graft.dedup.Dedup.recallAtMinCos(minCos, bits, bands)
+        s""","geometry":{"q_dedup_embed":{"n":$n,"band_bits":$bits,""" +
+          s""""bands":$bands,"expected_occupancy":${n / (1L << bits)},""" +
+          s""""recall_at_min_cos":${math.rint(rec * 1e4) / 1e4}}}"""
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"errors":{},"reps":$reps,"sf":"$sfDir"$calField$geomField,"reverified":$rev}"""
     (jsonl, json)
   }
 
