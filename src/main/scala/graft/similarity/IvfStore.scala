@@ -284,12 +284,23 @@ object IvfStore {
     if (!fs.exists(listsP)) return
     val lists = spark.read.parquet(s"$root/lists")
     if (lists.columns.contains("batch")) {
+      // frame-bump install (contract note at [[FrameMarker]]): the
+      // flattened lists stage in the next frame, the unchanged
+      // centroids file-copy in (≤ nCentroids rows — metadata cost) and
+      // tombstones carry AS-IS (flatten must never expunge — masking
+      // stays masking); one pointer flip installs the layout rewrite,
+      // so a crash never leaves the store without a readable lists dir
+      val (next, nroot) = nextFrame(spark, path)
       lists.drop("batch")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$root/lists_tmp")
-      graft.FsOps.atomicSwap(fs, listsP,
-        new org.apache.hadoop.fs.Path(s"$root/lists_tmp"))
+        .parquet(s"$nroot/lists")
+      graft.FsOps.transferDataFiles(spark, s"$root/centroids",
+        s"$nroot/centroids", "", move = false)
+      graft.FsOps.transferDataFiles(spark, s"$root/deletes",
+        s"$nroot/deletes", "", move = false)
+      graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
+      gcFrames(spark, fs, path)
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$LastAuditMarker"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
@@ -480,13 +491,22 @@ object IvfStore {
         deduped.drop("cid").join(reassigned, "vec_id")
           .withColumn("nv", Similarity.norm(col("v")))
       }
+    // frame-bump install (contract note at [[FrameMarker]]): repaired
+    // lists stage in the next frame, centroids file-copy in, tombstones
+    // carry as-is (repair never expunges); one pointer flip installs —
+    // a crash costs dead staged bytes, never an unreadable store
+    val (next, nroot) = nextFrame(spark, path)
     repaired.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(s"$root/lists_tmp")
-    val live = new org.apache.hadoop.fs.Path(s"$root/lists")
-    graft.FsOps.atomicSwap(
-      live.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      live, new org.apache.hadoop.fs.Path(s"$root/lists_tmp"))
+      .parquet(s"$nroot/lists")
+    graft.FsOps.transferDataFiles(spark, s"$root/centroids",
+      s"$nroot/centroids", "", move = false)
+    graft.FsOps.transferDataFiles(spark, s"$root/deletes",
+      s"$nroot/deletes", "", move = false)
+    graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
+    gcFrames(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
   // ---- merged-store assignment contract ------------------------------
@@ -642,13 +662,20 @@ object IvfStore {
 
   /** Stage-root of the NEXT frame (`frames/v=<current+1>`), with the
     * version to commit via the pointer flip. Deterministic across a
-    * crashed install's re-run: the pointer only moves at the flip, so
-    * the re-run restages the same `v=` dir (parquet overwrite + the
-    * copy primitive's skip-if-exists both resume cleanly). */
+    * crashed install's re-run (the pointer only moves at the flip), and
+    * the staging dir starts CLEAN: unflipped debris there may be from a
+    * DIFFERENT verb's crashed install — a stale staged centroid table
+    * whose file names differ from this verb's would survive the copy
+    * primitive's per-file skip-if-exists and mix two tables into one
+    * frame — so any existing unflipped `v=` dir is deleted outright
+    * (it is unreachable by readers by definition). */
   private def nextFrame(spark: SparkSession, path: String): (Long, String) = {
     val next = graft.FsOps.readLongMarker(spark, path, FrameMarker)
       .getOrElse(-1L) + 1L
-    (next, s"$path/frames/v=$next")
+    val nroot = s"$path/frames/v=$next"
+    val p = new org.apache.hadoop.fs.Path(nroot)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (next, nroot)
   }
 
   /** Garbage-collect every superseded frame after the pointer flip: the

@@ -80,6 +80,29 @@ class ForgetSpec extends SparkSpec {
     assert(rep.size === 12, "stable report schema")
   }
 
+  test("forget cascades through a frame-installed ivf store (recluster/expunge bumps)") {
+    // the r18 frame-pointer install relocates the ivf tables under
+    // frames/v=N — family detection, the cascade's delete verb, purge's
+    // expunge and the audit's id surface must all resolve the pointer
+    val root = buildRoot()
+    IvfStore.reclusterStore(spark, s"$root/ivf", nCentroids = 2, kmeansIters = 0)
+    assert(IvfStore.frameRoot(spark, s"$root/ivf") === s"$root/ivf/frames/v=0")
+    assert(Forget.familiesAt(spark, root).contains("ivf"),
+      "family detection must resolve the frame pointer")
+    val n = Forget.forget(spark, root, Seq(2L).toDF("doc_id"), purge = true)
+    assert(n === 0L)
+    // purge ran expungeDeletes -> a SECOND frame bump, v=0 swept
+    assert(IvfStore.frameRoot(spark, s"$root/ivf") === s"$root/ivf/frames/v=1")
+    assert(!fsAt(root).exists(new Path(s"$root/ivf/frames/v=0")))
+    assert(liveIvfIds(root) === Set(0L, 1L, 3L, 4L, 5L, 6L, 7L))
+    val rep = reportMap(Forget.checkPipeline(spark, root))
+    assert(rep("forgotten_absent_ivf") === (1L, 0L))
+    assert(rep.values.forall(_._2 === 0L), rep.toString)
+    // a further takedown over the twice-bumped store still cascades
+    Forget.forget(spark, root, Seq(5L).toDF("doc_id"))
+    assert(liveIvfIds(root) === Set(0L, 1L, 3L, 4L, 6L, 7L))
+  }
+
   test("vstore family: forget purges history; the audit checks every version") {
     import graft.streaming.VersionedStore
     val root = buildRoot()

@@ -459,8 +459,11 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     IvfStore.markAudited(spark, s"$root/a")
     IvfStore.flattenBatches(spark, s"$root/a")
-    // layout is cid=-only, the batch watermark dropped with the layers
-    val lists = spark.read.parquet(s"$root/a/lists")
+    // layout is cid=-only, the batch watermark dropped with the layers;
+    // the rewrite installed via a frame bump (r18), tombstones carried
+    val aRoot = IvfStore.frameRoot(spark, s"$root/a")
+    assert(aRoot != s"$root/a", "flatten must install via a frame bump")
+    val lists = spark.read.parquet(s"$aRoot/lists")
     assert(!lists.columns.contains("batch"))
     assert(IvfStore.listBatches(spark, s"$root/a") === Seq.empty)
     assert(IvfStore.lastAudited(spark, s"$root/a") === None)
@@ -624,7 +627,7 @@ class IvfSpec extends SparkSpec {
     IvfStore.flattenBatches(spark, s"$root/streamed")
     IvfStore.writeIndexQuantized(e, s"$root/oneshot", kmeansIters = 0)
     def rows(p: String): Set[(Long, Int, Double, Seq[Byte], Double)] =
-      spark.read.parquet(s"$p/lists")
+      spark.read.parquet(s"${IvfStore.frameRoot(spark, p)}/lists")
         .select($"vec_id", $"cid", $"scale", $"qvec", $"nv")
         .as[(Long, Int, Double, Seq[Byte], Double)].collect().toSet
     assert(rows(s"$root/streamed") === rows(s"$root/oneshot"))

@@ -219,23 +219,27 @@ class PromoteSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep()("lists_assignment") === 1L, "within-group corruption must flag")
     // repair reassigns WITHIN the group (merge contract preserved): green
-    // again, and vec 0 is back under its original list
+    // again, and vec 0 is back under its original list. Repair installs
+    // via a frame bump (r18), so subsequent direct reads and corruption
+    // injections resolve the pointed frame
     IvfStore.repairLists(spark, dest)
+    def dLists = s"${IvfStore.frameRoot(spark, dest)}/lists"
     assert(rep().values.sum === 0L)
-    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
+    assert(spark.read.parquet(dLists).filter($"vec_id" === 0L)
       .select("cid").as[Int].collect().head === c0)
     // a corrupted cid in an EMPTY group (cid=0, below every bound) is
     // unreachable by probing — centroid_cover flags it — and repair
     // must RESCUE the vector (union-nearest), never drop it
-    val lists2 = spark.read.parquet(s"$dest/lists")
+    val lists2 = spark.read.parquet(dLists)
+    val dLists2 = dLists
     lists2.withColumn("cid",
         when($"vec_id" === 1L, lit(0)).otherwise($"cid"))
       .repartition($"cid")
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dest/lists_tmp")
-    FsOps.atomicSwap(fs, new Path(s"$dest/lists"), new Path(s"$dest/lists_tmp"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"${dLists2}_tmp")
+    FsOps.atomicSwap(fs, new Path(dLists2), new Path(s"${dLists2}_tmp"))
     assert(rep()("centroid_cover") === 1L, "cid 0 is uncovered")
     IvfStore.repairLists(spark, dest)
-    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 1L)
+    assert(spark.read.parquet(dLists).filter($"vec_id" === 1L)
       .count() === 1L, "repair must never drop a live vector")
     assert(rep().values.sum === 0L)
     // recluster re-trains one union-nearest centroid set and DROPS the
@@ -324,11 +328,12 @@ class PromoteSpec extends SparkSpec {
         s"cid — the documented limit this invariant exists for: $bad")
     assert(bad("merged_provenance")._2 === 1L, bad.toString)
     // repair re-homes the row into its PROVENANCE group, not the foreign
-    // group its corrupted cid claimed
+    // group its corrupted cid claimed (frame-bump install: re-resolve)
     IvfStore.repairLists(spark, dest)
     val fixed = rep()
     assert(fixed.values.map(_._2).sum === 0L, fixed.toString)
-    assert(spark.read.parquet(s"$dest/lists").filter($"vec_id" === 0L)
+    assert(spark.read.parquet(s"${IvfStore.frameRoot(spark, dest)}/lists")
+      .filter($"vec_id" === 0L)
       .select("cid").as[Int].collect().head <= 2,
       "vec 0 must be back under shard A's cid group")
 
@@ -395,14 +400,17 @@ class PromoteSpec extends SparkSpec {
     // and the RANGE row (vec 100) rewritten OUTSIDE its range flags —
     // while a within-range rewrite is the documented residual limit
     def rewriteCid(vecId: Long, newCid: Int): Unit = {
-      val ls = spark.read.parquet(s"$outer/lists")
+      // resolve per call: repairLists installs via a frame bump (r18),
+      // so the injection must always target the CURRENT frame's lists
+      val oLists = s"${IvfStore.frameRoot(spark, outer)}/lists"
+      val ls = spark.read.parquet(oLists)
       ls.withColumn("cid",
           when($"vec_id" === vecId, lit(newCid)).otherwise($"cid"))
         .repartition($"batch", $"cid")
         .write.mode("overwrite").partitionBy("batch", "cid")
-        .parquet(s"$outer/lists_tmp")
-      FsOps.atomicSwap(fsAt(outer), new Path(s"$outer/lists"),
-        new Path(s"$outer/lists_tmp"))
+        .parquet(s"${oLists}_tmp")
+      FsOps.atomicSwap(fsAt(outer), new Path(oLists),
+        new Path(s"${oLists}_tmp"))
     }
     val cids = spark.read.parquet(s"$outer/centroids").select("cid")
       .as[Int].collect().sorted
@@ -424,7 +432,7 @@ class PromoteSpec extends SparkSpec {
     IvfStore.repairLists(spark, outer)
     val rfixed = rep(outer)
     assert(rfixed.values.map(_._2).sum === 0L, rfixed.toString)
-    val homed = spark.read.parquet(s"$outer/lists")
+    val homed = spark.read.parquet(s"${IvfStore.frameRoot(spark, outer)}/lists")
       .filter($"vec_id" === 100L).select("cid").as[Int].collect().head
     assert(homed >= 1 && homed <= 4,
       s"vec 100 must re-home inside dest's group span, got cid $homed")
