@@ -13,10 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
-  *        | advise [maxRangeFrac]  (provenance→recluster advisor: exits
-  *                                  nonzero when the fsck report's
-  *                                  range-only provenance share says
-  *                                  recluster is due)
+  *        | advise [maxRangeFrac] [apply]  (provenance→recluster
+  *                                  advisor: exits nonzero when the fsck
+  *                                  report's range-only provenance share
+  *                                  says recluster is due; with `apply`,
+  *                                  runs the recluster when due and
+  *                                  reports the post-heal advice — the
+  *                                  closed loop)
   *        | recluster [nCentroids] [iters] [sampleMod]  (post-merge:
   *                                  re-train the unioned centroid set)
   *        | flatten   (end of a shard's ingest life: batch= layers ->
@@ -126,13 +129,24 @@ object Maintain {
       case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
       // provenance→recluster advisor (one row; violations=1 iff the
       // range-only provenance share exceeds [maxRangeFrac], so a cron
-      // `Maintain ivf advise` exits nonzero exactly when recluster is due)
+      // `Maintain ivf advise` exits nonzero exactly when recluster is
+      // due). With the trailing literal `apply` the loop closes without
+      // a human: when due, run reclusterStore (default parameters) and
+      // report the POST-heal advice — the detect → repair → re-check
+      // lifecycle in one verb, exiting clean after a successful heal.
       case ("ivf", "advise") =>
-        val usage = "ivf advise <path> [maxRangeFrac 0..1, default 0.25]"
-        val frac = extra.headOption.map(a => a.toDoubleOption.getOrElse(
+        val usage = "ivf advise <path> [maxRangeFrac 0..1, default 0.25] [apply]"
+        val applyIt = extra.lastOption.contains("apply")
+        val nums = if (applyIt) extra.init else extra
+        val frac = nums.headOption.map(a => a.toDoubleOption.getOrElse(
           throw new IllegalArgumentException(s"$usage (got '$a')")))
-        Some(similarity.IvfStore.adviseRecluster(spark, path,
-          frac.getOrElse(0.25)))
+          .getOrElse(0.25)
+        val advice = similarity.IvfStore.adviseRecluster(spark, path, frac)
+        if (applyIt &&
+            advice.collect()(0).getAs[Long]("violations") > 0) {
+          similarity.IvfStore.reclusterStore(spark, path)
+          Some(similarity.IvfStore.adviseRecluster(spark, path, frac))
+        } else Some(advice)
       case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))
       case ("ivf", "mark-audited") => similarity.IvfStore.markAudited(spark, path); None
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None

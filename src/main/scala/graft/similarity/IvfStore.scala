@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
   *   - `lists`     — corpus vectors with precomputed norms, PARTITIONED BY
   *     `cid`: a query reading `nProbe` of `nCentroids` lists scans
   *     ~nProbe/nCentroids of the corpus (the parquet analog of an IVF
-  *     index's inverted lists).
+  *     index's inverted lists);
+  *   - `deletes`   — soft-delete tombstones (anti-joined at probe time).
+  *
+  * The three data tables form the store's FRAME, resolved through the
+  * `_frame` version pointer ([[FrameMarker]]): fresh builds live flat at
+  * the store root, and every maintenance rewrite (recluster, expunge,
+  * flatten, repair) installs a complete new frame under `frames/v=N`
+  * with one atomic pointer flip — readers serve THROUGH maintenance and
+  * a crash anywhere costs only dead staged bytes. Markers stay at the
+  * store root.
   *
   * Query-time pruning mirrors the BM25 store's term buckets: the probed
   * cids for a bounded query set are collected driver-side (≤ nCentroids

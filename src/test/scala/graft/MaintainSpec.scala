@@ -45,6 +45,12 @@ class MaintainSpec extends SparkSpec {
     // advisor dispatch: a fresh (never-merged) store is trivially green,
     // and a malformed threshold fails with the usage message
     assert(violations(Maintain.run(spark, "ivf", "advise", path)) === 0L)
+    // apply mode on a green store is a no-op: no recluster, frame intact
+    val frameBefore = similarity.IvfStore.frameRoot(spark, path)
+    assert(violations(Maintain.run(spark, "ivf", "advise", path,
+      Seq("apply"))) === 0L)
+    assert(similarity.IvfStore.frameRoot(spark, path) === frameBefore,
+      "a not-due apply must not recluster")
     val eAdv = intercept[IllegalArgumentException](
       Maintain.run(spark, "ivf", "advise", path, Seq("x")))
     assert(eAdv.getMessage.contains("advise"), eAdv.getMessage)

@@ -439,6 +439,17 @@ class PromoteSpec extends SparkSpec {
     rewriteCid(100L, inGroup2)  // within-range rewrite: undetectable
     assert(rep(outer)("merged_provenance")._2 === 0L,
       "a within-range rewrite on a range segment is the documented limit")
+
+    // ...and the CLOSED advisor loop (`Maintain ivf advise … apply`):
+    // due at the 0.05 floor, the verb runs the recluster itself and
+    // reports the POST-heal advice — clean exit, bounds dropped (union
+    // invariant restored), the store still audits green and serves
+    val healed = Maintain.run(spark, "ivf", "advise", outer,
+      Seq("0.05", "apply")).get.collect().head
+    assert(healed.getAs[Long]("violations") === 0L, healed.toString)
+    assert(IvfStore.mergedBounds(spark, outer) === None,
+      "apply ran the recluster: union invariant restored")
+    assert(rep(outer).values.map(_._2).sum === 0L)
   }
 
   test("layered move-merge: floor and audit markers are pre-commit; resume verifies the source list") {
