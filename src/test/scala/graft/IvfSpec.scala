@@ -130,7 +130,16 @@ class IvfSpec extends SparkSpec {
     // expunge: dead rows physically gone, tombstones dropped, answers
     // unchanged, cid partition layout (and its pruning) preserved.
     // Install is a frame bump: the rewritten tables live under the
-    // pointed frames/v= dir and the legacy root tables are swept
+    // pointed frames/v= dir and the legacy root tables are swept.
+    // Cross-verb staging debris (a DIFFERENT verb's crashed install
+    // left under the same unflipped v= dir — file names the copy's
+    // skip-if-exists would keep) must NOT leak into this install:
+    // nextFrame starts clean
+    Seq((99, Array(9f, 9f))).toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$path/frames/v=0/centroids")
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v.toSeq) }.toMap
     IvfStore.expungeDeletes(spark, path)
     val fr = IvfStore.frameRoot(spark, path)
     assert(fr != path, "expunge must install via a frame-pointer bump")
@@ -142,6 +151,12 @@ class IvfSpec extends SparkSpec {
     assert(spark.read.parquet(s"$fr/lists")
       .filter($"vec_id".isin(dead.toSeq: _*)).count() == 0,
       "expunge must rewrite the lists without the dead vectors")
+    val centsAfter = spark.read.parquet(s"$fr/centroids")
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v.toSeq) }.toMap
+    assert(centsAfter === centsBefore,
+      "clean staging: the installed centroids are the store's own, no " +
+        "debris from another verb's crashed install mixed in")
     val expunged = IvfStore.searchStore(spark, path, q, 10)
       .as[(Long, Long, Double, Long)].collect()
     assert(expunged.toSet === after.toSet, "expunge must not change answers")
