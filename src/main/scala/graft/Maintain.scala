@@ -12,8 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   runMain graft.Maintain <family> <op> <path> [keyCols...]
   *
   *   index  fsck | fsck-incr | mark-audited | repair | rollback | expunge | compact
+  *        | gc [retain]   (derived-pair manifest-frame sweep, twin of ivf gc)
+  *        | advise [maxFilesPerLeaf] [apply]  (fragmentation advisor:
+  *                          nonzero exit when a leaf exceeds the file
+  *                          budget; apply = run compact, re-advise)
   *   ivf    fsck | fsck-incr | mark-audited | repair | expunge | compact
-  *        | advise [maxRangeFrac] [apply]  (provenance→recluster
+  *        | advise [maxRangeFrac] [nCentroids] [apply]  (provenance→recluster
   *                                  advisor: exits nonzero when the fsck
   *                                  report's range-only provenance share
   *                                  says recluster is due; with `apply`,
@@ -24,7 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                                  re-train the unioned centroid set)
   *        | flatten   (end of a shard's ingest life: batch= layers ->
   *                     fresh cid=-only layout, mergeable with fresh shards)
+  *        | gc [retain]   (frame-retention sweep: installs keep `retain`
+  *                          superseded frames — default 1 — as the
+  *                          concurrent readers' grace window; 0 = now)
   *   dedup  fsck | fsck-incr | mark-audited | repair | compact
+  *        | gc [retain]   (manifest-frame twin of ivf gc)
+  *        | advise [maxBucketDocs] [minJaccard] [apply]  (bucket-skew
+  *                          advisor: nonzero exit on hot LSH buckets;
+  *                          apply = self-dedup them, re-advise)
   *   any    heal-markers   (delete stale `.swap_old` marker asides — run
   *                          with no concurrent writer; see FsOps.readMarker)
   *   pipeline fsck | forget <idsParquet> [purge] | resume
@@ -71,6 +82,36 @@ object Maintain {
   private def dedupGeometry(spark: SparkSession, path: String): (Int, Int) =
     dedup.DedupStore.storedGeometry(spark, path).getOrElse((128, 32))
 
+  /** The index family's compact body — shared by the `compact` verb and
+    * `advise ... apply` (the advisor's repair half must be EXACTLY the
+    * verb an operator would run by hand). */
+  private def compactIndexStore(spark: SparkSession, path: String): Unit = {
+    def batchRange(table: String): Seq[String] =
+      if (spark.read.parquet(s"$path/$table").columns.contains("batch"))
+        Seq("batch") else Seq.empty
+    val docBucketed = index.Indexer.docBucketsOf(spark, path).isDefined
+    val posDocBucketed = index.Indexer.positionalDocBucketsOf(spark, path).isDefined
+    if (docBucketed || posDocBucketed)
+      // doc-bucketed table(s): the generic rewrite would strip the
+      // bucket-suffixed file names the zero-shuffle join depends on —
+      // compact through the layout-aware twin instead (it routes each
+      // table by its own marker, positional included)
+      index.Indexer.compactDocBucketed(spark, path)
+    if (!docBucketed) {
+      // per-table: the term-bucketed tables leaf by leaf (layout
+      // preserved), the flat tables in place
+      operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
+        rangeBy = batchRange("postings"))
+      operators.Compaction.compact(spark, s"$path/doc_stats",
+        rangeBy = batchRange("doc_stats"))
+    }
+    val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
+    if (!posDocBucketed &&
+        pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+      operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
+        rangeBy = batchRange("positional"))
+  }
+
   def run(spark: SparkSession, family: String, op: String, path: String,
           extra: Seq[String] = Seq.empty): Option[DataFrame] = {
     def keys: Seq[String] = {
@@ -103,50 +144,82 @@ object Maintain {
       // face's documented halt-loudly repair, StreamRuntime.runIndexIngest)
       case ("index", "rollback")     => index.Indexer.rollbackPartialAppend(spark, path); None
       case ("index", "expunge")      => index.Indexer.expungeDeletes(spark, path); None
-      case ("index", "compact") =>
-        val docBucketed = index.Indexer.docBucketsOf(spark, path).isDefined
-        val posDocBucketed = index.Indexer.positionalDocBucketsOf(spark, path).isDefined
-        if (docBucketed || posDocBucketed)
-          // doc-bucketed table(s): the generic rewrite would strip the
-          // bucket-suffixed file names the zero-shuffle join depends on —
-          // compact through the layout-aware twin instead (it routes each
-          // table by its own marker, positional included)
-          index.Indexer.compactDocBucketed(spark, path)
-        if (!docBucketed) {
-          // per-table: the term-bucketed tables leaf by leaf (layout
-          // preserved), the flat tables in place
-          operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
-            rangeBy = batchRange("postings"))
-          operators.Compaction.compact(spark, s"$path/doc_stats",
-            rangeBy = batchRange("doc_stats"))
-        }
-        val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-        if (!posDocBucketed &&
-            pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
-          operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
-            rangeBy = batchRange("positional"))
+      // derived-pair frame retention sweep (vocab/meta commit as one
+      // manifest frame; installs keep one superseded frame as the
+      // readers' grace window — `gc 0` reclaims it now)
+      case ("index", "gc") =>
+        val usage = "index gc <path> [retain >= 0, default 1]"
+        operators.Frames.gc(spark, path, Seq("vocab", "meta"),
+          retain = extra.headOption
+            .map(a => a.toIntOption.filter(_ >= 0).getOrElse(
+              throw new IllegalArgumentException(s"$usage (got '$a')")))
+            .getOrElse(1))
         None
+      case ("index", "compact") => compactIndexStore(spark, path); None
+      // fragmentation advisor (VERDICT r18 #6): exits nonzero exactly
+      // when some leaf holds more than [maxFilesPerLeaf] data files;
+      // with the trailing literal `apply`, runs the compact verb when
+      // due and reports the post-heal advice — detect → repair →
+      // re-check in one cron invocation (the ivf advise contract)
+      case ("index", "advise") =>
+        val usage = "index advise <path> [maxFilesPerLeaf >= 1, default 8] [apply]"
+        val applyIt = extra.lastOption.contains("apply")
+        val nums = if (applyIt) extra.init else extra
+        val maxFiles = nums.headOption
+          .map(a => a.toIntOption.filter(_ >= 1).getOrElse(
+            throw new IllegalArgumentException(s"$usage (got '$a')")))
+          .getOrElse(8)
+        val dirs = Seq("postings", "doc_stats", "positional").map(t => s"$path/$t")
+        val advice = operators.Compaction.adviseCompaction(spark, dirs, maxFiles)
+        if (applyIt &&
+            advice.collect()(0).getAs[Long]("violations") > 0) {
+          compactIndexStore(spark, path)
+          Some(operators.Compaction.adviseCompaction(spark, dirs, maxFiles))
+        } else Some(advice)
       case ("ivf", "fsck")         => Some(similarity.IvfStore.checkStore(spark, path))
       // provenance→recluster advisor (one row; violations=1 iff the
       // range-only provenance share exceeds [maxRangeFrac], so a cron
       // `Maintain ivf advise` exits nonzero exactly when recluster is
       // due). With the trailing literal `apply` the loop closes without
-      // a human: when due, run reclusterStore (default parameters) and
-      // report the POST-heal advice — the detect → repair → re-check
-      // lifecycle in one verb, exiting clean after a successful heal.
+      // a human: when due, run reclusterStore and report the POST-heal
+      // advice — the detect → repair → re-check lifecycle in one verb,
+      // exiting clean after a successful heal. The applied recluster
+      // re-trains to the store's OWN current centroid count (one
+      // ≤-nCentroids metadata read), never a hardcoded default: an
+      // unattended cron loop re-training an 8-centroid store to 16
+      // silently changes probe selectivity and recall (ADVICE r18);
+      // pass [nCentroids] to re-train to an explicit k instead.
       case ("ivf", "advise") =>
-        val usage = "ivf advise <path> [maxRangeFrac 0..1, default 0.25] [apply]"
+        val usage =
+          "ivf advise <path> [maxRangeFrac 0..1, default 0.25] [nCentroids] [apply]"
         val applyIt = extra.lastOption.contains("apply")
         val nums = if (applyIt) extra.init else extra
         val frac = nums.headOption.map(a => a.toDoubleOption.getOrElse(
           throw new IllegalArgumentException(s"$usage (got '$a')")))
           .getOrElse(0.25)
+        val explicitK = nums.lift(1).map(a => a.toIntOption.getOrElse(
+          throw new IllegalArgumentException(s"$usage (got '$a')")))
         val advice = similarity.IvfStore.adviseRecluster(spark, path, frac)
         if (applyIt &&
             advice.collect()(0).getAs[Long]("violations") > 0) {
-          similarity.IvfStore.reclusterStore(spark, path)
+          val k = explicitK.getOrElse(
+            spark.read.parquet(
+              s"${similarity.IvfStore.frameRoot(spark, path)}/centroids")
+              .count().toInt)
+          similarity.IvfStore.reclusterStore(spark, path, nCentroids = k)
           Some(similarity.IvfStore.adviseRecluster(spark, path, frac))
         } else Some(advice)
+      // frame-retention sweep (VERDICT r18 #2): installs keep one
+      // superseded frame as the concurrent readers' grace window;
+      // `gc 0` reclaims it immediately (no external reader mid-scan)
+      case ("ivf", "gc") =>
+        val usage = "ivf gc <path> [retain >= 0, default 1]"
+        similarity.IvfStore.gcStaleFrames(spark, path,
+          retain = extra.headOption
+            .map(a => a.toIntOption.filter(_ >= 0).getOrElse(
+              throw new IllegalArgumentException(s"$usage (got '$a')")))
+            .getOrElse(1))
+        None
       case ("ivf", "fsck-incr")    => Some(similarity.IvfStore.checkStoreIncremental(spark, path))
       case ("ivf", "mark-audited") => similarity.IvfStore.markAudited(spark, path); None
       case ("ivf", "repair")  => similarity.IvfStore.repairLists(spark, path); None
@@ -167,6 +240,32 @@ object Maintain {
           kmeansIters = nums.lift(1).getOrElse(2),
           trainSampleMod = nums.lift(2).getOrElse(1))
         None
+      // bucket-skew advisor (VERDICT r18 #6): exits nonzero exactly when
+      // hot (band,bucket) groups exceed [maxBucketDocs]; `apply` runs
+      // the self-dedup repair (dedupHotBuckets at [minJaccard], default
+      // 0.8 — removal installs via the manifest frame) and reports the
+      // post-heal advice
+      case ("dedup", "advise") =>
+        val usage =
+          "dedup advise <path> [maxBucketDocs >= 1, default 32] " +
+            "[minJaccard (0,1], default 0.8] [apply]"
+        val applyIt = extra.lastOption.contains("apply")
+        val nums = if (applyIt) extra.init else extra
+        val maxDocs = nums.headOption
+          .map(a => a.toIntOption.filter(_ >= 1).getOrElse(
+            throw new IllegalArgumentException(s"$usage (got '$a')")))
+          .getOrElse(32)
+        val minJ = nums.lift(1)
+          .map(a => a.toDoubleOption.filter(j => j > 0.0 && j <= 1.0).getOrElse(
+            throw new IllegalArgumentException(s"$usage (got '$a')")))
+          .getOrElse(0.8)
+        val advice = dedup.DedupStore.adviseBucketSkew(spark, path, maxDocs)
+        if (applyIt &&
+            advice.collect()(0).getAs[Long]("violations") > 0) {
+          val removed = dedup.DedupStore.dedupHotBuckets(spark, path, minJ, maxDocs)
+          println(s"[maintain] dedup advise apply: removed $removed duplicate doc(s)")
+          Some(dedup.DedupStore.adviseBucketSkew(spark, path, maxDocs))
+        } else Some(advice)
       case ("dedup", "fsck") =>
         val (nh, b) = dedupGeometry(spark, path)
         Some(dedup.DedupStore.checkStore(spark, path, numHashes = nh, bands = b))
@@ -178,10 +277,26 @@ object Maintain {
         val (nh, b) = dedupGeometry(spark, path)
         dedup.DedupStore.refreshBuckets(spark, path, numHashes = nh, bands = b); None
       case ("dedup", "compact") =>
-        operators.Compaction.compact(spark, s"$path/sets",
-          rangeBy = batchRange("sets"))
-        operators.Compaction.compact(spark, s"$path/buckets",
-          rangeBy = batchRange("buckets"))
+        // frame-resolved dirs: a removeDocs/refreshBuckets-installed
+        // store's tables live under generation dirs, not the root
+        for (t <- Seq("sets", "buckets")) {
+          val dir = dedup.DedupStore.tablePath(spark, path, t)
+          operators.Compaction.compact(spark, dir,
+            rangeBy =
+              if (spark.read.parquet(dir).columns.contains("batch"))
+                Seq("batch") else Seq.empty)
+        }
+        None
+      // retention sweep of superseded manifest frames — the operator
+      // verb behind Frames.gc (commit already sweeps with retain=1;
+      // retain=0 is the reclaim-now form)
+      case ("dedup", "gc") =>
+        val usage = "dedup gc <path> [retain >= 0, default 1]"
+        operators.Frames.gc(spark, path, Seq("sets", "buckets"),
+          retain = extra.headOption
+            .map(a => a.toIntOption.filter(_ >= 0).getOrElse(
+              throw new IllegalArgumentException(s"$usage (got '$a')")))
+            .getOrElse(1))
         None
       case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))

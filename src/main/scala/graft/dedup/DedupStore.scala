@@ -26,8 +26,40 @@ import org.apache.spark.sql.functions._
   *   - Candidate precision is exact (verified Jaccard ≥ τ); recall is the
   *     LSH curve — identical to [[Dedup.minhashLshPairs]], whose 128/32
   *     geometry this store shares by default.
+  *
+  * MULTI-TABLE installs ([[removeDocs]], [[refreshBuckets]]) commit via
+  * a manifest frame ([[graft.operators.Frames]], VERDICT r18 #1): the
+  * rewritten tables stage under fresh generation dirs, unchanged tables
+  * carry BY REFERENCE, and one `_frame` pointer flip installs the whole
+  * frame — the r18 shape (two sequential per-table swaps) had a crash
+  * window between the `sets` and `buckets` installs that left the two
+  * tables describing DIFFERENT document populations, which near-dups of
+  * the drifted docs then silently passed or blocked. Fresh builds keep
+  * the legacy flat layout (zero indirection until the first install);
+  * every reader resolves [[tablePath]] — one-to-three driver-side
+  * metadata reads per entry.
   */
 object DedupStore {
+
+  /** The store's complete table inventory (the manifest frame's
+    * universe — see [[graft.operators.Frames]]). */
+  private val Tables = Seq("sets", "buckets")
+
+  /** Resolved directory of a store table in the CURRENT frame — the
+    * entry every reader and appender goes through ([[graft.pipeline
+    * .Forget]] and the Maintain compaction verb resolve through this
+    * too; a raw `<path>/sets` read would serve a SUPERSEDED population
+    * on any frame-installed store). */
+  def tablePath(spark: SparkSession, path: String, table: String): String =
+    graft.operators.Frames.resolve(spark, path, table)
+
+  /** True iff a committed signature store lives at `path` — the
+    * family-detection probe (bootstrap/ingest routing): the current
+    * frame's `buckets` table exists. */
+  def isCommitted(spark: SparkSession, path: String): Boolean = {
+    val b = new Path(tablePath(spark, path, "buckets"))
+    b.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(b)
+  }
 
   /** The buckets-table derivation from a shingle-sets frame — ONE
     * definition shared by every producer (initial build, ingest staging,
@@ -130,6 +162,13 @@ object DedupStore {
   def writeSignatures(corpus: DataFrame, path: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
+    // a fresh build writes the legacy flat layout; overwriting the ROOT
+    // dirs of a frame-tracked store would leave the pointer serving the
+    // old generations — the new build invisible — so refuse loudly
+    require(graft.operators.Frames
+        .currentVersion(corpus.sparkSession, path).isEmpty,
+      s"writeSignatures: $path carries a frame-installed store (_frame " +
+        "pointer) — delete the store before rebuilding over it")
     val sets = Dedup.shingleSets(Dedup.shingles(corpus, idCol, textCol, shingleN))
     sets.withColumn("batch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/sets")
@@ -178,8 +217,10 @@ object DedupStore {
       .write.mode("overwrite").parquet(s"$staged/buckets")
     val newBuckets = spark.read.parquet(s"$staged/buckets")
 
-    val storedBuckets = spark.read.parquet(s"$path/buckets")
-    val storedSets = spark.read.parquet(s"$path/sets")
+    val setsDir = tablePath(spark, path, "sets")
+    val bucketsDir = tablePath(spark, path, "buckets")
+    val storedBuckets = spark.read.parquet(bucketsDir)
+    val storedSets = spark.read.parquet(setsDir)
 
     // candidates: any band-bucket collision between the batch and the store
     val cand = newBuckets.select(col("doc_id").as("new_id"), col("band"), col("bucket"))
@@ -210,9 +251,9 @@ object DedupStore {
     def tag(df: DataFrame): DataFrame =
       batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
     tag(newSets.join(dupIds, Seq("doc_id"), "left_anti"))
-      .write.mode("append").parquet(s"$path/sets")
+      .write.mode("append").parquet(setsDir)
     tag(newBuckets.join(dupIds, Seq("doc_id"), "left_anti"))
-      .write.mode("append").parquet(s"$path/buckets")
+      .write.mode("append").parquet(bucketsDir)
     batchId.foreach(b => writeLongMarker(spark, path, LastBatchMarker, b))
     new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(staged), true)
@@ -272,6 +313,17 @@ object DedupStore {
     }
     require(shingleNs.distinct.size == 1,
       s"sources disagree on shingleN: ${sources.zip(shingleNs).mkString(", ")}")
+    // frame-installed sources (a shard that underwent removeDocs /
+    // refreshBuckets maintenance) merge by COPY only: move-mode's
+    // drained-husk resume evidence probes `<root>/<table>` dirs, which a
+    // manifest-framed store does not have — and its retained previous
+    // frames may still be serving an external reader the drain would
+    // break. Fresh flat shards (the promotion path) move as before.
+    require(!moveFiles || sources.forall(s =>
+        graft.operators.Frames.currentVersion(spark, s).isEmpty),
+      "mergeStores(moveFiles = true): a source is frame-installed " +
+        "(_frame pointer) — promote it by copy (moveFiles = false), or " +
+        "rebuild the shard flat before a move-mode drain")
     // a dest already holding transferred sets is a crashed merge being
     // RESUMED: the data-reading guards passed before the first file
     // moved, and a move-drained source's tables no longer read — skip
@@ -279,16 +331,17 @@ object DedupStore {
     if (!destSets.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(destSets)) {
       for (t <- Seq("sets", "buckets"))
-        graft.operators.MergeGuards.requireSchemaParity(spark, sources, t)
+        graft.operators.MergeGuards.requireSchemaParityDirs(spark,
+          sources.map(s => tablePath(spark, s, t)), t)
       graft.operators.MergeGuards.requireDisjointIds(spark,
-        sources.map(s => s"$s/sets"), "doc_id")
+        sources.map(s => tablePath(spark, s, "sets")), "doc_id")
     }
     // record the source list on the dest BEFORE any file moves — the
     // source-specific resume evidence completeHuskStamps verifies
     graft.FsOps.recordMergeSources(spark, dest, sources)
     for (t <- Seq("sets", "buckets"); (src, i) <- sources.zipWithIndex)
-      graft.FsOps.transferDataFiles(spark, s"$src/$t", s"$dest/$t",
-        s"m${i}_", moveFiles)
+      graft.FsOps.transferDataFiles(spark, tablePath(spark, src, t),
+        s"$dest/$t", s"m${i}_", moveFiles)
     writeLongMarker(spark, dest, ShingleMarker, shingleNs.head)
     writeLongMarker(spark, dest, LastBatchMarker, batches.max)
     markAudited(spark, dest, Some(batches.max))
@@ -304,9 +357,20 @@ object DedupStore {
     * counterpart of [[ingest]]'s append-only growth: a doc dropped from
     * the corpus (retention, takedown, quality purge) must stop blocking
     * future near-duplicates of itself. Both tables are REWRITTEN without
-    * the ids and installed via the crash-safe rename-aside swap
-    * (graft.FsOps.atomicSwap); ids absent from the store are ignored
-    * (idempotent re-run).
+    * the ids; ids absent from the store are ignored (idempotent re-run).
+    *
+    * Install is ONE manifest-frame flip ([[graft.operators.Frames]],
+    * VERDICT r18 #1): both rewritten tables stage under fresh generation
+    * dirs, the next manifest lists them, and a single `_frame` pointer
+    * rename commits the pair together. The r18 shape — two sequential
+    * `atomicSwap`s — could crash BETWEEN the `sets` and `buckets`
+    * installs and leave the two tables describing different document
+    * populations (ids gone from one, present in the other): near-dups of
+    * the drifted docs then silently passed or blocked, the exact defect
+    * class the IVF frame pointer eliminated for its family. A crash any
+    * time before the flip costs nothing (the old frame serves both
+    * tables; the re-run restages); the superseded frame survives one
+    * more install as the readers' grace window ([[Frames.gc]] retain=1).
     *
     * Scale: a compaction-class maintenance job, ∝ the signature tables
     * (~bands rows + one shingle set per doc — store-sized, never the
@@ -318,13 +382,98 @@ object DedupStore {
                  idCol: String = "doc_id"): Unit = {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val rm = ids.select(col(idCol).as("doc_id")).distinct()
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (t <- Seq("sets", "buckets")) {
-      spark.read.parquet(s"$path/$t")
+    val stage = graft.operators.Frames.begin(spark, path, Tables)
+    for (t <- Tables)
+      spark.read.parquet(tablePath(spark, path, t))
         .join(rm, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$path/${t}_tmp")
-      graft.FsOps.atomicSwap(fs, new Path(s"$path/$t"), new Path(s"$path/${t}_tmp"))
-    }
+        .write.mode("overwrite").parquet(stage.stageDir(t))
+    stage.commit() // the flip: both rewrites install together
+  }
+
+  /** Bucket-skew ADVISOR (VERDICT r18 #6 — the dedup family's detect
+    * half of the advise/apply loop): one report row, `violations` = the
+    * number of HOT `(band, bucket)` groups (more than `maxBucketDocs`
+    * members), so a cron `Maintain dedup advise` exits nonzero exactly
+    * when ingest is paying quadratic candidate pressure. Hot buckets are
+    * the store's own cost model: every future batch that collides with
+    * one verifies against ALL its members (occupancy² pair work) — and a
+    * hot MinHash bucket almost always means the store itself holds
+    * undetected near-duplicates ([[writeSignatures]] never self-dedups
+    * the initial corpus; [[ingest]] admits both copies of an intra-batch
+    * pair by contract). The repair is [[dedupHotBuckets]]: remove the
+    * duplicate mass, keep one survivor per cluster. One aggregation over
+    * the buckets table (store-sized, never corpus text); ≤ 1 driver
+    * row. */
+  def adviseBucketSkew(spark: SparkSession, path: String,
+                       maxBucketDocs: Int = 32): DataFrame = {
+    require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1 (got $maxBucketDocs)")
+    graft.FsOps.requireNotHusk(spark, path)
+    val g = spark.read.parquet(tablePath(spark, path, "buckets"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("checked"),
+        coalesce(sum(when(col("n") > maxBucketDocs, 1L).otherwise(0L)), lit(0L))
+          .as("violations"),
+        coalesce(max(col("n")), lit(0L)).as("worst_bucket_docs"))
+      .collect()(0)
+    val (checked, hot, worst) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    val reason =
+      if (hot > 0L)
+        s"$hot of $checked (band,bucket) groups exceed $maxBucketDocs docs " +
+          s"(worst: $worst) — every colliding ingest pays quadratic " +
+          "verification there; run `dedup advise ... apply` (or " +
+          "dedupHotBuckets) to remove the duplicate mass behind them"
+      else
+        s"no (band,bucket) group exceeds $maxBucketDocs docs " +
+          s"(worst: $worst of $checked groups)"
+    import spark.implicits._
+    Seq(("bucket_skew", checked, hot, worst, maxBucketDocs.toLong, reason))
+      .toDF("invariant", "checked", "violations", "worst_bucket_docs",
+        "threshold", "reason")
+  }
+
+  /** The APPLY half beside [[adviseBucketSkew]]: self-dedup the hot
+    * buckets — exact-Jaccard-verify all pairs WITHIN each hot
+    * `(band, bucket)` group against the stored shingle sets, cluster the
+    * verified near-dups (min-id survivor, [[Dedup.duplicateClusters]]),
+    * and [[removeDocs]] the non-survivors — one manifest-frame install,
+    * so the two-table removal can never tear. Returns the number of
+    * documents removed (0 = nothing verified; idempotent re-run).
+    *
+    * Scale: pair work is confined to the hot groups the advisor priced
+    * (the quadratic cost is paid ONCE here to stop paying it on every
+    * future ingest); verification joins the store's own sets table —
+    * corpus text never moves. Future near-dups of the removed docs still
+    * flag against the kept survivor, the [[removeDocs]] contract. */
+  def dedupHotBuckets(spark: SparkSession, path: String, minJaccard: Double,
+                      maxBucketDocs: Int = 32): Long = {
+    graft.FsOps.requireNotHusk(spark, path)
+    val buckets = spark.read.parquet(tablePath(spark, path, "buckets"))
+    val hot = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketDocs)
+      .select("band", "bucket")
+    val members = buckets.join(hot, Seq("band", "bucket"), "left_semi")
+      .select("doc_id", "band", "bucket")
+    val cand = members.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(members.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = spark.read.parquet(tablePath(spark, path, "sets"))
+      .select(col("doc_id"), col("sh_set"))
+    val verified = cand
+      .join(sets.toDF("id_a", "set_a"), "id_a")
+      .join(sets.toDF("id_b", "set_b"), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    if (verified.isEmpty) return 0L
+    val losers = Dedup.duplicateClusters(verified, "id_a", "id_b")
+      .filter(col("is_survivor") === 0L).select("doc_id")
+    val n = losers.count()
+    if (n > 0L) removeDocs(spark, path, losers)
+    n
   }
 
   /** Integrity check ("fsck") for a persisted signature store — the dedup
@@ -332,13 +481,13 @@ object DedupStore {
     * invariant, `(invariant, checked, violations)`, all-zero violations
     * when healthy.
     *
-    * Both [[ingest]] (two sequential appends) and [[removeDocs]] (two
-    * sequential table swaps) have a crash window BETWEEN their `sets` and
-    * `buckets` writes; a crash there leaves the two tables describing
-    * different document populations — near-dups of the drifted docs then
-    * silently pass or block. This checker is the detect step; repair is
-    * [[refreshBuckets]] (re-derive `buckets` from `sets`) or re-running
-    * the interrupted removeDocs.
+    * [[ingest]] (two sequential appends) has a crash window BETWEEN its
+    * `sets` and `buckets` writes; a crash there leaves the two tables
+    * describing different document populations — near-dups of the
+    * drifted docs then silently pass or block. This checker is the
+    * detect step; repair is [[refreshBuckets]] (re-derive `buckets` from
+    * `sets`). [[removeDocs]] no longer contributes to this class — its
+    * two rewrites install together under one manifest-frame flip.
     *
     * Invariants (report order):
     *   - `bucket_cardinality` — every doc carries exactly `bands` bucket
@@ -370,8 +519,8 @@ object DedupStore {
     // deep audit is priced per pass over the store, so each table
     // materializes once and the eager ≤ 4-row report releases the cache
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sets = spark.read.parquet(s"$path/sets").persist(storage)
-    val buckets = spark.read.parquet(s"$path/buckets").persist(storage)
+    val sets = spark.read.parquet(tablePath(spark, path, "sets")).persist(storage)
+    val buckets = spark.read.parquet(tablePath(spark, path, "buckets")).persist(storage)
 
     val unique = row("ids_unique",
       sets.agg(count(lit(1)).as("checked"),
@@ -426,7 +575,7 @@ object DedupStore {
   def refreshBuckets(spark: SparkSession, path: String,
                      numHashes: Int = 128, bands: Int = 32): Unit = {
     requireGeometry(spark, path, numHashes, bands, "refreshBuckets")
-    val sets = spark.read.parquet(s"$path/sets")
+    val sets = spark.read.parquet(tablePath(spark, path, "sets"))
     val derived = deriveBuckets(sets, numHashes, bands)
     // a batch-tracked store's repaired buckets re-inherit each doc's
     // ingest ordinal from its (authoritative) sets row, so incremental
@@ -435,10 +584,12 @@ object DedupStore {
       if (sets.columns.contains("batch"))
         derived.join(sets.select("doc_id", "batch"), "doc_id")
       else derived
-    withBatch.write.mode("overwrite").parquet(s"$path/buckets_tmp")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.FsOps.atomicSwap(fs,
-      new Path(s"$path/buckets"), new Path(s"$path/buckets_tmp"))
+    // frame install with `sets` carried BY REFERENCE (the manifest keeps
+    // its current generation — no O(store) copy of the big table): only
+    // the re-derived buckets stage, one pointer flip installs
+    val stage = graft.operators.Frames.begin(spark, path, Tables)
+    withBatch.write.mode("overwrite").parquet(stage.stageDir("buckets"))
+    stage.commit()
   }
 
   /** Incremental integrity check: audit ONLY the rows ingested since
@@ -462,8 +613,8 @@ object DedupStore {
                             sinceBatch: Option[Long] = None): DataFrame = {
     requireGeometry(spark, path, numHashes, bands, "checkStoreIncremental")
     import graft.operators.StoreCheck.row
-    val sets = spark.read.parquet(s"$path/sets")
-    val buckets = spark.read.parquet(s"$path/buckets")
+    val sets = spark.read.parquet(tablePath(spark, path, "sets"))
+    val buckets = spark.read.parquet(tablePath(spark, path, "buckets"))
     require(sets.columns.contains("batch") && buckets.columns.contains("batch"),
       s"checkStoreIncremental: store at $path carries no batch ordinals " +
         "(written before batch tracking) — run the full checkStore instead")
@@ -544,7 +695,6 @@ object DedupStore {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         // empty report with the id column's actual type (a long-typed
         // lit(0) bootstrap would poison the reports dir for string ids)
         def emptyReport = batch
@@ -552,14 +702,15 @@ object DedupStore {
             lit(0.0).as("jaccard"))
           .limit(0)
         val report =
-          if (!fs.exists(new Path(s"$path/buckets"))) {
+          if (!isCommitted(spark, path)) {
             writeSignatures(batch, path, idCol, textCol, shingleN, numHashes, bands)
             emptyReport
           } else {
             // replay guard: drop docs already in the store BY ID (only a
             // retried attempt or an upstream id re-send produces them)
             val fresh = batch.join(
-              spark.read.parquet(s"$path/sets").select(col("doc_id").as(idCol)),
+              spark.read.parquet(tablePath(spark, path, "sets"))
+                .select(col("doc_id").as(idCol)),
               Seq(idCol), "left_anti")
             ingest(spark, path, fresh, minJaccard, idCol, textCol,
               shingleN, numHashes, bands)

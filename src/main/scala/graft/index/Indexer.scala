@@ -302,6 +302,12 @@ object Indexer {
     // postings/doc_stats back costs one cheap scan instead (measured ~2×
     // on the store-write lifecycle)
     val spark = ix.postings.sparkSession
+    // fresh builds write the flat layout; overwriting the ROOT derived
+    // dirs of a frame-installed store would leave the pointer serving
+    // the old generations — refuse loudly (rebuild = delete first)
+    require(graft.operators.Frames.currentVersion(spark, path).isEmpty,
+      s"writeIndex: $path carries a frame-installed derived pair (_frame " +
+        "pointer) — delete the store before rebuilding over it")
     vocab(spark.read.parquet(s"$path/postings").select("term", "doc_id", "tf"))
       .write.mode("overwrite").parquet(s"$path/vocab")
     meta(spark.read.parquet(s"$path/doc_stats"))
@@ -578,14 +584,20 @@ object Indexer {
     * store whose meta predates the mergeable `length_sum` layout). */
   private def mergeDerived(spark: org.apache.spark.sql.SparkSession, path: String,
                            delta: InvertedIndex): Unit = {
-    val storedMeta = spark.read.parquet(s"$path/meta")
+    val storedMeta = spark.read.parquet(derivedTablePath(spark, path, "meta"))
     if (!storedMeta.columns.contains("length_sum")) {
       refreshDerived(spark, path); return
     }
-    spark.read.parquet(s"$path/vocab").select("term", "df")
+    // one manifest-frame install for the PAIR (VERDICT r18 #1): the two
+    // sequential swaps this replaces could crash between them and serve
+    // a new vocab against an old meta — df and N disagreeing skews every
+    // BM25 score until the next repair
+    val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
+    spark.read.parquet(derivedTablePath(spark, path, "vocab"))
+      .select("term", "df")
       .unionByName(vocab(delta.postings))
       .groupBy("term").agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
     val deltaMeta = delta.docStats.agg(
       count(lit(1)).as("d_n"),
       coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
@@ -597,9 +609,8 @@ object Indexer {
           .otherwise((col("length_sum") + col("d_sum")).cast("double") /
             (col("total_docs") + col("d_n"))).as("avg_dl"),
         (col("length_sum") + col("d_sum")).as("length_sum"))
-      .write.mode("overwrite").parquet(s"$path/meta_tmp")
-    swapTable(spark, path, "vocab")
-    swapTable(spark, path, "meta")
+      .write.mode("overwrite").parquet(stage.stageDir("meta"))
+    stage.commit()
   }
 
   /** Recompute vocab and meta from the LIVE view (postings/doc_stats
@@ -624,52 +635,34 @@ object Indexer {
     */
   def refreshDerived(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val live = readIndexLive(spark, path)
+    val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
     vocab(live.postings.select("term", "doc_id", "tf"))
-      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
-    meta(live.docStats).write.mode("overwrite").parquet(s"$path/meta_tmp")
-    swapTable(spark, path, "vocab")
-    swapTable(spark, path, "meta")
+      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
+    meta(live.docStats).write.mode("overwrite").parquet(stage.stageDir("meta"))
+    stage.commit()
   }
 
-  /** Finish the vocab/meta swaps of an interrupted maintenance op.
-    * A pending `vocab_tmp`/`meta_tmp` pair is installable only when it
-    * describes the data state that is COMMITTED now: appendIndex and
-    * refreshDerived compute theirs after their data commit, but
-    * deleteDocs writes its decremented tmp BEFORE the tombstone append
-    * (the decrement anti-joins the deletes table it is about to grow),
-    * so a crash on either side of that append leaves a complete tmp
-    * whose correctness depends on whether the tombstones landed. The
-    * probe that distinguishes them: meta_tmp's `total_docs` must equal
-    * the live doc count (doc_stats minus tombstones) — every legitimate
-    * swap-ready tmp satisfies it, and a pre-append deleteDocs tmp is
-    * short by the never-tombstoned ids. On mismatch — or when a tmp
-    * write itself died mid-job (no `_SUCCESS`) — both tables are
-    * rebuilt from the live view instead. No-op when nothing is
-    * pending. */
-  private def healPendingDerived(spark: org.apache.spark.sql.SparkSession,
+  /** Heal a crashed [[deleteDocs]]'s stale derived tables. Its one
+    * remaining crash window — tombstone append committed, the staged
+    * derived frame never flipped — leaves the stored vocab/meta counting
+    * the newly-dead docs, and the re-run (same ids, all already
+    * tombstoned) would otherwise early-return and seal the drift
+    * forever. The witness is the store's own invariant: stored
+    * `meta.total_docs` must equal the LIVE doc count (doc_stats minus
+    * tombstones); on mismatch both tables rebuild from the live view
+    * (the staged-but-unflipped frame is debris — readers never saw it,
+    * and the rebuild stages over it). This replaces the r18
+    * `healPendingDerived` tmp-vouching probe: with the pair now
+    * committing through ONE manifest-frame flip there are no half-
+    * installed `_tmp` states left to adjudicate — only "flipped"
+    * (consistent) or "never flipped" (rebuild). */
+  private def healDerivedIfStale(spark: org.apache.spark.sql.SparkSession,
                                  path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pending = Seq("vocab", "meta").filter(n =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/${n}_tmp")))
-    if (pending.isEmpty) return
-    val installable =
-      // a lone vocab_tmp has no meta_tmp to vouch for it (the crash
-      // predates the meta write, so nothing ties it to committed data)
-      pending.contains("meta") &&
-      pending.forall(n => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/${n}_tmp/_SUCCESS"))) && {
-        val claimed = spark.read.parquet(s"$path/meta_tmp")
-          .select(col("total_docs")).as[Long](
-            org.apache.spark.sql.Encoders.scalaLong).head()
-        claimed == readIndexLive(spark, path).docStats.count()
-      }
-    if (installable) pending.foreach(n => swapTable(spark, path, n))
-    else {
-      pending.foreach(n => fs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/${n}_tmp"), true))
+    val stored = spark.read.parquet(derivedTablePath(spark, path, "meta"))
+      .select(col("total_docs")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).head()
+    if (stored != readIndexLive(spark, path).docStats.count())
       refreshDerived(spark, path)
-    }
   }
 
   /** Install `<name>_tmp` over the live `<name>` table (crash-safe
@@ -680,6 +673,29 @@ object Indexer {
     val tmp  = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
     graft.FsOps.atomicSwap(
       live.getFileSystem(spark.sparkContext.hadoopConfiguration), live, tmp)
+  }
+
+  /** The derived pair commits as ONE manifest frame
+    * ([[graft.operators.Frames]], VERDICT r18 #1): vocab and meta are
+    * consumed TOGETHER by every scorer (df against N/avg_dl), so the two
+    * sequential swaps the r18 maintenance used had a crash window that
+    * served a new vocab against an old meta — skewed BM25 until the next
+    * repair. Fresh builds keep the flat layout; the big tables
+    * (postings/doc_stats/positional) are NOT framed — their maintenance
+    * orders tombstone drops last, so every intermediate state serves the
+    * correct live view (spec-proven), and the doc-bucketed faces' catalog
+    * registration binds to stable root URIs. */
+  private val DerivedTables = Seq("vocab", "meta")
+
+  /** Resolved directory of a derived table (`vocab`/`meta`) in the
+    * store's CURRENT frame — the entry every reader goes through (a raw
+    * `<path>/vocab` read serves a SUPERSEDED generation on any
+    * frame-installed store). */
+  def derivedTablePath(spark: org.apache.spark.sql.SparkSession,
+                       path: String, table: String): String = {
+    require(DerivedTables.contains(table),
+      s"'$table' is not a framed derived table: $DerivedTables")
+    graft.operators.Frames.resolve(spark, path, table)
   }
 
   /** Soft-delete documents from a persisted index store — Lucene-style
@@ -723,36 +739,42 @@ object Indexer {
           Seq("doc_id"), "left_semi"))
     if (newDead.isEmpty) {
       // Nothing new to tombstone — but a prior deleteDocs on these SAME
-      // ids may have crashed between its tombstone append and the
-      // derived-table swaps, leaving vocab_tmp/meta_tmp pending. That
-      // crash makes this resume path the ONLY caller that ever sees the
-      // inconsistency (the ids are already tombstoned, so the normal
-      // body never runs again), and without healing here a cascade
-      // resume (Forget) would seal its manifest over a store whose
-      // df/total_docs/avg_dl still count the dead docs. Complete the
-      // pending swaps — or, if a tmp write itself died mid-job (no
-      // _SUCCESS), fall back to the full recompute.
-      healPendingDerived(spark, path)
+      // ids may have crashed between its tombstone append and its
+      // derived-frame flip, leaving the stored vocab/meta counting the
+      // dead docs. That crash makes this resume path the ONLY caller
+      // that ever sees the inconsistency (the ids are already
+      // tombstoned, so the normal body never runs again), and without
+      // healing here a cascade resume (Forget) would seal its manifest
+      // over a store whose df/total_docs/avg_dl still count the dead
+      // docs. The staleness witness (total_docs vs live count) decides;
+      // on drift both tables rebuild from the live view.
+      healDerivedIfStale(spark, path)
       return
     }
-    val storedMeta = spark.read.parquet(s"$path/meta")
+    val storedMeta = spark.read.parquet(derivedTablePath(spark, path, "meta"))
     if (!storedMeta.columns.contains("length_sum")) {
       // store predates the mergeable meta layout: tombstone + full recompute
       newDead.write.mode("append").parquet(s"$path/deletes")
       refreshDerived(spark, path)
       return
     }
-    // the decremented tables must materialize BEFORE the tombstone
-    // append: newDead anti-joins the deletes table it is about to grow
+    // the decremented tables must materialize (stage) BEFORE the
+    // tombstone append: newDead anti-joins the deletes table it is about
+    // to grow. The staged frame is invisible until the flip, so the
+    // crash window's two shapes are clean: before the append = store
+    // unchanged plus dead staged bytes (the re-run redoes everything);
+    // after the append but before the flip = the healDerivedIfStale
+    // witness on the resume path (see above).
+    val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
     spark.read.parquet(s"$path/postings").select("term", "doc_id")
       .join(newDead, Seq("doc_id"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("dead_df"))
-      .join(spark.read.parquet(s"$path/vocab").select("term", "df"),
-        Seq("term"), "right_outer")
+      .join(spark.read.parquet(derivedTablePath(spark, path, "vocab"))
+        .select("term", "df"), Seq("term"), "right_outer")
       .select(col("term"),
         (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
       .filter(col("df") > 0) // a term with no live doc left drops, like a fresh build
-      .write.mode("overwrite").parquet(s"$path/vocab_tmp")
+      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
     val deadStats = spark.read.parquet(s"$path/doc_stats")
       .join(newDead, Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("d_n"),
@@ -765,12 +787,9 @@ object Indexer {
           .otherwise((col("length_sum") - col("d_sum")).cast("double") /
             (col("total_docs") - col("d_n"))).as("avg_dl"),
         (col("length_sum") - col("d_sum")).as("length_sum"))
-      .write.mode("overwrite").parquet(s"$path/meta_tmp")
-    // crash window: the tombstone append commits before the derived
-    // swaps — repair by calling refreshDerived (see its scaladoc)
+      .write.mode("overwrite").parquet(stage.stageDir("meta"))
     newDead.write.mode("append").parquet(s"$path/deletes")
-    swapTable(spark, path, "vocab")
-    swapTable(spark, path, "meta")
+    stage.commit() // ONE flip installs the decremented pair together
   }
 
   /** Bucket expression matching [[writeIndex]] — used by readers to prune. */
@@ -1329,7 +1348,7 @@ object Indexer {
     val livePostings = minusDel(postings)
 
     val vocabCheck = {
-      val stored = spark.read.parquet(s"$path/vocab")
+      val stored = spark.read.parquet(derivedTablePath(spark, path, "vocab"))
         .select(col("term"), col("df").cast("long").as("stored_df"))
       val fresh = vocab(livePostings.select("term", "doc_id", "tf"))
         .select(col("term"), col("df").cast("long").as("live_df"))
@@ -1341,7 +1360,7 @@ object Indexer {
     }
 
     val metaCheck = {
-      val stored = spark.read.parquet(s"$path/meta")
+      val stored = spark.read.parquet(derivedTablePath(spark, path, "meta"))
       val fresh = meta(minusDel(docIds))
       val drift =
         if (stored.columns.contains("length_sum"))
@@ -1534,8 +1553,8 @@ object Indexer {
     InvertedIndex(
       docStats = ds,
       postings = po,
-      vocab = spark.read.parquet(s"$path/vocab"),
-      meta = spark.read.parquet(s"$path/meta"))
+      vocab = spark.read.parquet(derivedTablePath(spark, path, "vocab")),
+      meta = spark.read.parquet(derivedTablePath(spark, path, "meta")))
   }
 
   /** The positional table of a store, routed like [[readIndex]]'s big

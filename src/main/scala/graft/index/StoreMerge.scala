@@ -120,7 +120,8 @@ object StoreMerge {
           "store's incremental audits need per-file batch provenance"))
     }
     sources.foreach { s =>
-      require(spark.read.parquet(s"$s/meta").columns.contains("length_sum"),
+      require(spark.read.parquet(Indexer.derivedTablePath(spark, s, "meta"))
+          .columns.contains("length_sum"),
         s"$s predates the mergeable meta layout (no length_sum partial)")
     } // meta is never transferred, so this read survives a resume
     val posPresent = sources.map(s => fs.exists(new Path(s"$s/positional")))
@@ -147,11 +148,14 @@ object StoreMerge {
     }
 
     // ---- derived tables: merge the sources' partial-aggregate state
-    // (reads only the small tables; written before any data file moves)
-    sources.map(s => spark.read.parquet(s"$s/vocab")).reduce(_ unionByName _)
+    // (reads only the small tables, frame-resolved per source; written
+    // to the fresh dest's flat layout before any data file moves)
+    sources.map(s => spark.read.parquet(
+        Indexer.derivedTablePath(spark, s, "vocab"))).reduce(_ unionByName _)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .write.mode("overwrite").parquet(s"$dest/vocab")
-    sources.map(s => spark.read.parquet(s"$s/meta")).reduce(_ unionByName _)
+    sources.map(s => spark.read.parquet(
+        Indexer.derivedTablePath(spark, s, "meta"))).reduce(_ unionByName _)
       .agg(coalesce(sum(col("total_docs")), lit(0L)).as("total_docs"),
         coalesce(sum(col("length_sum")), lit(0L)).as("length_sum"))
       .select(col("total_docs"),

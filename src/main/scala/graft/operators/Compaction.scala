@@ -192,6 +192,59 @@ object Compaction {
       .toMap
   }
 
+  /** Fragmentation ADVISOR over a store's table directories (VERDICT
+    * r18 #6 — the detect half of the advise/apply loop `Maintain index
+    * advise` closes; compaction itself is the apply): one report row,
+    * `violations = 1` exactly when some leaf partition holds more than
+    * `maxFilesPerLeaf` data files — the shape streaming ingest leaves
+    * (one file set per micro-batch) that turns every later scan into a
+    * file-open storm. Driver-side metadata only (one recursive listing,
+    * the same walk [[compactPartitionsRecursive]] does); directories
+    * absent by design contribute nothing. The worst leaf and the store
+    * totals ride in the report so a cron log reads actionably. */
+  def adviseCompaction(spark: SparkSession, dirs: Seq[String],
+                       maxFilesPerLeaf: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(maxFilesPerLeaf >= 1,
+      s"maxFilesPerLeaf must be >= 1 (got $maxFilesPerLeaf)")
+    def leafFiles(root: Path,
+                  fs: org.apache.hadoop.fs.FileSystem): Seq[(String, Int)] = {
+      def walk(p: Path): Seq[Path] = {
+        val kids = partitionDirs(fs, p)
+        if (kids.isEmpty) Seq(p) else kids.flatMap(walk)
+      }
+      walk(root).map { leaf =>
+        val n = fs.listStatus(leaf).count(s => !s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        leaf.toString -> n
+      }
+    }
+    val perLeaf = dirs.flatMap { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) leafFiles(p, fs) else Seq.empty
+    }
+    val totalFiles = perLeaf.map(_._2.toLong).sum
+    val (worstLeaf, worstN) =
+      if (perLeaf.isEmpty) ("", 0) else perLeaf.maxBy(_._2)
+    val recommended = worstN > maxFilesPerLeaf
+    val reason =
+      if (perLeaf.isEmpty) "no table directories present"
+      else if (recommended)
+        s"worst leaf $worstLeaf holds $worstN data files " +
+          s"(> $maxFilesPerLeaf) across ${perLeaf.size} leaves / " +
+          s"$totalFiles files — run the compact verb"
+      else
+        s"worst leaf holds $worstN data files (<= $maxFilesPerLeaf) " +
+          s"across ${perLeaf.size} leaves / $totalFiles files"
+    import spark.implicits._
+    Seq(("compaction_recommended", totalFiles,
+        if (recommended) 1L else 0L, worstN.toLong,
+        maxFilesPerLeaf.toLong, reason))
+      .toDF("invariant", "checked", "violations", "worst_leaf_files",
+        "threshold", "reason")
+  }
+
   /** Visible `k=v` partition subdirectories of `p`. */
   private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Path] =
     fs.listStatus(p)

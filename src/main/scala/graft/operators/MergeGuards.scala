@@ -37,8 +37,16 @@ object MergeGuards {
 
   /** Identical parquet schema for `table` across the source stores. */
   def requireSchemaParity(spark: SparkSession, sources: Seq[String],
-                          table: String): Unit = {
-    val schemas = sources.map(s => spark.read.parquet(s"$s/$table").schema)
+                          table: String): Unit =
+    requireSchemaParityDirs(spark, sources.map(s => s"$s/$table"), table)
+
+  /** [[requireSchemaParity]] over already-RESOLVED table directories —
+    * the form manifest-framed stores need (their table dirs are
+    * `tables/<t>/g=<gen>` paths the caller resolves, not
+    * `<store>/<table>` children). */
+  def requireSchemaParityDirs(spark: SparkSession, dirs: Seq[String],
+                              table: String): Unit = {
+    val schemas = dirs.map(d => spark.read.parquet(d).schema)
     require(schemas.distinct.size == 1,
       s"sources disagree on the $table schema: " +
         s"${schemas.distinct.mkString(" vs ")}")

@@ -271,7 +271,10 @@ object Forget {
       graft.index.Indexer.readIndexLive(spark, familyPath(root, "index"))
         .docStats.select("doc_id")
     case "dedup" =>
-      spark.read.parquet(s"${familyPath(root, "dedup")}/sets").select("doc_id")
+      // frame-resolved: a removeDocs-installed store's sets live under a
+      // generation dir, not the legacy root (tablePath handles both)
+      spark.read.parquet(graft.dedup.DedupStore.tablePath(
+        spark, familyPath(root, "dedup"), "sets")).select("doc_id")
     case "ivf" =>
       graft.similarity.IvfStore.liveVectorIds(spark, familyPath(root, "ivf"))
         .select(col("vec_id").as("doc_id"))

@@ -291,7 +291,8 @@ object IvfStore {
     // a bootstrapped shard that never ingested has no lists yet — it is
     // trivially fresh; the no-op contract covers it (not a parquet error)
     if (!fs.exists(listsP)) return
-    val lists = spark.read.parquet(s"$root/lists")
+    val snap = snapshotFrame(spark, root)
+    val lists = pinToSnapshot(spark.read.parquet(s"$root/lists"), snap)
     if (lists.columns.contains("batch")) {
       // frame-bump install (contract note at [[FrameMarker]]): the
       // flattened lists stage in the next frame, the unchanged
@@ -308,6 +309,11 @@ object IvfStore {
         s"$nroot/centroids", "", move = false)
       graft.FsOps.transferDataFiles(spark, s"$root/deletes",
         s"$nroot/deletes", "", move = false)
+      midMaintenanceHook(spark)
+      // batches/tombstones that landed while the rewrite staged fold
+      // into the flattened layout too (same centroids — cids keep)
+      carryFrameDelta(spark, root, nroot, snap, reassign = false,
+        stripBatch = true)
       graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
       gcFrames(spark, fs, path)
     }
@@ -369,7 +375,8 @@ object IvfStore {
     val del = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(del)) return
-    val lists = spark.read.parquet(s"$root/lists")
+    val snap = snapshotFrame(spark, root)
+    val lists = pinToSnapshot(spark.read.parquet(s"$root/lists"), snap)
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
     val (next, nroot) = nextFrame(spark, path)
     liveLists(spark, root, lists)
@@ -378,6 +385,12 @@ object IvfStore {
       .parquet(s"$nroot/lists")
     graft.FsOps.transferDataFiles(spark, s"$root/centroids",
       s"$nroot/centroids", "", move = false)
+    midMaintenanceHook(spark)
+    // concurrent ingest landed while the rewrite staged: carry it (the
+    // new frame keeps ONLY the delta tombstones — snapshot ones were
+    // materialized out of the rewrite)
+    carryFrameDelta(spark, root, nroot, snap, reassign = false,
+      stripBatch = false)
     graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
     gcFrames(spark, fs, path)
   }
@@ -412,7 +425,8 @@ object IvfStore {
   def repairLists(spark: SparkSession, path: String): Unit = {
     graft.FsOps.requireNotHusk(spark, path)
     val root = frameRoot(spark, path)
-    val lists = spark.read.parquet(s"$root/lists")
+    val snap = snapshotFrame(spark, root)
+    val lists = pinToSnapshot(spark.read.parquet(s"$root/lists"), snap)
     val quantized = lists.columns.contains("qvec")
     val partCols = if (lists.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
     // total order: cid, batch (if present), payload hash — same-cid
@@ -512,6 +526,11 @@ object IvfStore {
       s"$nroot/centroids", "", move = false)
     graft.FsOps.transferDataFiles(spark, s"$root/deletes",
       s"$nroot/deletes", "", move = false)
+    midMaintenanceHook(spark)
+    // concurrent ingest carried as written (fresh appends, not the
+    // corruption the rewrite repaired; same centroids — cids keep)
+    carryFrameDelta(spark, root, nroot, snap, reassign = false,
+      stripBatch = false)
     graft.FsOps.writeLongMarker(spark, path, FrameMarker, next) // the flip
     gcFrames(spark,
       new org.apache.hadoop.fs.Path(path)
@@ -687,27 +706,161 @@ object IvfStore {
     (next, nroot)
   }
 
-  /** Garbage-collect every superseded frame after the pointer flip: the
-    * legacy root tables (always dead once a pointer exists) and every
-    * `frames/v=` dir other than the current one — a SWEEP, not a
-    * single-predecessor drop, so a crash between a flip and its cleanup
-    * leaks dead bytes only until the next bump collects them.
-    * Post-commit cleanup only: never an unreadable store. */
+  /** Garbage-collect superseded frames after the pointer flip, with a
+    * RETENTION window for concurrent readers (VERDICT r18 #2): frames
+    * `[cur−retain, cur]` are kept (the legacy root layout counts as the
+    * frame before v=0), everything older — and any unflipped future
+    * staging debris — is swept. Spark plans lazily: a reader that
+    * resolved [[frameRoot]] just before a flip still lists and scans its
+    * files afterwards, so an immediate sweep (the r18 behavior) could
+    * kill that scan with a FileNotFoundException mid-flight; with the
+    * default `retain = 1` it completes against the retained predecessor,
+    * and only a SECOND install during the same scan can sweep it (the
+    * bounded grace contract [[graft.streaming.VersionedStore]]'s
+    * `vacuum(retain)` set). `retain = 0` is the reclaim-now maintenance
+    * verb (`Maintain ivf gc 0`). A SWEEP, not a single-predecessor drop,
+    * so a crash between a flip and its cleanup leaks dead bytes only
+    * until the next bump collects them. Post-commit cleanup only: never
+    * an unreadable store. */
   private def gcFrames(spark: SparkSession,
                        fs: org.apache.hadoop.fs.FileSystem,
-                       path: String): Unit =
+                       path: String, retain: Int = 1): Unit = {
+    require(retain >= 0, s"retain must be >= 0 (got $retain)")
     graft.FsOps.readLongMarker(spark, path, FrameMarker).foreach { cur =>
-      Seq("lists", "centroids", "deletes").foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true))
+      if (cur - retain >= 0) // the legacy frame left the window
+        Seq("lists", "centroids", "deletes").foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true))
       val fr = new org.apache.hadoop.fs.Path(s"$path/frames")
       if (fs.exists(fr))
         fs.listStatus(fr).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith("v=") &&
-              n.stripPrefix("v=").toLongOption.exists(_ != cur))
+          if (n.startsWith("v=") && n.stripPrefix("v=").toLongOption
+              .exists(v => v < cur - retain || v > cur))
             fs.delete(st.getPath, true)
         }
     }
+  }
+
+  /** Operator-facing frame sweep (`Maintain ivf gc [retain]`) — the
+    * cron-surface twin of the sweep every install already runs with
+    * `retain = 1`; call with `retain = 0` to reclaim the grace-window
+    * frame immediately (only when no external reader can still be
+    * scanning it). */
+  def gcStaleFrames(spark: SparkSession, path: String, retain: Int = 1): Unit =
+    gcFrames(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path, retain)
+
+  // ---- concurrent-ingest delta carry (ADVICE r18) --------------------
+  // With the refuse-until-heal marker gone, a deleteVectors/appendBatch
+  // that lands WHILE a frame rewrite is staging writes into the OLD
+  // frame — and a flip that ignored it would silently discard the write
+  // (for a tombstone riding Forget's takedown cascade, a silent
+  // RETENTION failure, not just stale data). Every frame-bumping verb
+  // therefore snapshots the old frame's ingest surface (batch= dirs,
+  // tombstone file names) BEFORE staging, scopes its rewrite to the
+  // snapshot, and at flip time carries the delta — tombstone files by
+  // name-diff file copy, appended batches by re-shaping into the new
+  // frame's layout (re-assigned against the new centroids when the verb
+  // changed them) — into the staged frame before the pointer moves.
+  // The lost-write window shrinks from the WHOLE rewrite (hours at
+  // scale) to the carry→flip metadata gap; writes landing inside that
+  // residual gap still require the store's single-maintenance-writer
+  // discipline, which is now a bound on a metadata pass, not on the
+  // rewrite.
+
+  private[graft] final case class FrameSnapshot(batches: Set[Long],
+                                                deleteFiles: Set[String])
+
+  /** Test seam: invoked by every frame-bumping verb after its staging
+    * writes complete and before the delta carry — the spec injects
+    * concurrent ingest verbs here to prove the carry. */
+  private[graft] var midMaintenanceHook: SparkSession => Unit = _ => ()
+
+  private def batchDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/lists")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption).toSet
+  }
+
+  private def deleteFilesOf(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.filterNot(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+  }
+
+  private def snapshotFrame(spark: SparkSession, root: String): FrameSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FrameSnapshot(batchDirsOf(fs, root), deleteFilesOf(fs, root))
+  }
+
+  /** Pin a lists frame to the snapshot's batch layers — the staged
+    * rewrite must consume EXACTLY the snapshot (a batch landing mid-job
+    * would otherwise be read by some stages and carried again by the
+    * delta, duplicating its rows). Cid-only stores have no batch layers
+    * (appendBatch refuses them) — nothing to pin. */
+  private def pinToSnapshot(lists: DataFrame, snap: FrameSnapshot): DataFrame =
+    if (lists.columns.contains("batch"))
+      lists.filter(col("batch").isin(snap.batches.toSeq: _*))
+    else lists
+
+  /** Carry post-snapshot ingest into the staged frame, just before the
+    * flip. Tombstone files copy by name-diff (a consumed-set overshoot —
+    * the rewrite's lazy deletes read may have seen MORE than the
+    * snapshot — only carries tombstones of already-removed rows: the
+    * anti-join no-ops). Delta batch layers re-shape into the staged
+    * layout: `reassign` re-homes them against the NEW frame's centroids
+    * (recluster changed them); `stripBatch` folds them into a cid-only
+    * layout (flatten). */
+  private def carryFrameDelta(spark: SparkSession, root: String, nroot: String,
+                              snap: FrameSnapshot, reassign: Boolean,
+                              stripBatch: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val delTo = new org.apache.hadoop.fs.Path(s"$nroot/deletes")
+    for (f <- deleteFilesOf(fs, root) -- snap.deleteFiles) {
+      val to = new org.apache.hadoop.fs.Path(delTo, f)
+      if (!fs.exists(to)) {
+        fs.mkdirs(delTo)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$root/deletes/$f"), fs, to,
+          false, conf)
+      }
+    }
+    val delta = (batchDirsOf(fs, root) -- snap.batches).toSeq.sorted
+    if (delta.nonEmpty) {
+      val rows = spark.read.parquet(s"$root/lists")
+        .filter(col("batch").isin(delta: _*))
+      val homed =
+        if (!reassign) rows
+        else {
+          val cents = broadcast(spark.read.parquet(s"$nroot/centroids"))
+          val keyed = rows.withColumn("__v",
+            if (rows.columns.contains("qvec"))
+              transform(col("qvec"),
+                x => round(x.cast("double") * col("scale"), 6).cast("float"))
+            else col("v"))
+          keyed.drop("cid")
+            .join(Similarity.assignToCentroids(
+                keyed.select(col("vec_id"), col("__v")), cents,
+                "vec_id", "__v", keep = 1)
+              .select(col("vec_id"), col("cid")), "vec_id")
+            .drop("__v")
+        }
+      val shaped = if (stripBatch) homed.drop("batch") else homed
+      val partCols = if (stripBatch) Seq("cid") else Seq("batch", "cid")
+      shaped.repartition(partCols.map(col): _*)
+        .write.mode("append").partitionBy(partCols: _*)
+        .parquet(s"$nroot/lists")
+    }
+  }
 
   /** Exclusive-lower cid group bounds of a merged store (None = never
     * merged / reclustered since): cid c belongs to group
@@ -1475,7 +1628,8 @@ object IvfStore {
     val root = frameRoot(spark, path)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listsRaw = spark.read.parquet(s"$root/lists")
+    val snap = snapshotFrame(spark, root)
+    val listsRaw = pinToSnapshot(spark.read.parquet(s"$root/lists"), snap)
     val quantized = listsRaw.columns.contains("qvec")
     val partCols = if (listsRaw.columns.contains("batch")) Seq("batch", "cid") else Seq("cid")
     val live = liveLists(spark, root, listsRaw).withColumn("__v",
@@ -1504,6 +1658,12 @@ object IvfStore {
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$nroot/lists")
+    midMaintenanceHook(spark)
+    // concurrent ingest carried RE-ASSIGNED against the new centroids
+    // (the verb that exists to change them); delta tombstones by file
+    // copy — a takedown riding Forget must survive the recluster
+    carryFrameDelta(spark, root, nroot, snap, reassign = true,
+      stripBatch = false)
     // the flip: one rename installs lists + centroids + tombstone drop
     graft.FsOps.writeLongMarker(spark, path, FrameMarker, next)
     // the store is union-nearest again: drop the merged-assignment
