@@ -166,10 +166,41 @@ object BenchReverify {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
 
+  /** The `"geometry":{...}` field of a consolidated bench json, verbatim
+    * (balanced-brace scan — the value is a nested object). The merge
+    * carries the SOURCE sweep's geometry provenance forward instead of
+    * recomputing it from the CURRENT fixture (ADVICE r18): a fixture
+    * regenerated between the sweep and the merge would otherwise label
+    * the artifact with a geometry the run never used. */
+  def geometryField(consolidatedJson: String): Option[String] = {
+    val key = "\"geometry\":"
+    val at = consolidatedJson.indexOf(key)
+    if (at < 0) None
+    else {
+      val start = at + key.length
+      if (start >= consolidatedJson.length || consolidatedJson(start) != '{') None
+      else {
+        var depth = 0
+        var i = start
+        while (i < consolidatedJson.length &&
+               (depth > 0 || i == start)) {
+          if (consolidatedJson(i) == '{') depth += 1
+          else if (consolidatedJson(i) == '}') depth -= 1
+          i += 1
+        }
+        if (depth == 0) Some(consolidatedJson.substring(at, i)) else None
+      }
+    }
+  }
+
   /** Render merged entries in Bench's exact artifact shapes: the jsonl
     * lines and the consolidated one-line json (reverified entries listed
-    * in a `"reverified"` field so the artifact self-describes). */
-  def render(entries: Seq[Entry], reps: Int, sfDir: String): (Seq[String], String) = {
+    * in a `"reverified"` field so the artifact self-describes).
+    * `srcGeometry` is the source sweep's own provenance field ([[
+    * geometryField]]), used verbatim when present; the from-fixture
+    * recompute is only the legacy-artifact fallback. */
+  def render(entries: Seq[Entry], reps: Int, sfDir: String,
+             srcGeometry: Option[String] = None): (Seq[String], String) = {
     val jsonl = entries.map { e =>
       val stamp = if (e.reverified) ""","reverified":true""" else ""
       val calStamp = if (e.cal) ""","cal":true""" else ""
@@ -190,9 +221,13 @@ object BenchReverify {
       else cals.map(e => jstr(e.name) + ":" + e.secs)
         .mkString(""","calibration":{""", ",", "}")
     // the merge must not DROP Bench's derived-geometry provenance
-    // (VERDICT r17 #6): recompute it the same way Bench emitted it
+    // (VERDICT r17 #6): carry the source sweep's field verbatim when it
+    // exists; recompute from the fixture only for legacy artifacts that
+    // predate the field (ADVICE r18 — a recompute against a regenerated
+    // fixture would stamp a geometry the sweep never ran)
     val geomField =
       if (!qsE.exists(_.name == "q_dedup_embed")) ""
+      else if (srcGeometry.isDefined) "," + srcGeometry.get
       else try {
         // one metadata count; getOrCreate reuses an active session or
         // spins a minimal local one (the merge CLI path)
@@ -240,7 +275,17 @@ object BenchReverify {
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       val merged = merge(curE, parseJsonl(readLines(subset)), planned)
       val reps = curE.map(_.reps).max
-      val (jsonl, json) = render(merged, reps, sfDir)
+      // the source sweep's consolidated json sits beside its jsonl (the
+      // bench_commit.sh layout: bench_last.jsonl / bench_last.json) —
+      // lift its geometry provenance verbatim rather than recomputing
+      // against a possibly-regenerated fixture (ADVICE r18)
+      val srcJson = cur.replaceAll("\\.jsonl$", ".json")
+      val srcGeometry =
+        if (srcJson != cur &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(srcJson)))
+          geometryField(readLines(srcJson).mkString("\n"))
+        else None
+      val (jsonl, json) = render(merged, reps, sfDir, srcGeometry)
       java.nio.file.Files.write(java.nio.file.Paths.get(outJsonl),
         (jsonl.mkString("\n") + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

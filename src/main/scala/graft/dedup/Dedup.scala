@@ -328,26 +328,93 @@ object Dedup {
     (bits, autoBands(minCos, targetRecall, bits, maxBands))
   }
 
+  /** Tuning knobs of the self-deriving near-dup geometry, grouped so a
+    * caller can never slot a band COUNT where a recall TARGET belongs:
+    * the r17→r18 signature change put `targetRecall: Double` in the
+    * positional slot the old `bands: Int` held, and Scala's Int→Double
+    * weak conformance let a stale `Auto(e, 0.5, idc, vc, 16)` compile
+    * with targetRecall = 16.0 and fail only at runtime (ADVICE r18) —
+    * an `AutoTune` in that slot fails to compile instead. */
+  final case class AutoTune(targetRecall: Double = 0.97,
+                            targetOccupancy: Int = 128,
+                            maxBands: Int = 64)
+
+  /** The geometry an auto-tuned near-dup run actually executes, plus
+    * the honest recall signal (VERDICT r18 #4): when the [[autoBands]]
+    * cost ceiling binds, `recallAtMinCos < targetRecall` and
+    * `ceilingBound` is true — a caller at 60k+ vectors with a low
+    * `minCos` must SEE the 0.81-for-0.97 degradation, not only the
+    * bench artifact. `expectedCandidates` is the pre-verification
+    * candidate-pair estimate (`bands · n · occupancy / 2`) the banded
+    * plan sizes its pair-dedup shuffle by (VERDICT r18 #3). */
+  final case class PlannedGeometry(n: Long, bits: Int, bands: Int,
+                                   targetRecall: Double,
+                                   recallAtMinCos: Double,
+                                   ceilingBound: Boolean) {
+    def expectedCandidates: Long = {
+      val occupancy = math.max(1.0, n.toDouble / (1L << bits))
+      (bands.toDouble * n.toDouble * occupancy / 2.0).toLong
+    }
+  }
+
+  /** [[autoGeometry]] with the full provenance record: the geometry
+    * AND whether the cost ceiling clamped the band count below the
+    * recall target. One derivation shared by the engine face, the
+    * bench artifact and the caller-facing signal, so they can never
+    * disagree about what ran. */
+  def planGeometry(n: Long, minCos: Double,
+                   tune: AutoTune = AutoTune()): PlannedGeometry = {
+    val bits = autoBandBits(n, tune.targetOccupancy)
+    val unclamped = autoBands(minCos, tune.targetRecall, bits, maxBands = Int.MaxValue)
+    val bands = math.min(tune.maxBands, unclamped)
+    PlannedGeometry(n, bits, bands, tune.targetRecall,
+      recallAtMinCos(minCos, bits, bands),
+      ceilingBound = unclamped > tune.maxBands)
+  }
+
   /** [[embeddingNearDupPairs]] with BOTH geometry knobs derived — the
     * fully self-tuning 100 TB face (VERDICT r17 #4): band width from
     * the corpus size (one driver-side count — a parquet-statistics
     * scalar; keeps candidate volume linear), band count from
     * `(minCos, targetRecall)` at that width (buys the recall the wider
     * bands gave up). Same banded plan; at the gate scales this is the
-    * historical 16×4. */
+    * historical 16×4.
+    *
+    * Caller contract when the [[AutoTune.maxBands]] cost ceiling binds
+    * (VERDICT r18 #4): the boundary recall silently achievable is BELOW
+    * `targetRecall` — this face logs the degradation loudly; callers
+    * that must branch on it use [[embeddingNearDupPairsAutoPlanned]],
+    * which returns the [[PlannedGeometry]] alongside the pairs. */
   def embeddingNearDupPairsAuto(emb: DataFrame, minCos: Double,
                                 idCol: String = "vec_id", vecCol: String = "embedding",
-                                targetRecall: Double = 0.97, dim: Int = 64,
-                                targetOccupancy: Int = 128,
-                                maxBands: Int = 64): DataFrame = {
-    val (bits, bands) = autoGeometry(emb.select(idCol).count(), minCos,
-      targetRecall, targetOccupancy, maxBands)
-    embeddingNearDupPairs(emb, minCos, idCol, vecCol, bands, bits, dim)
+                                tune: AutoTune = AutoTune(),
+                                dim: Int = 64): DataFrame =
+    embeddingNearDupPairsAutoPlanned(emb, minCos, idCol, vecCol, tune, dim)._1
+
+  /** The auto face with its [[PlannedGeometry]] — the provenance every
+    * production caller of the ceiling-able geometry should consume:
+    * `geometry.ceilingBound` says the recall target was traded for the
+    * cost envelope, `geometry.recallAtMinCos` says what survived. */
+  def embeddingNearDupPairsAutoPlanned(emb: DataFrame, minCos: Double,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding",
+                                       tune: AutoTune = AutoTune(),
+                                       dim: Int = 64): (DataFrame, PlannedGeometry) = {
+    val g = planGeometry(emb.select(idCol).count(), minCos, tune)
+    if (g.ceilingBound)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"embeddingNearDupPairsAuto: maxBands=${tune.maxBands} cost ceiling " +
+          f"binds at n=${g.n} minCos=$minCos — boundary recall " +
+          f"${g.recallAtMinCos}%.4f < target ${g.targetRecall}%.4f; raise " +
+          "AutoTune.maxBands to pay for full recall")
+    (embeddingNearDupPairs(emb, minCos, idCol, vecCol, g.bands, g.bits, dim,
+      expectedCandidates = Some(g.expectedCandidates)), g)
   }
 
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding",
-                            bands: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+                            bands: Int = 16, bandBits: Int = 4, dim: Int = 64,
+                            expectedCandidates: Option[Long] = None): DataFrame = {
     import graft.similarity.Similarity
     // Only (id, band, bucket) flows through the candidate join — vectors
     // would otherwise shuffle `bands`× over; they re-join once per side
@@ -355,11 +422,32 @@ object Dedup {
     val buckets = emb.select(col(idCol).as("id"),
         posexplode(Similarity.radBandBuckets(col(vecCol), bands, bandBits, dim)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = buckets.toDF("id_a", "band", "bucket")
+    // Pair-dedup shuffle width scales with the PREDICTED candidate
+    // volume (VERDICT r18 #3): the recall-tuned wide-band regime puts
+    // ~bands·n·occupancy/2 pre-dedup rows through this exchange, and at
+    // fixed session width the 30× point crosses the in-memory→spill
+    // cliff (measured: 10.7 s → 256 s per 3× data). The volume is known
+    // BEFORE the job runs — the auto face passes its own estimate — so
+    // the exchange is sized to it (explicit numPartitions: AQE coalesces
+    // derived widths but honors user-specified ones). None (the manual
+    // face) keeps the session default, so gate-scale plans are
+    // unchanged. The verify joins below inherit the width through
+    // EnsureRequirements' co-partitioning.
+    val rowsPerPartition = 2L * 1000 * 1000 // ~tens of MB per task, spill-free
+    val dedupParts = expectedCandidates.map { exp =>
+      math.min(4096L, math.max(
+        emb.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+        exp / rowsPerPartition + 1L)).toInt
+    }
+    val joined = buckets.toDF("id_a", "band", "bucket")
       .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val cand = dedupParts match {
+      case Some(p) => joined.repartition(p, col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      case None => joined.distinct()
+    }
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     cand

@@ -120,10 +120,14 @@ object PipelineQueries extends QueryGroup {
       DedupStore.writeSignatures(d.filter(col("doc_id") % 2 === 0), path)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      s.read.parquet(s"$path/sets").filter(col("doc_id") % 4 =!= 0)
+      // corrupt the RESOLVED sets table (frame-aware — on a fresh store
+      // this is the legacy root dir) so the fixture keeps forging the
+      // same drift on any layout
+      val setsDir = DedupStore.tablePath(s, path, "sets")
+      s.read.parquet(setsDir).filter(col("doc_id") % 4 =!= 0)
         .write.mode("overwrite").parquet(s"$path/sets_tmp")
       graft.FsOps.atomicSwap(fs,
-        new org.apache.hadoop.fs.Path(s"$path/sets"),
+        new org.apache.hadoop.fs.Path(setsDir),
         new org.apache.hadoop.fs.Path(s"$path/sets_tmp"))
       DedupStore.checkStore(s, path)
         .select(lit("0_detect").as("phase"), col("invariant"),
@@ -1939,24 +1943,31 @@ object PipelineQueries extends QueryGroup {
 
   /** Banded sign-LSH near-dup: candidates from any-band bucket collision,
     * exact-cosine verified — reproduces Dedup.embeddingNearDupPairsAuto.
-    * BOTH geometry knobs derive exactly as the engine's: the band width
-    * from the corpus count with Dedup.autoBandBits's INTEGER threshold
-    * rule (`min b in [0,12]: 128·2^b ≥ n`, floored at 4 — ADVICE r17:
-    * no float log2 whose ceil could land off-by-one at exact powers of
-    * two), and the band count from a CASE table generated FROM
-    * [[graft.dedup.Dedup.autoBands]] itself at the gate's (minCos,
-    * targetRecall) — integer-exact on the SQL side, zero duplicated
-    * float math. At the gate scales (≤ 2048 vectors) this degenerates
-    * to the historical 16×4. */
+    * BOTH geometry knobs derive INDEPENDENTLY in SQL (VERDICT r18 #5):
+    * the band width from the corpus count with Dedup.autoBandBits's
+    * INTEGER threshold rule (`min b in [0,13): 128·2^b ≥ n`, floored at
+    * 4 — ADVICE r17: no float log2 whose ceil could land off-by-one at
+    * exact powers of two), and the band count from the banded-LSH
+    * inversion computed in SQL itself —
+    * `least(64, greatest(1, ceil(round(ln(1−R)/ln(1−p^bits), 6))))`
+    * with p = 1 − acos(minCos)/π — the same 6-dp HALF_UP quantization
+    * and the same maxBands=64 cost ceiling as Dedup.autoBands, so an
+    * inversion bug on the engine side now FAILS the gate instead of
+    * being generated into it (the r18 CASE table was engine-sourced).
+    * Both rounds are half-away-from-zero on a strictly positive raw, so
+    * DuckDB's round and BigDecimal HALF_UP agree; parity checked for
+    * every bits in [1, 15] at the gate (minCos, R). At the gate scales
+    * (≤ 2048 vectors) this degenerates to the historical 16×4. */
   private lazy val dedupEmbedOracle: String = {
-    val bandsCase = (4 to 12).map(b =>
-      s"WHEN $b THEN ${Dedup.autoBands(CosineThreshold, 0.97, b)}").mkString(" ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              gb AS (SELECT greatest(4, coalesce((SELECT min(b)
                              FROM (SELECT unnest(range(0, 13)) AS b)
                              WHERE 128 * (1::BIGINT << b) >=
                                    (SELECT count(*) FROM e)), 12)) AS bits),
-             g AS (SELECT bits, (CASE bits $bandsCase END) AS bands FROM gb),
+             g AS (SELECT bits, least(64, greatest(1, CAST(ceil(round(
+                       ln(1 - 0.97) /
+                       ln(1 - pow(1 - acos($CosineThreshold) / pi(), bits)),
+                       6)) AS INTEGER))) AS bands FROM gb),
              dots AS (SELECT vec_id, p,
                              list_sum(list_transform(range(0, $EmbedDim),
                                d -> v[d + 1] * (CASE WHEN ('0x' || substr(md5(p || '_' || d), 1, 1))::INT >= 8
