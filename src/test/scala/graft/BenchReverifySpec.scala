@@ -165,6 +165,28 @@ class BenchReverifySpec extends AnyFunSuite {
     assert(parsed === Seq(Entry("q_chunk", 0.756658498, ok = true, reps = 3)))
   }
 
+  test("the source sweep's geometry provenance carries verbatim through render") {
+    // ADVICE r18: the merge must stamp the geometry the SWEEP ran, not a
+    // recompute against the current (possibly regenerated) fixture — the
+    // source artifact's own field wins whenever it exists.
+    val src = """{"metric":"total","value":1.0,"queries":{"q_dedup_embed":1.0},""" +
+      """"geometry":{"q_dedup_embed":{"n":60000,"band_bits":9,"bands":64,""" +
+      """"expected_occupancy":117,"recall_at_min_cos":0.8149}},"reverified":[]}"""
+    val field = BenchReverify.geometryField(src)
+    assert(field.exists(_.startsWith(""""geometry":{""")), field)
+    assert(field.exists(_.endsWith("""0.8149}}""")), field)
+    val entries = Seq(Entry("q_dedup_embed", 1.0, ok = true, reps = 2))
+    val (_, json) = render(entries, reps = 2,
+      sfDir = "/root/testdata/sf0.1", srcGeometry = field)
+    assert(json.contains(""""band_bits":9"""), json) // the sweep's 9, never
+    // a fixture recompute (sf0.1's own count would derive different bits)
+    assert(json.contains(""""recall_at_min_cos":0.8149"""), json)
+    // artifacts that predate the field: None → the legacy fallback path
+    assert(BenchReverify.geometryField("""{"metric":"total","value":1.0}""") === None)
+    // a truncated field must read as absent, never a half-parsed stamp
+    assert(BenchReverify.geometryField(""""geometry":{"q":{"n":1""") === None)
+  }
+
   test("a mid-sweep mark's next field survives parse, merge and render") {
     // ADVICE r15: Bench records which gate entry follows each mid-sweep
     // calibration mark ("next"). The merge rewrite re-serializes every

@@ -131,10 +131,15 @@ class DedupSpec extends SparkSpec {
     DedupStore.writeSignatures(corpus.filter($"doc_id" <= 4), path)
     // purge docs 1 and 2 (the "a b c..." content); 3 and 4 survive
     DedupStore.removeDocs(spark, path, Seq(1L, 2L).toDF("doc_id"))
-    // both signature tables physically clean
+    // both signature tables physically clean — in the INSTALLED frame
+    // (removeDocs commits via one manifest-frame flip; the superseded
+    // legacy tables are retained one install as the readers' grace
+    // window, so the root dirs still hold the old population by design)
     for (t <- Seq("sets", "buckets"))
-      assert(spark.read.parquet(s"$path/$t")
+      assert(spark.read.parquet(DedupStore.tablePath(spark, path, t))
         .filter($"doc_id".isin(1L, 2L)).count() == 0, s"$t not purged")
+    assert(graft.operators.Frames.currentVersion(spark, path) === Some(0L),
+      "removeDocs installs a manifest frame")
     // a new copy of the purged content is flagged ONLY against the
     // surviving near-dup (3), not the removed originals — and a copy of
     // removed-only content would sail through
@@ -144,8 +149,76 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_._2) === Set(3L), s"expected match against survivor 3 only: $r")
     // idempotent: removing ids absent from the store changes nothing
     DedupStore.removeDocs(spark, path, Seq(1L, 99L).toDF("doc_id"))
-    assert(spark.read.parquet(s"$path/sets").count() ===
+    assert(spark.read.parquet(DedupStore.tablePath(spark, path, "sets")).count() ===
       corpus.filter($"doc_id".isin(3L, 4L, 30L)).count())
+  }
+
+  test("removeDocs frame install: kill mid-stage costs nothing; retention keeps one superseded frame") {
+    import graft.dedup.DedupStore
+    import graft.operators.Frames
+    val path = java.nio.file.Files.createTempDirectory("dedupframe").toString
+    DedupStore.writeSignatures(corpus.filter($"doc_id" <= 4), path)
+
+    // forge a removeDocs killed BETWEEN its two staged rewrites: one
+    // poisoned generation staged, the pointer never flipped — readers
+    // must never look past the pointer (VERDICT r18 #1: the r18 shape's
+    // sequential swaps were torn apart by exactly this kill)
+    Seq((999L, Seq("zz"))).toDF("doc_id", "sh_set")
+      .write.mode("overwrite").parquet(s"$path/tables/sets/g=0")
+    assert(Frames.currentVersion(spark, path) === None)
+    assert(DedupStore.tablePath(spark, path, "sets") === s"$path/sets",
+      "an unflipped staged generation is invisible to every reader")
+    assert(DedupStore.checkStore(spark, path)
+      .agg(sum($"violations")).as[Long].collect().head === 0L,
+      "fsck audits the OLD frame through the crash window")
+    // ...and ingest still dedups against the complete old population
+    val r = DedupStore.ingest(spark, path,
+        Seq((40L, "a b c d e f g h")).toDF("doc_id", "text"), 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._2).toSet === Set(1L, 2L, 3L))
+
+    // the re-run restages over the debris and commits BOTH rewrites
+    // with ONE pointer flip
+    DedupStore.removeDocs(spark, path, Seq(1L, 2L).toDF("doc_id"))
+    assert(Frames.currentVersion(spark, path) === Some(0L))
+    for (t <- Seq("sets", "buckets"))
+      assert(spark.read.parquet(DedupStore.tablePath(spark, path, t))
+        .filter($"doc_id".isin(1L, 2L)).count() === 0L, s"$t not purged")
+    assert(DedupStore.checkStore(spark, path)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+    // retention (VERDICT r18 #2): the superseded legacy frame survives
+    // one install as the external readers' grace window
+    assert(new java.io.File(s"$path/sets").exists,
+      "the previous (legacy) frame is retained for one install")
+
+    // a reader that resolved its dirs JUST BEFORE the next install
+    // completes its scan against the retained frame...
+    val preInstall = DedupStore.tablePath(spark, path, "sets")
+    DedupStore.removeDocs(spark, path, Seq(3L).toDF("doc_id")) // v=1
+    assert(spark.read.parquet(preInstall).count() > 0,
+      "retain=1: the pre-install generation still reads after one flip")
+    assert(!new java.io.File(s"$path/sets").exists,
+      "the legacy frame left the retention window at the second install")
+    // ...but only one install's worth: the second flip sweeps it
+    val v1gen = DedupStore.tablePath(spark, path, "sets") // v=1's generation
+    DedupStore.removeDocs(spark, path, Seq(4L).toDF("doc_id")) // v=2
+    assert(!new java.io.File(preInstall).exists,
+      "two installs later the grace window has passed")
+
+    // reclaim-now: Maintain's gc verb with retain=0 sweeps the one
+    // remaining superseded frame immediately
+    assert(new java.io.File(v1gen).exists, "retain=1 keeps v=1's generation")
+    Maintain.run(spark, "dedup", "gc", path, Seq("0"))
+    assert(!new java.io.File(v1gen).exists)
+    assert(spark.read.parquet(DedupStore.tablePath(spark, path, "sets"))
+      .select("doc_id").as[Long].collect().isEmpty,
+      "v=2 removed every doc: 1,2,3,4 purged and 5 was too short to store")
+
+    // rebuilding OVER a frame-installed store is refused loudly — the
+    // root-dir overwrite would be invisible behind the pointer
+    val eRebuild = intercept[IllegalArgumentException](
+      DedupStore.writeSignatures(corpus, path))
+    assert(eRebuild.getMessage.contains("frame-installed"), eRebuild.getMessage)
   }
 
   test("checkStore: healthy lifecycle store passes; sets/buckets drift detected") {
@@ -170,12 +243,14 @@ class DedupSpec extends SparkSpec {
     assert(healthy("bucket_cardinality")._1 === 4L)
     assert(healthy("buckets_match_signatures")._1 === 4L * 32)
 
-    // the removeDocs crash window: sets rewritten, buckets not — the
-    // removed doc's buckets are orphans on BOTH the surface and content
-    // invariants, nothing else flagged
-    spark.read.parquet(s"$path/sets").filter($"doc_id" =!= 3L)
+    // the ingest crash window's drift shape: sets rewritten, buckets
+    // not — the dropped doc's buckets are orphans on BOTH the surface
+    // and content invariants, nothing else flagged (forged against the
+    // RESOLVED sets dir: this store is frame-installed after removeDocs)
+    val liveSets = DedupStore.tablePath(spark, path, "sets")
+    spark.read.parquet(liveSets).filter($"doc_id" =!= 3L)
       .write.mode("overwrite").parquet(s"$path/sets_tmp")
-    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(s"$path/sets"),
+    graft.FsOps.atomicSwap(fs, new org.apache.hadoop.fs.Path(liveSets),
       new org.apache.hadoop.fs.Path(s"$path/sets_tmp"))
     val drifted = report()
     assert(drifted("id_surface_match")._2 === 1L)
@@ -344,6 +419,41 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(auto === derived)
     assert(auto.nonEmpty)
+  }
+
+  test("planGeometry surfaces the ceiling-bound recall signal exactly when the ceiling binds") {
+    import graft.dedup.Dedup
+    import graft.dedup.Dedup.AutoTune
+    // VERDICT r18 #4: production callers must SEE the degraded recall
+    // when the maxBands cost ceiling clamps, not only the bench
+    // artifact. The signal fires exactly when autoBands would have
+    // demanded more bands than the ceiling allows — never otherwise.
+    val bound = Dedup.planGeometry(60000, 0.5) // 9 bits, wants 134 bands
+    assert(bound.bits === 9 && bound.bands === 64)
+    assert(bound.ceilingBound, "134 > 64: the ceiling binds")
+    assert(bound.recallAtMinCos < bound.targetRecall,
+      s"bound recall ${bound.recallAtMinCos} must sit below the 0.97 target")
+    assert(math.abs(bound.recallAtMinCos -
+      Dedup.recallAtMinCos(0.5, 9, 64)) < 1e-12)
+    assert(bound.expectedCandidates > 0L)
+    val free = Dedup.planGeometry(2048, 0.5) // gate scale: 4 bits, 16 bands
+    assert(free.bits === 4 && free.bands === 16)
+    assert(!free.ceilingBound, "16 <= 64: no ceiling, no signal")
+    assert(free.recallAtMinCos >= free.targetRecall,
+      "unclamped geometry meets the target at the boundary by construction")
+    // a raised ceiling un-binds the same corpus
+    val raised = Dedup.planGeometry(60000, 0.5, AutoTune(maxBands = 1024))
+    assert(raised.bands === 134 && !raised.ceilingBound)
+    // the Planned face returns pairs AND the signal; the plain auto face
+    // is literally its first element (same plan, same geometry)
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val (pairs, g) = Dedup.embeddingNearDupPairsAutoPlanned(e, 0.3)
+    assert(g.bits === 4 && g.bands === 26 && !g.ceilingBound)
+    assert(pairs.columns.toSeq === Seq("id_a", "id_b", "cos"))
+    // volume-scaled pair-dedup width (VERDICT r18 #3): at gate scale the
+    // estimate stays under one session-width partition's worth, so the
+    // plan is unchanged; the width only grows when the volume does
+    assert(g.expectedCandidates === (26.0 * 500.0 * (500.0 / 16) / 2).toLong)
   }
 
   test("autoBands recall property: measured recall >= target at two thresholds") {

@@ -45,7 +45,8 @@ class ForgetSpec extends SparkSpec {
     Indexer.readIndexLive(spark, s"$root/index").docStats
       .select("doc_id").as[Long].collect().toSet
   private def liveDedupIds(root: String): Set[Long] =
-    spark.read.parquet(s"$root/dedup/sets")
+    spark.read.parquet(
+        graft.dedup.DedupStore.tablePath(spark, s"$root/dedup", "sets"))
       .select("doc_id").as[Long].collect().toSet
   private def liveIvfIds(root: String): Set[Long] =
     IvfStore.liveVectorIds(spark, s"$root/ivf")
@@ -91,8 +92,12 @@ class ForgetSpec extends SparkSpec {
       "family detection must resolve the frame pointer")
     val n = Forget.forget(spark, root, Seq(2L).toDF("doc_id"), purge = true)
     assert(n === 0L)
-    // purge ran expungeDeletes -> a SECOND frame bump, v=0 swept
+    // purge ran expungeDeletes -> a SECOND frame bump; v=0 stays as the
+    // readers' grace window (retain=1) until the next install or gc 0
     assert(IvfStore.frameRoot(spark, s"$root/ivf") === s"$root/ivf/frames/v=1")
+    assert(fsAt(root).exists(new Path(s"$root/ivf/frames/v=0")),
+      "the superseded frame is retained for one install")
+    IvfStore.gcStaleFrames(spark, s"$root/ivf", retain = 0)
     assert(!fsAt(root).exists(new Path(s"$root/ivf/frames/v=0")))
     assert(liveIvfIds(root) === Set(0L, 1L, 3L, 4L, 5L, 6L, 7L))
     val rep = reportMap(Forget.checkPipeline(spark, root))
@@ -203,7 +208,11 @@ class ForgetSpec extends SparkSpec {
     val fs = fsAt(root)
     assert(!fs.exists(new Path(s"$root/index/deletes")),
       "index tombstones must be physically expunged")
-    assert(!fs.exists(new Path(s"$root/ivf/deletes")),
+    // the ivf expunge installs a frame: the CURRENT frame carries no
+    // tombstone table (the retained legacy frame's copy is the readers'
+    // grace window, swept by the next install or `Maintain ivf gc 0`)
+    assert(!fs.exists(new Path(
+        s"${IvfStore.frameRoot(spark, s"$root/ivf")}/deletes")),
       "ivf tombstones must be physically expunged")
     val survivors = docsFx.map(_._1).toSet - 6L
     assert(liveIndexIds(root) === survivors)

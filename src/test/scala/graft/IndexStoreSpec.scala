@@ -10,6 +10,13 @@ import graft.operators.Skew
 class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  // vocab/meta commit as one manifest frame (VERDICT r18 #1): every read
+  // of the derived pair resolves the store's current frame — a raw
+  // `<path>/vocab` read would serve a superseded generation after any
+  // delete/append/refresh maintenance
+  private def derivedDf(p: String, t: String) =
+    spark.read.parquet(Indexer.derivedTablePath(spark, p, t))
+
   test("marker read recovers the swap-aside value in the swap's crash window") {
     val path = Files.createTempDirectory("fsopsmarker").toString
     FsOps.writeLongMarker(spark, path, "_lastbatch", 7L)
@@ -113,10 +120,14 @@ class IndexStoreSpec extends SparkSpec {
     for ((t, cols) <- Seq("doc_stats" -> Seq("doc_id", "length"),
         "vocab" -> Seq("term", "df"),
         "meta" -> Seq("total_docs", "avg_dl", "length_sum"))) {
-      val inc = spark.read.parquet(s"$incPath/$t")
+      // vocab/meta resolve through the derived frame (the append's
+      // mergeDerived frame-installs them); doc_stats stays root-flat
+      def read(p: String) =
+        if (t == "doc_stats") spark.read.parquet(s"$p/$t") else derivedDf(p, t)
+      val inc = read(incPath)
         .select(cols.map(col): _*).collect().toSeq
         .map(_.toSeq).sortBy(_.toString)
-      val full = spark.read.parquet(s"$fullPath/$t")
+      val full = read(fullPath)
         .select(cols.map(col): _*).collect().toSeq
         .map(_.toSeq).sortBy(_.toString)
       assert(inc === full, s"table $t differs after append")
@@ -161,7 +172,7 @@ class IndexStoreSpec extends SparkSpec {
     val deadInStore = spark.read.parquet(s"$path/postings")
       .filter(col("doc_id") % 3 === 0).count()
     assert(deadInStore > 0, "soft delete must not rewrite postings")
-    val totalDocs = spark.read.parquet(s"$path/meta")
+    val totalDocs = derivedDf(path, "meta")
       .select("total_docs").as[Long].head()
     assert(totalDocs == docs.filter(col("doc_id") % 3 =!= 0).count())
     // idempotent: re-deleting the same ids changes nothing
@@ -221,12 +232,12 @@ class IndexStoreSpec extends SparkSpec {
     val liveDocs = docs.filter(col("doc_id") % 4 =!= 0)
     val fresh = Indexer.buildIndex(liveDocs)
     // derived tables must track the LIVE view only
-    val storedVocab = spark.read.parquet(s"$path/vocab").collect().toSeq
+    val storedVocab = derivedDf(path, "vocab").collect().toSeq
       .map(_.toSeq).sortBy(_.toString)
     val freshVocab = fresh.vocab.collect().toSeq.map(_.toSeq).sortBy(_.toString)
     assert(storedVocab === freshVocab,
       "vocab after delete+append must exclude tombstoned docs' df")
-    val storedMeta = spark.read.parquet(s"$path/meta")
+    val storedMeta = derivedDf(path, "meta")
       .select("total_docs", "avg_dl").as[(Long, Double)].head()
     val freshMeta = fresh.meta
       .select("total_docs", "avg_dl").as[(Long, Double)].head()
@@ -276,9 +287,9 @@ class IndexStoreSpec extends SparkSpec {
       docs.filter(col("doc_id") % 6 === 0).select("doc_id"))
     Indexer.appendIndex(spark, path, docs.filter(col("doc_id") % 3 === 2))
 
-    def vocabRows = spark.read.parquet(s"$path/vocab")
+    def vocabRows = derivedDf(path, "vocab")
       .as[(String, Long)].collect().toSeq.sorted
-    def metaRow = spark.read.parquet(s"$path/meta")
+    def metaRow = derivedDf(path, "meta")
       .select("total_docs", "avg_dl", "length_sum")
       .as[(Long, Double, Long)].head()
     val (mergedVocab, mergedMeta) = (vocabRows, metaRow)
@@ -294,15 +305,15 @@ class IndexStoreSpec extends SparkSpec {
     // delete-everything edge: the decrement must null avg_dl and empty
     // vocab exactly like the full recompute over zero live docs
     Indexer.deleteDocs(spark, path, docs.select("doc_id"))
-    def metaRaw = spark.read.parquet(s"$path/meta")
+    def metaRaw = derivedDf(path, "meta")
       .select("total_docs", "avg_dl", "length_sum")
       .collect().toSeq.map(_.toSeq)
     val emptied = metaRaw
     assert(emptied.head === Seq(0L, null, 0L), s"emptied meta: $emptied")
-    assert(spark.read.parquet(s"$path/vocab").count() === 0)
+    assert(derivedDf(path, "vocab").count() === 0)
     Indexer.refreshDerived(spark, path)
     assert(metaRaw === emptied)
-    assert(spark.read.parquet(s"$path/vocab").count() === 0)
+    assert(derivedDf(path, "vocab").count() === 0)
   }
 
   private def copyDir(src: String, dst: String): Unit = {
@@ -315,12 +326,12 @@ class IndexStoreSpec extends SparkSpec {
 
   test("deleteDocs resume completes a crashed delete's pending derived swaps") {
     // ADVICE r13 (medium): deleteDocs commits its tombstone append
-    // before the vocab/meta swaps; a crash between them left the ids
-    // tombstoned but the derived tables un-decremented — and the resume
-    // (same ids, now all already dead) early-returned at newDead.isEmpty,
-    // sealing the drift forever while Forget's manifest read complete.
-    // The resume must instead detect the pending _tmp tables and finish
-    // the swaps.
+    // before its derived-frame flip; a crash between them left the ids
+    // tombstoned but the stored vocab/meta still counting them — and the
+    // resume (same ids, now all already dead) early-returned at
+    // newDead.isEmpty, sealing the drift forever while Forget's manifest
+    // read complete. The resume must instead detect the staleness (the
+    // total_docs-vs-live witness) and rebuild the pair.
     val docs = Tables.load(spark, sf0001, "documents")
     val dead = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
     val (path, oracle) = (Files.createTempDirectory("ixheal").toString,
@@ -329,39 +340,73 @@ class IndexStoreSpec extends SparkSpec {
     Indexer.writeIndex(Indexer.buildIndex(docs), oracle, nBuckets = 16)
     Indexer.deleteDocs(spark, oracle, dead) // the state a completed delete reaches
     // forge the crash on `path`: tombstones committed (the oracle's
-    // deletes table IS what the append would have written), decremented
-    // tables parked as _tmp, swaps never ran
+    // deletes table IS what the append would have written), the derived
+    // frame never flipped — stored vocab/meta still count the dead docs
     copyDir(s"$oracle/deletes", s"$path/deletes")
-    copyDir(s"$oracle/vocab", s"$path/vocab_tmp")
-    copyDir(s"$oracle/meta", s"$path/meta_tmp")
-    // resume with the same ids: nothing new to tombstone, heal installs
+    // resume with the same ids: nothing new to tombstone, heal rebuilds
     Indexer.deleteDocs(spark, path, dead)
-    def vocabRows(p: String) = spark.read.parquet(s"$p/vocab")
+    def vocabRows(p: String) = derivedDf(p, "vocab")
       .as[(String, Long)].collect().toSeq.sorted
-    def metaRow(p: String) = spark.read.parquet(s"$p/meta")
+    def metaRow(p: String) = derivedDf(p, "meta")
       .select("total_docs", "avg_dl", "length_sum")
       .as[(Long, Double, Long)].head()
     assert(vocabRows(path) === vocabRows(oracle),
-      "resume must install the pending decremented vocab")
+      "resume must heal the stale vocab to the live view")
     assert(metaRow(path) === metaRow(oracle),
-      "resume must install the pending decremented meta")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/vocab_tmp")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_tmp")),
-      "nothing stays pending after the heal")
+      "resume must heal the stale meta to the live view")
     // and the delete is a true no-op from here on
     Indexer.deleteDocs(spark, path, dead)
     assert(metaRow(path) === metaRow(oracle))
   }
 
-  test("deleteDocs resume discards a pre-append crash's stale pending tables") {
-    // the OTHER side of the crash window: _tmp written but the tombstone
-    // append never ran — those decrements never committed, so a later
-    // resume (triggered by a different, fully-tombstoned id set) must
-    // NOT install them; the consistency probe (meta_tmp.total_docs vs
-    // the live doc count) rejects the pair and rebuilds from the live
-    // view instead
+  test("derived-pair frame install: kill mid-stage costs nothing; one flip installs vocab+meta together") {
+    // VERDICT r18 #1 (index face): refreshDerived/mergeDerived/deleteDocs
+    // used two sequential swaps — a crash between them served a new
+    // vocab against an old meta (df and N disagreeing skews BM25 until
+    // repair). The pair now commits through ONE manifest-frame flip.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val path = Files.createTempDirectory("ixframe").toString
+    Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
+    val preCrash = BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq
+    // forge the kill: a POISONED pair staged under unflipped generations
+    Seq(("zzz", 999L)).toDF("term", "df")
+      .write.mode("overwrite").parquet(s"$path/tables/vocab/g=0")
+    Seq((1L, 1.0, 1L)).toDF("total_docs", "avg_dl", "length_sum")
+      .write.mode("overwrite").parquet(s"$path/tables/meta/g=0")
+    assert(BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq === preCrash,
+      "an unflipped staged pair is invisible to every reader")
+    assert(Indexer.checkStore(spark, path).agg(sum($"violations"))
+      .as[Long].collect().head === 0L,
+      "fsck audits the OLD pair through the crash window")
+    // the re-run restages over the debris; ONE flip installs both tables
+    Indexer.refreshDerived(spark, path)
+    assert(graft.operators.Frames.currentVersion(spark, path) === Some(0L))
+    assert(BM25.searchStore(spark, path, "fast hash join scan", nBuckets = 16)
+      .as[(Int, Long, Double)].collect().toSeq === preCrash,
+      "a pure refresh changes no answers")
+    // retention: the superseded legacy pair survives one install as the
+    // readers' grace window, then leaves at the next flip
+    assert(new java.io.File(s"$path/vocab").exists)
+    val preInstall = Indexer.derivedTablePath(spark, path, "meta")
+    Indexer.refreshDerived(spark, path) // v=1
+    assert(!new java.io.File(s"$path/vocab").exists,
+      "the legacy pair left the retention window at the second install")
+    assert(spark.read.parquet(preInstall).count() === 1,
+      "retain=1: the pre-install generation still reads after one flip")
+    assert(Indexer.checkStore(spark, path).agg(sum($"violations"))
+      .as[Long].collect().head === 0L)
+  }
+
+  test("deleteDocs resume never installs a pre-append crash's staged frame") {
+    // the OTHER side of the crash window: the decremented pair staged
+    // but the tombstone append never ran — those decrements never
+    // committed, so a later resume (triggered by a different, fully-
+    // tombstoned id set) must NOT surface them: the staged generations
+    // are unflipped debris readers can never resolve, and the staleness
+    // witness sees a CONSISTENT store (total_docs equals the live
+    // count), so the heal correctly does nothing
     val docs = Tables.load(spark, sf0001, "documents")
     val idsA = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
     val (path, forged) = (Files.createTempDirectory("ixheal2").toString,
@@ -369,34 +414,37 @@ class IndexStoreSpec extends SparkSpec {
     Indexer.writeIndex(Indexer.buildIndex(docs), path, nBuckets = 16)
     Indexer.writeIndex(Indexer.buildIndex(docs), forged, nBuckets = 16)
     Indexer.deleteDocs(spark, path, idsA) // committed state: only A dead
-    def metaRow(p: String) = spark.read.parquet(s"$p/meta")
+    def metaRow(p: String) = derivedDf(p, "meta")
       .select("total_docs", "avg_dl", "length_sum")
       .as[(Long, Double, Long)].head()
-    def vocabRows(p: String) = spark.read.parquet(s"$p/vocab")
+    def vocabRows(p: String) = derivedDf(p, "vocab")
       .as[(String, Long)].collect().toSeq.sorted
     val (wantMeta, wantVocab) = (metaRow(path), vocabRows(path))
     // forge a crashed delete of B that died BEFORE its tombstone append:
-    // tmp tables reflect A∪B dead, deletes table still carries only A
+    // a staged (unflipped) generation reflecting A∪B dead sits under
+    // tables/, while the deletes table still carries only A
     Indexer.deleteDocs(spark, forged, idsA)
     Indexer.deleteDocs(spark, forged,
       docs.filter(col("doc_id") % 7 === 1).select("doc_id"))
-    copyDir(s"$forged/vocab", s"$path/vocab_tmp")
-    copyDir(s"$forged/meta", s"$path/meta_tmp")
+    copyDir(Indexer.derivedTablePath(spark, forged, "vocab"),
+      s"$path/tables/vocab/g=99")
+    copyDir(Indexer.derivedTablePath(spark, forged, "meta"),
+      s"$path/tables/meta/g=99")
     Indexer.deleteDocs(spark, path, idsA) // resume; newDead empty
     assert(metaRow(path) === wantMeta,
-      "stale pre-append tmp must not install (B was never tombstoned)")
+      "staged pre-append debris must not surface (B was never tombstoned)")
     assert(vocabRows(path) === wantVocab)
-    // a partial tmp (no _SUCCESS: the tmp write job itself died) is
-    // equally untrusted — rebuilt from the live view
-    copyDir(s"$forged/meta", s"$path/meta_tmp")
-    copyDir(s"$forged/vocab", s"$path/vocab_tmp")
+    // and the next REAL install stages past the debris and sweeps it
+    // out with the superseded frames (gc retain=1 keeps one)
+    Indexer.refreshDerived(spark, path)
+    Indexer.refreshDerived(spark, path)
+    graft.operators.Frames.gc(spark, path, Seq("vocab", "meta"), retain = 0)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vocab_tmp/_SUCCESS"), false)
-    Indexer.deleteDocs(spark, path, idsA)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tables/vocab/g=99")),
+      "unreferenced staged debris is swept by the frame gc")
     assert(metaRow(path) === wantMeta)
     assert(vocabRows(path) === wantVocab)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_tmp")))
   }
 
   test("positional store: tombstones excluded, expunge rewrites positional table") {
@@ -554,11 +602,12 @@ class IndexStoreSpec extends SparkSpec {
     // derived-table drift (every df off by one — the shape a crashed
     // delete's stale vocab takes): flagged on exactly one invariant,
     // repaired by refreshDerived
-    spark.read.parquet(s"$path/vocab").withColumn("df", col("df") + lit(1L))
+    val liveVocabDir = Indexer.derivedTablePath(spark, path, "vocab")
+    derivedDf(path, "vocab").withColumn("df", col("df") + lit(1L))
       .write.mode("overwrite").parquet(s"$path/vocab_bad")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vocab"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(liveVocabDir), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$path/vocab_bad"),
-      new org.apache.hadoop.fs.Path(s"$path/vocab"))
+      new org.apache.hadoop.fs.Path(liveVocabDir))
     val drifted = report()
     assert(drifted("vocab_matches_live")._2 > 0)
     assert((drifted - "vocab_matches_live").values.forall(_._2 == 0L))
@@ -781,7 +830,7 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("double-count"))
     // the guard fired before any write: store unchanged
     assert(spark.read.parquet(s"$path/doc_stats").count() === before)
-    assert(spark.read.parquet(s"$path/vocab").count() > 0)
+    assert(derivedDf(path, "vocab").count() > 0)
   }
 
   test("driver-side bucket function matches the executor-side column") {

@@ -145,9 +145,15 @@ class IvfSpec extends SparkSpec {
     assert(fr != path, "expunge must install via a frame-pointer bump")
     assert(!new java.io.File(s"$fr/deletes").exists,
       "the new frame must carry no tombstone table")
+    // retention (VERDICT r18 #2): the superseded legacy frame survives
+    // ONE install as the concurrent readers' grace window; the reclaim-
+    // now sweep (Maintain ivf gc 0) collects it on demand
+    assert(new java.io.File(s"$path/lists").exists,
+      "the superseded legacy frame is retained for one install")
+    IvfStore.gcStaleFrames(spark, path, retain = 0)
     assert(!new java.io.File(s"$path/lists").exists &&
       !new java.io.File(s"$path/deletes").exists,
-      "the superseded legacy frame must be swept after the flip")
+      "gc 0 reclaims the grace-window frame immediately")
     assert(spark.read.parquet(s"$fr/lists")
       .filter($"vec_id".isin(dead.toSeq: _*)).count() == 0,
       "expunge must rewrite the lists without the dead vectors")
@@ -411,9 +417,14 @@ class IvfSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mroot/deletes")),
       "tombstones are materialized out (expunge-class rewrite)")
+    // retention: the superseded legacy frame is the readers' grace
+    // window for one install; gc 0 is the reclaim-now verb
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/lists")),
+      "the superseded legacy frame is retained for one install")
+    IvfStore.gcStaleFrames(spark, s"$root/m", retain = 0)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/lists")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/centroids")),
-      "the superseded legacy frame is swept after the flip")
+      "gc 0 reclaims the grace-window frame immediately")
     assert(spark.read.parquet(s"$mroot/lists")
       .filter($"vec_id" === 9L).isEmpty)
     // same deterministic seeding as a fresh build over the live corpus →
@@ -615,16 +626,78 @@ class IvfSpec extends SparkSpec {
     assert(FsOps.readLongMarker(spark, fresh, "_frame") === Some(0L))
     assert(IvfStore.frameRoot(spark, fresh) === s"$fresh/frames/v=0")
     assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
-    assert(!new java.io.File(s"$fresh/lists").exists &&
-      !new java.io.File(s"$fresh/deletes").exists,
-      "the superseded legacy frame is swept after the flip")
-    // a SECOND bump (expunge after a delete) supersedes v=0 and sweeps it
+    // retention (VERDICT r18 #2): the superseded legacy frame is kept
+    // for ONE install — a reader that resolved its dirs just before the
+    // flip completes its (lazily planned) scan against it
+    assert(new java.io.File(s"$fresh/lists").exists,
+      "the superseded legacy frame is retained for one install")
+    // a SECOND bump (expunge after a delete) supersedes v=0, keeps it as
+    // the new grace window, and sweeps the legacy frame out of the window
     IvfStore.deleteVectors(spark, fresh, Seq(0L).toDF("vec_id"))
+    val preFlip = s"${IvfStore.frameRoot(spark, fresh)}/lists" // a reader's resolved dir
     IvfStore.expungeDeletes(spark, fresh)
     assert(IvfStore.frameRoot(spark, fresh) === s"$fresh/frames/v=1")
-    assert(!new java.io.File(s"$fresh/frames/v=0").exists,
-      "the frame sweep collects every superseded v= dir")
+    assert(!new java.io.File(s"$fresh/lists").exists,
+      "two installs later the legacy frame has left the window")
+    assert(spark.read.parquet(preFlip).count() > 0,
+      "retain=1: the pre-flip frame still reads after one install")
     assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
+    // reclaim-now (Maintain ivf gc 0) sweeps the grace-window frame
+    IvfStore.gcStaleFrames(spark, fresh, retain = 0)
+    assert(!new java.io.File(s"$fresh/frames/v=0").exists,
+      "gc 0 collects every superseded v= dir")
+    assert(IvfStore.searchStore(spark, fresh, q, 3).count() === 3)
+  }
+
+  test("concurrent ingest during a frame rewrite is carried through the flip (ADVICE r18)") {
+    import graft.similarity.IvfStore
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivfcarry").toString
+    IvfStore.writeCentroids(e, root, kmeansIters = 0)
+    IvfStore.appendBatch(spark, root, e.filter($"vec_id" < 100), 0L)
+
+    // a tombstone AND a batch land while RECLUSTER stages: with the
+    // refuse-until-heal marker gone, both write into the old frame —
+    // the flip must carry them, or Forget's takedown (deleteVectors)
+    // silently un-forgets and the batch silently vanishes
+    IvfStore.midMaintenanceHook = { s =>
+      IvfStore.deleteVectors(s, root, Seq(5L).toDF("vec_id"))
+      IvfStore.appendBatch(s, root,
+        e.filter($"vec_id" >= 100 && $"vec_id" < 110), 1L)
+    }
+    try IvfStore.reclusterStore(spark, root, nCentroids = 4, kmeansIters = 0)
+    finally IvfStore.midMaintenanceHook = _ => ()
+    val live = IvfStore.liveVectorIds(spark, root).as[Long].collect().toSet
+    assert(!live.contains(5L),
+      "a tombstone landed mid-staging must survive the flip")
+    assert((100L until 110L).forall(live.contains),
+      "a batch appended mid-staging must survive the flip")
+    assert(live.size === 109, "99 batch-0 survivors + 10 carried")
+    // carried rows were re-homed against the NEW centroids: the deep
+    // audit's assignment recompute must hold frame-wide
+    assert(IvfStore.checkStore(spark, root)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
+
+    // same window across EXPUNGE (reassign-free carry): the new frame
+    // keeps only the delta tombstone, consumed ones materialized out
+    IvfStore.deleteVectors(spark, root, Seq(6L).toDF("vec_id"))
+    IvfStore.midMaintenanceHook = { s =>
+      IvfStore.deleteVectors(s, root, Seq(7L).toDF("vec_id"))
+      IvfStore.appendBatch(s, root,
+        e.filter($"vec_id" >= 110 && $"vec_id" < 120), 2L)
+    }
+    try IvfStore.expungeDeletes(spark, root)
+    finally IvfStore.midMaintenanceHook = _ => ()
+    val live2 = IvfStore.liveVectorIds(spark, root).as[Long].collect().toSet
+    assert(!live2.contains(6L) && !live2.contains(7L),
+      "both the consumed and the mid-staging tombstones hold after expunge")
+    assert((110L until 120L).forall(live2.contains))
+    assert(spark.read.parquet(
+        s"${IvfStore.frameRoot(spark, root)}/lists")
+      .filter($"vec_id" === 6L).isEmpty,
+      "the consumed tombstone was materialized out of the rewrite")
+    assert(IvfStore.checkStore(spark, root)
+      .agg(sum($"violations")).as[Long].collect().head === 0L)
   }
 
   test("quantized streaming ingest: streamed+flattened shard equals the one-shot build; mixed layers refuse") {

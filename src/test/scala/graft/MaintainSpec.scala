@@ -31,6 +31,60 @@ class MaintainSpec extends SparkSpec {
     assert(violations(Maintain.run(spark, "index", "fsck", path)) === 0L)
   }
 
+  test("index advise: fragmentation flags, apply compacts and re-advises clean") {
+    // VERDICT r18 #6 — the advise/apply cron contract extended to the
+    // index family: a streaming-shaped store (one file set per append)
+    // trips the per-leaf file budget; apply runs the SAME compact verb
+    // an operator would, and the post-heal advice is green
+    val docs = (1L to 12L).map(i => (i, s"alpha beta term$i gamma"))
+      .toDF("doc_id", "text")
+    val path = QueryGroup.scratchDir("graft-maint-ixadv")
+    index.Indexer.writeIndex(
+      index.Indexer.buildIndex(docs.filter($"doc_id" <= 4)), path, nBuckets = 2)
+    index.Indexer.appendIndex(spark, path,
+      docs.filter($"doc_id" > 4 && $"doc_id" <= 8), nBuckets = 2)
+    index.Indexer.appendIndex(spark, path,
+      docs.filter($"doc_id" > 8), nBuckets = 2)
+    val advice = Maintain.run(spark, "index", "advise", path, Seq("1")).get
+      .collect()(0)
+    assert(advice.getAs[Long]("violations") === 1L,
+      s"three appends at budget 1 file/leaf must recommend compaction: $advice")
+    assert(advice.getAs[String]("reason").contains("compact"))
+    // apply: compacts, then the re-advice is the returned (green) report
+    assert(violations(Maintain.run(spark, "index", "advise", path,
+      Seq("1", "apply"))) === 0L)
+    assert(violations(Maintain.run(spark, "index", "fsck", path)) === 0L)
+  }
+
+  test("dedup advise: hot-bucket skew flags, apply self-dedups and re-advises clean") {
+    // a store holding undetected duplicate mass (writeSignatures never
+    // self-dedups) concentrates whole bucket groups on one content —
+    // the advisor prices the quadratic ingest cost, apply removes the
+    // duplicates (manifest-frame removeDocs) keeping the min-id survivor
+    val dup = (1L to 8L).map(i => (i, "a b c d e f g h i j"))
+    val distinct = Seq((100L, "q r s t u v w x y z"))
+    val path = QueryGroup.scratchDir("graft-maint-ddadv")
+    dedup.DedupStore.writeSignatures((dup ++ distinct).toDF("doc_id", "text"), path)
+    val advice = Maintain.run(spark, "dedup", "advise", path, Seq("4")).get
+      .collect()(0)
+    assert(advice.getAs[Long]("violations") > 0L,
+      s"8 identical docs at budget 4 must flag hot buckets: $advice")
+    assert(advice.getAs[Long]("worst_bucket_docs") === 8L)
+    // apply: the 7 non-survivors are removed, the re-advice is green
+    assert(violations(Maintain.run(spark, "dedup", "advise", path,
+      Seq("4", "0.8", "apply"))) === 0L)
+    val kept = spark.read.parquet(
+        dedup.DedupStore.tablePath(spark, path, "sets"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 100L), s"min-id survivor + the distinct doc: $kept")
+    // future near-dups of the removed docs still flag against the survivor
+    val r = dedup.DedupStore.ingest(spark, path,
+        Seq((200L, "a b c d e f g h i j")).toDF("doc_id", "text"), 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._2).toSet === Set(1L))
+    assert(violations(Maintain.run(spark, "dedup", "fsck", path)) === 0L)
+  }
+
   test("ivf family: fsck / repair / expunge / compact dispatch") {
     val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")

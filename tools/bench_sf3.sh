@@ -16,7 +16,10 @@ cd "$(dirname "$0")/.."
 # q_stream_dedup_runtime) so the newest surfaces carry a second-decade
 # scale point too. All run off documents/embeddings, the only tables
 # the sfr fixtures carry.
-ONLY="q_dedup_embed,q_dedup_minhash,q_dedup_exact,q_dedup_simhash,q_lm_score,q_lang_id,q_token_count,q_quality,q_char_entropy,q_keywords,q_ann_ivf_quant,q_ann_ivf_quant_merge,q_ann_ivf_quant_recluster,q_stream_dedup_runtime"
+# r19 (VERDICT r18 #7): + the index-store family's largest entries
+# (doc-bucketed serving, bucketed shard merge, the compaction
+# lifecycle) — all build their stores from `documents` only.
+ONLY="q_dedup_embed,q_dedup_minhash,q_dedup_exact,q_dedup_simhash,q_lm_score,q_lang_id,q_token_count,q_quality,q_char_entropy,q_keywords,q_ann_ivf_quant,q_ann_ivf_quant_merge,q_ann_ivf_quant_recluster,q_stream_dedup_runtime,q_bm25_store_bucketed,q_store_merge_bucketed,q_store_compact"
 
 if [ ! -d /tmp/sfr10/documents.parquet ] || [ ! -d /tmp/sfr30/documents.parquet ]; then
   echo "[bench_sf3] generating /tmp/sfr10 + /tmp/sfr30 fixtures (documents+embeddings)..."
