@@ -157,6 +157,41 @@ object PipelineQueries extends QueryGroup {
       graft.dedup.DedupStore.checkStoreIncremental(s, path)
     }),
 
+    // the bucket-skew advise→apply lifecycle (the dedup family's
+    // detect→repair cron loop, gate-checked value-for-value): plant
+    // exact duplicates — every 10th doc re-added under a shifted id —
+    // so whole (band,bucket) groups concentrate on one content, assert
+    // the advisor flags them (a silent advisor fails the gate loudly),
+    // then self-dedup the hot buckets at J = 1.0: exact-verified pairs
+    // within hot groups cluster into identical-shingle-set classes and
+    // the min-id survivor keeps (manifest-frame removeDocs install).
+    // The result is the per-doc survival map over the PRE-heal store —
+    // read lazily across the frame flip through the retained legacy
+    // frame (the gc grace window, exercised here end-to-end) — so the
+    // oracle re-derives exactly WHO must be removed: non-min members
+    // of each identical-set class (natural fixture duplicates AND the
+    // planted ones; near-dups below set-equality survive untouched)
+    "q_dedup_store_advise" -> ((s, dir) => {
+      import graft.dedup.DedupStore
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val path = QueryGroup.scratchDir("graft-dedupadvise")
+      DedupStore.writeSignatures(planted, path)
+      val before = s.read.parquet(DedupStore.tablePath(s, path, "sets"))
+        .select("doc_id")
+      require(DedupStore.adviseBucketSkew(s, path, maxBucketDocs = 1)
+        .collect()(0).getAs[Long]("violations") > 0L,
+        "planted duplicate mass must trip the bucket-skew advisor")
+      DedupStore.dedupHotBuckets(s, path, minJaccard = 1.0, maxBucketDocs = 1)
+      val after = s.read.parquet(DedupStore.tablePath(s, path, "sets"))
+        .select(col("doc_id").as("kept_id"))
+      before.join(after, col("doc_id") === col("kept_id"), "left")
+        .select(col("doc_id"),
+          when(col("kept_id").isNull, 0L).otherwise(1L).as("survived"))
+    }),
+
     // pair list → actionable clusters: connected components over the
     // near-dup graph, min-id survivor per component
     "q_dedup_clusters" -> ((s, dir) =>
@@ -2694,6 +2729,39 @@ object PipelineQueries extends QueryGroup {
     // removed stored docs (doc_id % 4 = 0) no longer match — the stored
     // side of the truth is only the surviving half
     "q_dedup_ingest_remove" -> dedupIngestOracleFor("x.doc_id % 4 = 2"),
+
+    // the advise→apply lifecycle's survival map: the planted corpus
+    // (documents ∪ every-10th re-added at doc_id+1000000) grouped by
+    // IDENTICAL distinct-3-shingle set (the only clusters J = 1.0
+    // verification admits — set equality is an equivalence, so the
+    // connected components are exactly the set-groups); survivor =
+    // min doc_id per group, every other member removed. Docs under 3
+    // tokens never enter the store on either side.
+    "q_dedup_store_advise" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                          UNION ALL
+                          SELECT doc_id + 1000000 AS doc_id, text
+                          FROM documents WHERE doc_id % 10 = 0),
+               lists AS (SELECT doc_id,
+                                CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                                     ELSE string_split(t, ' ') END AS l
+                         FROM (SELECT doc_id, $SqlNorm AS t FROM corpus)),
+               tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                              unnest(l) AS term
+                       FROM lists WHERE len(l) >= 3),
+               sh AS (SELECT DISTINCT a.doc_id,
+                             a.term || ' ' || b.term || ' ' || c.term AS shingle
+                      FROM tok a
+                      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+               setkey AS (SELECT doc_id,
+                                 md5(string_agg(shingle, chr(1) ORDER BY shingle)) AS k
+                          FROM sh GROUP BY doc_id),
+               surv AS (SELECT k, min(doc_id) AS m FROM setkey GROUP BY k)
+          SELECT s.doc_id,
+                 CAST(CASE WHEN s.doc_id = v.m THEN 1 ELSE 0 END AS BIGINT)
+                   AS survived
+          FROM setkey s JOIN surv v USING (k)""",
 
     // fsck over the post-remove store: population = shingle-able docs
     // (>= 3 tokens) in the surviving quarter (doc_id % 4 = 2); the
