@@ -408,53 +408,79 @@ object Dedup {
           f"${g.recallAtMinCos}%.4f < target ${g.targetRecall}%.4f; raise " +
           "AutoTune.maxBands to pay for full recall")
     (embeddingNearDupPairs(emb, minCos, idCol, vecCol, g.bands, g.bits, dim,
-      expectedCandidates = Some(g.expectedCandidates)), g)
+      planned = Some(g)), g)
   }
 
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             bands: Int = 16, bandBits: Int = 4, dim: Int = 64,
-                            expectedCandidates: Option[Long] = None): DataFrame = {
+                            planned: Option[PlannedGeometry] = None): DataFrame = {
     import graft.similarity.Similarity
     // Only (id, band, bucket) flows through the candidate join — vectors
     // would otherwise shuffle `bands`× over; they re-join once per side
     // after pair dedup.
-    val buckets = emb.select(col(idCol).as("id"),
+    val buckets0 = emb.select(col(idCol).as("id"),
         posexplode(Similarity.radBandBuckets(col(vecCol), bands, bandBits, dim)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    // Pair-dedup shuffle width scales with the PREDICTED candidate
-    // volume (VERDICT r18 #3): the recall-tuned wide-band regime puts
-    // ~bands·n·occupancy/2 pre-dedup rows through this exchange, and at
-    // fixed session width the 30× point crosses the in-memory→spill
-    // cliff (measured: 10.7 s → 256 s per 3× data). The volume is known
-    // BEFORE the job runs — the auto face passes its own estimate — so
-    // the exchange is sized to it (explicit numPartitions: AQE coalesces
-    // derived widths but honors user-specified ones). None (the manual
-    // face) keeps the session default, so gate-scale plans are
-    // unchanged. The verify joins below inherit the width through
-    // EnsureRequirements' co-partitioning.
+    // The candidate JOIN's width scales with the PREDICTED pair volume
+    // (VERDICT r18 #3): the recall-tuned wide-band regime produces
+    // ~bands·n·occupancy pre-dedup join-output rows, and at fixed
+    // session width each join task's pipelined partial-dedup hash holds
+    // its whole output slice — the 30× point crosses the
+    // in-memory→spill cliff there (measured at sfr30/2.5e8 candidates:
+    // 376 s at width 32). Repartitioning the BUCKETS input by
+    // (band, bucket) BEFORE the self-join fixes the stage the cliff is
+    // in — the join runs at the scaled width with map-side partial
+    // dedup intact (fresh-JVM measurements at sfr30: 97 s cold / 47 s
+    // warm, 21 s after a long warmup; repartitioning the join OUTPUT
+    // by pair instead strips the partial aggregate below the exchange
+    // and ships every pre-dedup row — strictly worse). Explicit
+    // numPartitions: AQE coalesces derived widths but honors
+    // user-specified ones. None (the manual face) keeps the session
+    // default, so gate-scale plans are unchanged.
     val rowsPerPartition = 2L * 1000 * 1000 // ~tens of MB per task, spill-free
-    val dedupParts = expectedCandidates.map { exp =>
+    val width = planned.map { g =>
       math.min(4096L, math.max(
         emb.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-        exp / rowsPerPartition + 1L)).toInt
+        2L * g.expectedCandidates / rowsPerPartition + 1L)).toInt
     }
-    val joined = buckets.toDF("id_a", "band", "bucket")
+    val buckets = width match {
+      case Some(p) => buckets0.repartition(p, col("band"), col("bucket"))
+      case None => buckets0
+    }
+    val cand = buckets.toDF("id_a", "band", "bucket")
       .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val cand = dedupParts match {
-      case Some(p) => joined.repartition(p, col("id_a"), col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      case None => joined.distinct()
-    }
+      .distinct()
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
-    cand
-      .join(vecs.toDF("id_a", "v_a", "n_a"), "id_a")
-      .join(vecs.toDF("id_b", "v_b", "n_b"), "id_b")
+    // The VERIFY joins re-attach one vector per pair side. Left alone
+    // they sort-merge at session width — exchanging the full candidate
+    // set (2.5e8 pairs at sfr30) TWICE more. The vectors side is n rows
+    // of dim floats — broadcast it whenever it fits a conservative
+    // 64 MB envelope (the n the planner already counted), making the
+    // verify a map-only stage over the deduped candidates: the pairs
+    // never shuffle again (measured at sfr30: 4.6 s for 2.5e8
+    // candidate dots; end-to-end 83 s fresh-JVM vs 256 s committed at
+    // r18). Past the envelope (n ≳ 200k at dim 64) the pairs
+    // legitimately re-hash — at the scaled width, not the session's.
+    val smallCorpus = planned.exists(g => g.n * (4L * dim + 24L) <= (64L << 20))
+    def side(nm: String, df: DataFrame) =
+      if (smallCorpus) broadcast(df.toDF(nm, s"v_$nm", s"n_$nm"))
+      else df.toDF(nm, s"v_$nm", s"n_$nm")
+    val candWide = width match {
+      case Some(p) if !smallCorpus => cand.repartition(p, col("id_a"))
+      case _ => cand
+    }
+    val verifiedA = candWide.join(side("id_a", vecs), "id_a")
+    val verifiedAWide = width match {
+      case Some(p) if !smallCorpus => verifiedA.repartition(p, col("id_b"))
+      case _ => verifiedA
+    }
+    verifiedAWide.join(side("id_b", vecs), "id_b")
       .withColumn("cos", Similarity.cosinePrenormed(
-        col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+        col("v_id_a"), col("v_id_b"), col("n_id_a"), col("n_id_b")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
