@@ -421,6 +421,27 @@ class DedupSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("the past-the-envelope verify path answers identically to the broadcast path") {
+    import graft.dedup.Dedup
+    // corpora past the 64 MB broadcast envelope re-hash the candidate
+    // pairs at the scaled width instead of broadcasting the vectors —
+    // force that branch on the small fixture by planting a geometry
+    // whose n claims ~10M vectors (only the n/expectedCandidates fields
+    // steer the plan; bands/bits are passed explicitly) and prove the
+    // wide-plan answers are bit-identical to the broadcast plan's
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val big = Dedup.PlannedGeometry(10L * 1000 * 1000, 4, 26,
+      0.97, 0.97, ceilingBound = false)
+    assert(!(big.n * (4L * 64 + 24L) <= (64L << 20)),
+      "forged n must sit past the broadcast envelope")
+    val wide = Dedup.embeddingNearDupPairs(e, 0.3, bands = 26, bandBits = 4,
+        planned = Some(big)).as[(Long, Long, Double)].collect().toSet
+    val bcast = Dedup.embeddingNearDupPairs(e, 0.3, bands = 26, bandBits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide === bcast)
+    assert(wide.nonEmpty)
+  }
+
   test("planGeometry surfaces the ceiling-bound recall signal exactly when the ceiling binds") {
     import graft.dedup.Dedup
     import graft.dedup.Dedup.AutoTune
