@@ -53,6 +53,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *           stores — the cross-store takedown cascade and its audit;
   *           see graft.pipeline.Forget)
   *   vstore fsck | fsck-incr | mark-audited | repair
+  *        | advise [maxReplay] [apply <keys...>]  (replay-depth advisor:
+  *                          nonzero exit when reads replay too many log
+  *                          commits past the checkpoint base; apply =
+  *                          checkpoint at the newest version, re-advise)
   *        | repair-at <version> <keys...>
   *        | checkpoint <version> <keys...> | vacuum <retain>
   *        | purge <idsParquet> <keys...>   (key purge from ALL history)
@@ -298,6 +302,30 @@ object Maintain {
               throw new IllegalArgumentException(s"$usage (got '$a')")))
             .getOrElse(1))
         None
+      // replay-depth advisor (the vstore face of the advise/apply
+      // loop): nonzero exit when reads at the newest version replay
+      // more than [maxReplay] log commits past their checkpoint base;
+      // with `apply <keyCols...>`, checkpoints at the newest version
+      // when due and reports the post-heal advice
+      case ("vstore", "advise") =>
+        val usage =
+          "vstore advise <path> [maxReplay >= 1, default 8] [apply <keyCols...>]"
+        val applyAt = extra.indexOf("apply")
+        val nums = if (applyAt >= 0) extra.take(applyAt) else extra
+        val maxReplay = nums.headOption
+          .map(a => a.toIntOption.filter(_ >= 1).getOrElse(
+            throw new IllegalArgumentException(s"$usage (got '$a')")))
+          .getOrElse(8)
+        val advice = streaming.VersionedStore.adviseCheckpoint(spark, path, maxReplay)
+        if (applyAt >= 0 &&
+            advice.collect()(0).getAs[Long]("violations") > 0) {
+          val keyCols = extra.drop(applyAt + 1)
+          require(keyCols.nonEmpty,
+            s"$usage — apply needs the store's key column(s)")
+          streaming.VersionedStore.checkpoint(spark, path,
+            streaming.VersionedStore.newestVersion(spark, path), keyCols)
+          Some(streaming.VersionedStore.adviseCheckpoint(spark, path, maxReplay))
+        } else Some(advice)
       case ("vstore", "fsck")         => Some(streaming.VersionedStore.checkStore(spark, path, keys))
       case ("vstore", "fsck-incr")    => Some(streaming.VersionedStore.checkStoreIncremental(spark, path, keys))
       case ("vstore", "mark-audited") => streaming.VersionedStore.markAudited(spark, path); None

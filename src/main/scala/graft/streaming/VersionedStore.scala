@@ -214,6 +214,48 @@ object VersionedStore {
     (committed ++ ckptVs).max
   }
 
+  /** Replay-depth ADVISOR (the vstore face of the per-family
+    * advise/apply cron loop, beside the index fragmentation, dedup
+    * bucket-skew and IVF provenance advisors): one report row,
+    * `violations = 1` exactly when a read at the newest version must
+    * replay MORE than `maxReplay` log commits past its checkpoint base
+    * — the cost creep a streaming ingest leaves (every snapshot read is
+    * ∝ checkpoint + delta, and without a checkpoint cadence the delta
+    * grows without bound). No checkpoint at all counts the whole log as
+    * the replay. The apply half is [[checkpoint]] at the newest version
+    * (`Maintain vstore advise ... apply <keys>`), which bounds future
+    * reads without destroying time travel — [[vacuum]] stays a separate,
+    * deliberately destructive retention decision (named in the reason).
+    * Driver-side metadata only: two directory listings. */
+  def adviseCheckpoint(spark: SparkSession, path: String,
+                       maxReplay: Int = 8): DataFrame = {
+    require(maxReplay >= 1, s"maxReplay must be >= 1 (got $maxReplay)")
+    val committed = versions(spark, path)
+    val ckptVs = listVersions(spark, new Path(path, "checkpoint"))
+    require(committed.nonEmpty || ckptVs.nonEmpty, s"no commits at $path")
+    val newest = (committed ++ ckptVs).max
+    val base = ckptVs.filter(_ <= newest).maxOption
+    val depth = base match {
+      case Some(c) => committed.count(v => v > c && v <= newest)
+      case None => committed.size
+    }
+    val due = depth > maxReplay
+    val reason =
+      if (due)
+        s"a read at v=$newest replays $depth log commits " +
+          base.map(c => s"past checkpoint v=$c").getOrElse("from empty (no checkpoint)") +
+          s" (> $maxReplay) — checkpoint at v=$newest (then vacuum if " +
+          "the history itself is no longer needed)"
+      else
+        s"replay depth $depth at v=$newest (<= $maxReplay)" +
+          base.map(c => s", checkpoint base v=$c").getOrElse("")
+    import spark.implicits._
+    Seq(("replay_depth", committed.size.toLong, if (due) 1L else 0L,
+        depth.toLong, maxReplay.toLong, reason))
+      .toDF("invariant", "checked", "violations", "replay_depth",
+        "threshold", "reason")
+  }
+
   /** Every key that appears ANYWHERE in history — log commits and
     * checkpoints alike, tombstoned or not: the surface a time-travel
     * read could reconstruct from, and therefore the surface a

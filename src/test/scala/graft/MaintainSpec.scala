@@ -168,6 +168,43 @@ class MaintainSpec extends SparkSpec {
     assert(e2.getMessage.contains("checkpoint"), e2.getMessage)
   }
 
+  test("vstore advise: replay depth flags, apply checkpoints at the newest version and re-advises clean") {
+    // the vstore face of the advise/apply loop: a streaming-shaped log
+    // (many commits, stale checkpoint base) trips the replay budget;
+    // apply materializes the checkpoint an operator would, bounding
+    // future reads WITHOUT destroying time travel (vacuum stays a
+    // separate, deliberate retention verb)
+    val path = QueryGroup.scratchDir("graft-maint-vsadv")
+    for (i <- 1 to 5)
+      streaming.VersionedStore.commit(spark, path,
+        Seq((i.toLong, s"v$i", "u")).toDF("k", "v", "_op"))
+    val advice = Maintain.run(spark, "vstore", "advise", path, Seq("2")).get
+      .collect()(0)
+    assert(advice.getAs[Long]("violations") === 1L,
+      s"5 commits with no checkpoint at budget 2 must flag: $advice")
+    assert(advice.getAs[Long]("replay_depth") === 5L)
+    assert(advice.getAs[String]("reason").contains("checkpoint"))
+    // apply: checkpoint lands at the newest version, re-advice is green
+    assert(violations(Maintain.run(spark, "vstore", "advise", path,
+      Seq("2", "apply", "k"))) === 0L)
+    assert(streaming.VersionedStore.snapshotAt(spark, path, 5L, Seq("k"))
+      .count() === 5L)
+    assert(violations(Maintain.run(spark, "vstore", "fsck", path, Seq("k"))) === 0L)
+    // the budget holds going forward: two more commits stay under it,
+    // a third trips it again against the new base
+    for (i <- 6 to 7)
+      streaming.VersionedStore.commit(spark, path,
+        Seq((i.toLong, s"v$i", "u")).toDF("k", "v", "_op"))
+    assert(violations(Maintain.run(spark, "vstore", "advise", path, Seq("2"))) === 0L)
+    streaming.VersionedStore.commit(spark, path,
+      Seq((8L, "v8", "u")).toDF("k", "v", "_op"))
+    assert(violations(Maintain.run(spark, "vstore", "advise", path, Seq("2"))) === 1L)
+    // apply without keys fails loudly
+    val e = intercept[IllegalArgumentException](
+      Maintain.run(spark, "vstore", "advise", path, Seq("2", "apply")))
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
   test("pipeline family: fsck / forget / resume dispatch at a pipeline root") {
     val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"),
       (3L, "gamma delta epsilon zeta")).toDF("doc_id", "text")
