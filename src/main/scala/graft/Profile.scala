@@ -85,10 +85,25 @@ object Profile {
       val t0 = System.nanoTime()
       runOnce(fn)
       val wall = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus BEFORE detaching, or queued
+      // JobEnd/TaskEnd events are silently dropped (ADVICE r19)
+      Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
-      Thread.sleep(300) // let listener bus drain
       val js = jobs.synchronized { jobs.values.toSeq }
-      val jobWall = js.map(j => (j.end - j.start).max(0L)).sum / 1e3
+      // merge overlapping [start,end] intervals so concurrent jobs
+      // (broadcast subjobs, AQE) are not double-counted and "gaps"
+      // stays a true driver-idle measure (ADVICE r19)
+      val jobWall = {
+        val iv = js.filter(j => j.end > j.start).map(j => (j.start, j.end))
+          .sortBy(_._1)
+        var busy = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+        for ((s, e) <- iv) {
+          if (s > curE) { busy += (curE - curS).max(0L); curS = s; curE = e }
+          else if (e > curE) curE = e
+        }
+        busy += (curE - curS).max(0L)
+        busy / 1e3
+      }
       val taskTime = js.map(_.taskTimeMs).sum / 1e3
       println(f"\n=== $name: wall $wall%.2f s, ${js.size} jobs, " +
         f"job-wall $jobWall%.2f s, gaps ${wall - jobWall}%.2f s, " +

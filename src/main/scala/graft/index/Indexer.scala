@@ -265,6 +265,9 @@ object Indexer {
     // incremental audit's `batch > since` filter skip pre-audit files
     // outright — see [[checkStoreIncremental]]); the initial build is
     // batch 0, each append bumps the `_lastbatch` marker
+    // doc_stats and postings land at disjoint paths from disjoint
+    // lineages — overlap the two writes (guide §2.6) so one write's
+    // planning/commit latency back-fills with the other's tasks
     docBuckets match {
       case Some(db) =>
         // doc-bucketed layout: postings AND doc_stats co-bucketed (and
@@ -275,26 +278,28 @@ object Indexer {
         // partitioning is kept on postings, so static term pruning and
         // doc-co-location COMPOSE. See [[docBucketsOf]] for the layout
         // record and [[registerBucketedTable]] for cross-session reads.
-        writeBucketedStoreTable(ix.docStats.withColumn("batch", lit(0L)),
-          path, "doc_stats", db, termBuckets = None)
-        writeBucketedStoreTable(
-          ix.postings.withColumn("batch", lit(0L)),
-          path, "postings", db, termBuckets = Some(nBuckets))
+        graft.operators.Par.run(
+          () => writeBucketedStoreTable(ix.docStats.withColumn("batch", lit(0L)),
+            path, "doc_stats", db, termBuckets = None),
+          () => writeBucketedStoreTable(
+            ix.postings.withColumn("batch", lit(0L)),
+            path, "postings", db, termBuckets = Some(nBuckets)))
         writeBucketsMarker(ix.postings.sparkSession, path, db, DocBucketsMarker)
       case None =>
-        ix.docStats.withColumn("batch", lit(0L))
-          .write.mode("overwrite").parquet(s"$path/doc_stats")
-        ix.postings
-          .withColumn("batch", lit(0L))
-          .withColumn("term_bucket", termBucket(col("term"), nBuckets))
-          // co-locate each bucket's rows in one task before the partitioned
-          // write: without this every task writes a file into every bucket
-          // dir (tasks × buckets small files — measured dominating the store
-          // write); with it, one file per bucket
-          .repartition(nBuckets, col("term_bucket"))
-          .write.mode("overwrite")
-          .partitionBy("term_bucket")
-          .parquet(s"$path/postings")
+        graft.operators.Par.run(
+          () => ix.docStats.withColumn("batch", lit(0L))
+            .write.mode("overwrite").parquet(s"$path/doc_stats"),
+          () => ix.postings
+            .withColumn("batch", lit(0L))
+            .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+            // co-locate each bucket's rows in one task before the partitioned
+            // write: without this every task writes a file into every bucket
+            // dir (tasks × buckets small files — measured dominating the store
+            // write); with it, one file per bucket
+            .repartition(nBuckets, col("term_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(s"$path/postings"))
     }
     // derive the small tables from the JUST-PERSISTED copies: vocab/meta
     // over the original lineages would re-run the whole tokenize/explode/
@@ -308,10 +313,13 @@ object Indexer {
     require(graft.operators.Frames.currentVersion(spark, path).isEmpty,
       s"writeIndex: $path carries a frame-installed derived pair (_frame " +
         "pointer) — delete the store before rebuilding over it")
-    vocab(spark.read.parquet(s"$path/postings").select("term", "doc_id", "tf"))
-      .write.mode("overwrite").parquet(s"$path/vocab")
-    meta(spark.read.parquet(s"$path/doc_stats"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // vocab and meta read DIFFERENT just-persisted tables: independent,
+    // overlap them (guide §2.6)
+    graft.operators.Par.run(
+      () => vocab(spark.read.parquet(s"$path/postings").select("term", "doc_id", "tf"))
+        .write.mode("overwrite").parquet(s"$path/vocab"),
+      () => meta(spark.read.parquet(s"$path/doc_stats"))
+        .write.mode("overwrite").parquet(s"$path/meta"))
     writeBucketsMarker(spark, path, nBuckets)
     writeLongMarker(spark, path, LastBatchMarker, 0L)
   }
@@ -358,7 +366,11 @@ object Indexer {
     def tag(df: DataFrame): DataFrame =
       batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
     val delta = buildIndex(newCorpus, idCol, textCol, titleCol)
-    docBucketsOf(spark, path) match {
+    // the three table appends (doc_stats, postings, co-located
+    // positional) land at disjoint paths from independent lineages —
+    // overlap them (guide §2.6). Crash ordering is unchanged: the batch
+    // marker still advances only after ALL of them committed.
+    val appendTables: Seq[() => Unit] = (docBucketsOf(spark, path) match {
       case Some(db) =>
         // doc-bucketed store: the delta appends THROUGH the catalog with
         // the store's own bucket spec (by-name column resolution; a
@@ -371,35 +383,40 @@ object Indexer {
           partitioned = false)
         val poName = registerBucketedTable(spark, path, "postings", db,
           partitioned = true)
-        tag(delta.docStats).repartition(db, col("doc_id"))
-          .write.format("parquet")
-          .bucketBy(db, "doc_id").sortBy("doc_id")
-          .mode("append").saveAsTable(dsName)
-        tag(delta.postings)
-          .withColumn("term_bucket", termBucket(col("term"), nb))
-          .repartition(db, col("doc_id"))
-          .write.format("parquet")
-          .partitionBy("term_bucket")
-          .bucketBy(db, "doc_id").sortBy("doc_id")
-          .mode("append").saveAsTable(poName)
+        Seq(
+          () => tag(delta.docStats).repartition(db, col("doc_id"))
+            .write.format("parquet")
+            .bucketBy(db, "doc_id").sortBy("doc_id")
+            .mode("append").saveAsTable(dsName),
+          () => tag(delta.postings)
+            .withColumn("term_bucket", termBucket(col("term"), nb))
+            .repartition(db, col("doc_id"))
+            .write.format("parquet")
+            .partitionBy("term_bucket")
+            .bucketBy(db, "doc_id").sortBy("doc_id")
+            .mode("append").saveAsTable(poName))
       case None =>
-        tag(delta.docStats).write.mode("append").parquet(s"$path/doc_stats")
-        tag(delta.postings)
-          .withColumn("term_bucket", termBucket(col("term"), nb))
-          .repartition(nb, col("term_bucket"))
-          .write.mode("append")
-          .partitionBy("term_bucket")
-          .parquet(s"$path/postings")
-    }
+        Seq(
+          () => tag(delta.docStats).write.mode("append").parquet(s"$path/doc_stats"),
+          () => tag(delta.postings)
+            .withColumn("term_bucket", termBucket(col("term"), nb))
+            .repartition(nb, col("term_bucket"))
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(s"$path/postings"))
+    })
     // a CO-LOCATED positional table must grow with the same batch —
     // otherwise the phrase/proximity faces would silently miss the
     // appended docs (the append-side twin of the delete-consistency
     // invariant). The doc_stats duplicate guard above already vouches
     // for the batch, so the positional probe is skipped.
     val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-    if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
-      appendPositional(spark, path, newCorpus, idCol, textCol, nBuckets,
-        checkDuplicates = false, batchId = batchId)
+    val positionalStep: Seq[() => Unit] =
+      if (pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+        Seq(() => appendPositional(spark, path, newCorpus, idCol, textCol,
+          nBuckets, checkDuplicates = false, batchId = batchId))
+      else Seq.empty
+    graft.operators.Par.run(appendTables ++ positionalStep: _*)
     // the marker advances LAST: a crash mid-append leaves the marker at
     // the old value, so the next incremental audit still covers every
     // row the interrupted append managed to land (they carry the
@@ -593,23 +610,28 @@ object Indexer {
     // a new vocab against an old meta — df and N disagreeing skews every
     // BM25 score until the next repair
     val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
-    spark.read.parquet(derivedTablePath(spark, path, "vocab"))
-      .select("term", "df")
-      .unionByName(vocab(delta.postings))
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
-    val deltaMeta = delta.docStats.agg(
-      count(lit(1)).as("d_n"),
-      coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
-    storedMeta.crossJoin(deltaMeta)
-      .select(
-        (col("total_docs") + col("d_n")).as("total_docs"),
-        // an empty merged store nulls avg_dl exactly like meta() over zero rows
-        when(col("total_docs") + col("d_n") === 0, lit(null).cast("double"))
-          .otherwise((col("length_sum") + col("d_sum")).cast("double") /
-            (col("total_docs") + col("d_n"))).as("avg_dl"),
-        (col("length_sum") + col("d_sum")).as("length_sum"))
-      .write.mode("overwrite").parquet(stage.stageDir("meta"))
+    // the two staged tables derive from independent inputs — overlap
+    // them (guide §2.6); the frame still commits only after both landed
+    graft.operators.Par.run(
+      () => spark.read.parquet(derivedTablePath(spark, path, "vocab"))
+        .select("term", "df")
+        .unionByName(vocab(delta.postings))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(stage.stageDir("vocab")),
+      () => {
+        val deltaMeta = delta.docStats.agg(
+          count(lit(1)).as("d_n"),
+          coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
+        storedMeta.crossJoin(deltaMeta)
+          .select(
+            (col("total_docs") + col("d_n")).as("total_docs"),
+            // an empty merged store nulls avg_dl exactly like meta() over zero rows
+            when(col("total_docs") + col("d_n") === 0, lit(null).cast("double"))
+              .otherwise((col("length_sum") + col("d_sum")).cast("double") /
+                (col("total_docs") + col("d_n"))).as("avg_dl"),
+            (col("length_sum") + col("d_sum")).as("length_sum"))
+          .write.mode("overwrite").parquet(stage.stageDir("meta"))
+      })
     stage.commit()
   }
 
@@ -636,9 +658,11 @@ object Indexer {
   def refreshDerived(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val live = readIndexLive(spark, path)
     val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
-    vocab(live.postings.select("term", "doc_id", "tf"))
-      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
-    meta(live.docStats).write.mode("overwrite").parquet(stage.stageDir("meta"))
+    graft.operators.Par.run(
+      () => vocab(live.postings.select("term", "doc_id", "tf"))
+        .write.mode("overwrite").parquet(stage.stageDir("vocab")),
+      () => meta(live.docStats).write.mode("overwrite")
+        .parquet(stage.stageDir("meta")))
     stage.commit()
   }
 
@@ -733,11 +757,17 @@ object Indexer {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     // only ids that exist AND are not already tombstoned contribute —
     // re-decrementing an already-dead doc would corrupt df/meta
+    // newDead is consumed four times below (emptiness probe, vocab
+    // decrement semi-join, meta decrement semi-join, tombstone append) —
+    // persist it so the anti/semi-join chain that derives it runs once,
+    // not once per consumer (guide §1.2: don't recompute what you
+    // already have; delete batches are small by contract)
     val newDead = minusDeletes(spark, path,
       ids.select(col(idCol).as("doc_id")).distinct()
         .join(spark.read.parquet(s"$path/doc_stats").select("doc_id"),
-          Seq("doc_id"), "left_semi"))
+          Seq("doc_id"), "left_semi")).persist()
     if (newDead.isEmpty) {
+      newDead.unpersist()
       // Nothing new to tombstone — but a prior deleteDocs on these SAME
       // ids may have crashed between its tombstone append and its
       // derived-frame flip, leaving the stored vocab/meta counting the
@@ -755,6 +785,7 @@ object Indexer {
     if (!storedMeta.columns.contains("length_sum")) {
       // store predates the mergeable meta layout: tombstone + full recompute
       newDead.write.mode("append").parquet(s"$path/deletes")
+      newDead.unpersist()
       refreshDerived(spark, path)
       return
     }
@@ -766,29 +797,35 @@ object Indexer {
     // after the append but before the flip = the healDerivedIfStale
     // witness on the resume path (see above).
     val stage = graft.operators.Frames.begin(spark, path, DerivedTables)
-    spark.read.parquet(s"$path/postings").select("term", "doc_id")
-      .join(newDead, Seq("doc_id"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("dead_df"))
-      .join(spark.read.parquet(derivedTablePath(spark, path, "vocab"))
-        .select("term", "df"), Seq("term"), "right_outer")
-      .select(col("term"),
-        (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
-      .filter(col("df") > 0) // a term with no live doc left drops, like a fresh build
-      .write.mode("overwrite").parquet(stage.stageDir("vocab"))
-    val deadStats = spark.read.parquet(s"$path/doc_stats")
-      .join(newDead, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("d_n"),
-        coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
-    storedMeta.crossJoin(deadStats)
-      .select(
-        (col("total_docs") - col("d_n")).as("total_docs"),
-        // an emptied store nulls avg_dl exactly like meta() over zero rows
-        when(col("total_docs") === col("d_n"), lit(null).cast("double"))
-          .otherwise((col("length_sum") - col("d_sum")).cast("double") /
-            (col("total_docs") - col("d_n"))).as("avg_dl"),
-        (col("length_sum") - col("d_sum")).as("length_sum"))
-      .write.mode("overwrite").parquet(stage.stageDir("meta"))
+    // the staged vocab decrement (postings pass) and meta decrement
+    // (doc_stats pass) read different tables — overlap them (guide §2.6)
+    graft.operators.Par.run(
+      () => spark.read.parquet(s"$path/postings").select("term", "doc_id")
+        .join(newDead, Seq("doc_id"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("dead_df"))
+        .join(spark.read.parquet(derivedTablePath(spark, path, "vocab"))
+          .select("term", "df"), Seq("term"), "right_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+        .filter(col("df") > 0) // a term with no live doc left drops, like a fresh build
+        .write.mode("overwrite").parquet(stage.stageDir("vocab")),
+      () => {
+        val deadStats = spark.read.parquet(s"$path/doc_stats")
+          .join(newDead, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("d_n"),
+            coalesce(sum(col("length")).cast("long"), lit(0L)).as("d_sum"))
+        storedMeta.crossJoin(deadStats)
+          .select(
+            (col("total_docs") - col("d_n")).as("total_docs"),
+            // an emptied store nulls avg_dl exactly like meta() over zero rows
+            when(col("total_docs") === col("d_n"), lit(null).cast("double"))
+              .otherwise((col("length_sum") - col("d_sum")).cast("double") /
+                (col("total_docs") - col("d_n"))).as("avg_dl"),
+            (col("length_sum") - col("d_sum")).as("length_sum"))
+          .write.mode("overwrite").parquet(stage.stageDir("meta"))
+      })
     newDead.write.mode("append").parquet(s"$path/deletes")
+    newDead.unpersist()
     stage.commit() // ONE flip installs the decremented pair together
   }
 

@@ -168,12 +168,17 @@ object Forget {
     val dir = s"${manifestRoot(root)}/m=$n"
     val fs = fsOf(spark, root)
     val ids = spark.read.parquet(s"$dir/ids")
-    for (f <- fams if !fs.exists(new Path(s"$dir/_done_$f"))) {
-      applyFamily(spark, root, f, ids)
-      // create-only empty marker: a crash between apply and marker
-      // re-runs the (idempotent) family apply on resume — never skips it
-      fs.create(new Path(s"$dir/_done_$f"), true).close()
-    }
+    // the families are independent stores at disjoint paths — overlap
+    // their cascades (guide §2.6). Crash semantics are unchanged: each
+    // family's done marker still lands only after ITS apply, and the
+    // terminal marker only after every family finished.
+    graft.operators.Par.run(
+      fams.filter(f => !fs.exists(new Path(s"$dir/_done_$f"))).map(f => () => {
+        applyFamily(spark, root, f, ids)
+        // create-only empty marker: a crash between apply and marker
+        // re-runs the (idempotent) family apply on resume — never skips it
+        fs.create(new Path(s"$dir/_done_$f"), true).close()
+      }): _*)
     fs.create(new Path(s"$dir/_complete"), true).close()
   }
 

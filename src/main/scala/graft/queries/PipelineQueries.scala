@@ -1534,24 +1534,30 @@ object PipelineQueries extends QueryGroup {
       val root = QueryGroup.scratchDir("graft-promote")
       val pop = docs(s, dir)
         .join(emb(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
-      def shard(pred: org.apache.spark.sql.Column, p: String): Unit = {
+      // the two shard roots (and the three families within each) are
+      // fully independent builds at disjoint paths — overlap all six
+      // store writes (guide §2.6)
+      def shard(pred: org.apache.spark.sql.Column, p: String): Seq[() => Unit] = {
         val part = pop.filter(pred)
-        graft.index.Indexer.writeIndex(
-          graft.index.Indexer.buildIndex(part), s"$p/index")
-        graft.dedup.DedupStore.writeSignatures(part, s"$p/dedup")
-        graft.similarity.IvfStore.writeIndex(
-          emb(s, dir).join(part.select(col("doc_id").as("vec_id")), Seq("vec_id")),
-          s"$p/ivf", kmeansIters = 0)
+        Seq(
+          () => graft.index.Indexer.writeIndex(
+            graft.index.Indexer.buildIndex(part), s"$p/index"),
+          () => graft.dedup.DedupStore.writeSignatures(part, s"$p/dedup"),
+          () => graft.similarity.IvfStore.writeIndex(
+            emb(s, dir).join(part.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+            s"$p/ivf", kmeansIters = 0))
       }
-      shard(col("doc_id") % 2 === 0, s"$root/shard0")
-      shard(col("doc_id") % 2 === 1, s"$root/shard1")
+      graft.operators.Par.run(
+        shard(col("doc_id") % 2 === 0, s"$root/shard0") ++
+          shard(col("doc_id") % 2 === 1, s"$root/shard1"): _*)
       Promote.mergeRoots(s, Seq(s"$root/shard0", s"$root/shard1"),
         s"$root/merged", moveFiles = true)
       // the consumed shard roots are now stamped husks; scrap them
       // (certified against the merged stores) BEFORE the audit runs, so
       // the gate proves the full promote → scrap → serve lifecycle
-      Promote.scrapRoot(s, s"$root/shard0")
-      Promote.scrapRoot(s, s"$root/shard1")
+      graft.operators.Par.run(
+        () => Promote.scrapRoot(s, s"$root/shard0"),
+        () => Promote.scrapRoot(s, s"$root/shard1"))
       Forget.checkPipeline(s, s"$root/merged")
     }),
 
@@ -1695,12 +1701,16 @@ object PipelineQueries extends QueryGroup {
                                root: String): DataFrame = {
     val pop = docs(s, dir)
       .join(emb(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
-    graft.index.Indexer.writeIndex(
-      graft.index.Indexer.buildIndex(pop), s"$root/index")
-    graft.dedup.DedupStore.writeSignatures(pop, s"$root/dedup")
-    graft.similarity.IvfStore.writeIndex(
-      emb(s, dir).join(pop.select(col("doc_id").as("vec_id")), Seq("vec_id")),
-      s"$root/ivf", kmeansIters = 0)
+    // three independent store families at disjoint paths — overlap the
+    // builds (guide §2.6): serially, each build's driver phases idle
+    // every executor core
+    graft.operators.Par.run(
+      () => graft.index.Indexer.writeIndex(
+        graft.index.Indexer.buildIndex(pop), s"$root/index"),
+      () => graft.dedup.DedupStore.writeSignatures(pop, s"$root/dedup"),
+      () => graft.similarity.IvfStore.writeIndex(
+        emb(s, dir).join(pop.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+        s"$root/ivf", kmeansIters = 0))
     pop
   }
   // en downsampled, zh deliberately unlisted (dropped stratum)

@@ -341,11 +341,20 @@ object VersionedStore {
       }
       touched
     }
+    // every version directory is probed (and possibly rewritten)
+    // independently — overlap them (guide §2.6): a purge over a long
+    // history is otherwise a serial chain of tiny probe+rewrite jobs.
+    // Par.map preserves input order, so the stats lists stay sorted.
+    val logVs = versions(spark, path)
+    val ckVs = listVersions(spark, new Path(path, "checkpoint"))
+    val touched = graft.operators.Par.map(
+      logVs.map(v => s"$path/log/v=$v") ++
+        ckVs.map(v => s"$path/checkpoint/v=$v"))(purgeDir)
     PurgeStats(
-      logsRewritten = versions(spark, path)
-        .filter(v => purgeDir(s"$path/log/v=$v")),
-      checkpointsRewritten = listVersions(spark, new Path(path, "checkpoint"))
-        .filter(v => purgeDir(s"$path/checkpoint/v=$v")))
+      logsRewritten = logVs.zip(touched.take(logVs.size))
+        .collect { case (v, true) => v },
+      checkpointsRewritten = ckVs.zip(touched.drop(logVs.size))
+        .collect { case (v, true) => v })
   }
 
   /** Materialize the snapshot at `version` as a checkpoint, so later
