@@ -101,19 +101,24 @@ object Maintain {
       // compact through the layout-aware twin instead (it routes each
       // table by its own marker, positional included)
       index.Indexer.compactDocBucketed(spark, path)
-    if (!docBucketed) {
-      // per-table: the term-bucketed tables leaf by leaf (layout
-      // preserved), the flat tables in place
-      operators.Compaction.compactPartitionsRecursive(spark, s"$path/postings",
-        rangeBy = batchRange("postings"))
-      operators.Compaction.compact(spark, s"$path/doc_stats",
-        rangeBy = batchRange("doc_stats"))
-    }
+    // the three tables compact independently — overlap them (guide §2.6)
     val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-    if (!posDocBucketed &&
-        pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
-      operators.Compaction.compactPartitionsRecursive(spark, s"$path/positional",
-        rangeBy = batchRange("positional"))
+    val posStep: Seq[() => Unit] =
+      if (!posDocBucketed &&
+          pos.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pos))
+        Seq(() => { operators.Compaction.compactPartitionsRecursive(spark,
+          s"$path/positional", rangeBy = batchRange("positional")); () })
+      else Seq.empty
+    val flatSteps: Seq[() => Unit] =
+      if (docBucketed) Seq.empty
+      else Seq(
+        // per-table: the term-bucketed tables leaf by leaf (layout
+        // preserved), the flat tables in place
+        () => { operators.Compaction.compactPartitionsRecursive(spark,
+          s"$path/postings", rangeBy = batchRange("postings")); () },
+        () => { operators.Compaction.compact(spark, s"$path/doc_stats",
+          rangeBy = batchRange("doc_stats")); () })
+    operators.Par.run(flatSteps ++ posStep: _*)
   }
 
   def run(spark: SparkSession, family: String, op: String, path: String,

@@ -250,6 +250,11 @@ object DedupStore {
     val batchId = lastBatch(spark, path).map(_ + 1)
     def tag(df: DataFrame): DataFrame =
       batchId.map(b => df.withColumn("batch", lit(b))).getOrElse(df)
+    // NOT overlapped: the sets-then-buckets order is a documented crash
+    // contract (a crash between the two leaves "sets landed, buckets
+    // lost" — the exact shape the streaming replay detects and
+    // refreshBuckets repairs); reordering it would create a new,
+    // unhandled crash shape for a ~2-job win
     tag(newSets.join(dupIds, Seq("doc_id"), "left_anti"))
       .write.mode("append").parquet(setsDir)
     tag(newBuckets.join(dupIds, Seq("doc_id"), "left_anti"))
@@ -383,10 +388,12 @@ object DedupStore {
     graft.FsOps.requireNotHusk(spark, path) // consumed shard: pointed refusal
     val rm = ids.select(col(idCol).as("doc_id")).distinct()
     val stage = graft.operators.Frames.begin(spark, path, Tables)
-    for (t <- Tables)
+    // the two table rewrites stage at disjoint dirs — overlap them
+    // (guide §2.6); the frame still flips only after both landed
+    graft.operators.Par.run(Tables.map(t => () =>
       spark.read.parquet(tablePath(spark, path, t))
         .join(rm, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(stage.stageDir(t))
+        .write.mode("overwrite").parquet(stage.stageDir(t))): _*)
     stage.commit() // the flip: both rewrites install together
   }
 

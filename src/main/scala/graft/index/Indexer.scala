@@ -1239,42 +1239,53 @@ object Indexer {
     if (!fs.exists(del)) return
     val nb = storedBuckets(spark, path).getOrElse(nBuckets)
     val live = readIndexLive(spark, path)
-    docBucketsOf(spark, path) match {
-      case Some(db) =>
+    // the three live-view rewrites are independent tables, and ANY
+    // intermediate swap state still serves the correct live view (the
+    // tombstone table is only dropped after all of them) — overlap them
+    // (guide §2.6)
+    val freqSteps: Seq[() => Unit] = docBucketsOf(spark, path) match {
+      case Some(db) => Seq(
         // doc-bucketed store: the rewrite preserves the bucketed layout
         // (tmp written as a bucketed table, same crash-safe dir swap —
         // see rewriteBucketedStoreTable)
-        rewriteBucketedStoreTable(spark, path, "postings",
-          live.postings, db, partitioned = true)
-        rewriteBucketedStoreTable(spark, path, "doc_stats",
-          live.docStats, db, partitioned = false)
-      case None =>
-        live.postings
-          .repartition(nb, col("term_bucket"))
-          .write.mode("overwrite").partitionBy("term_bucket")
-          .parquet(s"$path/postings_tmp")
-        live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
-        swapTable(spark, path, "postings")
-        swapTable(spark, path, "doc_stats")
+        () => rewriteBucketedStoreTable(spark, path, "postings",
+          live.postings, db, partitioned = true),
+        () => rewriteBucketedStoreTable(spark, path, "doc_stats",
+          live.docStats, db, partitioned = false))
+      case None => Seq(
+        () => {
+          live.postings
+            .repartition(nb, col("term_bucket"))
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(s"$path/postings_tmp")
+          swapTable(spark, path, "postings")
+        },
+        () => {
+          live.docStats.write.mode("overwrite").parquet(s"$path/doc_stats_tmp")
+          swapTable(spark, path, "doc_stats")
+        })
     }
     val pos = new org.apache.hadoop.fs.Path(s"$path/positional")
-    if (fs.exists(pos)) {
-      // the positional table keeps its OWN bucket layout, which may
-      // differ from the frequency store's (per-table markers)
-      val livePos = minusDeletes(spark, path, readPositional(spark, path))
-      positionalDocBucketsOf(spark, path) match {
-        case Some(db) =>
-          rewriteBucketedStoreTable(spark, path, "positional", livePos, db,
-            partitioned = true)
-        case None =>
-          val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
-          livePos
-            .repartition(pnb, col("term_bucket"))
-            .write.mode("overwrite").partitionBy("term_bucket")
-            .parquet(s"$path/positional_tmp")
-          swapTable(spark, path, "positional")
-      }
-    }
+    val posSteps: Seq[() => Unit] =
+      if (!fs.exists(pos)) Seq.empty
+      else Seq(() => {
+        // the positional table keeps its OWN bucket layout, which may
+        // differ from the frequency store's (per-table markers)
+        val livePos = minusDeletes(spark, path, readPositional(spark, path))
+        positionalDocBucketsOf(spark, path) match {
+          case Some(db) =>
+            rewriteBucketedStoreTable(spark, path, "positional", livePos, db,
+              partitioned = true)
+          case None =>
+            val pnb = storedPositionalBuckets(spark, path).getOrElse(nBuckets)
+            livePos
+              .repartition(pnb, col("term_bucket"))
+              .write.mode("overwrite").partitionBy("term_bucket")
+              .parquet(s"$path/positional_tmp")
+            swapTable(spark, path, "positional")
+        }
+      })
+    graft.operators.Par.run(freqSteps ++ posSteps: _*)
     fs.delete(del, true)
   }
 

@@ -150,20 +150,23 @@ object StoreMerge {
     // ---- derived tables: merge the sources' partial-aggregate state
     // (reads only the small tables, frame-resolved per source; written
     // to the fresh dest's flat layout before any data file moves)
-    sources.map(s => spark.read.parquet(
-        Indexer.derivedTablePath(spark, s, "vocab"))).reduce(_ unionByName _)
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$dest/vocab")
-    sources.map(s => spark.read.parquet(
-        Indexer.derivedTablePath(spark, s, "meta"))).reduce(_ unionByName _)
-      .agg(coalesce(sum(col("total_docs")), lit(0L)).as("total_docs"),
-        coalesce(sum(col("length_sum")), lit(0L)).as("length_sum"))
-      .select(col("total_docs"),
-        when(col("total_docs") === 0L, lit(null).cast("double"))
-          .otherwise(col("length_sum").cast("double") / col("total_docs"))
-          .as("avg_dl"),
-        col("length_sum"))
-      .write.mode("overwrite").parquet(s"$dest/meta")
+    // the two derived merges read different source tables and write
+    // disjoint dest dirs — overlap them (guide §2.6)
+    graft.operators.Par.run(
+      () => sources.map(s => spark.read.parquet(
+          Indexer.derivedTablePath(spark, s, "vocab"))).reduce(_ unionByName _)
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$dest/vocab"),
+      () => sources.map(s => spark.read.parquet(
+          Indexer.derivedTablePath(spark, s, "meta"))).reduce(_ unionByName _)
+        .agg(coalesce(sum(col("total_docs")), lit(0L)).as("total_docs"),
+          coalesce(sum(col("length_sum")), lit(0L)).as("length_sum"))
+        .select(col("total_docs"),
+          when(col("total_docs") === 0L, lit(null).cast("double"))
+            .otherwise(col("length_sum").cast("double") / col("total_docs"))
+            .as("avg_dl"),
+          col("length_sum"))
+        .write.mode("overwrite").parquet(s"$dest/meta"))
 
     // record the source list on the dest BEFORE any file moves — the
     // source-specific resume evidence completeHuskStamps verifies
@@ -171,18 +174,21 @@ object StoreMerge {
 
     // ---- data files: per-file idempotent transfer (resume skips targets
     // that already landed; hidden _/.files and markers never transfer)
-    for (table <- DataTables; (src, i) <- sources.zipWithIndex) {
-      val from = new Path(s"$src/$table")
-      if (fs.exists(from)) {
-        graft.FsOps.transferDataFiles(spark, from.toString, s"$dest/$table",
-          s"m${i}_", moveFiles)
-        for (st <- fs.listStatus(from).toSeq // one partition level: term_bucket=N
-             if st.isDirectory && !st.getPath.getName.startsWith("_")
-               && !st.getPath.getName.startsWith("."))
-          graft.FsOps.transferDataFiles(spark, st.getPath.toString,
-            s"$dest/$table/${st.getPath.getName}", s"m${i}_", moveFiles)
-      }
-    }
+    // each (table, source) transfer targets distinct file names (the
+    // m<i>_ prefix) — overlap the driver-side rename/copy loops (§2.6)
+    graft.operators.Par.run(
+      (for (table <- DataTables; (src, i) <- sources.zipWithIndex) yield { () =>
+        val from = new Path(s"$src/$table")
+        if (fs.exists(from)) {
+          graft.FsOps.transferDataFiles(spark, from.toString, s"$dest/$table",
+            s"m${i}_", moveFiles)
+          for (st <- fs.listStatus(from).toSeq // one partition level: term_bucket=N
+               if st.isDirectory && !st.getPath.getName.startsWith("_")
+                 && !st.getPath.getName.startsWith("."))
+            graft.FsOps.transferDataFiles(spark, st.getPath.toString,
+              s"$dest/$table/${st.getPath.getName}", s"m${i}_", moveFiles)
+        }
+      }): _*)
 
     // ---- commit: markers last; born-audited (see scaladoc)
     graft.FsOps.writeLongMarker(spark, dest, Indexer.LastBatchMarker, batches.max)

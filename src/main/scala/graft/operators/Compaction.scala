@@ -162,9 +162,12 @@ object Compaction {
                         rangeBy: Seq[String] = Seq.empty): Map[String, CompactionStats] = {
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partitionDirs(fs, dir)
-      .map(p => p.getName -> compact(spark, p.toString, targetBytes, rangeBy))
-      .toMap
+    // each partition dir compacts (and swaps) independently — overlap
+    // them (guide §2.6): a term-bucketed store is otherwise a serial
+    // chain of per-bucket listing+rewrite+swap steps
+    val parts = partitionDirs(fs, dir)
+    parts.map(_.getName).zip(Par.map(parts)(p =>
+      compact(spark, p.toString, targetBytes, rangeBy))).toMap
   }
 
   /** Multi-level variant: walk nested `k=v` directories down to the LEAF
@@ -186,10 +189,11 @@ object Compaction {
       if (kids.isEmpty) Seq(p) else kids.flatMap(leaves)
     }
     val rootPrefix = dir.toUri.getPath.stripSuffix("/") + "/"
-    partitionDirs(fs, dir).flatMap(leaves)
-      .map(p => p.toUri.getPath.stripPrefix(rootPrefix) ->
-        compact(spark, p.toString, targetBytes, rangeBy))
-      .toMap
+    // same overlap as [[compactPartitions]]: leaves are independent
+    val leafDirs = partitionDirs(fs, dir).flatMap(leaves)
+    leafDirs.map(_.toUri.getPath.stripPrefix(rootPrefix))
+      .zip(Par.map(leafDirs)(p =>
+        compact(spark, p.toString, targetBytes, rangeBy))).toMap
   }
 
   /** Fragmentation ADVISOR over a store's table directories (VERDICT

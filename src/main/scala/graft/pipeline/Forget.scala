@@ -195,10 +195,13 @@ object Forget {
     forgetAt(spark, root, ids, n, idCol)
     if (purge) {
       val fams = familiesAt(spark, root)
-      if (fams.contains("index"))
-        graft.index.Indexer.expungeDeletes(spark, familyPath(root, "index"))
-      if (fams.contains("ivf"))
-        graft.similarity.IvfStore.expungeDeletes(spark, familyPath(root, "ivf"))
+      // disjoint stores: overlap the two expunges (guide §2.6)
+      graft.operators.Par.run(Seq(
+        "index" -> (() => graft.index.Indexer.expungeDeletes(spark,
+          familyPath(root, "index"))),
+        "ivf" -> (() => graft.similarity.IvfStore.expungeDeletes(spark,
+          familyPath(root, "ivf")))
+      ).collect { case (f, step) if fams.contains(f) => step }: _*)
     }
     n
   }

@@ -59,20 +59,24 @@ object Promote {
     // crash between families resumes instead of dying on the committed
     // store's own already-merged guard (dest must be a fresh root at the
     // first call, like every family merge's dest)
-    if (fams.contains("index") &&
-        graft.index.Indexer.storedBuckets(spark, s"$dest/index").isEmpty)
-      graft.index.StoreMerge.mergeStores(spark,
-        roots.map(r => s"$r/index"), s"$dest/index", moveFiles)
-    if (fams.contains("dedup") &&
-        graft.dedup.DedupStore.storedGeometry(spark, s"$dest/dedup").isEmpty)
-      graft.dedup.DedupStore.mergeStores(spark,
-        roots.map(r => s"$r/dedup"), s"$dest/dedup", moveFiles)
-    if (fams.contains("ivf") &&
+    // the family merges write disjoint dest children — overlap them
+    // (guide §2.6); each keeps its own commit marker and resume story
+    val steps: Seq[(Boolean, () => Unit)] = Seq(
+      (fams.contains("index") &&
+        graft.index.Indexer.storedBuckets(spark, s"$dest/index").isEmpty,
+        () => graft.index.StoreMerge.mergeStores(spark,
+          roots.map(r => s"$r/index"), s"$dest/index", moveFiles)),
+      (fams.contains("dedup") &&
+        graft.dedup.DedupStore.storedGeometry(spark, s"$dest/dedup").isEmpty,
+        () => graft.dedup.DedupStore.mergeStores(spark,
+          roots.map(r => s"$r/dedup"), s"$dest/dedup", moveFiles)),
+      (fams.contains("ivf") &&
         // commit probe resolves the frame pointer (a reclustered dest's
         // centroids live under frames/v=N, not at the store root)
-        !graft.similarity.IvfStore.isCommitted(spark, s"$dest/ivf"))
-      graft.similarity.IvfStore.mergeStores(spark,
-        roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)
+        !graft.similarity.IvfStore.isCommitted(spark, s"$dest/ivf"),
+        () => graft.similarity.IvfStore.mergeStores(spark,
+          roots.map(r => s"$r/ivf"), s"$dest/ivf", moveFiles)))
+    graft.operators.Par.run(steps.collect { case (true, step) => step }: _*)
     fams.toSeq.sorted
   }
 

@@ -443,10 +443,12 @@ object PipelineQueries extends QueryGroup {
     "q_ann_ivf_merge" -> ((s, dir) => {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfmerge")
-      graft.similarity.IvfStore.writeIndex(
-        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
-      graft.similarity.IvfStore.writeIndex(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => graft.similarity.IvfStore.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0),
+        () => graft.similarity.IvfStore.writeIndex(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStore(s, s"$root/merged",
@@ -475,8 +477,11 @@ object PipelineQueries extends QueryGroup {
         graft.similarity.IvfStore.appendBatch(s, path,
           half.filter(col("vec_id") % 4 >= 2), 1L)
       }
-      streamShard(0, s"$root/shardA")
-      streamShard(1, s"$root/shardB")
+      // shards stream independently at disjoint paths: overlap (§2.6);
+      // WITHIN a shard the two appendBatch layers stay ordered
+      graft.operators.Par.run(
+        () => streamShard(0, s"$root/shardA"),
+        () => streamShard(1, s"$root/shardB"))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStore(s, s"$root/merged",
@@ -495,15 +500,20 @@ object PipelineQueries extends QueryGroup {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfflatten")
       val evens = e.filter(col("vec_id") % 2 === 0)
-      graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
-        kmeansIters = 0)
-      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
-        evens.filter(col("vec_id") % 4 === 0), 0L)
-      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
-        evens.filter(col("vec_id") % 4 === 2), 1L)
-      graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
-      graft.similarity.IvfStore.writeIndex(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // shardA's stream-then-flatten chain (ordered within itself) and
+      // shardB's one-shot build are independent: overlap them (§2.6)
+      graft.operators.Par.run(
+        () => {
+          graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
+            kmeansIters = 0)
+          graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+            evens.filter(col("vec_id") % 4 === 0), 0L)
+          graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+            evens.filter(col("vec_id") % 4 === 2), 1L)
+          graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
+        },
+        () => graft.similarity.IvfStore.writeIndex(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStore(s, s"$root/merged",
@@ -524,10 +534,12 @@ object PipelineQueries extends QueryGroup {
     "q_ann_ivf_recluster" -> ((s, dir) => {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfrecluster")
-      graft.similarity.IvfStore.writeIndex(
-        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
-      graft.similarity.IvfStore.writeIndex(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => graft.similarity.IvfStore.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0),
+        () => graft.similarity.IvfStore.writeIndex(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.reclusterStore(s, s"$root/merged",
@@ -559,10 +571,12 @@ object PipelineQueries extends QueryGroup {
     "q_ann_ivf_quant_merge" -> ((s, dir) => {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfquantmerge")
-      graft.similarity.IvfStore.writeIndexQuantized(
-        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
-      graft.similarity.IvfStore.writeIndexQuantized(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => graft.similarity.IvfStore.writeIndexQuantized(
+          e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0),
+        () => graft.similarity.IvfStore.writeIndexQuantized(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
@@ -582,10 +596,12 @@ object PipelineQueries extends QueryGroup {
     "q_ann_ivf_quant_recluster" -> ((s, dir) => {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfquantrecl")
-      graft.similarity.IvfStore.writeIndexQuantized(
-        e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0)
-      graft.similarity.IvfStore.writeIndexQuantized(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => graft.similarity.IvfStore.writeIndexQuantized(
+          e.filter(col("vec_id") % 2 === 0), s"$root/shardA", kmeansIters = 0),
+        () => graft.similarity.IvfStore.writeIndexQuantized(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.reclusterStore(s, s"$root/merged",
@@ -614,8 +630,11 @@ object PipelineQueries extends QueryGroup {
         graft.similarity.IvfStore.appendBatch(s, path,
           half.filter(col("vec_id") % 4 >= 2), 1L, quantize = true)
       }
-      streamShard(0, s"$root/shardA")
-      streamShard(1, s"$root/shardB")
+      // shards stream independently at disjoint paths: overlap (§2.6);
+      // WITHIN a shard the two appendBatch layers stay ordered
+      graft.operators.Par.run(
+        () => streamShard(0, s"$root/shardA"),
+        () => streamShard(1, s"$root/shardB"))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",
@@ -636,15 +655,20 @@ object PipelineQueries extends QueryGroup {
       val e = emb(s, dir)
       val root = QueryGroup.scratchDir("graft-ivfquantflat")
       val evens = e.filter(col("vec_id") % 2 === 0)
-      graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
-        kmeansIters = 0)
-      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
-        evens.filter(col("vec_id") % 4 === 0), 0L, quantize = true)
-      graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
-        evens.filter(col("vec_id") % 4 === 2), 1L, quantize = true)
-      graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
-      graft.similarity.IvfStore.writeIndexQuantized(
-        e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0)
+      // shardA's stream-then-flatten chain (ordered within itself) and
+      // shardB's one-shot build are independent: overlap them (§2.6)
+      graft.operators.Par.run(
+        () => {
+          graft.similarity.IvfStore.writeCentroids(evens, s"$root/shardA",
+            kmeansIters = 0)
+          graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+            evens.filter(col("vec_id") % 4 === 0), 0L, quantize = true)
+          graft.similarity.IvfStore.appendBatch(s, s"$root/shardA",
+            evens.filter(col("vec_id") % 4 === 2), 1L, quantize = true)
+          graft.similarity.IvfStore.flattenBatches(s, s"$root/shardA")
+        },
+        () => graft.similarity.IvfStore.writeIndexQuantized(
+          e.filter(col("vec_id") % 2 === 1), s"$root/shardB", kmeansIters = 0))
       graft.similarity.IvfStore.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       graft.similarity.IvfStore.searchStoreQuantized(s, s"$root/merged",

@@ -271,8 +271,10 @@ object SearchQueries extends QueryGroup {
       val root = QueryGroup.scratchDir("graft-ixmerge")
       val ixFor = (part: org.apache.spark.sql.DataFrame) =>
         Indexer.buildIndex(part, titleCol = Some("source"))
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA")
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB")
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA"),
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB"))
       Indexer.deleteDocs(s, s"$root/shardA",
         d.filter(col("doc_id") % 6 === 0).select("doc_id"))
       graft.index.StoreMerge.mergeStores(s,
@@ -291,8 +293,10 @@ object SearchQueries extends QueryGroup {
       val root = QueryGroup.scratchDir("graft-ixmergeapp")
       val ixFor = (part: org.apache.spark.sql.DataFrame) =>
         Indexer.buildIndex(part, titleCol = Some("source"))
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 0)), s"$root/shardA")
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 1)), s"$root/shardB")
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 0)), s"$root/shardA"),
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 3 === 1)), s"$root/shardB"))
       graft.index.StoreMerge.mergeStores(s,
         Seq(s"$root/shardA", s"$root/shardB"), s"$root/merged", moveFiles = true)
       Indexer.appendIndex(s, s"$root/merged",
@@ -319,8 +323,10 @@ object SearchQueries extends QueryGroup {
       val root = QueryGroup.scratchDir("graft-ixmergebkt")
       val ixFor = (part: org.apache.spark.sql.DataFrame) =>
         Indexer.buildIndex(part, titleCol = Some("source"))
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA")
-      Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB")
+      // independent shard builds at disjoint paths: overlap (guide §2.6)
+      graft.operators.Par.run(
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 0)), s"$root/shardA"),
+        () => Indexer.writeIndex(ixFor(d.filter(col("doc_id") % 2 === 1)), s"$root/shardB"))
       Indexer.deleteDocs(s, s"$root/shardA",
         d.filter(col("doc_id") % 6 === 0).select("doc_id"))
       graft.index.StoreMerge.mergeStores(s,

@@ -44,6 +44,38 @@ object StreamRuntime {
       dir
     })
 
+  /** Run `body` with `spark.sql.shuffle.partitions` derived from the
+    * SOURCE VOLUME instead of the session core count (guide §2.5
+    * "synthetic partitioning keys", §2.2 "fewer, larger partitions"):
+    * a streaming query fixes its state-store partition count from this
+    * conf at first start, and AQE does NOT coalesce stateful stream
+    * shuffles — so a micro-batch over kilobytes of input was paying a
+    * core-count-wide state shuffle per trigger, which is why the
+    * streaming runtimes measured SLOWER at 32 cores than at 8
+    * (PERF_r19 scaling 0.33–0.51). One partition per ~32 MB of source,
+    * clamped to [1, session width]: tiny fixtures collapse to a few
+    * state partitions, large inputs keep the session's width. The conf
+    * is restored after the (single-owner, bounded AvailableNow) run.
+    * Results are unaffected — partition count never changes what a
+    * stateful aggregate computes, only how wide it shuffles. */
+  private def withVolumeShuffleWidth[T](spark: SparkSession, srcDir: String)
+                                       (body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.min(session.toLong,
+      math.max(1L, bytes / (32L << 20) + 1L)).toInt
+    if (target >= session) body
+    else {
+      spark.conf.set("spark.sql.shuffle.partitions", target)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", session)
+    }
+  }
+
   /** Stream a directory of CDC changelog files into a
     * [[VersionedStore]]: one micro-batch per source file
     * (`maxFilesPerTrigger=1`, files processed oldest-first), each batch
@@ -54,17 +86,19 @@ object StreamRuntime {
   def runCommits(spark: SparkSession, srcDir: String, storePath: String): Unit = {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-cdc-run")
     val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        VersionedStore.commitAt(batch.sparkSession, storePath, batch, id + 1)
-      }
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withVolumeShuffleWidth(spark, srcDir) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          VersionedStore.commitAt(batch.sparkSession, storePath, batch, id + 1)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Run `transform` over a file-source stream of `srcDir` to completion
@@ -74,16 +108,18 @@ object StreamRuntime {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-stream-run")
     val out = s"$scratch/result"
     val schema = spark.read.parquet(srcDir).schema
-    val q = transform(spark.readStream.schema(schema).parquet(srcDir))
-      .writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withVolumeShuffleWidth(spark, srcDir) {
+      val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -98,17 +134,19 @@ object StreamRuntime {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-stream-append")
     val out = s"$scratch/result"
     val schema = spark.read.parquet(srcDir).schema
-    val q = transform(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withVolumeShuffleWidth(spark, srcDir) {
+      val q = transform(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -121,8 +159,11 @@ object StreamRuntime {
     val root = new org.apache.hadoop.fs.Path(srcDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    frames.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$srcDir/_tmp"
+    // each frame stages under its OWN tmp dir and lands at its own dst —
+    // independent, so the drops are written concurrently (guide §2.6);
+    // the explicit per-index mod times still define the arrival order
+    graft.operators.Par.run(frames.zipWithIndex.map { case (df, i) => () =>
+      val tmp = s"$srcDir/_tmp$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .map(_.getPath).find(_.getName.startsWith("part-"))
@@ -132,7 +173,8 @@ object StreamRuntime {
         spark.sparkContext.hadoopConfiguration)
       fs.setTimes(dst, 1000L * (i + 1), -1)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+      ()
+    }: _*)
   }
 
   /** Stream a directory of corpus-batch files through the INCREMENTAL
@@ -163,6 +205,10 @@ object StreamRuntime {
                     jaccardThreshold: Double, outDir: String): DataFrame = {
     val scratch = graft.queries.QueryGroup.scratchDir("graft-prepingest-run")
     val schema = spark.read.parquet(srcDir).schema
+    // NOT width-derived from srcDir: each batch dedups against the STORE
+    // (band-bucket collision joins over stored signatures), so sizing
+    // those shuffles from the batch volume would underprovision them —
+    // measured slower even at gate scale
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -312,18 +358,20 @@ object StreamRuntime {
       b
     }
     val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        indexIngestBatch(batch.sparkSession, storePath, batch.toDF(),
-          base + id, titleCol, nBuckets, docBuckets)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withVolumeShuffleWidth(spark, srcDir) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          indexIngestBatch(batch.sparkSession, storePath, batch.toDF(),
+            base + id, titleCol, nBuckets, docBuckets)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Stream a TAKEDOWN QUEUE into the cross-store forget cascade: a
@@ -355,6 +403,10 @@ object StreamRuntime {
         b
       }
     val schema = spark.read.parquet(srcDir).schema
+    // NOT width-derived from srcDir: a takedown batch is tiny but its
+    // per-batch cascade works over the STORES (the dedup family rewrite
+    // is store-sized) — sizing those shuffles from the id-batch volume
+    // would underprovision them at scale
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -377,7 +429,9 @@ object StreamRuntime {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-    dfs.zipWithIndex.foreach { case (df, i) =>
+    // independent per-index tmp dirs and destinations: stage concurrently
+    // (guide §2.6); mod times, not completion order, define arrival order
+    graft.operators.Par.run(dfs.zipWithIndex.map { case (df, i) => () =>
       val tmp = s"$srcDir/_tmp$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
@@ -387,7 +441,8 @@ object StreamRuntime {
       require(fs.rename(part, dst), s"rename $part -> $dst failed")
       fs.setTimes(dst, 1000L * (i + 1), -1)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+      ()
+    }: _*)
   }
 
   /** Drop `df` into `srcDir` as `n` identical single-file batches with
