@@ -43,6 +43,11 @@ object Profile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          // fall back to the leading stage's callsite (first graft frame
+          // if any — attributes the job to the store verb that ran it)
+          .orElse(js.stageInfos.headOption.flatMap(si =>
+            si.details.linesIterator.find(_.contains("graft."))
+              .map(_.trim.take(110))))
           .getOrElse("?")
         jobs(js.jobId) = JobRec(js.jobId, desc, js.time)
         js.stageIds.foreach(sid => stageToJob(sid) = js.jobId)

@@ -514,14 +514,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy("src").agg(min(col("nlbl")).as("nbr_min"))
+      // the previous label rides along into the checkpoint so the
+      // convergence probe is a shuffle-free filter+count over the
+      // checkpointed rows — it used to re-JOIN next against labels,
+      // paying one extra exchange per iteration (guide §2.4)
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev_lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev_lbl")).count()
+      labels = next.select("id", "lbl")
       iter += 1
     }
     require(changed == 0, s"duplicateClusters did not converge in $maxIters rounds")

@@ -210,11 +210,20 @@ object DedupStore {
     // several jobs below (candidate join, verification, survivor append),
     // and every consumer would otherwise re-run the shingle chain
     val staged = s"$path/_ingest_staging"
-    Dedup.shingleSets(Dedup.shingles(newBatch, idCol, textCol, shingleN))
-      .write.mode("overwrite").parquet(s"$staged/sets")
+    // the shingle chain runs ONCE into a persisted frame; the two staging
+    // writes (sets, minhash-derived buckets) then overlap (guide §2.6) —
+    // serially, the buckets derivation waited on the sets write it only
+    // needed for compute reuse. Batch-sized by contract; spills past
+    // memory. Downstream consumers still read the STAGED parquet.
+    val setsDf = Dedup.shingleSets(
+        Dedup.shingles(newBatch, idCol, textCol, shingleN))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Par.run(
+      () => setsDf.write.mode("overwrite").parquet(s"$staged/sets"),
+      () => deriveBuckets(setsDf, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$staged/buckets"))
+    setsDf.unpersist()
     val newSets = spark.read.parquet(s"$staged/sets")
-    deriveBuckets(newSets, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$staged/buckets")
     val newBuckets = spark.read.parquet(s"$staged/buckets")
 
     val setsDir = tablePath(spark, path, "sets")

@@ -114,8 +114,20 @@ object PrepPipeline {
     * both sf0.1 and sf1 (the boundary write + reconstitution join buys
     * back recompute that the checkpoint already prevents). */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, storePath: String,
-                  batch: DataFrame, jaccardThreshold: Double): DataFrame = {
-    val wb = dedupInPool(batch, jaccardThreshold)
+                  batch: DataFrame, jaccardThreshold: Double): DataFrame =
+    dedupIngestPrepared(spark, storePath, dedupInPool(batch, jaccardThreshold),
+      jaccardThreshold)
+
+  /** [[dedupIngest]] with the within-batch pass ALREADY run — the face a
+    * caller uses to overlap the (store-independent) in-pool dedup of the
+    * first batch with the signature-store bootstrap (guide §2.6): the
+    * in-pool pass reads only the batch, the store build reads only the
+    * history, and [[dedupInPool]]'s duplicateClusters runs eagerly at
+    * call time. Semantics identical to [[dedupIngest]] by construction
+    * (it delegates here). */
+  def dedupIngestPrepared(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, wb: DataFrame,
+                          jaccardThreshold: Double): DataFrame = {
     val report = graft.dedup.DedupStore.ingest(spark, storePath, wb, jaccardThreshold)
     // `new_id === dup_of` is a SELF-match: this doc's own signature is
     // already stored, i.e. a previous attempt of THIS batch appended it

@@ -1174,9 +1174,17 @@ object PipelineQueries extends QueryGroup {
       val store = qualityKept(pool.filter(col("doc_id") % 2 === 0))   // yesterday
       val batch = qualityKept(pool.filter(col("doc_id") % 2 === 1))   // today
       val path = QueryGroup.scratchDir("graft-prepingest")
-      graft.dedup.DedupStore.writeSignatures(store, path)
-      val deduped = graft.pipeline.PrepPipeline.dedupIngest(
-        s, path, batch, JaccardThreshold)
+      // the store bootstrap reads only the history, the within-batch
+      // in-pool pass (eager at call time) reads only the batch — overlap
+      // them (guide §2.6); the store-backed pass then runs as before
+      val wbSlot = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.DataFrame]()
+      graft.operators.Par.run(
+        () => graft.dedup.DedupStore.writeSignatures(store, path),
+        () => wbSlot.set(
+          graft.pipeline.PrepPipeline.dedupInPool(batch, JaccardThreshold)))
+      val deduped = graft.pipeline.PrepPipeline.dedupIngestPrepared(
+        s, path, wbSlot.get(), JaccardThreshold)
       val clean = graft.pipeline.Contamination.decontaminate(
         deduped, bench, minShared = 2L)
       splitBudgetReport(clean)
@@ -1201,11 +1209,14 @@ object PipelineQueries extends QueryGroup {
       val store = qualityKept(pool.filter(col("doc_id") % 2 === 0))   // history
       val today = qualityKept(pool.filter(col("doc_id") % 2 === 1))
       val path = QueryGroup.scratchDir("graft-streamprepingest")
-      graft.dedup.DedupStore.writeSignatures(store, path)
       val src = QueryGroup.scratchDir("graft-streamprepingest-src")
-      StreamRuntime.orderedDrops(s, Seq(
-        today.filter(col("doc_id") % 4 === 1),                        // this morning
-        today.filter(col("doc_id") % 4 === 3)), src)                  // this evening
+      // the store bootstrap and the source-drop staging touch disjoint
+      // paths — overlap them (guide §2.6)
+      graft.operators.Par.run(
+        () => graft.dedup.DedupStore.writeSignatures(store, path),
+        () => StreamRuntime.orderedDrops(s, Seq(
+          today.filter(col("doc_id") % 4 === 1),                      // this morning
+          today.filter(col("doc_id") % 4 === 3)), src))               // this evening
       val ids = StreamRuntime.runPrepIngest(s, src, path, JaccardThreshold,
         QueryGroup.scratchDir("graft-streamprepingest-out"))
       val clean = graft.pipeline.Contamination.decontaminate(
