@@ -16,11 +16,13 @@ package graft.operators
   *
   * FIFO scheduling (the default) gives earlier-submitted jobs resources
   * first and later ones the leftovers — exactly the back-fill behavior
-  * wanted. Concurrency is bounded (default 4, env
-  * `SPARK_GRAFT_DRIVER_PAR`): enough to fill gaps and tails, not so
-  * many that jobs fight for executors; the bound is about overlapping
-  * driver latency with executor work, so it deliberately does NOT scale
-  * with core count.
+  * wanted. Concurrency is bounded (default 8, env
+  * `SPARK_GRAFT_DRIVER_PAR`; 8 measured ~6% faster than 4 on the
+  * governance band — the actions being overlapped are dominated by
+  * driver latency, not executor demand, so a deeper queue keeps paying
+  * until jobs actually contend): the bound is about overlapping driver
+  * latency with executor work, so it deliberately does NOT scale with
+  * core count. Excess jobs queue in the scheduler — no thrash.
   *
   * Only for actions with NO data or ordering dependence (different
   * store tables/paths, disjoint outputs). Failures propagate: the first
@@ -31,7 +33,7 @@ object Par {
 
   private lazy val width: Int =
     sys.env.get("SPARK_GRAFT_DRIVER_PAR").flatMap(_.toIntOption)
-      .filter(_ >= 1).getOrElse(4)
+      .filter(_ >= 1).getOrElse(8)
 
   /** Run the actions, overlapping up to [[width]] at a time. Serial when
     * given 0 or 1 actions (no pool spun up). */

@@ -353,6 +353,12 @@ object Forget {
       case "vstore" => "vstore" -> servedIds(spark, root, "vstore").persist()
       case f => f -> liveCache(f)
     }.toMap
+    // fill the surface caches CONCURRENTLY (guide §2.6) before the
+    // report's one big collect consumes them — left lazy, the surfaces
+    // materialize one by one inside that job's stage schedule
+    graft.operators.Par.run(
+      (liveCache.values ++ servedCache.get("vstore")).toSeq
+        .map(df => () => { df.count(); () }): _*)
 
     val manifestRow = spark.range(1).select(
       lit("forget_manifests_complete").as("invariant"),
