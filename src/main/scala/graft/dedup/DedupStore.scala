@@ -573,6 +573,11 @@ object DedupStore {
             .as("violations")))
     }
 
+    // fill both shared caches CONCURRENTLY (guide §2.6) before the
+    // report's single collect consumes them — same pattern as
+    // Forget.checkPipeline's surface fill
+    graft.operators.Par.run(
+      () => { sets.count(); () }, () => { buckets.count(); () })
     try graft.operators.StoreCheck.materialize(spark,
       graft.operators.StoreCheck.report(
         Seq(cardinality, content, surface, unique)))

@@ -1459,6 +1459,12 @@ object Indexer {
         Seq(layout, surface)
     }
 
+    // fill the shared caches CONCURRENTLY (guide §2.6) before the
+    // report's single collect consumes them — same pattern as
+    // Forget.checkPipeline's surface fill
+    graft.operators.Par.run(
+      (Seq(postings, docIds) ++ deletes.toSeq ++ posCached.toSeq)
+        .map(df => () => { df.count(); () }): _*)
     try graft.operators.StoreCheck.materialize(spark,
       graft.operators.StoreCheck.report(Seq(metaCheck) ++ positionalChecks ++
         Seq(orphanDocs, postingsLayout, tombstones, vocabCheck)))
